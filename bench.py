@@ -1,0 +1,135 @@
+"""Benchmark: core operator throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric = rows/s/chip on the BASELINE config-1 pipeline
+(filter + single-key hash group-by mean — `BASELINE.md` "GroupBy + Agg:
+120 ms"; the reference frame for that number is the 10M-row benchmark
+table, i.e. ~83.3M rows/s). vs_baseline = ours / reference.
+
+Runs on the default JAX platform (the real TPU chip under the driver;
+CPU if forced). Data is generated on device; timings are steady-state
+medians with block_until_ready.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(out):
+    """Force completion: a device->host fetch of one element. On the
+    experimental axon platform block_until_ready returns early, so a
+    scalar readback is the only reliable fence."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[:1])
+
+
+def _bench(fn, args, iters=10, warmup=2):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    # launch `iters` dependent-on-nothing kernels back-to-back (they
+    # serialize on the device stream), fence once, subtract fetch latency
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _sync(outs[-1])
+    total = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    _sync(outs[0])
+    fetch = time.perf_counter() - t1
+    return max((total - fetch) / iters, 1e-9)
+
+
+def main():
+    n = 1 << 23  # 8.4M rows
+    rng = np.random.default_rng(0)
+    price = jnp.asarray(rng.uniform(1, 200, n).astype(np.float32))
+    volume = jnp.asarray(rng.integers(0, 5000, n).astype(np.int32))
+    sym = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint32))
+    valid = jnp.ones(n, dtype=bool)
+
+    from polaroid_tpu.parallel.shuffle import local_groupby
+
+    # --- config 1: filter + group_by mean (the headline) ---
+    @jax.jit
+    def q1(price, volume, sym, valid):
+        live = valid & (volume > 1000)
+        notional = price * volume.astype(jnp.float32)
+        gkey, (s, c), gv = local_groupby(sym.astype(jnp.uint64),
+                                         [notional, notional], live,
+                                         ["sum", "count"])
+        return gkey, s / jnp.maximum(c, 1), gv
+
+    t_q1 = _bench(q1, (price, volume, sym, valid))
+
+    # --- operator microbenches ---
+    @jax.jit
+    def op_filter(price, volume, valid):
+        live = valid & (volume > 1000) & (price > 50.0)
+        return live, jnp.sum(jnp.where(live, price, 0.0))
+
+    t_filter = _bench(op_filter, (price, volume, valid))
+
+    @jax.jit
+    def op_sort(sym, price):
+        return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
+
+    t_sort = _bench(op_sort, (sym, price))
+
+    @jax.jit
+    def op_agg(sym, price, valid):
+        gkey, (s, c), gv = local_groupby(sym.astype(jnp.uint64),
+                                         [price, price], valid,
+                                         ["sum", "count"])
+        return gkey, s, c
+
+    t_agg = _bench(op_agg, (sym, price, valid))
+
+    # join: 4M probe x 1M build on one chip
+    nb = 1 << 20
+    npr = 1 << 22
+    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint64))
+    bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
+    pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint64))
+
+    @jax.jit
+    def op_join(bkey, bval, pkey):
+        # unique build side: sort build, searchsorted probes (1:1 match)
+        sk, sv = jax.lax.sort((bkey, bval), num_keys=1, is_stable=True)
+        pos = jnp.searchsorted(sk, pkey)
+        posc = jnp.clip(pos, 0, nb - 1)
+        hit = sk[posc] == pkey
+        return jnp.where(hit, sv[posc], 0.0), hit
+
+    t_join = _bench(op_join, (bkey, bval, pkey))
+
+    rows_s = n / t_q1
+    baseline_rows_s = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
+    result = {
+        "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
+        "value": round(rows_s, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_s / baseline_rows_s, 3),
+        "details": {
+            "platform": jax.default_backend(),
+            "n_rows": n,
+            "q1_filter_groupby_mean_ms": round(t_q1 * 1e3, 3),
+            "filter_ms": round(t_filter * 1e3, 3),
+            "sort_8m_ms": round(t_sort * 1e3, 3),
+            "groupby_agg_ms": round(t_agg * 1e3, 3),
+            "join_4m_x_1m_ms": round(t_join * 1e3, 3),
+            "filter_rows_per_s": round(n / t_filter, 1),
+            "sort_rows_per_s": round(n / t_sort, 1),
+            "agg_rows_per_s": round(n / t_agg, 1),
+            "join_rows_per_s": round(npr / t_join, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

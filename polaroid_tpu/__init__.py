@@ -1,0 +1,70 @@
+"""polaroid-tpu: a TPU-native vectorized DataFrame / query-execution engine.
+
+Built from scratch with the capability surface of ThotDjehuty/polaroid
+("Polarway": Polars + gRPC/storage layers) — see SURVEY.md — re-designed
+for TPU hardware: fixed-capacity columnar batches in HBM, XLA fused
+kernels + Pallas for hot paths, lazy query plans with pushdown
+optimization, and multi-chip scale via `shard_map` hash shuffles over ICI.
+
+Import as `import polaroid_tpu as pl` — the API mirrors polars.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+import jax as _jax
+
+# 64-bit ints/floats are part of the dataframe contract (Int64 default like
+# polars). On TPU, Float64 storage is downgraded to f32 unless PT_STRICT_F64
+# (see batch.storage_numpy_dtype); int64 stays exact.
+if _os.environ.get("PT_NO_X64") not in ("1", "true"):
+    _jax.config.update("jax_enable_x64", True)
+
+from .config import CONFIG, Config  # noqa: E402
+from .dtypes import (  # noqa: E402
+    Boolean, Categorical, DataType, Date, Datetime, Duration, Float32,
+    Float64, Int8, Int16, Int32, Int64, List, Null, String, Time, UInt8,
+    UInt16, UInt32, UInt64, Utf8,
+)
+from .errors import (  # noqa: E402
+    ColumnNotFoundError, ComputeError, DuplicateError, InvalidOperationError,
+    NoDataError, OutOfBoundsError, PolaroidError, SchemaError, ShapeError,
+    SQLInterfaceError, SQLSyntaxError,
+)
+from .expr.expr import (  # noqa: E402
+    Expr, col, first, last, len_ as len, lit, nth, when,
+)
+from .api.frame import DataFrame  # noqa: E402
+from .api.series import Series  # noqa: E402
+from .api.lazyframe import LazyFrame, scan_parquet, scan_csv, scan_ipc, \
+    scan_ndjson  # noqa: E402
+from .api.functions import (  # noqa: E402
+    all, any, arange, coalesce, concat, concat_str, corr, count, cov,
+    date_range, exclude, from_arrow, from_dict, from_numpy, from_pandas,
+    from_records, int_range, max, max_horizontal, mean, mean_horizontal, min,
+    min_horizontal, read_csv, read_ipc, read_json, read_ndjson, read_parquet,
+    repeat, select, std, struct, sum, sum_horizontal, var,
+)
+from .sql.context import SQLContext  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataFrame", "LazyFrame", "Series", "Expr", "SQLContext", "Config",
+    "CONFIG",
+    "col", "lit", "when", "len", "first", "last", "nth",
+    "scan_parquet", "scan_csv", "scan_ipc", "scan_ndjson",
+    "read_parquet", "read_csv", "read_ipc", "read_json", "read_ndjson",
+    "from_arrow", "from_dict", "from_pandas", "from_numpy", "from_records",
+    "concat", "concat_str", "arange", "int_range", "date_range", "repeat",
+    "all", "any", "min", "max", "sum", "mean", "std", "var", "count",
+    "corr", "cov", "coalesce", "exclude", "select", "struct",
+    "min_horizontal", "max_horizontal", "sum_horizontal", "mean_horizontal",
+    "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64",
+    "Float32", "Float64", "Boolean", "String", "Utf8", "Categorical", "Date",
+    "Datetime", "Duration", "Time", "Null", "List", "DataType",
+    "PolaroidError", "ColumnNotFoundError", "ComputeError", "SchemaError",
+    "ShapeError", "InvalidOperationError", "DuplicateError", "NoDataError",
+    "OutOfBoundsError", "SQLSyntaxError", "SQLInterfaceError",
+]

@@ -1,0 +1,516 @@
+"""Eager DataFrame.
+
+Parity target: `py-polars/src/polars/dataframe/frame.py` — the eager API
+is a thin driver over the same device kernels the lazy engine uses
+(select/with_columns/filter evaluate expressions immediately; relational
+ops call the kernel layer in `ops/`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..batch import Column, Table
+from ..config import capacity_for
+from ..dtypes import Boolean, DataType
+from ..errors import (ColumnNotFoundError, ComputeError, DuplicateError,
+                      InvalidOperationError, ShapeError)
+from ..expr import meta
+from ..expr.eval import Val, eval_expr
+from ..expr.expr import Expr, WhenThen, col as _col
+from ..ops import compact as C
+from ..ops import sort as S
+from .series import Series
+
+
+def _to_exprs(args, kwargs=None) -> List[Expr]:
+    flat = []
+
+    def rec(a):
+        if isinstance(a, (list, tuple)):
+            for x in a:
+                rec(x)
+        elif isinstance(a, WhenThen):
+            flat.append(a._as_expr())
+        elif isinstance(a, Expr):
+            flat.append(a)
+        elif isinstance(a, str):
+            flat.append(_col(a))
+        else:
+            from ..expr.expr import lit
+            flat.append(lit(a))
+    for a in args:
+        rec(a)
+    if kwargs:
+        for name, a in kwargs.items():
+            e = a if isinstance(a, Expr) else (
+                a._as_expr() if isinstance(a, WhenThen) else
+                (_col(a) if isinstance(a, str) else None))
+            if e is None:
+                from ..expr.expr import lit
+                e = lit(a)
+            flat.append(e.alias(name))
+    return flat
+
+
+class DataFrame:
+    def __init__(self, data=None, schema=None, strict: bool = True):
+        if data is None:
+            self._table = Table([], {}, capacity_for(0), 0, None)
+            return
+        if isinstance(data, Table):
+            self._table = data
+            return
+        if isinstance(data, DataFrame):
+            self._table = data._table
+            return
+        try:
+            import pandas as pd
+            if isinstance(data, pd.DataFrame):
+                data = {c: data[c].to_numpy() for c in data.columns}
+        except ImportError:
+            pass
+        try:
+            import pyarrow as pa
+            if isinstance(data, pa.Table):
+                from ..io.arrow_interop import table_from_arrow
+                self._table = table_from_arrow(data)
+                return
+        except ImportError:
+            pass
+        if isinstance(data, dict):
+            sch = None
+            if schema is not None and isinstance(schema, dict):
+                sch = schema
+            self._table = Table.from_dict(data, sch)
+            return
+        if isinstance(data, (list, tuple)):
+            if not data:
+                self._table = Table([], {}, capacity_for(0), 0, None)
+                return
+            if isinstance(data[0], dict):  # row-major dicts
+                keys = list(data[0].keys())
+                cols = {k: [r.get(k) for r in data] for k in keys}
+                self._table = Table.from_dict(cols,
+                                              schema if isinstance(schema, dict) else None)
+                return
+            if isinstance(data[0], Series):
+                d = {s.name or f"column_{i}": s for i, s in enumerate(data)}
+                t = None
+                names, colmap = [], {}
+                cap = max(capacity_for(len(s)) for s in data)
+                n = len(data[0])
+                for name, s in d.items():
+                    names.append(name)
+                    cgrown = s._col
+                    if cgrown.capacity < cap:
+                        tt = Table([name], {name: cgrown}, cgrown.capacity, len(s), None)
+                        tt = C.grow_to(tt, cap)
+                        cgrown = tt.cols[name]
+                    colmap[name] = cgrown
+                self._table = Table(names, colmap, cap, n, None)
+                return
+        raise ComputeError(f"cannot construct DataFrame from {type(data)}")
+
+    @classmethod
+    def _from_table(cls, t: Table) -> "DataFrame":
+        df = cls.__new__(cls)
+        df._table = t
+        return df
+
+    # --- introspection --------------------------------------------------
+    @property
+    def height(self) -> int:
+        return self._table.count_rows()
+
+    @property
+    def width(self) -> int:
+        return self._table.width
+
+    @property
+    def shape(self):
+        return (self.height, self.width)
+
+    @property
+    def columns(self) -> List[str]:
+        return list(self._table.names)
+
+    @property
+    def schema(self) -> Dict[str, DataType]:
+        return self._table.schema
+
+    @property
+    def dtypes(self) -> List[DataType]:
+        return [self._table.cols[n].dtype for n in self._table.names]
+
+    def is_empty(self) -> bool:
+        return self.height == 0
+
+    def __len__(self) -> int:
+        return self.height
+
+    def __repr__(self) -> str:
+        from .fmt import format_frame
+        return format_frame(self)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.get_column(key)
+        if isinstance(key, (list, tuple)) and key and isinstance(key[0], str):
+            return self.select(list(key))
+        if isinstance(key, slice):
+            start = key.start or 0
+            stop = key.stop if key.stop is not None else self.height
+            return self.slice(start, stop - start)
+        if isinstance(key, int):
+            return self.row(key)
+        raise ComputeError(f"unsupported index {key!r}")
+
+    # --- expression contexts --------------------------------------------
+    def select(self, *exprs, **named_exprs) -> "DataFrame":
+        es = meta.expand_exprs(_to_exprs(exprs, named_exprs), self.schema)
+        t = self._table
+        results = []
+        any_row = False
+        for e in es:
+            name = meta.output_name(e)
+            v = eval_expr(e, t, "select")
+            results.append((name, v))
+            any_row = any_row or not v.is_scalar
+        names, cols = [], {}
+        if not results:
+            return DataFrame._from_table(Table([], {}, capacity_for(0), 0, None))
+        if any_row:
+            cap = t.capacity
+            for name, v in results:
+                if name in cols:
+                    raise DuplicateError(f"duplicate column name {name!r}")
+                data = jnp.broadcast_to(v.data, (cap,)) if v.is_scalar else v.data
+                validity = v.validity
+                if validity is not None and v.is_scalar:
+                    validity = jnp.broadcast_to(validity, (cap,))
+                names.append(name)
+                cols[name] = Column(v.dtype, data, validity, v.sdict)
+            return DataFrame._from_table(
+                Table(names, cols, cap, t.nrows, t.valid))
+        cap = capacity_for(1)
+        for name, v in results:
+            if name in cols:
+                raise DuplicateError(f"duplicate column name {name!r}")
+            data = jnp.broadcast_to(v.data, (1,))
+            pad = jnp.zeros(cap - 1, dtype=data.dtype)
+            data = jnp.concatenate([data, pad])
+            validity = None
+            if v.validity is not None:
+                validity = jnp.concatenate(
+                    [jnp.broadcast_to(v.validity, (1,)), jnp.zeros(cap - 1, jnp.bool_)])
+            names.append(name)
+            cols[name] = Column(v.dtype, data, validity, v.sdict)
+        return DataFrame._from_table(Table(names, cols, cap, 1, None))
+
+    def with_columns(self, *exprs, **named_exprs) -> "DataFrame":
+        es = meta.expand_exprs(_to_exprs(exprs, named_exprs), self.schema)
+        t = self._table
+        for e in es:
+            name = meta.output_name(e)
+            v = eval_expr(e, t, "select")
+            data = jnp.broadcast_to(v.data, (t.capacity,)) if v.is_scalar else v.data
+            validity = v.validity
+            if validity is not None and v.is_scalar:
+                validity = jnp.broadcast_to(validity, (t.capacity,))
+            t = t.with_column(name, Column(v.dtype, data, validity, v.sdict))
+        return DataFrame._from_table(t)
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> "DataFrame":
+        t = C.compact(self._table)
+        idx = (jnp.arange(t.capacity) + offset).astype(jnp.uint32)
+        from ..dtypes import UInt32
+        t = Table(list(t.names), dict(t.cols), t.capacity, t.nrows, t.valid)
+        out = t.with_column(name, Column(UInt32, idx, None, None))
+        # index first, like polars
+        out = out.select_columns([name] + [n for n in out.names if n != name])
+        return DataFrame._from_table(out)
+
+    def filter(self, *predicates, **constraints) -> "DataFrame":
+        preds = _to_exprs(predicates)
+        for k, v in constraints.items():
+            preds.append(_col(k) == v)
+        t = self._table
+        mask = t.row_mask()
+        for p in preds:
+            v = eval_expr(p, t, "filter")
+            if not v.dtype.is_bool:
+                raise ComputeError(f"filter predicate must be Boolean, got {v.dtype!r}")
+            data = jnp.broadcast_to(v.data, (t.capacity,))
+            pm = data & jnp.broadcast_to(v.valid_or_true(), (t.capacity,))
+            mask = mask & pm
+        return DataFrame._from_table(t.with_valid(mask, None))
+
+    def drop(self, *names, strict: bool = True) -> "DataFrame":
+        flat = []
+        for n in names:
+            flat.extend(n if isinstance(n, (list, tuple)) else [n])
+        if strict:
+            for n in flat:
+                if n not in self._table.cols:
+                    raise ColumnNotFoundError(f"{n!r} not found")
+        return DataFrame._from_table(self._table.drop_columns(flat))
+
+    def rename(self, mapping: Dict[str, str], strict: bool = True) -> "DataFrame":
+        return DataFrame._from_table(self._table.rename(mapping, strict))
+
+    def cast(self, dtypes, strict: bool = True) -> "DataFrame":
+        if isinstance(dtypes, dict):
+            exprs = [_col(k).cast(v) for k, v in dtypes.items()]
+        else:
+            exprs = [_col(n).cast(dtypes) for n in self.columns]
+        return self.with_columns(exprs)
+
+    # --- row ops --------------------------------------------------------
+    def head(self, n: int = 5) -> "DataFrame":
+        return DataFrame._from_table(C.slice_rows(self._table, 0, max(n, 0)))
+
+    def limit(self, n: int = 5) -> "DataFrame":
+        return self.head(n)
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return DataFrame._from_table(C.slice_rows(self._table, -n, n))
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "DataFrame":
+        return DataFrame._from_table(C.slice_rows(self._table, offset, length))
+
+    def reverse(self) -> "DataFrame":
+        t = C.compact(self._table)
+        n = t.nrows or 0
+        idx = jnp.arange(t.capacity)
+        perm = jnp.where(idx < n, n - 1 - idx, idx)
+        return DataFrame._from_table(C.gather_table(t, perm, n, None))
+
+    def gather_every(self, n: int, offset: int = 0) -> "DataFrame":
+        t = C.compact(self._table)
+        total = t.nrows or 0
+        mask = (jnp.arange(t.capacity) >= offset) & \
+               (jnp.remainder(jnp.arange(t.capacity) - offset, n) == 0) & \
+               (jnp.arange(t.capacity) < total)
+        return DataFrame._from_table(C.compact(t.with_valid(mask, None)))
+
+    def sort(self, by, *more_by, descending=False, nulls_last=False,
+             maintain_order: bool = False) -> "DataFrame":
+        keys = _to_exprs((by,) + more_by)
+        keys = meta.expand_exprs(keys, self.schema)
+        nk = len(keys)
+        desc = descending if isinstance(descending, (list, tuple)) else [descending] * nk
+        nl = nulls_last if isinstance(nulls_last, (list, tuple)) else [nulls_last] * nk
+        t = self._table
+        vals = [eval_expr(k, t, "select") for k in keys]
+        return DataFrame._from_table(S.sort_table(t, vals, desc, nl, True))
+
+    def top_k(self, k: int, by, descending=False) -> "DataFrame":
+        keys = _to_exprs((by,) if not isinstance(by, (list, tuple)) else tuple(by))
+        nk = len(keys)
+        desc = descending if isinstance(descending, (list, tuple)) else [descending] * nk
+        # top_k returns the k largest -> sort descending on each key
+        desc = [not d for d in desc]
+        t = self._table
+        vals = [eval_expr(kk, t, "select") for kk in keys]
+        return DataFrame._from_table(S.top_k_table(t, vals, k, desc, [True] * nk))
+
+    def bottom_k(self, k: int, by, descending=False) -> "DataFrame":
+        keys = _to_exprs((by,) if not isinstance(by, (list, tuple)) else tuple(by))
+        nk = len(keys)
+        desc = descending if isinstance(descending, (list, tuple)) else [descending] * nk
+        t = self._table
+        vals = [eval_expr(kk, t, "select") for kk in keys]
+        return DataFrame._from_table(S.top_k_table(t, vals, k, desc, [True] * nk))
+
+    # --- relational ops (kernels) ---------------------------------------
+    def unique(self, subset=None, keep: str = "any",
+               maintain_order: bool = False) -> "DataFrame":
+        from ..ops.groupby import unique_table
+        subset_names = None
+        if subset is not None:
+            subset_names = [subset] if isinstance(subset, str) else list(subset)
+        return DataFrame._from_table(
+            unique_table(self._table, subset_names, keep, maintain_order))
+
+    def n_unique(self, subset=None) -> int:
+        return self.unique(subset).height
+
+    def group_by(self, *by, maintain_order: bool = False, **named_by):
+        from .groupby import GroupBy
+        keys = _to_exprs(by, named_by)
+        keys = meta.expand_exprs(keys, self.schema)
+        return GroupBy(self, keys, maintain_order)
+
+    def join(self, other: "DataFrame", on=None, how: str = "inner", *,
+             left_on=None, right_on=None, suffix: str = "_right",
+             join_nulls: bool = False, coalesce: Optional[bool] = None,
+             validate: str = "m:m") -> "DataFrame":
+        from ..ops.join import join_tables
+        if on is not None:
+            left_on = right_on = [on] if isinstance(on, str) else list(on)
+        elif how != "cross":
+            if left_on is None or right_on is None:
+                raise ComputeError("join requires `on` or `left_on`+`right_on`")
+            left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+            right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        out = join_tables(self._table, other._table, left_on, right_on, how,
+                          suffix, join_nulls, coalesce)
+        return DataFrame._from_table(out)
+
+    # --- combining ------------------------------------------------------
+    def vstack(self, other: "DataFrame") -> "DataFrame":
+        from ..ops.concat import vstack_tables
+        return DataFrame._from_table(vstack_tables([self._table, other._table]))
+
+    def extend(self, other: "DataFrame") -> "DataFrame":
+        return self.vstack(other)
+
+    def hstack(self, other) -> "DataFrame":
+        t = self._table
+        other_t = other._table if isinstance(other, DataFrame) else None
+        if other_t is None:
+            raise ComputeError("hstack expects a DataFrame")
+        ot = other_t
+        if ot.capacity < t.capacity:
+            ot = C.grow_to(C.compact(ot), t.capacity)
+        elif ot.capacity > t.capacity:
+            t = C.grow_to(C.compact(t), ot.capacity)
+        for name in ot.names:
+            t = t.with_column(name, ot.cols[name])
+        return DataFrame._from_table(t)
+
+    # --- aggregation shortcuts ------------------------------------------
+    def _agg_all(self, agg: str, **kw) -> "DataFrame":
+        from ..expr.expr import Expr
+        exprs = []
+        for n in self.columns:
+            dt = self.schema[n]
+            if agg in ("sum", "mean", "min", "max", "median", "std", "var") \
+                    and not (dt.is_numeric or dt.is_bool or dt.is_temporal
+                             or (agg in ("min", "max") and dt.is_string)):
+                continue
+            exprs.append(Expr("agg", (_col(n),), agg=agg, **kw).alias(n))
+        return self.select(exprs) if exprs else DataFrame()
+
+    def sum(self): return self._agg_all("sum")
+    def mean(self): return self._agg_all("mean")
+    def min(self): return self._agg_all("min")
+    def max(self): return self._agg_all("max")
+    def median(self): return self._agg_all("median")
+    def std(self, ddof: int = 1): return self._agg_all("std", ddof=ddof)
+    def var(self, ddof: int = 1): return self._agg_all("var", ddof=ddof)
+
+    def null_count(self) -> "DataFrame":
+        return self.select([_col(n).null_count().alias(n) for n in self.columns])
+
+    def count(self) -> "DataFrame":
+        return self.select([_col(n).count().alias(n) for n in self.columns])
+
+    def fill_null(self, value=None, strategy: Optional[str] = None) -> "DataFrame":
+        return self.with_columns([_col(n).fill_null(value, strategy=strategy)
+                                  for n in self.columns])
+
+    def fill_nan(self, value) -> "DataFrame":
+        return self.with_columns([
+            _col(n).fill_nan(value) for n in self.columns
+            if self.schema[n].is_float])
+
+    def drop_nulls(self, subset=None) -> "DataFrame":
+        names = [subset] if isinstance(subset, str) else (subset or self.columns)
+        pred = None
+        for n in names:
+            p = _col(n).is_not_null()
+            pred = p if pred is None else (pred & p)
+        return self.filter(pred) if pred is not None else self
+
+    def drop_nans(self, subset=None) -> "DataFrame":
+        names = [subset] if isinstance(subset, str) else (subset or self.columns)
+        pred = None
+        for n in names:
+            if not self.schema[n].is_float:
+                continue
+            p = _col(n).is_not_nan()
+            pred = p if pred is None else (pred & p)
+        return self.filter(pred) if pred is not None else self
+
+    # --- conversion ------------------------------------------------------
+    def get_column(self, name: str) -> Series:
+        t = C.compact(self._table)
+        c = t.column(name)
+        return Series._from_column(name, c, t.nrows or 0)
+
+    def to_series(self, index: int = 0) -> Series:
+        return self.get_column(self.columns[index])
+
+    def to_dict(self, as_series: bool = False) -> Dict[str, Any]:
+        d = self._table.to_numpy_dict()
+        if as_series:
+            return {k: Series(k, list(v)) for k, v in d.items()}
+        return {k: [_py(x) for x in list(v)] for k, v in d.items()}
+
+    def to_numpy(self) -> np.ndarray:
+        d = self._table.to_numpy_dict()
+        return np.column_stack([np.asarray(v) for v in d.values()]) \
+            if d else np.zeros((0, 0))
+
+    def to_pandas(self):
+        import pandas as pd
+        return pd.DataFrame(self._table.to_numpy_dict())
+
+    def to_arrow(self):
+        from ..io.arrow_interop import table_to_arrow
+        return table_to_arrow(self._table)
+
+    def rows(self) -> List[tuple]:
+        d = self._table.to_numpy_dict()
+        names = list(d.keys())
+        n = len(d[names[0]]) if names else 0
+        return [tuple(_py(d[k][i]) for k in names) for i in range(n)]
+
+    def row(self, index: int) -> tuple:
+        return self.rows()[index]
+
+    def item(self, row: Optional[int] = None, column=None):
+        if row is None and column is None:
+            if self.shape != (1, 1):
+                raise ShapeError(f"can only call .item() on 1x1 frame, got {self.shape}")
+            return self.rows()[0][0]
+        cn = column if isinstance(column, str) else self.columns[column]
+        return _py(self._table.to_numpy_dict()[cn][row])
+
+    def equals(self, other: "DataFrame", null_equal: bool = True) -> bool:
+        if self.columns != other.columns:
+            return False
+        return self.rows() == other.rows()
+
+    def lazy(self):
+        from .lazyframe import LazyFrame
+        return LazyFrame._from_existing(self._table)
+
+    # --- io ---------------------------------------------------------------
+    def write_parquet(self, file, compression: str = "zstd", **kw) -> None:
+        from ..io.parquet import write_parquet
+        write_parquet(self, file, compression=compression, **kw)
+
+    def write_csv(self, file=None, **kw):
+        from ..io.csv import write_csv
+        return write_csv(self, file, **kw)
+
+    def write_ipc(self, file, **kw) -> None:
+        from ..io.ipc import write_ipc
+        write_ipc(self, file, **kw)
+
+    def write_ndjson(self, file=None, **kw):
+        from ..io.json_io import write_ndjson
+        return write_ndjson(self, file, **kw)
+
+
+def _py(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    return v

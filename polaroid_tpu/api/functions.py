@@ -1,0 +1,319 @@
+"""Top-level functions (pl.* parity surface)."""
+
+from __future__ import annotations
+
+import builtins
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from ..dtypes import DataType, Int64
+from ..errors import ComputeError
+from ..expr.expr import Expr, col as _col, lit as _lit, _wrap, _wrap_col
+
+
+# --- constructors --------------------------------------------------------
+
+def from_dict(data, schema=None):
+    from .frame import DataFrame
+    return DataFrame(data, schema=schema)
+
+
+def from_records(records, schema=None):
+    from .frame import DataFrame
+    return DataFrame(list(records), schema=schema)
+
+
+def from_pandas(df):
+    from .frame import DataFrame
+    return DataFrame(df)
+
+
+def from_numpy(arr, schema=None):
+    from .frame import DataFrame
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    names = schema if isinstance(schema, list) else \
+        [f"column_{i}" for i in range(arr.shape[1])]
+    return DataFrame({n: arr[:, i] for i, n in enumerate(names)})
+
+
+def from_arrow(at):
+    from .frame import DataFrame
+    return DataFrame(at)
+
+
+# --- io ------------------------------------------------------------------
+
+def read_parquet(source, columns=None, n_rows=None, **kw):
+    from .frame import DataFrame
+    from ..io.parquet import read_parquet_table
+    return DataFrame._from_table(read_parquet_table(source, columns=columns,
+                                                    n_rows=n_rows))
+
+
+def read_csv(source, **kw):
+    from .frame import DataFrame
+    from ..io.csv import read_csv_table
+    return DataFrame._from_table(read_csv_table(source, **kw))
+
+
+def read_ipc(source, **kw):
+    from .frame import DataFrame
+    from ..io.ipc import read_ipc_table
+    return DataFrame._from_table(read_ipc_table(source, **kw))
+
+
+def read_json(source, **kw):
+    from .frame import DataFrame
+    from ..io.json_io import read_json_table
+    return DataFrame._from_table(read_json_table(source))
+
+
+def read_ndjson(source, **kw):
+    from .frame import DataFrame
+    from ..io.json_io import read_ndjson_table
+    return DataFrame._from_table(read_ndjson_table(source))
+
+
+# --- concat --------------------------------------------------------------
+
+def concat(items: Sequence, how: str = "vertical", rechunk: bool = False):
+    items = list(items)
+    if not items:
+        raise ComputeError("concat needs at least one item")
+    from .frame import DataFrame
+    from .lazyframe import LazyFrame
+    from ..plan import logical as L
+    if isinstance(items[0], LazyFrame):
+        return LazyFrame._from_plan(L.Union([i._plan for i in items], how))
+    if how in ("vertical", "vertical_relaxed", "diagonal", "diagonal_relaxed"):
+        from ..ops.concat import vstack_tables
+        hw = "vertical" if how.startswith("vertical") else "diagonal"
+        return DataFrame._from_table(vstack_tables([i._table for i in items], hw))
+    if how == "horizontal":
+        out = items[0]
+        for i in items[1:]:
+            out = out.hstack(i)
+        return out
+    raise ComputeError(f"unknown concat strategy {how!r}")
+
+
+# --- ranges --------------------------------------------------------------
+
+def arange(start, end=None, step: int = 1, eager: bool = False,
+           dtype: Optional[DataType] = None):
+    return int_range(start, end, step, eager=eager, dtype=dtype)
+
+
+def int_range(start, end=None, step: int = 1, *, eager: bool = False,
+              dtype: Optional[DataType] = None):
+    if end is None:
+        start, end = 0, start
+    if eager:
+        from .series import Series
+        vals = np.arange(start, end, step, dtype=np.int64)
+        return Series("literal", vals,
+                      dtype=dtype or Int64)
+    return Expr("lit", value=np.arange(start, end, step, dtype=np.int64),
+                dtype=dtype or Int64).alias("int")
+
+
+def repeat(value, n: int, *, eager: bool = False, dtype=None):
+    if eager:
+        from .series import Series
+        return Series("repeat", [value] * n, dtype=dtype)
+    return _lit(value, dtype)
+
+
+def date_range(start, end, interval: str = "1d", *, closed: str = "both",
+               eager: bool = False):
+    import datetime as _dt
+    from ..ops.temporal import parse_every
+    kind, n = parse_every(interval)
+    out = []
+    if isinstance(start, _dt.datetime) or isinstance(end, _dt.datetime):
+        is_dt = True
+    else:
+        is_dt = False
+    cur = start
+    if kind == "months":
+        def advance(d):
+            m = d.month - 1 + n
+            y = d.year + m // 12
+            m = m % 12 + 1
+            day = builtins.min(d.day, [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) else 28,
+                                       31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1])
+            return d.replace(year=y, month=m, day=day)
+    else:
+        delta = _dt.timedelta(microseconds=n / 1000)
+        if not is_dt:
+            delta = _dt.timedelta(days=n // (86_400 * 1_000_000_000))
+
+        def advance(d):
+            return d + delta
+    while cur <= end:
+        out.append(cur)
+        nxt = advance(cur)
+        if nxt == cur:
+            break
+        cur = nxt
+    if closed in ("left", "none") and out and out[-1] == end:
+        pass
+    if closed in ("left", "none"):
+        out = [d for d in out if d != end] if closed == "left" else out[1:-1]
+    elif closed == "right":
+        out = [d for d in out if d != start]
+    from .series import Series
+    s = Series("literal", out)
+    if eager:
+        return s
+    return _lit(np.asarray([(d - _dt.date(1970, 1, 1)).days for d in out]))
+
+
+# --- horizontal / misc expr builders -------------------------------------
+
+def all(*names) -> Expr:
+    if not names:
+        return Expr("wildcard")
+    if len(names) == 1 and isinstance(names[0], str):
+        return _col(names[0]).all()
+    acc = _wrap_col(names[0])
+    for n in names[1:]:
+        acc = acc & _wrap_col(n)
+    return acc
+
+
+def any(*names) -> Expr:
+    if len(names) == 1 and isinstance(names[0], str):
+        return _col(names[0]).any()
+    acc = _wrap_col(names[0])
+    for n in names[1:]:
+        acc = acc | _wrap_col(n)
+    return acc
+
+
+def exclude(*names) -> Expr:
+    flat = []
+    for n in names:
+        flat.extend(n if isinstance(n, (list, tuple)) else [n])
+    return Expr("exclude", names=tuple(flat))
+
+
+def min(*exprs) -> Expr:
+    if len(exprs) == 1:
+        return _wrap_col(exprs[0]).min()
+    return min_horizontal(*exprs)
+
+
+def max(*exprs) -> Expr:
+    if len(exprs) == 1:
+        return _wrap_col(exprs[0]).max()
+    return max_horizontal(*exprs)
+
+
+def sum(*exprs) -> Expr:
+    if len(exprs) == 1 and not isinstance(exprs[0], (list, tuple)):
+        return _wrap_col(exprs[0]).sum()
+    return sum_horizontal(*exprs)
+
+
+def mean(e) -> Expr:
+    return _wrap_col(e).mean()
+
+
+def std(e, ddof: int = 1) -> Expr:
+    return _wrap_col(e).std(ddof)
+
+
+def var(e, ddof: int = 1) -> Expr:
+    return _wrap_col(e).var(ddof)
+
+
+def count(e=None) -> Expr:
+    if e is None:
+        return Expr("table_len")
+    return _wrap_col(e).count()
+
+
+def min_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[0]
+    for e in es[1:]:
+        from ..expr.expr import when
+        acc = when(acc.is_null() | (e.is_not_null() & (e < acc))).then(e).otherwise(acc)
+    return acc.alias("min")
+
+
+def max_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[0]
+    for e in es[1:]:
+        from ..expr.expr import when
+        acc = when(acc.is_null() | (e.is_not_null() & (e > acc))).then(e).otherwise(acc)
+    return acc.alias("max")
+
+
+def sum_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[0].fill_null(0)
+    for e in es[1:]:
+        acc = acc + e.fill_null(0)
+    return acc.alias("sum")
+
+
+def mean_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    total = es[0].fill_null(0)
+    cnt = es[0].is_not_null().cast(Int64)
+    for e in es[1:]:
+        total = total + e.fill_null(0)
+        cnt = cnt + e.is_not_null().cast(Int64)
+    return (total / cnt).alias("mean")
+
+
+def coalesce(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[-1]
+    for e in reversed(es[:-1]):
+        acc = e.fill_null(acc)
+    return acc.alias("coalesce")
+
+
+def corr(a, b, ddof: int = 1) -> Expr:
+    a, b = _wrap_col(a), _wrap_col(b)
+    am, bm = a.mean(), b.mean()
+    cov_ = ((a - am) * (b - bm)).sum()
+    return (cov_ / (((a - am) * (a - am)).sum().sqrt()
+                    * ((b - bm) * (b - bm)).sum().sqrt())).alias("corr")
+
+
+def cov(a, b, ddof: int = 1) -> Expr:
+    a, b = _wrap_col(a), _wrap_col(b)
+    n = a.count()
+    return (((a - a.mean()) * (b - b.mean())).sum()
+            / (n - ddof)).alias("cov")
+
+
+def concat_str(*exprs, separator: str = "") -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    return Expr("concat_str", tuple(es), separator=separator)
+
+
+def struct(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    return Expr("struct", tuple(es))
+
+
+def select(*exprs, **named):
+    from .frame import DataFrame
+    return DataFrame({}).select(*exprs, **named)
+
+
+def _flatten(items):
+    for it in items:
+        if isinstance(it, (list, tuple)):
+            yield from _flatten(it)
+        else:
+            yield it

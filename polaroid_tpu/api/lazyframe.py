@@ -1,0 +1,352 @@
+"""LazyFrame: deferred query construction.
+
+Parity target: `py-polars/src/polars/lazyframe/frame.py` (collect at
+`frame.py:2161`) over `polars-lazy/src/frame/mod.rs:628`
+collect_with_engine — builds the logical plan (`plan/logical.py`), runs
+the optimizer, then the in-memory or streaming executor.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from ..config import CONFIG
+from ..errors import ComputeError
+from ..expr import meta
+from ..expr.expr import Expr, col as _col
+from ..plan import logical as L
+from ..plan.optimizer import optimize
+
+
+def _to_exprs(args, kwargs=None) -> List[Expr]:
+    from .frame import _to_exprs as f
+    return f(args, kwargs)
+
+
+class LazyFrame:
+    def __init__(self, data=None, schema=None):
+        if data is None:
+            from ..batch import Table
+            from ..config import capacity_for
+            self._plan = L.DataFrameScan(Table([], {}, capacity_for(0), 0, None))
+        else:
+            from .frame import DataFrame
+            self._plan = L.DataFrameScan(DataFrame(data, schema=schema)._table)
+
+    @classmethod
+    def _from_plan(cls, plan: L.Plan) -> "LazyFrame":
+        lf = cls.__new__(cls)
+        lf._plan = plan
+        return lf
+
+    @classmethod
+    def _from_existing(cls, table) -> "LazyFrame":
+        return cls._from_plan(L.DataFrameScan(table))
+
+    # --- introspection --------------------------------------------------
+    @property
+    def columns(self) -> List[str]:
+        return list(self._plan.schema().keys())
+
+    @property
+    def schema(self) -> Dict[str, object]:
+        return dict(self._plan.schema())
+
+    def collect_schema(self) -> Dict[str, object]:
+        return self.schema
+
+    @property
+    def dtypes(self):
+        return list(self._plan.schema().values())
+
+    @property
+    def width(self) -> int:
+        return len(self.columns)
+
+    def explain(self, optimized: bool = True) -> str:
+        p = optimize(self._plan) if optimized else self._plan
+        return p.describe()
+
+    def show_graph(self) -> str:
+        return self.explain()
+
+    def __repr__(self) -> str:
+        return f"<LazyFrame at 0x{id(self):x}>\n{self._plan.describe()}"
+
+    # --- plan builders --------------------------------------------------
+    def select(self, *exprs, **named) -> "LazyFrame":
+        return LazyFrame._from_plan(L.Select(self._plan, _to_exprs(exprs, named)))
+
+    def with_columns(self, *exprs, **named) -> "LazyFrame":
+        return LazyFrame._from_plan(
+            L.WithColumns(self._plan, _to_exprs(exprs, named)))
+
+    def filter(self, *predicates, **constraints) -> "LazyFrame":
+        preds = _to_exprs(predicates)
+        for k, v in constraints.items():
+            preds.append(_col(k) == v)
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        return LazyFrame._from_plan(L.Filter(self._plan, pred))
+
+    def group_by(self, *by, maintain_order: bool = False, **named_by):
+        keys = _to_exprs(by, named_by)
+        return LazyGroupBy(self, keys, maintain_order)
+
+    def sort(self, by, *more_by, descending=False, nulls_last=False,
+             maintain_order: bool = False) -> "LazyFrame":
+        keys = _to_exprs((by,) + more_by)
+        nk = len(keys)
+        desc = descending if isinstance(descending, (list, tuple)) \
+            else [descending] * nk
+        nl = nulls_last if isinstance(nulls_last, (list, tuple)) \
+            else [nulls_last] * nk
+        return LazyFrame._from_plan(
+            L.Sort(self._plan, keys, list(desc), list(nl), True))
+
+    def top_k(self, k: int, by, descending=False) -> "LazyFrame":
+        keys = _to_exprs((by,) if not isinstance(by, (list, tuple)) else tuple(by))
+        nk = len(keys)
+        desc = descending if isinstance(descending, (list, tuple)) \
+            else [descending] * nk
+        desc = [not d for d in desc]
+        return LazyFrame._from_plan(
+            L.Sort(self._plan, keys, list(desc), [True] * nk, True, (0, k)))
+
+    def head(self, n: int = 5) -> "LazyFrame":
+        return LazyFrame._from_plan(L.Slice(self._plan, 0, n))
+
+    def limit(self, n: int = 5) -> "LazyFrame":
+        return self.head(n)
+
+    def tail(self, n: int = 5) -> "LazyFrame":
+        return LazyFrame._from_plan(L.Slice(self._plan, -n, n))
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "LazyFrame":
+        return LazyFrame._from_plan(L.Slice(self._plan, offset, length))
+
+    def first(self) -> "LazyFrame":
+        return self.head(1)
+
+    def last(self) -> "LazyFrame":
+        return self.tail(1)
+
+    def unique(self, subset=None, keep: str = "any",
+               maintain_order: bool = False) -> "LazyFrame":
+        sub = [subset] if isinstance(subset, str) else \
+            (list(subset) if subset is not None else None)
+        return LazyFrame._from_plan(
+            L.Distinct(self._plan, sub, keep, maintain_order))
+
+    def drop(self, *names, strict: bool = True) -> "LazyFrame":
+        flat = []
+        for n in names:
+            flat.extend(n if isinstance(n, (list, tuple)) else [n])
+        return LazyFrame._from_plan(L.Drop(self._plan, flat, strict))
+
+    def rename(self, mapping: Dict[str, str], strict: bool = True) -> "LazyFrame":
+        return LazyFrame._from_plan(L.Rename(self._plan, mapping))
+
+    def cast(self, dtypes, strict: bool = True) -> "LazyFrame":
+        if isinstance(dtypes, dict):
+            exprs = [_col(k).cast(v) for k, v in dtypes.items()]
+        else:
+            exprs = [_col(n).cast(dtypes) for n in self.columns]
+        return self.with_columns(exprs)
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> "LazyFrame":
+        return LazyFrame._from_plan(L.WithRowIndex(self._plan, name, offset))
+
+    def join(self, other: "LazyFrame", on=None, how: str = "inner", *,
+             left_on=None, right_on=None, suffix: str = "_right",
+             join_nulls: bool = False, coalesce: Optional[bool] = None,
+             validate: str = "m:m", allow_parallel: bool = True) -> "LazyFrame":
+        if on is not None:
+            left_on = right_on = [on] if isinstance(on, str) else list(on)
+        elif how != "cross":
+            if left_on is None or right_on is None:
+                raise ComputeError("join requires `on` or `left_on`+`right_on`")
+            left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+            right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        else:
+            left_on = right_on = []
+        return LazyFrame._from_plan(
+            L.Join(self._plan, other._plan, left_on, right_on, how, suffix,
+                   join_nulls, coalesce))
+
+    def join_asof(self, other: "LazyFrame", *, on=None, left_on=None,
+                  right_on=None, by=None, by_left=None, by_right=None,
+                  strategy: str = "backward", suffix: str = "_right",
+                  tolerance=None) -> "LazyFrame":
+        from ..ops.asof import asof_join_plan
+        return asof_join_plan(self, other, on, left_on, right_on, by, by_left,
+                              by_right, strategy, suffix, tolerance)
+
+    def drop_nulls(self, subset=None) -> "LazyFrame":
+        names = [subset] if isinstance(subset, str) else (subset or self.columns)
+        pred = None
+        for n in names:
+            p = _col(n).is_not_null()
+            pred = p if pred is None else (pred & p)
+        return self.filter(pred) if pred is not None else self
+
+    def fill_null(self, value=None, strategy: Optional[str] = None) -> "LazyFrame":
+        return self.with_columns([_col("*").fill_null(value, strategy=strategy)])
+
+    def fill_nan(self, value) -> "LazyFrame":
+        exprs = [_col(n).fill_nan(value) for n, dt in self.schema.items()
+                 if dt.is_float]
+        return self.with_columns(exprs) if exprs else self
+
+    def reverse(self) -> "LazyFrame":
+        def fn(t):
+            from .frame import DataFrame
+            return DataFrame._from_table(t).reverse()._table
+        return LazyFrame._from_plan(
+            L.MapFunction(self._plan, fn, label="reverse"))
+
+    def unpivot(self, on=None, *, index=None, variable_name: str = "variable",
+                value_name: str = "value") -> "LazyFrame":
+        index = [index] if isinstance(index, str) else list(index or [])
+        if on is None:
+            on = [c for c in self.columns if c not in index]
+        on = [on] if isinstance(on, str) else list(on)
+        return LazyFrame._from_plan(
+            L.Unpivot(self._plan, on, index, variable_name, value_name))
+
+    melt = unpivot
+
+    def map_batches(self, fn, schema=None, streamable: bool = False) -> "LazyFrame":
+        def wrapped(t):
+            from .frame import DataFrame
+            out = fn(DataFrame._from_table(t))
+            return out._table
+        return LazyFrame._from_plan(
+            L.MapFunction(self._plan, wrapped,
+                          (lambda s: schema) if schema else None, streamable))
+
+    # --- execution ------------------------------------------------------
+    def optimized_plan(self) -> L.Plan:
+        return optimize(self._plan)
+
+    def collect(self, engine: str = "auto", streaming: bool = False,
+                background: bool = False, **kw):
+        from .frame import DataFrame
+        from ..exec.executor import ExecState, execute
+        plan = optimize(self._plan)
+        if CONFIG.visualize_ir:
+            print(plan.describe())
+        eng = engine if engine != "auto" else CONFIG.engine_affinity
+        if streaming or eng == "streaming":
+            from ..exec.streaming import execute_streaming
+            t = execute_streaming(plan)
+        else:
+            state = ExecState()
+            t = execute(plan, state)
+            if CONFIG.log_metrics and state.timings:
+                for name, dt in state.timings:
+                    print(f"[metrics] {name}: {dt*1e3:.2f} ms")
+        from ..ops.compact import compact
+        return DataFrame._from_table(compact(t))
+
+    def profile(self, **kw):
+        from .frame import DataFrame
+        from ..exec.executor import ExecState, execute
+        plan = optimize(self._plan)
+        state = ExecState(track_metrics=True)
+        t = execute(plan, state)
+        prof = DataFrame({
+            "node": [n for n, _ in state.timings],
+            "ms": [dt * 1e3 for _, dt in state.timings],
+        })
+        from ..ops.compact import compact
+        return DataFrame._from_table(compact(t)), prof
+
+    def fetch(self, n_rows: int = 500):
+        return self.head(n_rows).collect()
+
+    def lazy(self) -> "LazyFrame":
+        return self
+
+    def cache(self) -> "LazyFrame":
+        return self  # plan-level caching: CSE pass later
+
+    def pipe(self, fn, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
+    # --- sinks ----------------------------------------------------------
+    def sink_parquet(self, path, **kw) -> None:
+        from ..exec.executor import execute
+        execute(optimize(L.Sink(self._plan, "parquet", path, kw)))
+
+    def sink_csv(self, path, **kw) -> None:
+        from ..exec.executor import execute
+        execute(optimize(L.Sink(self._plan, "csv", path, kw)))
+
+    def sink_ipc(self, path, **kw) -> None:
+        from ..exec.executor import execute
+        execute(optimize(L.Sink(self._plan, "ipc", path, kw)))
+
+    def sink_ndjson(self, path, **kw) -> None:
+        from ..exec.executor import execute
+        execute(optimize(L.Sink(self._plan, "ndjson", path, kw)))
+
+
+class LazyGroupBy:
+    def __init__(self, lf: LazyFrame, keys: List[Expr], maintain_order: bool):
+        self._lf = lf
+        self._keys = keys
+        self._maintain_order = maintain_order
+
+    def agg(self, *aggs, **named) -> LazyFrame:
+        exprs = _to_exprs(aggs, named)
+        return LazyFrame._from_plan(
+            L.GroupBy(self._lf._plan, self._keys, exprs, self._maintain_order))
+
+    def _all_non_key(self):
+        key_names = set()
+        for k in self._keys:
+            try:
+                key_names.add(meta.output_name(k))
+            except Exception:
+                pass
+        return [n for n in self._lf.columns if n not in key_names]
+
+    def len(self, name: str = "len") -> LazyFrame:
+        return self.agg(Expr("table_len").alias(name))
+
+    def count(self) -> LazyFrame:
+        return self.len(name="count")
+
+    def sum(self): return self.agg([_col(n).sum() for n in self._all_non_key()])
+    def mean(self): return self.agg([_col(n).mean() for n in self._all_non_key()])
+    def min(self): return self.agg([_col(n).min() for n in self._all_non_key()])
+    def max(self): return self.agg([_col(n).max() for n in self._all_non_key()])
+    def first(self): return self.agg([_col(n).first() for n in self._all_non_key()])
+    def last(self): return self.agg([_col(n).last() for n in self._all_non_key()])
+    def median(self): return self.agg([_col(n).median() for n in self._all_non_key()])
+    def n_unique(self): return self.agg([_col(n).n_unique() for n in self._all_non_key()])
+
+
+# --- scan constructors ---------------------------------------------------
+
+def scan_parquet(source, n_rows: Optional[int] = None, **options) -> LazyFrame:
+    return LazyFrame._from_plan(
+        L.Scan("parquet", source, n_rows=n_rows, options=options))
+
+
+def scan_csv(source, has_header: bool = True, separator: str = ",",
+             n_rows: Optional[int] = None, null_values=None, **options) -> LazyFrame:
+    opts = {"has_header": has_header, "separator": separator,
+            "null_values": null_values, **options}
+    return LazyFrame._from_plan(L.Scan("csv", source, n_rows=n_rows, options=opts))
+
+
+def scan_ipc(source, n_rows: Optional[int] = None, **options) -> LazyFrame:
+    return LazyFrame._from_plan(L.Scan("ipc", source, n_rows=n_rows, options=options))
+
+
+def scan_ndjson(source, n_rows: Optional[int] = None, **options) -> LazyFrame:
+    return LazyFrame._from_plan(
+        L.Scan("ndjson", source, n_rows=n_rows, options=options))

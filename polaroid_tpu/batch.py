@@ -1,0 +1,350 @@
+"""Fixed-capacity columnar batches on device.
+
+TPU-native replacement for the reference's Arrow chunked arrays
+(`crates/polars-arrow/src/array/`, `crates/polars-core/src/chunked_array/`):
+a `Table` is a set of same-capacity 1-D device arrays (one per column) plus
+validity masks, with the *capacity* static (a power-of-two bucket, see
+`config.capacity_for`) so every kernel compiles once per bucket, and the
+*live row set* dynamic — either a static prefix `[0, nrows)` ("compact"
+state) or an arbitrary boolean `valid` mask ("masked" state, e.g. after a
+filter, avoiding host syncs and device compaction).
+
+Strings are dictionary codes (`strings.py`); temporal types are integer
+epochs. Everything the device touches is a flat numeric array — there is
+no dyn-dispatch Series object on the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import CONFIG, capacity_for
+from .dtypes import (
+    Boolean, DataType, Date, Datetime, Duration, Float64, Int64, Null,
+    String, dtype_from_numpy, physical_numpy_dtype,
+)
+from .errors import ColumnNotFoundError, DuplicateError, ShapeError
+from .strings import NULL_CODE, StringDict
+
+__all__ = ["Column", "Table", "storage_numpy_dtype"]
+
+
+def storage_numpy_dtype(dt: DataType) -> np.dtype:
+    """Physical storage dtype, downgrading f64->f32 on accelerators unless
+    PT_STRICT_F64 (TPUs emulate f64 in software; f32 storage + compensated
+    accumulation is the TPU-idiomatic choice)."""
+    phys = physical_numpy_dtype(dt)
+    if phys == np.float64 and not CONFIG.strict_f64:
+        if jax.default_backend() not in ("cpu",):
+            return np.dtype(np.float32)
+    return phys
+
+
+class Column:
+    """One column: device data + optional validity + optional string dict.
+
+    `data` has shape (capacity,); rows outside the table's live set hold
+    zeros/-1 and must be ignored by all kernels.
+    `validity` is True where the value is non-null (None => all non-null).
+    """
+
+    __slots__ = ("dtype", "data", "validity", "sdict")
+
+    def __init__(self, dtype: DataType, data: jax.Array,
+                 validity: Optional[jax.Array] = None,
+                 sdict: Optional[StringDict] = None):
+        self.dtype = dtype
+        self.data = data
+        self.validity = validity
+        self.sdict = sdict
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def with_data(self, data: jax.Array,
+                  validity: Optional[jax.Array] = "__keep__") -> "Column":
+        v = self.validity if isinstance(validity, str) else validity
+        return Column(self.dtype, data, v, self.sdict)
+
+    def validity_or_true(self) -> jax.Array:
+        if self.validity is None:
+            return jnp.ones(self.capacity, dtype=jnp.bool_)
+        return self.validity
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_numpy(values, dtype: Optional[DataType] = None,
+                   capacity: Optional[int] = None) -> "Column":
+        """Build a device column from host values, padding to capacity."""
+        values, mask, dt, sdict = _coerce_host_values(values, dtype)
+        n = len(values)
+        cap = capacity_for(n) if capacity is None else capacity
+        if cap < n:
+            raise ShapeError(f"capacity {cap} < row count {n}")
+        stor = storage_numpy_dtype(dt)
+        pad_val = NULL_CODE if dt.is_string else stor.type(0)
+        out = np.full(cap, pad_val, dtype=stor)
+        out[:n] = values.astype(stor, copy=False)
+        data = jnp.asarray(out)
+        validity = None
+        if mask is not None and not mask.all():
+            m = np.zeros(cap, dtype=bool)
+            m[:n] = mask
+            validity = jnp.asarray(m)
+        return Column(dt, data, validity, sdict)
+
+    def to_numpy(self, nrows: int, valid_mask: Optional[np.ndarray] = None):
+        """Host copy of the live rows (object array when nulls/strings)."""
+        data = np.asarray(self.data)[:nrows]
+        vmask = None
+        if self.validity is not None:
+            vmask = np.asarray(self.validity)[:nrows]
+        if valid_mask is not None:
+            data = data[valid_mask[:nrows]]
+            if vmask is not None:
+                vmask = vmask[valid_mask[:nrows]]
+        if self.dtype.is_string:
+            codes = data.copy()
+            if vmask is not None:
+                codes[~vmask] = NULL_CODE
+            return self.sdict.decode(codes) if self.sdict else codes
+        if repr(self.dtype) == "Date":
+            out = data.astype("datetime64[D]").astype(object)
+        elif isinstance(self.dtype, Datetime):
+            out = data.astype(f"datetime64[{self.dtype.time_unit}]")
+        elif isinstance(self.dtype, Duration):
+            out = data.astype(f"timedelta64[{self.dtype.time_unit}]")
+        else:
+            out = data
+        if vmask is not None and not vmask.all():
+            out = np.asarray(out, dtype=object)
+            out[~vmask] = None
+        return out
+
+
+def _coerce_host_values(values, dtype: Optional[DataType]):
+    """Normalize arbitrary host input -> (np array, mask|None, DataType, sdict)."""
+    import datetime as _dt
+
+    sdict = None
+    if isinstance(values, np.ndarray) and values.dtype.kind not in ("O", "U", "S"):
+        mask = None
+        if values.dtype.kind == "f":
+            pass  # NaN is a value, not a null (polars semantics)
+        dt = dtype or dtype_from_numpy(values.dtype)
+        if values.dtype.kind in ("M", "m"):
+            unit = np.datetime_data(values.dtype)[0]
+            if values.dtype.kind == "M":
+                if unit == "D":
+                    values = values.astype(np.int64).astype(np.int32)
+                else:
+                    tu = dt.time_unit if isinstance(dt, Datetime) else "us"
+                    values = values.astype(f"datetime64[{tu}]").astype(np.int64)
+            else:
+                tu = dt.time_unit if isinstance(dt, Duration) else "us"
+                values = values.astype(f"timedelta64[{tu}]").astype(np.int64)
+        return values, mask, dt, None
+
+    seq = list(values) if not isinstance(values, np.ndarray) else list(values)
+    mask = np.array([v is not None and v is not np.nan or isinstance(v, float)
+                     for v in seq], dtype=bool)
+    mask = np.array([v is not None for v in seq], dtype=bool)
+    non_null = [v for v in seq if v is not None]
+    if dtype is not None:
+        dt = dtype
+    elif not non_null:
+        dt = Null
+    else:
+        v0 = non_null[0]
+        if isinstance(v0, bool) or isinstance(v0, np.bool_):
+            dt = Boolean
+        elif isinstance(v0, (int, np.integer)):
+            dt = Int64
+        elif isinstance(v0, (float, np.floating)):
+            dt = Float64
+        elif isinstance(v0, str):
+            dt = String
+        elif isinstance(v0, _dt.datetime):
+            dt = Datetime("us")
+        elif isinstance(v0, _dt.date):
+            dt = Date
+        elif isinstance(v0, _dt.timedelta):
+            dt = Duration("us")
+        else:
+            raise ShapeError(f"cannot infer dtype from value {v0!r}")
+
+    if dt.is_string:
+        codes, sdict = StringDict.encode(np.asarray(seq, dtype=object), mask)
+        return codes, mask, dt, sdict
+    if dt == Null:
+        return np.zeros(len(seq), dtype=bool), mask, Boolean, None
+    if dt == Date:
+        epoch = _dt.date(1970, 1, 1)
+        vals = np.array([(v - epoch).days if v is not None else 0
+                         for v in seq], dtype=np.int32)
+        return vals, mask, dt, None
+    if isinstance(dt, Datetime):
+        scale = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[dt.time_unit]
+        vals = np.array([int(v.timestamp() * scale) if v is not None else 0
+                         for v in seq], dtype=np.int64)
+        return vals, mask, dt, None
+    if isinstance(dt, Duration):
+        scale = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[dt.time_unit]
+        vals = np.array([int(v.total_seconds() * scale) if v is not None else 0
+                         for v in seq], dtype=np.int64)
+        return vals, mask, dt, None
+    stor = physical_numpy_dtype(dt)
+    vals = np.array([v if v is not None else 0 for v in seq]).astype(stor)
+    return vals, mask, dt, None
+
+
+class Table:
+    """An ordered set of equal-capacity columns + the live-row state.
+
+    Live rows: if `valid` is None, rows [0, nrows) are live ("compact").
+    Otherwise `valid` (bool, shape (capacity,)) marks live rows and `nrows`
+    may be None (unknown until a host sync) — the masked state lets filter
+    and friends stay on device with static shapes.
+    """
+
+    __slots__ = ("names", "cols", "capacity", "nrows", "valid")
+
+    def __init__(self, names: List[str], cols: Dict[str, Column],
+                 capacity: int, nrows: Optional[int],
+                 valid: Optional[jax.Array] = None):
+        self.names = names
+        self.cols = cols
+        self.capacity = capacity
+        self.nrows = nrows
+        self.valid = valid
+
+    # --- constructors ---------------------------------------------------
+    @staticmethod
+    def from_dict(data: Dict[str, object],
+                  schema: Optional[Dict[str, DataType]] = None) -> "Table":
+        names = list(data.keys())
+        lengths = {k: (len(v) if hasattr(v, "__len__") else 1) for k, v in data.items()}
+        n = max(lengths.values()) if lengths else 0
+        for k, ln in lengths.items():
+            if ln != n and ln != 1:
+                raise ShapeError(f"column {k!r} has length {ln}, expected {n}")
+        cap = capacity_for(n)
+        cols = {}
+        for k in names:
+            v = data[k]
+            if hasattr(v, "__len__") and lengths[k] == 1 and n != 1:
+                v = list(v) * n
+            elif not hasattr(v, "__len__"):
+                v = [v] * n
+            dt = schema.get(k) if schema else None
+            cols[k] = Column.from_numpy(v, dtype=dt, capacity=cap)
+        return Table(names, cols, cap, n, None)
+
+    @staticmethod
+    def empty(schema: Sequence) -> "Table":
+        cap = CONFIG.min_capacity
+        names, cols = [], {}
+        for name, dt in schema:
+            names.append(name)
+            stor = storage_numpy_dtype(dt)
+            cols[name] = Column(dt, jnp.zeros(cap, dtype=stor), None,
+                                StringDict(np.array([], dtype=object))
+                                if dt.is_string else None)
+        return Table(names, cols, cap, 0, None)
+
+    # --- basic introspection -------------------------------------------
+    @property
+    def schema(self) -> Dict[str, DataType]:
+        return {n: self.cols[n].dtype for n in self.names}
+
+    @property
+    def width(self) -> int:
+        return len(self.names)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.cols
+
+    def column(self, name: str) -> Column:
+        try:
+            return self.cols[name]
+        except KeyError:
+            raise ColumnNotFoundError(
+                f"{name!r} not found; available: {self.names}") from None
+
+    # --- live-row helpers ----------------------------------------------
+    def row_mask(self) -> jax.Array:
+        """Bool (capacity,) mask of live rows."""
+        if self.valid is not None:
+            return self.valid
+        n = self.nrows if self.nrows is not None else 0
+        return jnp.arange(self.capacity) < n
+
+    def count_rows(self) -> int:
+        """Host-synced live row count (caches into nrows)."""
+        if self.nrows is None:
+            self.nrows = int(jnp.sum(self.valid))
+        return self.nrows
+
+    # --- structural ops (no device compute) ----------------------------
+    def select_columns(self, names: Sequence[str]) -> "Table":
+        for n in names:
+            if n not in self.cols:
+                raise ColumnNotFoundError(f"{n!r} not found; available: {self.names}")
+        return Table(list(names), {n: self.cols[n] for n in names},
+                     self.capacity, self.nrows, self.valid)
+
+    def drop_columns(self, names: Sequence[str]) -> "Table":
+        drop = set(names)
+        keep = [n for n in self.names if n not in drop]
+        return self.select_columns(keep)
+
+    def with_column(self, name: str, col: Column) -> "Table":
+        if col.capacity != self.capacity and self.width > 0:
+            raise ShapeError(
+                f"column capacity {col.capacity} != table capacity {self.capacity}")
+        cols = dict(self.cols)
+        names = list(self.names)
+        if name not in cols:
+            names.append(name)
+        cols[name] = col
+        return Table(names, cols, self.capacity, self.nrows, self.valid)
+
+    def rename(self, mapping: Dict[str, str], strict: bool = True) -> "Table":
+        for old in mapping:
+            if old not in self.cols and strict:
+                raise ColumnNotFoundError(f"{old!r} not found")
+        new_names = [mapping.get(n, n) for n in self.names]
+        if len(set(new_names)) != len(new_names):
+            raise DuplicateError(f"duplicate column names after rename: {new_names}")
+        cols = {mapping.get(n, n): c for n, c in self.cols.items()}
+        return Table(new_names, cols, self.capacity, self.nrows, self.valid)
+
+    def with_valid(self, valid: Optional[jax.Array],
+                   nrows: Optional[int]) -> "Table":
+        return Table(self.names, self.cols, self.capacity, nrows, valid)
+
+    # --- host materialization ------------------------------------------
+    def to_numpy_dict(self) -> Dict[str, np.ndarray]:
+        n = self.count_rows()
+        vmask = None
+        if self.valid is not None:
+            vmask = np.asarray(self.valid)
+        out = {}
+        for name in self.names:
+            c = self.cols[name]
+            if vmask is not None:
+                out[name] = c.to_numpy(self.capacity, vmask)
+            else:
+                out[name] = c.to_numpy(n)
+        return out
+
+    def __repr__(self) -> str:
+        n = self.nrows if self.nrows is not None else "?"
+        body = ", ".join(f"{k}: {v!r}" for k, v in self.schema.items())
+        return f"Table[{n} rows, cap {self.capacity}]({body})"

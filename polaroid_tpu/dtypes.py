@@ -1,0 +1,281 @@
+"""Data type system.
+
+Logical dtypes with physical on-device representations, mirroring the
+capability surface of the reference's dtype system
+(`crates/polars-core/src/datatypes/`, `crates/polars-dtype/`):
+ints/uints/floats/bool/utf8/categorical/temporal types, plus
+supertype resolution used by the type coercion pass
+(`polars-plan/src/plans/conversion/type_coercion/`).
+
+Physical mapping (TPU-first):
+  * numerics map to the same-width jnp dtype (64-bit kept logical; on
+    accelerators 64-bit is emulated, so Float64 storage may be f32 unless
+    PT_STRICT_F64 — see `config.py`)
+  * Boolean -> bool_
+  * String/Categorical -> int32 codes into a host-side sorted dictionary
+    (`strings.py`); sorted dictionaries make code order == string order,
+    so comparisons/sorts/joins run on the device codes
+  * Date -> int32 days since epoch; Datetime/Duration/Time -> int64
+    us/ns counts
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from .errors import SchemaError
+
+__all__ = [
+    "DataType", "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16",
+    "UInt32", "UInt64", "Float32", "Float64", "Boolean", "String", "Utf8",
+    "Categorical", "Date", "Datetime", "Duration", "Time", "Null",
+    "dtype_from_numpy", "supertype", "physical_numpy_dtype",
+    "NUMERIC_DTYPES", "INTEGER_DTYPES", "FLOAT_DTYPES",
+]
+
+
+class DataType:
+    """Base logical data type. Parametric types override __eq__/__hash__."""
+
+    _name: str = "unknown"
+
+    def __repr__(self) -> str:
+        return self._name
+
+    def __eq__(self, other: Any) -> bool:
+        if isinstance(other, type) and issubclass(other, DataType):
+            other = other()  # allow `dt == pl.Int64` style with classes
+        return isinstance(other, DataType) and repr(self) == repr(other)
+
+    def __hash__(self) -> int:
+        return hash(repr(self))
+
+    # --- classification -------------------------------------------------
+    @property
+    def is_numeric(self) -> bool:
+        return self.is_integer or self.is_float
+
+    @property
+    def is_integer(self) -> bool:
+        return self._name.startswith(("Int", "UInt"))
+
+    @property
+    def is_signed_integer(self) -> bool:
+        return self._name.startswith("Int")
+
+    @property
+    def is_unsigned_integer(self) -> bool:
+        return self._name.startswith("UInt")
+
+    @property
+    def is_float(self) -> bool:
+        return self._name.startswith("Float")
+
+    @property
+    def is_temporal(self) -> bool:
+        return self._name.startswith(("Date", "Datetime", "Duration", "Time"))
+
+    @property
+    def is_string(self) -> bool:
+        return self._name in ("String", "Categorical")
+
+    @property
+    def is_bool(self) -> bool:
+        return self._name == "Boolean"
+
+    @property
+    def is_nested(self) -> bool:
+        return False
+
+    def bit_width(self) -> int:
+        return {"Int8": 8, "Int16": 16, "Int32": 32, "Int64": 64,
+                "UInt8": 8, "UInt16": 16, "UInt32": 32, "UInt64": 64,
+                "Float32": 32, "Float64": 64, "Boolean": 1}.get(self._name, 0)
+
+
+def _simple(name: str) -> type:
+    cls = type(name, (DataType,), {"_name": name})
+    return cls
+
+
+Int8 = _simple("Int8")()
+Int16 = _simple("Int16")()
+Int32 = _simple("Int32")()
+Int64 = _simple("Int64")()
+UInt8 = _simple("UInt8")()
+UInt16 = _simple("UInt16")()
+UInt32 = _simple("UInt32")()
+UInt64 = _simple("UInt64")()
+Float32 = _simple("Float32")()
+Float64 = _simple("Float64")()
+Boolean = _simple("Boolean")()
+Null = _simple("Null")()
+Time = _simple("Time")()  # int64 nanoseconds since midnight
+
+
+class _String(DataType):
+    _name = "String"
+
+
+String = _String()
+Utf8 = String  # polars alias
+
+
+class Categorical(DataType):
+    _name = "Categorical"
+
+    def __init__(self, ordering: str = "lexical") -> None:
+        self.ordering = ordering
+
+
+class _Date(DataType):
+    _name = "Date"
+
+
+Date = _Date()
+
+
+class Datetime(DataType):
+    def __init__(self, time_unit: str = "us", time_zone: Optional[str] = None):
+        if time_unit not in ("ms", "us", "ns"):
+            raise SchemaError(f"invalid time unit {time_unit!r}")
+        self.time_unit = time_unit
+        self.time_zone = time_zone
+
+    @property
+    def _name(self) -> str:  # type: ignore[override]
+        tz = f", {self.time_zone}" if self.time_zone else ""
+        return f"Datetime({self.time_unit}{tz})"
+
+
+class Duration(DataType):
+    def __init__(self, time_unit: str = "us"):
+        if time_unit not in ("ms", "us", "ns"):
+            raise SchemaError(f"invalid time unit {time_unit!r}")
+        self.time_unit = time_unit
+
+    @property
+    def _name(self) -> str:  # type: ignore[override]
+        return f"Duration({self.time_unit})"
+
+
+class List(DataType):
+    """Nested list type (fixed-capacity ragged representation)."""
+
+    def __init__(self, inner: DataType):
+        self.inner = inner
+
+    @property
+    def _name(self) -> str:  # type: ignore[override]
+        return f"List({self.inner!r})"
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+
+INTEGER_DTYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64]
+FLOAT_DTYPES = [Float32, Float64]
+NUMERIC_DTYPES = INTEGER_DTYPES + FLOAT_DTYPES
+
+_NP_TO_DT = {
+    np.dtype("int8"): Int8, np.dtype("int16"): Int16,
+    np.dtype("int32"): Int32, np.dtype("int64"): Int64,
+    np.dtype("uint8"): UInt8, np.dtype("uint16"): UInt16,
+    np.dtype("uint32"): UInt32, np.dtype("uint64"): UInt64,
+    np.dtype("float32"): Float32, np.dtype("float64"): Float64,
+    np.dtype("bool"): Boolean,
+}
+
+_DT_TO_NP = {
+    "Int8": np.int8, "Int16": np.int16, "Int32": np.int32, "Int64": np.int64,
+    "UInt8": np.uint8, "UInt16": np.uint16, "UInt32": np.uint32,
+    "UInt64": np.uint64, "Float32": np.float32, "Float64": np.float64,
+    "Boolean": np.bool_, "String": np.int32, "Categorical": np.int32,
+    "Date": np.int32, "Time": np.int64, "Null": np.bool_,
+}
+
+
+def dtype_from_numpy(np_dtype: np.dtype) -> DataType:
+    np_dtype = np.dtype(np_dtype)
+    if np_dtype in _NP_TO_DT:
+        return _NP_TO_DT[np_dtype]
+    if np_dtype.kind in ("U", "S", "O"):
+        return String
+    if np_dtype.kind == "M":  # datetime64
+        unit = np.datetime_data(np_dtype)[0]
+        if unit == "D":
+            return Date
+        return Datetime(unit if unit in ("ms", "us", "ns") else "us")
+    if np_dtype.kind == "m":
+        unit = np.datetime_data(np_dtype)[0]
+        return Duration(unit if unit in ("ms", "us", "ns") else "us")
+    raise SchemaError(f"unsupported numpy dtype: {np_dtype}")
+
+
+def physical_numpy_dtype(dt: DataType) -> np.dtype:
+    """The on-device physical storage dtype for a logical dtype."""
+    name = repr(dt)
+    if name.startswith("Datetime") or name.startswith("Duration"):
+        return np.dtype(np.int64)
+    if name.startswith("List"):
+        raise SchemaError("List has no flat physical dtype")
+    try:
+        return np.dtype(_DT_TO_NP[name])
+    except KeyError:
+        raise SchemaError(f"no physical dtype for {name}") from None
+
+
+_INT_RANK = {repr(d): i for i, d in enumerate([Int8, Int16, Int32, Int64])}
+_UINT_RANK = {repr(d): i for i, d in enumerate([UInt8, UInt16, UInt32, UInt64])}
+_SIGNED_FOR_UINT = [Int16, Int32, Int64, Int64]
+
+
+def supertype(a: DataType, b: DataType) -> DataType:
+    """Least common supertype, following the reference's coercion rules
+    (`polars-core/src/utils/supertype.rs` semantics): int+float -> float,
+    signed+unsigned -> wider signed, bool promotes to any numeric,
+    Null promotes to anything, temporal types match on unit.
+    """
+    if a == b:
+        return a
+    if a == Null:
+        return b
+    if b == Null:
+        return a
+    if a.is_bool and b.is_numeric:
+        return b
+    if b.is_bool and a.is_numeric:
+        return a
+    if a.is_string and b.is_string:
+        return String
+    if a.is_numeric and b.is_numeric:
+        if a.is_float and b.is_float:
+            return Float64
+        if a.is_float:
+            return a if a == Float64 or b.bit_width() <= 16 else Float64
+        if b.is_float:
+            return b if b == Float64 or a.bit_width() <= 16 else Float64
+        if a.is_signed_integer and b.is_signed_integer:
+            return a if _INT_RANK[repr(a)] >= _INT_RANK[repr(b)] else b
+        if a.is_unsigned_integer and b.is_unsigned_integer:
+            return a if _UINT_RANK[repr(a)] >= _UINT_RANK[repr(b)] else b
+        # mixed signedness -> signed type one rank wider than the uint
+        u, s = (a, b) if a.is_unsigned_integer else (b, a)
+        cand = _SIGNED_FOR_UINT[_UINT_RANK[repr(u)]]
+        return cand if _INT_RANK[repr(cand)] >= _INT_RANK[repr(s)] else s
+    if isinstance(a, Datetime) and isinstance(b, Datetime):
+        order = {"ms": 0, "us": 1, "ns": 2}
+        tu = a.time_unit if order[a.time_unit] >= order[b.time_unit] else b.time_unit
+        return Datetime(tu, a.time_zone or b.time_zone)
+    if isinstance(a, Duration) and isinstance(b, Duration):
+        order = {"ms": 0, "us": 1, "ns": 2}
+        tu = a.time_unit if order[a.time_unit] >= order[b.time_unit] else b.time_unit
+        return Duration(tu)
+    if (a == Date and isinstance(b, Datetime)):
+        return b
+    if (b == Date and isinstance(a, Datetime)):
+        return a
+    raise SchemaError(f"no supertype of {a!r} and {b!r}")

@@ -1,0 +1,257 @@
+"""Streaming (batched, larger-than-memory) executor.
+
+Capability analogue of the reference's morsel-driven engine
+(`polars-stream/src/skeleton.rs:31` run_query, §3.2 of SURVEY.md): scans
+stream row-group batches from pyarrow with prefetch, elementwise stages
+(filter/select/with_columns) run per-batch on device, and breaker
+operators use partial states:
+
+  * group_by: per-batch partial aggregate states (sum/count/min/max/...)
+    are vstacked and re-aggregated with a merge agg — the two-phase
+    combine of `nodes/group_by.rs` without hash tables;
+  * sort/join/distinct on streamed inputs fall back to materialize
+    (the reference does the same for sort via InMemoryMap,
+    `to_graph.rs:749-783`).
+
+v0 keeps a conservative operator set; anything unsupported materializes
+the child and delegates to the in-memory engine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+from ..batch import Table
+from ..config import CONFIG
+from ..errors import ComputeError
+from ..expr import meta
+from ..expr.expr import Expr, col as _col
+from ..ops.concat import vstack_tables
+from ..ops.groupby import group_by_agg
+from ..plan import logical as L
+
+# aggregations that decompose into (partial_agg, merge_agg) pairs
+_DECOMPOSABLE = {
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "count": ("count", "sum"),
+    "len": ("len", "sum"),
+    "null_count": ("null_count", "sum"),
+    "any": ("any", "any"),
+    "all": ("all", "all"),
+    "first": ("first", "first"),
+    "last": ("last", "last"),
+}
+
+
+def execute_streaming(plan: L.Plan) -> Table:
+    batches = list(_stream(plan))
+    if len(batches) == 1:
+        return batches[0]
+    if not batches:
+        from ..exec.executor import execute
+        return execute(plan)
+    return vstack_tables(batches)
+
+
+def _stream(plan: L.Plan) -> Iterator[Table]:
+    k = plan.kind
+
+    if k == "scan":
+        yield from _stream_scan(plan)
+        return
+
+    if k in ("select", "with_columns", "filter"):
+        from ..api.frame import DataFrame
+        for t in _stream(plan.input):
+            df = DataFrame._from_table(t)
+            if k == "select":
+                # aggregates in select context are not streamable; bail out
+                if builtins_any(not meta.is_elementwise(e)
+                                for e in plan.exprs):
+                    yield _materialize(plan)
+                    return
+                yield df.select(plan.exprs)._table
+            elif k == "with_columns":
+                if builtins_any(not meta.is_elementwise(e)
+                                for e in plan.exprs):
+                    yield _materialize(plan)
+                    return
+                yield df.with_columns(plan.exprs)._table
+            else:
+                yield df.filter(plan.predicate)._table
+        return
+
+    if k == "group_by":
+        t = _stream_group_by(plan)
+        if t is not None:
+            yield t
+            return
+        yield _materialize(plan)
+        return
+
+    if k == "union":
+        for p in plan.inputs:
+            yield from _stream(p)
+        return
+
+    if k == "slice" and plan.offset == 0 and plan.length is not None:
+        remaining = plan.length
+        from ..ops.compact import slice_rows
+        for t in _stream(plan.input):
+            n = t.count_rows()
+            if n >= remaining:
+                yield slice_rows(t, 0, remaining)
+                return
+            remaining -= n
+            yield t
+        return
+
+    yield _materialize(plan)
+
+
+def builtins_any(it):
+    for x in it:
+        if x:
+            return True
+    return False
+
+
+def _materialize(plan: L.Plan) -> Table:
+    from ..exec.executor import execute
+    return execute(plan)
+
+
+def _stream_scan(plan: L.Scan) -> Iterator[Table]:
+    if plan.fmt != "parquet":
+        yield _materialize(plan)
+        return
+    from ..exec.scan_predicate import to_arrow_filter
+    from ..io.arrow_interop import table_from_arrow
+    from ..io.parquet import scan_row_groups
+    filters = residual = None
+    if plan.predicate is not None:
+        filters, residual = to_arrow_filter(plan.predicate)
+    remaining = plan.n_rows
+    for at in scan_row_groups(plan.source, columns=plan.columns,
+                              filters=filters,
+                              batch_rows=CONFIG.batch_rows):
+        t = table_from_arrow(at)
+        if residual is not None:
+            from ..api.frame import DataFrame
+            t = DataFrame._from_table(t).filter(residual)._table
+        if remaining is not None:
+            from ..ops.compact import slice_rows
+            n = t.count_rows()
+            if n >= remaining:
+                yield slice_rows(t, 0, remaining)
+                return
+            remaining -= n
+        yield t
+
+
+def _decompose_aggs(aggs: List[Expr]):
+    """Rewrite each agg expr into (partial exprs, merge exprs, final expr).
+    Returns None if any agg is not decomposable."""
+    partials: List[Expr] = []
+    finals: List[Expr] = []
+    merges: List[Expr] = []
+    counter = [0]
+
+    def fresh(prefix):
+        counter[0] += 1
+        return f"__pt_{prefix}_{counter[0]}"
+
+    def rec(e: Expr) -> Optional[Expr]:
+        if e.kind == "agg":
+            name = e.attrs["agg"]
+            if name in _DECOMPOSABLE:
+                p, m = _DECOMPOSABLE[name]
+                nm = fresh(name)
+                partials.append(Expr("agg", e.children, agg=p, **{
+                    kk: v for kk, v in e.attrs.items() if kk != "agg"}).alias(nm))
+                merges.append(Expr("agg", (_col(nm),), agg=m).alias(nm))
+                return _col(nm)
+            if name == "mean":
+                ns, nc = fresh("msum"), fresh("mcnt")
+                partials.append(Expr("agg", e.children, agg="sum").alias(ns))
+                partials.append(Expr("agg", e.children, agg="count").alias(nc))
+                merges.append(Expr("agg", (_col(ns),), agg="sum").alias(ns))
+                merges.append(Expr("agg", (_col(nc),), agg="sum").alias(nc))
+                return _col(ns) / _col(nc)
+            if name in ("std", "var"):
+                ddof = e.attrs.get("ddof", 1)
+                x = e.children[0]
+                ns, ns2, nc = fresh("vsum"), fresh("vsq"), fresh("vcnt")
+                partials.append(Expr("agg", (x,), agg="sum").alias(ns))
+                partials.append(Expr("agg", ((x * x),), agg="sum").alias(ns2))
+                partials.append(Expr("agg", (x,), agg="count").alias(nc))
+                for nm in (ns, ns2, nc):
+                    merges.append(Expr("agg", (_col(nm),), agg="sum").alias(nm))
+                var = (_col(ns2) - _col(ns) * _col(ns) / _col(nc)) / \
+                    (_col(nc) - ddof)
+                return var.sqrt() if name == "std" else var
+            return None
+        if e.kind == "table_len":
+            nm = fresh("len")
+            partials.append(Expr("table_len").alias(nm))
+            merges.append(Expr("agg", (_col(nm),), agg="sum").alias(nm))
+            return _col(nm)
+        if e.kind in ("alias", "name_map"):
+            inner = rec(e.children[0])
+            if inner is None:
+                return None
+            return Expr(e.kind, (inner,), **e.attrs)
+        if e.kind in ("binary", "unary", "cast"):
+            new_children = []
+            for c in e.children:
+                if c.kind == "lit":
+                    new_children.append(c)
+                    continue
+                r = rec(c)
+                if r is None:
+                    return None
+                new_children.append(r)
+            return Expr(e.kind, tuple(new_children), **e.attrs)
+        if e.kind == "lit":
+            return e
+        return None
+
+    for a in aggs:
+        nm = meta.output_name(a)
+        f = rec(a)
+        if f is None:
+            return None
+        finals.append(f.alias(nm))
+    return partials, merges, finals
+
+
+def _stream_group_by(plan: L.GroupBy) -> Optional[Table]:
+    ins = plan.input.schema()
+    keys = meta.expand_exprs(plan.keys, ins)
+    aggs = meta.expand_exprs(plan.aggs, ins)
+    if builtins_any(not (k.kind == "col" or meta.is_elementwise(k))
+                    for k in keys):
+        return None
+    dec = _decompose_aggs(aggs)
+    if dec is None:
+        return None
+    partials, merges, finals = dec
+    key_names = [meta.output_name(k) for k in keys]
+
+    partial_tables: List[Table] = []
+    for t in _stream(plan.input):
+        partial_tables.append(group_by_agg(t, keys, partials, False))
+    if not partial_tables:
+        return None
+    if len(partial_tables) == 1:
+        merged = partial_tables[0]
+    else:
+        stacked = vstack_tables(partial_tables)
+        merged = group_by_agg(stacked, [_col(n) for n in key_names], merges,
+                              False)
+    from ..api.frame import DataFrame
+    df = DataFrame._from_table(merged)
+    out = df.select([_col(n) for n in key_names] + finals)
+    return out._table

@@ -1,0 +1,1469 @@
+"""Expression evaluation over device tables.
+
+Capability analogue of the reference's physical expressions
+(`crates/polars-expr/src/expressions/` — evaluate() at
+`expressions/mod.rs:678`), re-designed for XLA: every operation is a
+vectorized masked computation over the full fixed-capacity column arrays;
+dead rows compute garbage that is never observed. Null semantics follow
+polars: null-propagating arithmetic/comparisons, Kleene and/or, and
+null-ignoring aggregations.
+
+Order-dependent ("window") ops work in *live order*: a stable argsort on
+the live mask compacts live rows to the front (device-side, no host sync),
+the op runs on the prefix, and an inverse permutation scatters results
+back to original row slots.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..dtypes import (
+    Boolean, DataType, Date, Datetime, Duration, Float32, Float64, Int32,
+    Int64, Null, String, UInt32, supertype,
+)
+from ..errors import ComputeError, InvalidOperationError, ShapeError
+from ..strings import NULL_CODE, StringDict
+from ..ops import temporal as T
+from .expr import Expr
+from . import meta
+
+__all__ = ["Val", "eval_expr", "eval_to_column"]
+
+_CMP_OPS = {"eq", "neq", "lt", "le", "gt", "ge"}
+_BOOL_OPS = {"and", "or", "xor"}
+
+
+class Val:
+    """Evaluation result: device data + validity (+ live override).
+
+    data shape: (capacity,) for row-wise results, (1,) for scalars.
+    `live`: optional bool mask overriding the table's live mask (set by
+    expr-level filter/drop_nulls, consumed by aggregations).
+    """
+
+    __slots__ = ("dtype", "data", "validity", "sdict", "is_scalar", "live")
+
+    def __init__(self, dtype, data, validity=None, sdict=None,
+                 is_scalar=False, live=None):
+        self.dtype = dtype
+        self.data = data
+        self.validity = validity
+        self.sdict = sdict
+        self.is_scalar = is_scalar
+        self.live = live
+
+    def valid_or_true(self):
+        if self.validity is None:
+            return jnp.ones(self.data.shape, dtype=jnp.bool_)
+        return self.validity
+
+
+def _and_valid(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _stor(dt: DataType):
+    return jnp.dtype(storage_numpy_dtype(dt))
+
+
+def _bcast(v: Val, capacity: int) -> Val:
+    """Broadcast a scalar Val to full capacity."""
+    if not v.is_scalar:
+        return v
+    data = jnp.broadcast_to(v.data, (capacity,))
+    validity = None if v.validity is None else jnp.broadcast_to(v.validity, (capacity,))
+    return Val(v.dtype, data, validity, v.sdict, False, None)
+
+
+# ---------------------------------------------------------------------------
+# live-order machinery for order-dependent ops
+# ---------------------------------------------------------------------------
+
+def _live_order(table: Table):
+    """(perm, inv, count): perm gathers live rows to the front in original
+    order; inv scatters front-results back to original slots."""
+    mask = table.row_mask()
+    perm = jnp.argsort(~mask, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    count = jnp.sum(mask)
+    return mask, perm, inv, count
+
+
+# ---------------------------------------------------------------------------
+# casting
+# ---------------------------------------------------------------------------
+
+def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
+    if v.dtype == dtype:
+        return v
+    src, dst = v.dtype, dtype
+    if src == Null:
+        data = jnp.zeros(v.data.shape, dtype=_stor(dst))
+        return Val(dst, data, jnp.zeros(v.data.shape, dtype=jnp.bool_),
+                   EMPTY_SDICT if dst.is_string else None, v.is_scalar, v.live)
+    if dst.is_string:
+        raise InvalidOperationError(
+            "cast to String on device is not supported yet; cast on collect")
+    if src.is_string:
+        raise InvalidOperationError("cast from String not supported yet")
+    if src == Date and isinstance(dst, Datetime):
+        per_day = T.UNIT_PER_SECOND[dst.time_unit] * T.SECONDS_PER_DAY
+        data = v.data.astype(_stor(dst)) * per_day
+        return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+    if isinstance(src, Datetime) and dst == Date:
+        data = T.epoch_to_days(v.data, src.time_unit)
+        return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+    if isinstance(src, Datetime) and isinstance(dst, Datetime):
+        data = _rescale_time(v.data, src.time_unit, dst.time_unit)
+        return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+    if isinstance(src, Duration) and isinstance(dst, Duration):
+        data = _rescale_time(v.data, src.time_unit, dst.time_unit)
+        return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+    if dst.is_bool:
+        data = v.data != 0
+        return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+    data = v.data.astype(_stor(dst))
+    return Val(dst, data, v.validity, None, v.is_scalar, v.live)
+
+
+def _rescale_time(data, src_unit, dst_unit):
+    s, d = T.UNIT_PER_SECOND[src_unit], T.UNIT_PER_SECOND[dst_unit]
+    if d >= s:
+        return data * (d // s)
+    return jnp.floor_divide(data, s // d)
+
+
+# ---------------------------------------------------------------------------
+# literals
+# ---------------------------------------------------------------------------
+
+EMPTY_SDICT = StringDict(np.array([], dtype=object))
+
+
+def _lit_val(value, dtype: Optional[DataType]) -> Val:
+    import datetime as _pydt
+
+    dt = meta._lit_dtype(value, dtype)
+    if value is None:
+        return Val(dt if dtype is not None else Null,
+                   jnp.zeros((1,), dtype=_stor(dt) if dt != Null else jnp.bool_),
+                   jnp.zeros((1,), dtype=jnp.bool_),
+                   EMPTY_SDICT if dt.is_string else None, True)
+    if isinstance(value, (list, tuple, np.ndarray)):
+        arr = np.asarray(value)
+        from ..dtypes import dtype_from_numpy
+        adt = dtype_from_numpy(arr.dtype) if dtype is None else dtype
+        return Val(adt, jnp.asarray(arr.astype(storage_numpy_dtype(adt))),
+                   None, None, False)
+    if dt.is_string:
+        sd = StringDict(np.array([str(value)], dtype=object))
+        return Val(dt, jnp.zeros((1,), dtype=jnp.int32), None, sd, True)
+    if dt == Date:
+        days = (value - _pydt.date(1970, 1, 1)).days
+        return Val(dt, jnp.full((1,), days, dtype=jnp.int32), None, None, True)
+    if isinstance(dt, Datetime):
+        scale = T.UNIT_PER_SECOND[dt.time_unit]
+        epoch = int(value.timestamp() * scale) if isinstance(value, _pydt.datetime) \
+            else int(value)
+        return Val(dt, jnp.full((1,), epoch, dtype=jnp.int64), None, None, True)
+    if isinstance(dt, Duration):
+        scale = T.UNIT_PER_SECOND[dt.time_unit]
+        cnt = int(value.total_seconds() * scale) if isinstance(value, _pydt.timedelta) \
+            else int(value)
+        return Val(dt, jnp.full((1,), cnt, dtype=jnp.int64), None, None, True)
+    return Val(dt, jnp.full((1,), value, dtype=_stor(dt)), None, None, True)
+
+
+# ---------------------------------------------------------------------------
+# string dictionary alignment
+# ---------------------------------------------------------------------------
+
+def _align_strings(l: Val, r: Val) -> Tuple[Val, Val]:
+    """Recode two string Vals onto one merged dictionary."""
+    if l.sdict is r.sdict:
+        return l, r
+    ld = l.sdict or EMPTY_SDICT
+    rd = r.sdict or EMPTY_SDICT
+    merged, ra, rb = ld.merge(rd)
+
+    def recode(v, remap):
+        if len(remap) == 0:
+            return Val(v.dtype, v.data, v.validity, merged, v.is_scalar, v.live)
+        rm = jnp.asarray(remap)
+        code = v.data
+        new = jnp.where(code >= 0, rm[jnp.clip(code, 0, len(remap) - 1)], NULL_CODE)
+        return Val(v.dtype, new, v.validity, merged, v.is_scalar, v.live)
+
+    return recode(l, ra), recode(r, rb)
+
+
+# ---------------------------------------------------------------------------
+# binary ops
+# ---------------------------------------------------------------------------
+
+def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
+    # strings first
+    if l.dtype.is_string or r.dtype.is_string:
+        return _eval_binary_str(op, l, r, table)
+    if l.dtype == Null or r.dtype == Null:
+        cap = table.capacity if not (l.is_scalar and r.is_scalar) else 1
+        out_dt = Boolean if op in _CMP_OPS or op in _BOOL_OPS else \
+            (l.dtype if r.dtype == Null else r.dtype)
+        if out_dt == Null:
+            out_dt = Boolean
+        return Val(out_dt, jnp.zeros((cap,), dtype=_stor(out_dt)),
+                   jnp.zeros((cap,), dtype=jnp.bool_), None,
+                   l.is_scalar and r.is_scalar)
+
+    if op in _BOOL_OPS and l.dtype.is_bool and r.dtype.is_bool:
+        return _eval_kleene(op, l, r)
+
+    st = supertype(l.dtype, r.dtype)
+    out_dt = st
+    if op in _CMP_OPS:
+        out_dt = Boolean
+    elif op == "truediv":
+        if isinstance(st, Duration):
+            out_dt = Float64
+        else:
+            out_dt = Float32 if st == Float32 else Float64
+        st = out_dt if not isinstance(st, Duration) else st
+    elif op == "sub" and isinstance(st, Datetime):
+        out_dt = Duration(st.time_unit)
+    elif op == "sub" and st == Date and l.dtype == Date and r.dtype == Date:
+        out_dt = Duration("ms")
+
+    # temporal +/-: Datetime/Date +- Duration
+    if isinstance(l.dtype, (Datetime, Duration)) or l.dtype == Date or \
+       isinstance(r.dtype, (Datetime, Duration)) or r.dtype == Date:
+        return _eval_binary_temporal(op, l, r, table)
+
+    a = cast_val(l, st) if not op == "truediv" else cast_val(l, out_dt)
+    b = cast_val(r, st) if not op == "truediv" else cast_val(r, out_dt)
+    x, y = a.data, b.data
+    validity = _and_valid(
+        None if l.validity is None else l.validity,
+        None if r.validity is None else r.validity)
+
+    if op == "add":
+        data = x + y
+    elif op == "sub":
+        data = x - y
+    elif op == "mul":
+        data = x * y
+    elif op == "truediv":
+        data = x / y
+    elif op == "floordiv":
+        if st.is_integer:
+            zero = y == 0
+            data = jnp.floor_divide(x, jnp.where(zero, 1, y))
+            validity = _and_valid(validity, ~zero)
+        else:
+            data = jnp.floor(x / y)
+    elif op == "mod":
+        if st.is_integer:
+            zero = y == 0
+            data = jnp.remainder(x, jnp.where(zero, 1, y))
+            validity = _and_valid(validity, ~zero)
+        else:
+            data = jnp.remainder(x, y)
+    elif op == "pow":
+        if st.is_integer:
+            data = jnp.power(x, y)
+        else:
+            data = jnp.power(x, y)
+    elif op in _CMP_OPS:
+        data = _cmp(op, x, y)
+    elif op in _BOOL_OPS:  # bitwise on ints
+        data = {"and": jnp.bitwise_and, "or": jnp.bitwise_or,
+                "xor": jnp.bitwise_xor}[op](x, y)
+    else:
+        raise ComputeError(f"unknown binary op {op!r}")
+
+    is_scalar = l.is_scalar and r.is_scalar
+    live = l.live if l.live is not None else r.live
+    return Val(out_dt, data, validity, None, is_scalar, live)
+
+
+def _cmp(op, x, y):
+    return {"eq": jnp.equal, "neq": jnp.not_equal, "lt": jnp.less,
+            "le": jnp.less_equal, "gt": jnp.greater,
+            "ge": jnp.greater_equal}[op](x, y)
+
+
+def _eval_kleene(op: str, l: Val, r: Val) -> Val:
+    """Kleene logic for Boolean & / | (reference:
+    `polars-arrow/src/compute/boolean_kleene/`)."""
+    x, y = l.data, r.data
+    xv, yv = l.valid_or_true(), r.valid_or_true()
+    if op == "and":
+        data = x & y
+        validity = (xv & yv) | (xv & ~x) | (yv & ~y)
+    elif op == "or":
+        data = x | y
+        validity = (xv & yv) | (xv & x) | (yv & y)
+    else:  # xor: null-propagating
+        data = x ^ y
+        validity = xv & yv
+    if bool_all_static_true(l.validity) and bool_all_static_true(r.validity):
+        validity = None
+    return Val(Boolean, data, validity, None, l.is_scalar and r.is_scalar,
+               l.live if l.live is not None else r.live)
+
+
+def bool_all_static_true(v) -> bool:
+    return v is None
+
+
+def _eval_binary_temporal(op: str, l: Val, r: Val, table: Table) -> Val:
+    ldt, rdt = l.dtype, r.dtype
+
+    def unify_dt(a: Val, b: Val):
+        # bring Datetime/Datetime or Duration/Duration to common unit
+        st = supertype(a.dtype, b.dtype)
+        return cast_val(a, st), cast_val(b, st), st
+
+    if op in _CMP_OPS:
+        a, b, _ = unify_dt(l, r)
+        data = _cmp(op, a.data, b.data)
+        return Val(Boolean, data, _and_valid(l.validity, r.validity), None,
+                   l.is_scalar and r.is_scalar, l.live or r.live)
+
+    validity = _and_valid(l.validity, r.validity)
+    is_scalar = l.is_scalar and r.is_scalar
+
+    def mk(dt, data):
+        return Val(dt, data, validity, None, is_scalar, l.live or r.live)
+
+    if op == "sub":
+        if (isinstance(ldt, Datetime) or ldt == Date) and \
+           (isinstance(rdt, Datetime) or rdt == Date):
+            a, b, st = unify_dt(l, r)
+            if st == Date:
+                # Date - Date -> Duration(ms) per polars
+                ms = (a.data.astype(jnp.int64) - b.data.astype(jnp.int64)) \
+                    * (T.SECONDS_PER_DAY * 1000)
+                return mk(Duration("ms"), ms)
+            return mk(Duration(st.time_unit), a.data - b.data)
+        if isinstance(rdt, Duration):
+            return _dt_plus_dur(op, l, r, validity, is_scalar)
+        if isinstance(ldt, Duration) and isinstance(rdt, Duration):
+            a, b, st = unify_dt(l, r)
+            return mk(st, a.data - b.data)
+    if op == "add":
+        if isinstance(ldt, Duration) and isinstance(rdt, Duration):
+            a, b, st = unify_dt(l, r)
+            return mk(st, a.data + b.data)
+        if isinstance(rdt, Duration):
+            return _dt_plus_dur(op, l, r, validity, is_scalar)
+        if isinstance(ldt, Duration):
+            return _dt_plus_dur(op, r, l, validity, is_scalar)
+    if isinstance(ldt, Duration) and op in ("mul", "truediv", "floordiv") \
+       and rdt.is_numeric:
+        if op == "mul":
+            return mk(ldt, (l.data.astype(jnp.float64) * r.data).astype(jnp.int64))
+        if op == "truediv":
+            return mk(ldt, (l.data / r.data).astype(jnp.int64))
+        return mk(ldt, jnp.floor_divide(l.data, r.data.astype(jnp.int64)))
+    if isinstance(ldt, Duration) and isinstance(rdt, Duration) and op == "truediv":
+        a, b, st = unify_dt(l, r)
+        return mk(Float64, a.data / b.data)
+    if rdt.is_numeric and isinstance(ldt, Duration) is False and op == "mul":
+        pass
+    raise InvalidOperationError(f"temporal op {op} between {ldt!r} and {rdt!r}")
+
+
+def _dt_plus_dur(op, dtv: Val, durv: Val, validity, is_scalar) -> Val:
+    sign = 1 if op == "add" else -1
+    ddt = dtv.dtype
+    dur_unit = durv.dtype.time_unit
+    if ddt == Date:
+        # promote to Datetime(us) like polars does for sub-day durations
+        per_day = T.UNIT_PER_SECOND[dur_unit] * T.SECONDS_PER_DAY
+        dur = durv.data
+        whole_days = jnp.floor_divide(dur, per_day)
+        frac = dur - whole_days * per_day
+        # if duration is whole days -> stay Date
+        data = dtv.data + sign * whole_days.astype(jnp.int32)
+        return Val(Date, data, validity, None, is_scalar)
+    tu = ddt.time_unit
+    dur = _rescale_time(durv.data, dur_unit, tu)
+    return Val(ddt, dtv.data + sign * dur, validity, None, is_scalar)
+
+
+def _eval_binary_str(op: str, l: Val, r: Val, table: Table) -> Val:
+    if not (l.dtype.is_string and r.dtype.is_string):
+        if l.dtype == Null or r.dtype == Null:
+            cap = table.capacity
+            return Val(Boolean, jnp.zeros((cap,), jnp.bool_),
+                       jnp.zeros((cap,), jnp.bool_))
+        raise InvalidOperationError(
+            f"binary op {op} between {l.dtype!r} and {r.dtype!r}")
+    if op == "add":  # string concat — host dict product; defer
+        raise InvalidOperationError("string concatenation not supported yet; "
+                                    "use concat_str at collect time")
+    if op not in _CMP_OPS:
+        raise InvalidOperationError(f"op {op} not supported on strings")
+    a, b = _align_strings(l, r)
+    data = _cmp(op, a.data, b.data)
+    validity = _and_valid(l.validity, r.validity)
+    return Val(Boolean, data, validity, None, l.is_scalar and r.is_scalar,
+               l.live if l.live is not None else r.live)
+
+
+# ---------------------------------------------------------------------------
+# unary ops
+# ---------------------------------------------------------------------------
+
+def _eval_unary(op: str, v: Val, attrs) -> Val:
+    x = v.data
+    dt = v.dtype
+    if op == "not":
+        if not dt.is_bool:
+            raise InvalidOperationError(f"~ on {dt!r}")
+        return Val(Boolean, ~x, v.validity, None, v.is_scalar, v.live)
+    if op == "neg":
+        return Val(dt, -x, v.validity, None, v.is_scalar, v.live)
+    if op == "abs":
+        return Val(dt, jnp.abs(x), v.validity, None, v.is_scalar, v.live)
+    if op == "sign":
+        return Val(dt, jnp.sign(x).astype(x.dtype), v.validity, None,
+                   v.is_scalar, v.live)
+    if op in ("floor", "ceil"):
+        if dt.is_integer:
+            return v
+        f = jnp.floor if op == "floor" else jnp.ceil
+        return Val(dt, f(x), v.validity, None, v.is_scalar, v.live)
+    if op == "round":
+        if dt.is_integer:
+            return v
+        d = attrs.get("decimals", 0)
+        m = 10.0 ** d
+        return Val(dt, jnp.round(x * m) / m, v.validity, None, v.is_scalar, v.live)
+    # float math
+    out_dt = Float32 if dt == Float32 else Float64
+    xf = x.astype(_stor(out_dt))
+    fns = {
+        "sqrt": jnp.sqrt, "cbrt": jnp.cbrt, "exp": jnp.exp,
+        "log1p": jnp.log1p, "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+        "arcsin": jnp.arcsin, "arccos": jnp.arccos, "arctan": jnp.arctan,
+        "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    }
+    if op == "log":
+        base = attrs.get("base", float(np.e))
+        data = jnp.log(xf) / float(np.log(base))
+    elif op in fns:
+        data = fns[op](xf)
+    else:
+        raise ComputeError(f"unknown unary op {op!r}")
+    return Val(out_dt, data, v.validity, None, v.is_scalar, v.live)
+
+
+# ---------------------------------------------------------------------------
+# aggregations (select context — full column reductions)
+# ---------------------------------------------------------------------------
+
+def _agg_mask(v: Val, table: Table):
+    """Rows that participate: table live mask ∩ expr live ∩ validity."""
+    mask = table.row_mask() if not v.is_scalar else jnp.ones((1,), jnp.bool_)
+    if v.live is not None:
+        mask = mask & v.live
+    return mask, _and_valid(mask, v.validity) if v.validity is not None else mask
+
+
+def _scalar(dtype, data, valid=None, sdict=None) -> Val:
+    data = jnp.reshape(data, (1,))
+    validity = None if valid is None else jnp.reshape(valid, (1,))
+    return Val(dtype, data, validity, sdict, True)
+
+
+def _float_dt(dt):
+    return Float32 if dt == Float32 else Float64
+
+
+def _eval_agg(e: Expr, v: Val, table: Table) -> Val:
+    agg = e.attrs["agg"]
+    live, mask = _agg_mask(v, table)
+    dt = v.dtype
+    x = v.data
+
+    if agg == "len":
+        return _scalar(UInt32, jnp.sum(live).astype(jnp.uint32))
+    if agg == "count":
+        return _scalar(UInt32, jnp.sum(mask).astype(jnp.uint32))
+    if agg == "null_count":
+        return _scalar(UInt32, jnp.sum(live & ~mask).astype(jnp.uint32))
+    if agg in ("any", "all"):
+        if not dt.is_bool:
+            raise InvalidOperationError(f"{agg} on {dt!r}")
+        if agg == "any":
+            return _scalar(Boolean, jnp.any(x & mask))
+        return _scalar(Boolean, jnp.all(jnp.where(mask, x, True)))
+    if agg == "sum":
+        if dt.is_bool:
+            return _scalar(UInt32, jnp.sum(x & mask).astype(jnp.uint32))
+        acc = _acc_dtype(dt)
+        s = jnp.sum(jnp.where(mask, x, 0).astype(acc))
+        out_dt = meta.output_dtype(e, table.schema) if False else _sum_dtype(dt)
+        return _scalar(out_dt, s.astype(_stor(out_dt)))
+    if agg == "product":
+        s = jnp.prod(jnp.where(mask, x, 1))
+        return _scalar(dt, s)
+    if agg == "mean":
+        n = jnp.sum(mask)
+        acc = _acc_dtype(dt)
+        s = jnp.sum(jnp.where(mask, x, 0).astype(acc))
+        out_dt = _float_dt(dt) if not (isinstance(dt, (Datetime, Duration)) or dt == Date) else dt
+        mean = s / jnp.maximum(n, 1)
+        if isinstance(dt, (Datetime, Duration)) or dt == Date:
+            return _scalar(out_dt, mean.astype(x.dtype), n > 0)
+        return _scalar(out_dt, mean.astype(_stor(out_dt)), n > 0)
+    if agg in ("min", "max"):
+        n = jnp.sum(mask)
+        if dt.is_string:
+            big = jnp.int32(np.iinfo(np.int32).max)
+            if agg == "min":
+                r = jnp.min(jnp.where(mask, x, big))
+            else:
+                r = jnp.max(jnp.where(mask, x, -1))
+            return _scalar(dt, r, n > 0, v.sdict)
+        lo, hi = _type_bounds(x.dtype)
+        if agg == "min":
+            r = jnp.min(jnp.where(mask, x, hi))
+        else:
+            r = jnp.max(jnp.where(mask, x, lo))
+        return _scalar(dt, r, n > 0)
+    if agg in ("var", "std"):
+        ddof = e.attrs.get("ddof", 1)
+        n = jnp.sum(mask)
+        acc = _acc_dtype(_float_dt(dt))
+        xm = jnp.where(mask, x, 0).astype(acc)
+        s = jnp.sum(xm)
+        m = s / jnp.maximum(n, 1)
+        ss = jnp.sum(jnp.where(mask, (x.astype(acc) - m) ** 2, 0))
+        var = ss / jnp.maximum(n - ddof, 1)
+        out = jnp.sqrt(var) if agg == "std" else var
+        out_dt = _float_dt(dt)
+        return _scalar(out_dt, out.astype(_stor(out_dt)), n > ddof)
+    if agg in ("first", "last"):
+        n = jnp.sum(live)
+        if agg == "first":
+            idx = jnp.argmax(live)
+        else:
+            cap = x.shape[0]
+            idx = cap - 1 - jnp.argmax(live[::-1])
+        val = x[idx]
+        valid = (n > 0)
+        if v.validity is not None:
+            valid = valid & v.validity[idx]
+        return _scalar(dt, val, valid, v.sdict)
+    if agg in ("arg_min", "arg_max"):
+        lo, hi = _type_bounds(x.dtype) if not dt.is_string else \
+            (jnp.int32(-1), jnp.int32(np.iinfo(np.int32).max))
+        filler = hi if agg == "arg_min" else lo
+        sel = jnp.where(mask, x, filler)
+        idx = jnp.argmin(sel) if agg == "arg_min" else jnp.argmax(sel)
+        # position among live rows
+        pos = jnp.sum(live & (jnp.arange(x.shape[0]) < idx)).astype(jnp.uint32)
+        return _scalar(UInt32, pos, jnp.sum(mask) > 0)
+    if agg in ("median", "quantile"):
+        q = 0.5 if agg == "median" else float(e.attrs["q"])
+        interp = "linear" if agg == "median" else e.attrs.get("interpolation", "nearest")
+        return _quantile(v, mask, q, interp, dt)
+    if agg == "n_unique":
+        return _n_unique(v, live, mask, dt)
+    if agg == "mode":
+        raise InvalidOperationError("mode() not yet supported")
+    if agg == "implode":
+        raise InvalidOperationError("implode() not yet supported")
+    if agg == "agg_groups":
+        raise InvalidOperationError("agg_groups() outside group_by")
+    raise ComputeError(f"unknown aggregation {agg!r}")
+
+
+def _acc_dtype(dt: DataType):
+    if dt.is_float:
+        return _stor(Float64)  # f64 on CPU; storage policy may make this f32
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+
+def _sum_dtype(dt: DataType) -> DataType:
+    if dt.is_integer:
+        return Int64 if dt.is_signed_integer or dt.bit_width() < 64 else dt
+    return dt
+
+
+def _type_bounds(jdt):
+    if jnp.issubdtype(jdt, jnp.floating):
+        return jnp.array(-jnp.inf, jdt), jnp.array(jnp.inf, jdt)
+    info = jnp.iinfo(jdt)
+    return jnp.array(info.min, jdt), jnp.array(info.max, jdt)
+
+
+def _quantile(v: Val, mask, q: float, interp: str, dt) -> Val:
+    x = v.data
+    n = jnp.sum(mask)
+    lo, hi = _type_bounds(x.dtype)
+    # sort invalid to the back
+    keys = jnp.where(mask, x, hi)
+    s = jnp.sort(keys)
+    pos = q * (n.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) - 1)
+    out_dt = _float_dt(dt) if not (isinstance(dt, (Datetime, Duration)) or dt == Date) else dt
+    if interp == "linear":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        frac = pos - i0
+        val = s[jnp.maximum(i0, 0)] * (1 - frac) + s[jnp.maximum(i1, 0)] * frac
+    elif interp == "lower":
+        val = s[jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0)]
+    elif interp == "higher":
+        val = s[jnp.maximum(jnp.ceil(pos).astype(jnp.int32), 0)]
+    elif interp == "midpoint":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        val = (s[jnp.maximum(i0, 0)] + s[jnp.maximum(i1, 0)]) / 2
+    else:  # nearest
+        val = s[jnp.maximum(jnp.round(pos).astype(jnp.int32), 0)]
+    if isinstance(dt, (Datetime, Duration)) or dt == Date:
+        return _scalar(out_dt, val.astype(x.dtype), n > 0)
+    return _scalar(out_dt, val.astype(_stor(out_dt)), n > 0)
+
+
+def _n_unique(v: Val, live, mask, dt) -> Val:
+    x = v.data
+    # sort (valid-first, then value); boundaries within the valid prefix
+    invalid = (~mask).astype(jnp.int32)
+    sk, sx = jax.lax.sort((invalid, x), num_keys=2, is_stable=True)
+    nvalid = jnp.sum(mask)
+    idx = jnp.arange(x.shape[0])
+    newgrp = (idx == 0) | (sx != jnp.roll(sx, 1)) | (sk != jnp.roll(sk, 1))
+    distinct_valid = jnp.sum(newgrp & (idx < nvalid))
+    has_null = jnp.any(live & ~mask)
+    return _scalar(UInt32, (distinct_valid + has_null).astype(jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# window (order-dependent) ops
+# ---------------------------------------------------------------------------
+
+def _eval_window(e: Expr, v: Val, fillv: Val, table: Table) -> Val:
+    op = e.attrs["op"]
+    if v.is_scalar:
+        raise InvalidOperationError(f"window op {op} on scalar")
+    mask, perm, inv, count = _live_order(table)
+    x = v.data[perm]
+    xv = v.valid_or_true()[perm] & (jnp.arange(x.shape[0]) < count)
+    cap = x.shape[0]
+    idx = jnp.arange(cap)
+    dt = v.dtype
+
+    def back(data, validity, out_dt=None, sdict=None):
+        out_dt = out_dt or dt
+        return Val(out_dt, data[inv], validity[inv] if validity is not None else None,
+                   sdict if sdict is not None else v.sdict, False, v.live)
+
+    if op == "reverse":
+        # reverse live prefix
+        src = jnp.where(idx < count, count - 1 - idx, idx)
+        return back(x[src], (v.valid_or_true()[perm])[src])
+
+    if op == "shift":
+        n = e.attrs["n"]
+        src = idx - n
+        inb = (src >= 0) & (src < count)
+        srcc = jnp.clip(src, 0, cap - 1)
+        data = x[srcc]
+        validity = inb & xv[srcc]
+        if fillv.dtype != Null:
+            fv = cast_val(fillv, dt)
+            data = jnp.where(inb, data, jnp.broadcast_to(fv.data, (cap,)))
+            validity = jnp.where(inb, validity, True)
+        return back(data, validity)
+
+    if op in ("diff", "pct_change"):
+        n = e.attrs["n"]
+        src = idx - n
+        inb = (src >= 0) & (src < count)
+        srcc = jnp.clip(src, 0, cap - 1)
+        prev = x[srcc]
+        validity = inb & xv[srcc] & xv
+        if op == "diff":
+            if dt == Date:
+                ms = (x.astype(jnp.int64) - prev.astype(jnp.int64)) * 86_400_000
+                return back(ms, validity, Duration("ms"))
+            if isinstance(dt, Datetime):
+                return back(x - prev, validity, Duration(dt.time_unit))
+            return back(x - prev, validity)
+        out_dt = _float_dt(dt)
+        f = x.astype(_stor(out_dt))
+        data = f / prev.astype(_stor(out_dt)) - 1.0
+        return back(data, validity, out_dt)
+
+    if op in ("cum_sum", "cum_min", "cum_max", "cum_prod", "cum_count"):
+        rev = e.attrs.get("reverse", False)
+        xx = x[::-1] if rev else x
+        vv = xv[::-1] if rev else xv
+        if op == "cum_count":
+            data = jnp.cumsum(vv.astype(jnp.uint32))
+            out = data[::-1] if rev else data
+            return back(out, None, UInt32)
+        if op == "cum_sum":
+            data = jnp.cumsum(jnp.where(vv, xx, 0))
+        elif op == "cum_prod":
+            data = jnp.cumprod(jnp.where(vv, xx, 1))
+        else:
+            lo, hi = _type_bounds(x.dtype)
+            ident = hi if op == "cum_min" else lo
+            fn = jax.lax.cummin if op == "cum_min" else jax.lax.cummax
+            data = fn(jnp.where(vv, xx, ident))
+        data = data[::-1] if rev else data
+        return back(data.astype(x.dtype), v.valid_or_true()[perm])
+
+    if op in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
+              "rolling_std", "rolling_var"):
+        return _rolling(e, v, x, xv, count, back)
+
+    if op == "ewm_mean":
+        return _ewm_mean(e, v, x, xv, back)
+
+    if op == "rank":
+        return _rank(e, v, x, xv, count, back)
+
+    if op == "forward_fill" or op == "backward_fill":
+        fwd = op == "forward_fill"
+        xx = x if fwd else x[::-1]
+        vv = xv if fwd else xv[::-1]
+        last = jax.lax.cummax(jnp.where(vv, idx, -1))
+        has = last >= 0
+        data = xx[jnp.maximum(last, 0)]
+        validity = has
+        if not fwd:
+            data, validity = data[::-1], validity[::-1]
+        return back(data, validity)
+
+    if op == "interpolate":
+        prev_i = jax.lax.cummax(jnp.where(xv, idx, -1))
+        nxt_rev = jax.lax.cummax(jnp.where(xv[::-1], idx, -1))
+        next_i = jnp.where(nxt_rev[::-1] >= 0, cap - 1 - nxt_rev[::-1], -1)
+        out_dt = _float_dt(dt)
+        f = x.astype(_stor(out_dt))
+        p, nx = jnp.maximum(prev_i, 0), jnp.maximum(next_i, 0)
+        span = jnp.maximum(nx - p, 1)
+        frac = (idx - p) / span
+        data = f[p] * (1 - frac) + f[nx] * frac
+        validity = (prev_i >= 0) & (next_i >= 0)
+        data = jnp.where(xv, f, data)
+        validity = validity | xv
+        return back(data, validity, out_dt)
+
+    raise ComputeError(f"unknown window op {op!r}")
+
+
+def _rolling(e: Expr, v: Val, x, xv, count, back) -> Val:
+    op = e.attrs["op"]
+    w = e.attrs["window_size"]
+    min_p = e.attrs.get("min_samples") or w
+    dt = v.dtype
+    cap = x.shape[0]
+    cnt = _roll_win(xv.astype(jnp.int32), w, "add")
+    validity = (cnt >= min_p) & (jnp.arange(cap) < count)
+    if op in ("rolling_min", "rolling_max"):
+        lo, hi = _type_bounds(x.dtype)
+        if op == "rolling_min":
+            data = _roll_win(jnp.where(xv, x, hi), w, "min")
+        else:
+            data = _roll_win(jnp.where(xv, x, lo), w, "max")
+        return back(data, validity)
+    acc = _acc_dtype(_float_dt(dt)) if dt.is_float else _acc_dtype(dt)
+    s = _roll_win(jnp.where(xv, x, 0).astype(acc), w, "add")
+    if op == "rolling_sum":
+        return back(s.astype(x.dtype), validity)
+    out_dt = _float_dt(dt)
+    n = jnp.maximum(cnt, 1)
+    if op == "rolling_mean":
+        return back((s / n).astype(_stor(out_dt)), validity, out_dt)
+    s2 = _roll_win(jnp.where(xv, x.astype(acc) ** 2, 0), w, "add")
+    ddof = e.attrs.get("ddof", 1)
+    var = (s2 - s * s / n) / jnp.maximum(n - ddof, 1)
+    var = jnp.maximum(var, 0)
+    validity = validity & (cnt > ddof)
+    if op == "rolling_var":
+        return back(var.astype(_stor(out_dt)), validity, out_dt)
+    return back(jnp.sqrt(var).astype(_stor(out_dt)), validity, out_dt)
+
+
+def _roll_win(x, w, kind):
+    """Trailing-window reduction via lax.reduce_window (VPU-friendly)."""
+    init = {"add": jnp.array(0, x.dtype),
+            "min": _type_bounds(x.dtype)[1],
+            "max": _type_bounds(x.dtype)[0]}[kind]
+    fn = {"add": jax.lax.add, "min": jax.lax.min, "max": jax.lax.max}[kind]
+    return jax.lax.reduce_window(x, init, fn, (w,), (1,), [(w - 1, 0)])
+
+
+def _ewm_mean(e: Expr, v: Val, x, xv, back) -> Val:
+    alpha = e.attrs["alpha"]
+    min_p = e.attrs.get("min_samples", 1)
+    out_dt = _float_dt(v.dtype)
+    f = x.astype(_stor(out_dt))
+    one = jnp.ones_like(f)
+    decay = jnp.where(xv, 1.0 - alpha, 1.0).astype(f.dtype)
+    bn = jnp.where(xv, f, 0.0)
+    bd = jnp.where(xv, one, 0.0)
+
+    def comb(a, b):
+        (Aa, Na, Da) = a
+        (Ab, Nb, Db) = b
+        return (Aa * Ab, Na * Ab + Nb, Da * Ab + Db)
+
+    A, N, D = jax.lax.associative_scan(comb, (decay, bn, bd))
+    cnt = jnp.cumsum(xv.astype(jnp.int32))
+    data = N / jnp.maximum(D, 1e-300 if f.dtype == jnp.float64 else 1e-30)
+    validity = xv & (cnt >= min_p)
+    return back(data, validity, out_dt)
+
+
+def _rank(e: Expr, v: Val, x, xv, count, back) -> Val:
+    method = e.attrs.get("method", "average")
+    desc = e.attrs.get("descending", False)
+    cap = x.shape[0]
+    idx = jnp.arange(cap)
+    # sort: invalid last, then value
+    lo, hi = _type_bounds(x.dtype) if not v.dtype.is_string else \
+        (jnp.int32(np.iinfo(np.int32).min), jnp.int32(np.iinfo(np.int32).max))
+    key = jnp.where(xv, x, hi)
+    if desc:
+        key = jnp.where(xv, _neg_key(x), hi)
+    sk, si = jax.lax.sort((key, idx.astype(jnp.int32)), num_keys=1, is_stable=True)
+    newg = (idx == 0) | (sk != jnp.roll(sk, 1))
+    start = jax.lax.cummax(jnp.where(newg, idx, 0))
+    gid = jnp.cumsum(newg.astype(jnp.int32))
+    # end of group: next group's start - 1 (via reverse cummin of starts)
+    nxt = jnp.where(newg, idx, cap)
+    end_rev = jax.lax.cummin(nxt[::-1])[::-1]
+    # end_rev gives start of current group; need next group's start:
+    nxt_start = jnp.concatenate([start[1:], jnp.array([cap])])
+    # recompute: positions where next is new group
+    is_last = jnp.concatenate([newg[1:], jnp.array([True])])
+    gend = jax.lax.cummin(jnp.where(is_last, idx, cap)[::-1])[::-1]
+    if method == "ordinal":
+        r = (idx + 1).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    elif method == "min":
+        r = (start + 1).astype(jnp.float32)
+    elif method == "max":
+        r = (gend + 1).astype(jnp.float32)
+    elif method == "dense":
+        r = gid.astype(jnp.float32)
+    else:  # average
+        r = (start + gend).astype(jnp.float32) / 2 + 1
+    out = jnp.zeros(cap, dtype=r.dtype).at[si].set(r)
+    from ..dtypes import UInt32 as U32, Float64 as F64
+    out_dt = F64 if method == "average" else U32
+    outv = xv
+    out_validity = jnp.zeros(cap, jnp.bool_).at[si].set(xv[si] if False else True)
+    # validity: null stays null
+    validity = xv
+    data = out.astype(_stor(out_dt))
+    return back(data, validity, out_dt)
+
+
+def _neg_key(x):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return -x
+    return -x  # ints: negation ok except INT_MIN edge; acceptable
+
+
+# ---------------------------------------------------------------------------
+# str / dt namespaces
+# ---------------------------------------------------------------------------
+
+def _eval_str(e: Expr, v: Val, table: Table) -> Val:
+    import re as _re
+    op = e.attrs["op"]
+    if not v.dtype.is_string:
+        raise InvalidOperationError(f".str.{op} on {v.dtype!r}")
+    sd = v.sdict or EMPTY_SDICT
+    code = v.data
+
+    def lut_gather(lut: np.ndarray, out_dt, sdict=None):
+        if len(lut) == 0:
+            data = jnp.zeros(code.shape, dtype=lut.dtype)
+        else:
+            lt = jnp.asarray(lut)
+            data = lt[jnp.clip(code, 0, len(lut) - 1)]
+        return Val(out_dt, data, v.validity, sdict, v.is_scalar, v.live)
+
+    if op == "len_chars":
+        return lut_gather(sd.map_to_array(len, np.uint32), UInt32)
+    if op == "len_bytes":
+        return lut_gather(sd.map_to_array(lambda s: len(s.encode()), np.uint32), UInt32)
+    if op in ("to_uppercase", "to_lowercase", "to_titlecase", "strip_chars",
+              "strip_chars_start", "strip_chars_end", "slice", "replace",
+              "zfill", "pad_start", "pad_end", "reverse"):
+        fn = _str_transform(op, e.attrs)
+        nd, remap = sd.map_to_strings(fn)
+        if len(remap) == 0:
+            return Val(String, code, v.validity, nd, v.is_scalar, v.live)
+        rm = jnp.asarray(remap)
+        data = jnp.where(code >= 0, rm[jnp.clip(code, 0, len(remap) - 1)], NULL_CODE)
+        return Val(String, data, v.validity, nd, v.is_scalar, v.live)
+    if op in ("starts_with", "ends_with", "contains", "count_matches"):
+        pat = e.attrs["pat"]
+        literal = e.attrs.get("literal", False)
+        if op == "starts_with":
+            f = lambda s: s.startswith(pat)
+        elif op == "ends_with":
+            f = lambda s: s.endswith(pat)
+        elif op == "contains":
+            if literal:
+                f = lambda s: pat in s
+            else:
+                rx = _re.compile(pat)
+                f = lambda s: rx.search(s) is not None
+        else:
+            if literal:
+                f = lambda s: s.count(pat)
+            else:
+                rx = _re.compile(pat)
+                f = lambda s: len(rx.findall(s))
+        out_dt = UInt32 if op == "count_matches" else Boolean
+        return lut_gather(sd.map_to_array(f, np.uint32 if op == "count_matches"
+                                          else np.bool_), out_dt)
+    if op == "extract":
+        rx = _re.compile(e.attrs["pat"])
+        gi = e.attrs.get("group_index", 1)
+
+        def f(s):
+            m = rx.search(s)
+            return m.group(gi) if m else ""
+        nd, remap = sd.map_to_strings(f)
+        rm = jnp.asarray(remap) if len(remap) else jnp.zeros(1, jnp.int32)
+        data = jnp.where(code >= 0, rm[jnp.clip(code, 0, max(len(remap) - 1, 0))],
+                         NULL_CODE)
+        # nulls where no match
+        matched = sd.map_to_array(lambda s: rx.search(s) is not None, np.bool_)
+        mt = jnp.asarray(matched) if len(matched) else jnp.zeros(1, jnp.bool_)
+        mvalid = jnp.where(code >= 0, mt[jnp.clip(code, 0, max(len(matched) - 1, 0))],
+                           False)
+        return Val(String, data, _and_valid(v.validity, mvalid), nd,
+                   v.is_scalar, v.live)
+    if op == "to_integer":
+        base = e.attrs.get("base", 10)
+
+        def f(s):
+            try:
+                return int(s, base)
+            except ValueError:
+                return 0
+
+        def ok(s):
+            try:
+                int(s, base)
+                return True
+            except ValueError:
+                return False
+        lv = lut_gather(sd.map_to_array(f, np.int64), Int64)
+        okv = lut_gather(sd.map_to_array(ok, np.bool_), Boolean)
+        return Val(Int64, lv.data, _and_valid(lv.validity, okv.data), None,
+                   v.is_scalar, v.live)
+    if op == "to_decimal":
+        def f(s):
+            try:
+                return float(s)
+            except ValueError:
+                return np.nan
+        return lut_gather(sd.map_to_array(f, np.float64), Float64)
+    if op in ("to_datetime", "to_date", "strptime"):
+        fmt = e.attrs.get("format")
+        import datetime as _pydt
+        if op == "to_date" or (op == "strptime" and e.attrs.get("dtype") == Date):
+            def f(s):
+                d = _pydt.datetime.strptime(s, fmt or "%Y-%m-%d").date()
+                return (d - _pydt.date(1970, 1, 1)).days
+            return lut_gather(sd.map_to_array(f, np.int32), Date)
+        tu = e.attrs.get("time_unit", "us")
+        scale = T.UNIT_PER_SECOND[tu]
+
+        def f(s):
+            d = _pydt.datetime.strptime(s, fmt or "%Y-%m-%dT%H:%M:%S")
+            return int(d.replace(tzinfo=_pydt.timezone.utc).timestamp() * scale)
+        return lut_gather(sd.map_to_array(f, np.int64), Datetime(tu))
+    raise ComputeError(f"unknown str op {op!r}")
+
+
+def _str_transform(op, attrs):
+    import re as _re
+    if op == "to_uppercase":
+        return str.upper
+    if op == "to_lowercase":
+        return str.lower
+    if op == "to_titlecase":
+        return str.title
+    if op == "strip_chars":
+        c = attrs.get("characters")
+        return lambda s: s.strip(c)
+    if op == "strip_chars_start":
+        c = attrs.get("characters")
+        return lambda s: s.lstrip(c)
+    if op == "strip_chars_end":
+        c = attrs.get("characters")
+        return lambda s: s.rstrip(c)
+    if op == "slice":
+        off, ln = attrs.get("offset", 0), attrs.get("length")
+        if ln is None:
+            return lambda s: s[off:]
+        return lambda s: s[off:off + ln] if off >= 0 else s[off:][:ln]
+    if op == "replace":
+        pat, val = attrs["pat"], attrs["value"]
+        n = attrs.get("n", 1)
+        if attrs.get("literal"):
+            return lambda s: s.replace(pat, val, -1 if n < 0 else n)
+        rx = _re.compile(pat)
+        return lambda s: rx.sub(val, s, 0 if n < 0 else n)
+    if op == "zfill":
+        ln = attrs["length"]
+        return lambda s: s.zfill(ln)
+    if op == "pad_start":
+        ln, fc = attrs["length"], attrs.get("fill_char", " ")
+        return lambda s: s.rjust(ln, fc)
+    if op == "pad_end":
+        ln, fc = attrs["length"], attrs.get("fill_char", " ")
+        return lambda s: s.ljust(ln, fc)
+    if op == "reverse":
+        return lambda s: s[::-1]
+    raise ComputeError(op)
+
+
+def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
+    op = e.attrs["op"]
+    dt = v.dtype
+    x = v.data
+
+    def out(data, out_dt):
+        return Val(out_dt, data, v.validity, None, v.is_scalar, v.live)
+
+    if isinstance(dt, Duration):
+        tu = dt.time_unit
+        per_s = T.UNIT_PER_SECOND[tu]
+        scales = {"total_days": per_s * 86_400, "total_hours": per_s * 3_600,
+                  "total_minutes": per_s * 60, "total_seconds": per_s,
+                  "total_milliseconds": per_s // 1_000 or 1,
+                  "total_microseconds": per_s // 1_000_000 or 1}
+        if op in scales:
+            if op == "total_milliseconds" and tu == "ms":
+                return out(x.astype(jnp.int64), Int64)
+            if op == "total_microseconds" and tu == "us":
+                return out(x.astype(jnp.int64), Int64)
+            return out(jnp.floor_divide(x.astype(jnp.int64), scales[op]), Int64)
+        if op == "cast_time_unit":
+            return cast_val(v, Duration(e.attrs["time_unit"]))
+        raise InvalidOperationError(f".dt.{op} on Duration")
+
+    if dt == Date:
+        days = x.astype(jnp.int32)
+        frac = None
+        tu = None
+    elif isinstance(dt, Datetime):
+        tu = dt.time_unit
+        days = T.epoch_to_days(x, tu)
+        frac = T.time_of_day(x, tu)
+    else:
+        raise InvalidOperationError(f".dt.{op} on {dt!r}")
+
+    if op in ("year", "quarter", "month", "day"):
+        y, m, d = T.days_to_civil(days)
+        if op == "year":
+            return out(y, Int32)
+        if op == "quarter":
+            return out(jnp.floor_divide(m - 1, 3) + 1, Int32)
+        if op == "month":
+            return out(m, Int32)
+        return out(d, Int32)
+    if op == "ordinal_day":
+        return out(T.ordinal_day(days), Int32)
+    if op == "weekday":
+        return out(T.weekday(days), Int32)
+    if op == "week":
+        return out(T.iso_week(days), Int32)
+    if op in ("hour", "minute", "second", "millisecond", "microsecond",
+              "nanosecond"):
+        if frac is None:
+            return out(jnp.zeros_like(days), Int32)
+        per_s = T.UNIT_PER_SECOND[tu]
+        sec = jnp.floor_divide(frac, per_s)
+        sub = frac - sec * per_s
+        if op == "hour":
+            return out(jnp.floor_divide(sec, 3600).astype(jnp.int32), Int32)
+        if op == "minute":
+            return out(jnp.remainder(jnp.floor_divide(sec, 60), 60).astype(jnp.int32), Int32)
+        if op == "second":
+            return out(jnp.remainder(sec, 60).astype(jnp.int32), Int32)
+        scale = {"millisecond": 1_000, "microsecond": 1_000_000,
+                 "nanosecond": 1_000_000_000}[op]
+        if scale >= per_s:
+            return out((sub * (scale // per_s)).astype(jnp.int32), Int32)
+        return out(jnp.floor_divide(sub, per_s // scale).astype(jnp.int32), Int32)
+    if op == "date":
+        return out(days, Date)
+    if op == "timestamp":
+        tgt = e.attrs.get("time_unit", "us")
+        if dt == Date:
+            return out(days.astype(jnp.int64) * T.UNIT_PER_SECOND[tgt] * 86_400, Int64)
+        return out(_rescale_time(x, tu, tgt).astype(jnp.int64), Int64)
+    if op == "truncate":
+        if dt == Date:
+            return out(T.truncate_days(days, e.attrs["every"]), Date)
+        return out(T.truncate_epoch(x, tu, e.attrs["every"]), dt)
+    if op == "cast_time_unit":
+        return cast_val(v, Datetime(e.attrs["time_unit"]))
+    if op == "replace_time_zone":
+        return out(x, Datetime(tu, e.attrs["tz"]) if isinstance(dt, Datetime) else dt)
+    raise ComputeError(f"unknown dt op {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# main dispatcher
+# ---------------------------------------------------------------------------
+
+def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
+    k = e.kind
+
+    if k == "col":
+        c = table.column(e.attrs["name"])
+        return Val(c.dtype, c.data, c.validity, c.sdict, False)
+    if k == "lit":
+        return _lit_val(e.attrs["value"], e.attrs["dtype"])
+    if k in ("alias", "name_map", "name_keep"):
+        return eval_expr(e.children[0], table, ctx)
+    if k == "cast":
+        return cast_val(eval_expr(e.children[0], table, ctx),
+                        e.attrs["dtype"], e.attrs.get("strict", True))
+    if k == "binary":
+        l = eval_expr(e.children[0], table, ctx)
+        r = eval_expr(e.children[1], table, ctx)
+        if l.is_scalar != r.is_scalar:
+            # broadcasting handled by jnp on (1,) vs (capacity,)
+            pass
+        return _eval_binary(e.attrs["op"], l, r, table)
+    if k == "unary":
+        return _eval_unary(e.attrs["op"], eval_expr(e.children[0], table, ctx),
+                           e.attrs)
+    if k == "is_null":
+        v = eval_expr(e.children[0], table, ctx)
+        data = ~v.valid_or_true() if v.validity is not None else \
+            jnp.zeros(v.data.shape, jnp.bool_)
+        return Val(Boolean, data, None, None, v.is_scalar, v.live)
+    if k == "is_not_null":
+        v = eval_expr(e.children[0], table, ctx)
+        data = v.valid_or_true() if v.validity is not None else \
+            jnp.ones(v.data.shape, jnp.bool_)
+        return Val(Boolean, data, None, None, v.is_scalar, v.live)
+    if k in ("is_nan", "is_not_nan", "is_finite", "is_infinite"):
+        v = eval_expr(e.children[0], table, ctx)
+        if not v.dtype.is_float:
+            if k in ("is_nan", "is_infinite"):
+                data = jnp.zeros(v.data.shape, jnp.bool_)
+            else:
+                data = jnp.ones(v.data.shape, jnp.bool_)
+        else:
+            fn = {"is_nan": jnp.isnan, "is_not_nan": lambda a: ~jnp.isnan(a),
+                  "is_finite": jnp.isfinite,
+                  "is_infinite": jnp.isinf}[k]
+            data = fn(v.data)
+        return Val(Boolean, data, v.validity, None, v.is_scalar, v.live)
+    if k == "fill_null":
+        v = eval_expr(e.children[0], table, ctx)
+        f = eval_expr(e.children[1], table, ctx)
+        if v.validity is None or f.dtype == Null:
+            return v
+        if v.dtype.is_string:
+            a, b = _align_strings(v, f)
+            data = jnp.where(v.validity, a.data, jnp.broadcast_to(b.data, a.data.shape))
+            return Val(String, data, None, a.sdict, v.is_scalar, v.live)
+        tgt = supertype(v.dtype, f.dtype)
+        a, b = cast_val(v, tgt), cast_val(f, tgt)
+        data = jnp.where(v.validity, a.data, jnp.broadcast_to(b.data, a.data.shape))
+        validity = None if b.validity is None else \
+            jnp.where(v.validity, True, jnp.broadcast_to(b.validity, a.data.shape))
+        return Val(tgt, data, validity, None, v.is_scalar, v.live)
+    if k == "fill_null_strategy":
+        strat = e.attrs["strategy"]
+        inner = e.children[0]
+        if strat in ("forward", "backward"):
+            wop = "forward_fill" if strat == "forward" else "backward_fill"
+            return _eval_window(Expr("window", (inner,), op=wop),
+                                eval_expr(inner, table, ctx),
+                                _lit_val(None, None), table)
+        v = eval_expr(inner, table, ctx)
+        if strat in ("zero", "one"):
+            fill = _lit_val(0 if strat == "zero" else 1, v.dtype)
+            return eval_expr(Expr("fill_null", (inner, Expr("lit", value=0 if strat == "zero" else 1, dtype=None))), table, ctx)
+        if strat in ("min", "max", "mean"):
+            agg = _eval_agg(Expr("agg", (inner,), agg=strat), v, table)
+            data = jnp.where(v.valid_or_true(), v.data,
+                             jnp.broadcast_to(cast_val(agg, v.dtype).data, v.data.shape))
+            return Val(v.dtype, data, None, v.sdict, v.is_scalar, v.live)
+        raise ComputeError(f"unknown fill_null strategy {strat!r}")
+    if k == "fill_nan":
+        v = eval_expr(e.children[0], table, ctx)
+        f = eval_expr(e.children[1], table, ctx)
+        if not v.dtype.is_float:
+            return v
+        fv = cast_val(f, v.dtype)
+        data = jnp.where(jnp.isnan(v.data), jnp.broadcast_to(fv.data, v.data.shape),
+                         v.data)
+        return Val(v.dtype, data, v.validity, None, v.is_scalar, v.live)
+    if k == "clip":
+        v = eval_expr(e.children[0], table, ctx)
+        lo = eval_expr(e.children[1], table, ctx)
+        hi = eval_expr(e.children[2], table, ctx)
+        data = v.data
+        if lo.dtype != Null:
+            data = jnp.maximum(data, jnp.broadcast_to(cast_val(lo, v.dtype).data, data.shape))
+        if hi.dtype != Null:
+            data = jnp.minimum(data, jnp.broadcast_to(cast_val(hi, v.dtype).data, data.shape))
+        return Val(v.dtype, data, v.validity, v.sdict, v.is_scalar, v.live)
+    if k == "is_in":
+        v = eval_expr(e.children[0], table, ctx)
+        vals = e.attrs["values"]
+        return _eval_is_in(v, vals)
+    if k == "is_between":
+        v = eval_expr(e.children[0], table, ctx)
+        lo = eval_expr(e.children[1], table, ctx)
+        hi = eval_expr(e.children[2], table, ctx)
+        closed = e.attrs.get("closed", "both")
+        lop = jnp.greater_equal if closed in ("both", "left") else jnp.greater
+        rop = jnp.less_equal if closed in ("both", "right") else jnp.less
+        if v.dtype.is_string:
+            a, b = _align_strings(v, lo)
+            a2, c = _align_strings(a, hi)
+            data = lop(a2.data, jnp.broadcast_to(b.data, a2.data.shape)) & \
+                rop(a2.data, jnp.broadcast_to(c.data, a2.data.shape))
+        else:
+            st = supertype(supertype(v.dtype, lo.dtype), hi.dtype)
+            a, b, c = cast_val(v, st), cast_val(lo, st), cast_val(hi, st)
+            data = lop(a.data, jnp.broadcast_to(b.data, a.data.shape)) & \
+                rop(a.data, jnp.broadcast_to(c.data, a.data.shape))
+        validity = _and_valid(_and_valid(v.validity, lo.validity), hi.validity)
+        return Val(Boolean, data, validity, None, v.is_scalar, v.live)
+    if k == "when_then":
+        return _eval_when_then(e, table, ctx)
+    if k == "agg":
+        v = eval_expr(e.children[0], table, ctx)
+        return _eval_agg(e, v, table)
+    if k == "table_len":
+        mask = table.row_mask()
+        return _scalar(UInt32, jnp.sum(mask).astype(jnp.uint32))
+    if k == "window":
+        v = eval_expr(e.children[0], table, ctx)
+        fillv = eval_expr(e.children[1], table, ctx)
+        return _eval_window(e, v, fillv, table)
+    if k == "str":
+        return _eval_str(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "dt":
+        return _eval_dt(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "expr_filter":
+        v = eval_expr(e.children[0], table, ctx)
+        p = eval_expr(e.children[1], table, ctx)
+        plive = p.data & p.valid_or_true()
+        live = plive if v.live is None else (v.live & plive)
+        return Val(v.dtype, v.data, v.validity, v.sdict, v.is_scalar, live)
+    if k == "drop_nulls":
+        v = eval_expr(e.children[0], table, ctx)
+        if v.validity is None:
+            return v
+        live = v.validity if v.live is None else (v.live & v.validity)
+        return Val(v.dtype, v.data, v.validity, v.sdict, v.is_scalar, live)
+    if k == "hash":
+        v = eval_expr(e.children[0], table, ctx)
+        from ..ops.hashing import hash_array
+        return Val(UInt32, hash_array(v.data, e.attrs.get("seed", 0)),
+                   v.validity, None, v.is_scalar, v.live)
+    if k == "is_duplicated" or k == "is_unique" or k == "is_first_distinct":
+        return _eval_distinct_flags(e, table, ctx)
+    if k == "sort_self":
+        v = eval_expr(e.children[0], table, ctx)
+        return _eval_sort_self(e, v, table)
+    if k == "map_batches":
+        v = eval_expr(e.children[0], table, ctx)
+        fn = e.attrs["fn"]
+        data = fn(v.data)
+        rd = e.attrs.get("return_dtype") or v.dtype
+        return Val(rd, data, v.validity, None, v.is_scalar, v.live)
+    if k == "replace":
+        v = eval_expr(e.children[0], table, ctx)
+        old, new = e.attrs["old"], e.attrs["new"]
+        data = v.data
+        if v.dtype.is_string:
+            sd = v.sdict or EMPTY_SDICT
+            mapping = {o: n for o, n in zip(old, new)}
+            nd, remap = sd.map_to_strings(lambda s: mapping.get(s, s))
+            rm = jnp.asarray(remap) if len(remap) else jnp.zeros(1, jnp.int32)
+            data = jnp.where(data >= 0, rm[jnp.clip(data, 0, max(len(remap) - 1, 0))], NULL_CODE)
+            return Val(String, data, v.validity, nd, v.is_scalar, v.live)
+        for o, n in zip(old, new):
+            data = jnp.where(v.data == o, jnp.asarray(n, data.dtype), data)
+        return Val(v.dtype, data, v.validity, None, v.is_scalar, v.live)
+    if k == "over":
+        raise InvalidOperationError("window .over() requires group machinery; "
+                                    "evaluated by the executor")
+    raise ComputeError(f"cannot evaluate expr kind {k!r}")
+
+
+def _eval_is_in(v: Val, vals) -> Val:
+    if v.dtype.is_string:
+        sd = v.sdict or EMPTY_SDICT
+        codes = [sd.find(s) for s in vals]
+        codes = [c for c in codes if c is not None]
+        if not codes:
+            data = jnp.zeros(v.data.shape, jnp.bool_)
+        else:
+            arr = jnp.asarray(np.array(sorted(codes), np.int32))
+            i = jnp.searchsorted(arr, v.data)
+            i = jnp.clip(i, 0, len(codes) - 1)
+            data = arr[i] == v.data
+        return Val(Boolean, data, v.validity, None, v.is_scalar, v.live)
+    arr = np.asarray([x for x in vals if x is not None])
+    if arr.size == 0:
+        data = jnp.zeros(v.data.shape, jnp.bool_)
+    else:
+        sa = jnp.asarray(np.sort(arr.astype(np.asarray(v.data).dtype)))
+        i = jnp.clip(jnp.searchsorted(sa, v.data), 0, sa.shape[0] - 1)
+        data = sa[i] == v.data
+    has_null = any(x is None for x in vals)
+    validity = v.validity
+    if has_null and v.validity is not None:
+        data = jnp.where(v.validity, data, True)
+        validity = None
+    return Val(Boolean, data, validity, None, v.is_scalar, v.live)
+
+
+def _eval_when_then(e: Expr, table: Table, ctx: str) -> Val:
+    nb = e.attrs["n_branches"]
+    conds = [eval_expr(c, table, ctx) for c in e.children[:nb]]
+    vals = [eval_expr(c, table, ctx) for c in e.children[nb:]]
+    # unify dtypes
+    out_dt = Null
+    for v in vals:
+        if v.dtype != Null:
+            out_dt = v.dtype if out_dt == Null else (
+                String if out_dt.is_string else supertype(out_dt, v.dtype))
+    if out_dt == Null:
+        out_dt = Boolean
+    cap = table.capacity
+    if out_dt.is_string:
+        # align all dictionaries pairwise onto one merged dict
+        base = vals[0] if vals[0].dtype.is_string else None
+        merged = EMPTY_SDICT
+        aligned = []
+        cur = Val(String, jnp.zeros((1,), jnp.int32), None, merged, True)
+        for v in vals:
+            if v.dtype == Null:
+                aligned.append(None)
+                continue
+            cur, vv = _align_strings(cur, v)
+            aligned.append(vv)
+        # realign earlier ones to final dict
+        final_sd = cur.sdict
+        aligned2 = []
+        for v in aligned:
+            if v is None:
+                aligned2.append(None)
+            else:
+                _, vv = _align_strings(cur, v)
+                aligned2.append(vv)
+        vals_c = aligned2
+        sdict = final_sd
+    else:
+        vals_c = [cast_val(v, out_dt) if v.dtype != Null else None for v in vals]
+        sdict = None
+
+    data = jnp.zeros((cap,), dtype=_stor(out_dt) if not out_dt.is_string else jnp.int32)
+    validity = jnp.zeros((cap,), dtype=jnp.bool_)
+    decided = jnp.zeros((cap,), dtype=jnp.bool_)
+    for i, c in enumerate(conds):
+        cd = jnp.broadcast_to(c.data, (cap,))
+        cv = jnp.broadcast_to(c.valid_or_true(), (cap,))
+        takes = ~decided & cd & cv
+        vv = vals_c[i]
+        if vv is not None:
+            data = jnp.where(takes, jnp.broadcast_to(vv.data, (cap,)), data)
+            validity = jnp.where(takes, jnp.broadcast_to(vv.valid_or_true(), (cap,)),
+                                 validity)
+        decided = decided | (cd & cv)
+    # otherwise
+    ov = vals_c[-1]
+    rest = ~decided
+    if ov is not None:
+        data = jnp.where(rest, jnp.broadcast_to(ov.data, (cap,)), data)
+        validity = jnp.where(rest, jnp.broadcast_to(ov.valid_or_true(), (cap,)),
+                             validity)
+    return Val(out_dt, data, validity, sdict, False)
+
+
+def _eval_distinct_flags(e: Expr, table: Table, ctx: str) -> Val:
+    v = eval_expr(e.children[0], table, ctx)
+    mask = table.row_mask()
+    x = v.data
+    cap = x.shape[0]
+    xv = v.valid_or_true() & mask
+    # sort by (dead-last, null, value, idx)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    dead = (~mask).astype(jnp.int32)
+    nullk = (~v.valid_or_true()).astype(jnp.int32)
+    sk0, sk1, sx, si = jax.lax.sort(
+        (dead, nullk, x, idx), num_keys=3, is_stable=True)
+    newg = (jnp.arange(cap) == 0) | (sx != jnp.roll(sx, 1)) | \
+        (sk1 != jnp.roll(sk1, 1)) | (sk0 != jnp.roll(sk0, 1))
+    gid = jnp.cumsum(newg.astype(jnp.int32)) - 1
+    counts = jnp.zeros(cap, jnp.int32).at[gid].add(1)
+    gcount = counts[gid]
+    if e.kind == "is_duplicated":
+        flag = gcount > 1
+    elif e.kind == "is_unique":
+        flag = gcount == 1
+    else:  # is_first_distinct
+        flag = newg
+    out = jnp.zeros(cap, jnp.bool_).at[si].set(flag)
+    return Val(Boolean, out, None, None, False, v.live)
+
+
+def _eval_sort_self(e: Expr, v: Val, table: Table) -> Val:
+    desc = e.attrs.get("descending", False)
+    nulls_last = e.attrs.get("nulls_last", False)
+    mask, perm, inv, count = _live_order(table)
+    x = v.data[perm]
+    xv = v.valid_or_true()[perm]
+    cap = x.shape[0]
+    live = jnp.arange(cap) < count
+    dead = (~live).astype(jnp.uint32)
+    from ..ops.keycode import encode_key_words
+    words = [dead] + encode_key_words(x, xv, desc, nulls_last)
+    ops = tuple(words) + (x, xv.astype(jnp.int32))
+    out = jax.lax.sort(ops, num_keys=len(words), is_stable=True)
+    sx, sv = out[-2], out[-1].astype(jnp.bool_)
+    data = jnp.where(live, sx, x)
+    validity = jnp.where(live, sv, xv)
+    return Val(v.dtype, data[inv],
+               validity[inv] if v.validity is not None else None,
+               v.sdict, False, v.live)
+
+
+def eval_to_column(e: Expr, table: Table, ctx: str = "select") -> Tuple[str, Column, bool]:
+    """Evaluate and wrap as a named Column. Returns (name, column, is_scalar)."""
+    name = meta.output_name(e)
+    v = eval_expr(e, table, ctx)
+    validity = v.validity
+    col = Column(v.dtype, v.data, validity, v.sdict)
+    return name, col, v.is_scalar

@@ -1,0 +1,606 @@
+"""User-facing expression DSL.
+
+Capability-parity with the reference's `Expr` DSL
+(`crates/polars-plan/src/dsl/`, surfaced in `py-polars/src/polars/expr/`):
+column refs, literals, arithmetic/comparison/boolean ops, casts,
+null-handling, aggregations, window-ish ops (shift/diff/cum_*), when/then/
+otherwise, is_in/is_between, and `.str`/`.dt` namespaces.
+
+An `Expr` is an immutable tree: (kind, children, attrs). Evaluation lives
+in `eval.py`; planner metadata (output name/dtype, elementwise-ness) in
+`meta.py` — mirroring the reference's split between the DSL and
+`polars-expr`'s physical expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Sequence, Tuple
+
+from ..dtypes import DataType
+
+__all__ = ["Expr", "col", "lit", "when", "len_", "all_", "nth", "first", "last"]
+
+_BINOPS = {
+    "add": "+", "sub": "-", "mul": "*", "truediv": "/", "floordiv": "//",
+    "mod": "%", "pow": "**", "eq": "==", "neq": "!=", "lt": "<", "le": "<=",
+    "gt": ">", "ge": ">=", "and": "&", "or": "|", "xor": "^",
+}
+
+AGG_NAMES = {
+    "sum", "mean", "min", "max", "median", "quantile", "std", "var",
+    "count", "len", "n_unique", "null_count", "first", "last", "any",
+    "all", "product", "arg_min", "arg_max", "implode",
+}
+
+WINDOW_NAMES = {
+    "shift", "diff", "pct_change", "cum_sum", "cum_min", "cum_max",
+    "cum_prod", "cum_count", "rolling_mean", "rolling_sum", "rolling_min",
+    "rolling_max", "rolling_std", "rolling_var", "ewm_mean", "rank",
+    "arg_sort", "interpolate", "forward_fill", "backward_fill",
+}
+
+
+class Expr:
+    __slots__ = ("kind", "children", "attrs")
+
+    def __init__(self, kind: str, children: Tuple["Expr", ...] = (), **attrs):
+        self.kind = kind
+        self.children = children
+        self.attrs = attrs
+
+    # --- structural -----------------------------------------------------
+    def fingerprint(self) -> str:
+        items = ",".join(f"{k}={_fp_val(v)}" for k, v in sorted(self.attrs.items()))
+        ch = ",".join(c.fingerprint() for c in self.children)
+        return f"{self.kind}({items};{ch})"
+
+    def __repr__(self) -> str:
+        return self.fingerprint()
+
+    # --- naming ---------------------------------------------------------
+    def alias(self, name: str) -> "Expr":
+        return Expr("alias", (self,), name=name)
+
+    def name_keep(self) -> "Expr":
+        return self
+
+    # --- casts & nulls --------------------------------------------------
+    def cast(self, dtype: DataType, strict: bool = True) -> "Expr":
+        if isinstance(dtype, type) and issubclass(dtype, DataType):
+            dtype = dtype()
+        return Expr("cast", (self,), dtype=dtype, strict=strict)
+
+    def is_null(self) -> "Expr":
+        return Expr("is_null", (self,))
+
+    def is_not_null(self) -> "Expr":
+        return Expr("is_not_null", (self,))
+
+    def is_nan(self) -> "Expr":
+        return Expr("is_nan", (self,))
+
+    def is_not_nan(self) -> "Expr":
+        return Expr("is_not_nan", (self,))
+
+    def is_finite(self) -> "Expr":
+        return Expr("is_finite", (self,))
+
+    def is_infinite(self) -> "Expr":
+        return Expr("is_infinite", (self,))
+
+    def fill_null(self, value=None, strategy: Optional[str] = None) -> "Expr":
+        if strategy is not None:
+            return Expr("fill_null_strategy", (self,), strategy=strategy)
+        return Expr("fill_null", (self, _wrap(value)))
+
+    def fill_nan(self, value) -> "Expr":
+        return Expr("fill_nan", (self, _wrap(value)))
+
+    def drop_nulls(self) -> "Expr":
+        return Expr("drop_nulls", (self,))
+
+    # --- arithmetic / comparison operators ------------------------------
+    def _bin(self, op: str, other, reflect: bool = False) -> "Expr":
+        other = _wrap(other)
+        l, r = (other, self) if reflect else (self, other)
+        return Expr("binary", (l, r), op=op)
+
+    def __add__(self, o): return self._bin("add", o)
+    def __radd__(self, o): return self._bin("add", o, True)
+    def __sub__(self, o): return self._bin("sub", o)
+    def __rsub__(self, o): return self._bin("sub", o, True)
+    def __mul__(self, o): return self._bin("mul", o)
+    def __rmul__(self, o): return self._bin("mul", o, True)
+    def __truediv__(self, o): return self._bin("truediv", o)
+    def __rtruediv__(self, o): return self._bin("truediv", o, True)
+    def __floordiv__(self, o): return self._bin("floordiv", o)
+    def __rfloordiv__(self, o): return self._bin("floordiv", o, True)
+    def __mod__(self, o): return self._bin("mod", o)
+    def __rmod__(self, o): return self._bin("mod", o, True)
+    def __pow__(self, o): return self._bin("pow", o)
+    def __rpow__(self, o): return self._bin("pow", o, True)
+    def __eq__(self, o): return self._bin("eq", o)  # type: ignore[override]
+    def __ne__(self, o): return self._bin("neq", o)  # type: ignore[override]
+    def __lt__(self, o): return self._bin("lt", o)
+    def __le__(self, o): return self._bin("le", o)
+    def __gt__(self, o): return self._bin("gt", o)
+    def __ge__(self, o): return self._bin("ge", o)
+    def __and__(self, o): return self._bin("and", o)
+    def __rand__(self, o): return self._bin("and", o, True)
+    def __or__(self, o): return self._bin("or", o)
+    def __ror__(self, o): return self._bin("or", o, True)
+    def __xor__(self, o): return self._bin("xor", o)
+    def __invert__(self): return Expr("unary", (self,), op="not")
+    def __neg__(self): return Expr("unary", (self,), op="neg")
+    def __abs__(self): return Expr("unary", (self,), op="abs")
+    def __hash__(self):  # Exprs are used as dict keys in CSE
+        return hash(self.fingerprint())
+
+    def eq(self, o): return self._bin("eq", o)
+    def ne(self, o): return self._bin("neq", o)
+    def lt(self, o): return self._bin("lt", o)
+    def le(self, o): return self._bin("le", o)
+    def gt(self, o): return self._bin("gt", o)
+    def ge(self, o): return self._bin("ge", o)
+    def not_(self): return Expr("unary", (self,), op="not")
+
+    # --- math -----------------------------------------------------------
+    def _un(self, op: str, **kw) -> "Expr":
+        return Expr("unary", (self,), op=op, **kw)
+
+    def abs(self): return self._un("abs")
+    def sign(self): return self._un("sign")
+    def sqrt(self): return self._un("sqrt")
+    def cbrt(self): return self._un("cbrt")
+    def exp(self): return self._un("exp")
+    def log(self, base: float = 2.718281828459045): return self._un("log", base=base)
+    def log1p(self): return self._un("log1p")
+    def log10(self): return self._un("log", base=10.0)
+    def sin(self): return self._un("sin")
+    def cos(self): return self._un("cos")
+    def tan(self): return self._un("tan")
+    def arcsin(self): return self._un("arcsin")
+    def arccos(self): return self._un("arccos")
+    def arctan(self): return self._un("arctan")
+    def sinh(self): return self._un("sinh")
+    def cosh(self): return self._un("cosh")
+    def tanh(self): return self._un("tanh")
+    def floor(self): return self._un("floor")
+    def ceil(self): return self._un("ceil")
+    def round(self, decimals: int = 0): return self._un("round", decimals=decimals)
+    def clip(self, lower_bound=None, upper_bound=None):
+        return Expr("clip", (self, _wrap(lower_bound), _wrap(upper_bound)))
+
+    # --- membership -----------------------------------------------------
+    def is_in(self, values) -> "Expr":
+        if isinstance(values, Expr):
+            return Expr("is_in_expr", (self, values))
+        return Expr("is_in", (self,), values=tuple(values))
+
+    def is_between(self, lower, upper, closed: str = "both") -> "Expr":
+        return Expr("is_between", (self, _wrap(lower), _wrap(upper)), closed=closed)
+
+    def is_duplicated(self) -> "Expr":
+        return Expr("is_duplicated", (self,))
+
+    def is_unique(self) -> "Expr":
+        return Expr("is_unique", (self,))
+
+    def is_first_distinct(self) -> "Expr":
+        return Expr("is_first_distinct", (self,))
+
+    # --- aggregations ---------------------------------------------------
+    def _agg(self, name: str, **kw) -> "Expr":
+        return Expr("agg", (self,), agg=name, **kw)
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+    def median(self): return self._agg("median")
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        return self._agg("quantile", q=q, interpolation=interpolation)
+    def std(self, ddof: int = 1): return self._agg("std", ddof=ddof)
+    def var(self, ddof: int = 1): return self._agg("var", ddof=ddof)
+    def count(self): return self._agg("count")
+    def len(self): return self._agg("len")
+    def n_unique(self): return self._agg("n_unique")
+    def null_count(self): return self._agg("null_count")
+    def first(self): return self._agg("first")
+    def last(self): return self._agg("last")
+    def any(self): return self._agg("any")
+    def all(self): return self._agg("all")
+    def product(self): return self._agg("product")
+    def arg_min(self): return self._agg("arg_min")
+    def arg_max(self): return self._agg("arg_max")
+    def implode(self): return self._agg("implode")
+    def agg_groups(self): return self._agg("agg_groups")
+    def mode(self): return self._agg("mode")
+
+    # --- order-dependent (window) ops -----------------------------------
+    def shift(self, n: int = 1, fill_value=None) -> "Expr":
+        return Expr("window", (self, _wrap(fill_value)), op="shift", n=n)
+
+    def diff(self, n: int = 1) -> "Expr":
+        return Expr("window", (self, _wrap(None)), op="diff", n=n)
+
+    def pct_change(self, n: int = 1) -> "Expr":
+        return Expr("window", (self, _wrap(None)), op="pct_change", n=n)
+
+    def cum_sum(self, reverse: bool = False):
+        return Expr("window", (self, _wrap(None)), op="cum_sum", reverse=reverse)
+
+    def cum_min(self, reverse: bool = False):
+        return Expr("window", (self, _wrap(None)), op="cum_min", reverse=reverse)
+
+    def cum_max(self, reverse: bool = False):
+        return Expr("window", (self, _wrap(None)), op="cum_max", reverse=reverse)
+
+    def cum_prod(self, reverse: bool = False):
+        return Expr("window", (self, _wrap(None)), op="cum_prod", reverse=reverse)
+
+    def cum_count(self, reverse: bool = False):
+        return Expr("window", (self, _wrap(None)), op="cum_count", reverse=reverse)
+
+    def rolling_mean(self, window_size: int, min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_mean",
+                    window_size=window_size, min_samples=min_samples)
+
+    def rolling_sum(self, window_size: int, min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_sum",
+                    window_size=window_size, min_samples=min_samples)
+
+    def rolling_min(self, window_size: int, min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_min",
+                    window_size=window_size, min_samples=min_samples)
+
+    def rolling_max(self, window_size: int, min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_max",
+                    window_size=window_size, min_samples=min_samples)
+
+    def rolling_std(self, window_size: int, min_samples: Optional[int] = None,
+                    ddof: int = 1):
+        return Expr("window", (self, _wrap(None)), op="rolling_std",
+                    window_size=window_size, min_samples=min_samples, ddof=ddof)
+
+    def rolling_var(self, window_size: int, min_samples: Optional[int] = None,
+                    ddof: int = 1):
+        return Expr("window", (self, _wrap(None)), op="rolling_var",
+                    window_size=window_size, min_samples=min_samples, ddof=ddof)
+
+    def ewm_mean(self, alpha: Optional[float] = None, span: Optional[float] = None,
+                 half_life: Optional[float] = None, com: Optional[float] = None,
+                 adjust: bool = True, min_samples: int = 1):
+        if alpha is None:
+            if span is not None:
+                alpha = 2.0 / (span + 1.0)
+            elif com is not None:
+                alpha = 1.0 / (1.0 + com)
+            elif half_life is not None:
+                alpha = 1.0 - 0.5 ** (1.0 / half_life)
+            else:
+                raise ValueError("one of alpha/span/half_life/com required")
+        return Expr("window", (self, _wrap(None)), op="ewm_mean", alpha=alpha,
+                    adjust=adjust, min_samples=min_samples)
+
+    def rank(self, method: str = "average", descending: bool = False):
+        return Expr("window", (self, _wrap(None)), op="rank", method=method,
+                    descending=descending)
+
+    def forward_fill(self):
+        return Expr("window", (self, _wrap(None)), op="forward_fill")
+
+    def backward_fill(self):
+        return Expr("window", (self, _wrap(None)), op="backward_fill")
+
+    def interpolate(self):
+        return Expr("window", (self, _wrap(None)), op="interpolate")
+
+    # --- over (grouped window) ------------------------------------------
+    def over(self, *partition_by) -> "Expr":
+        parts = tuple(_wrap_col(p) for p in _flatten(partition_by))
+        return Expr("over", (self,) + parts, n_partition=len(parts))
+
+    # --- sorting helpers ------------------------------------------------
+    def sort(self, descending: bool = False, nulls_last: bool = False):
+        return Expr("sort_self", (self,), descending=descending,
+                    nulls_last=nulls_last)
+
+    def sort_by(self, *by, descending=False):
+        by_exprs = tuple(_wrap_col(b) for b in _flatten(by))
+        return Expr("sort_by", (self,) + by_exprs, descending=descending,
+                    n_by=len(by_exprs))
+
+    def reverse(self):
+        return Expr("window", (self, _wrap(None)), op="reverse")
+
+    def filter(self, predicate: "Expr") -> "Expr":
+        return Expr("expr_filter", (self, predicate))
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Expr":
+        return Expr("expr_slice", (self,), offset=offset, length=length)
+
+    def head(self, n: int = 10) -> "Expr":
+        return self.slice(0, n)
+
+    def tail(self, n: int = 10) -> "Expr":
+        return Expr("expr_slice", (self,), offset=-n, length=n)
+
+    def gather(self, indices) -> "Expr":
+        return Expr("gather", (self, _wrap(indices)))
+
+    def get(self, index: int) -> "Expr":
+        return Expr("gather", (self, _wrap(index)))
+
+    # --- misc -----------------------------------------------------------
+    def unique(self, maintain_order: bool = False) -> "Expr":
+        return Expr("expr_unique", (self,), maintain_order=maintain_order)
+
+    def unique_counts(self) -> "Expr":
+        return Expr("unique_counts", (self,))
+
+    def value_counts(self) -> "Expr":
+        return Expr("value_counts", (self,))
+
+    def hash(self, seed: int = 0) -> "Expr":
+        return Expr("hash", (self,), seed=seed)
+
+    def map_batches(self, fn, return_dtype: Optional[DataType] = None) -> "Expr":
+        return Expr("map_batches", (self,), fn=fn, return_dtype=return_dtype)
+
+    def repeat_by(self, by) -> "Expr":
+        return Expr("repeat_by", (self, _wrap(by)))
+
+    def explode(self) -> "Expr":
+        return Expr("explode_expr", (self,))
+
+    def replace(self, old, new) -> "Expr":
+        return Expr("replace", (self,), old=tuple(old) if isinstance(old, (list, tuple)) else (old,),
+                    new=tuple(new) if isinstance(new, (list, tuple)) else (new,))
+
+    # --- namespaces -----------------------------------------------------
+    @property
+    def str(self) -> "StrNamespace":
+        return StrNamespace(self)
+
+    @property
+    def dt(self) -> "DtNamespace":
+        return DtNamespace(self)
+
+    @property
+    def name(self) -> "NameNamespace":
+        return NameNamespace(self)
+
+
+class StrNamespace:
+    """String functions. Evaluated as host-side dictionary transforms +
+    device gathers (see `strings.StringDict.map_to_array`)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def _op(self, op: str, **kw) -> Expr:
+        return Expr("str", (self._e,), op=op, **kw)
+
+    def len_chars(self): return self._op("len_chars")
+    def len_bytes(self): return self._op("len_bytes")
+    def to_uppercase(self): return self._op("to_uppercase")
+    def to_lowercase(self): return self._op("to_lowercase")
+    def to_titlecase(self): return self._op("to_titlecase")
+    def strip_chars(self, characters: Optional[str] = None):
+        return self._op("strip_chars", characters=characters)
+    def strip_chars_start(self, characters: Optional[str] = None):
+        return self._op("strip_chars_start", characters=characters)
+    def strip_chars_end(self, characters: Optional[str] = None):
+        return self._op("strip_chars_end", characters=characters)
+    def starts_with(self, prefix: str): return self._op("starts_with", pat=prefix)
+    def ends_with(self, suffix: str): return self._op("ends_with", pat=suffix)
+    def contains(self, pattern: str, literal: bool = False):
+        return self._op("contains", pat=pattern, literal=literal)
+    def slice(self, offset: int, length: Optional[int] = None):
+        return self._op("slice", offset=offset, length=length)
+    def head(self, n: int): return self._op("slice", offset=0, length=n)
+    def tail(self, n: int): return self._op("slice", offset=-n, length=None)
+    def replace(self, pattern: str, value: str, literal: bool = False):
+        return self._op("replace", pat=pattern, value=value, literal=literal, n=1)
+    def replace_all(self, pattern: str, value: str, literal: bool = False):
+        return self._op("replace", pat=pattern, value=value, literal=literal, n=-1)
+    def split(self, by: str): return self._op("split", by=by)
+    def extract(self, pattern: str, group_index: int = 1):
+        return self._op("extract", pat=pattern, group_index=group_index)
+    def count_matches(self, pattern: str, literal: bool = False):
+        return self._op("count_matches", pat=pattern, literal=literal)
+    def to_integer(self, base: int = 10, strict: bool = True):
+        return self._op("to_integer", base=base, strict=strict)
+    def to_decimal(self): return self._op("to_decimal")
+    def json_decode(self): return self._op("json_decode")
+    def zfill(self, length: int): return self._op("zfill", length=length)
+    def pad_start(self, length: int, fill_char: str = " "):
+        return self._op("pad_start", length=length, fill_char=fill_char)
+    def pad_end(self, length: int, fill_char: str = " "):
+        return self._op("pad_end", length=length, fill_char=fill_char)
+    def reverse(self): return self._op("reverse")
+    def to_datetime(self, format: Optional[str] = None, time_unit: str = "us"):
+        return self._op("to_datetime", format=format, time_unit=time_unit)
+    def to_date(self, format: Optional[str] = None):
+        return self._op("to_date", format=format)
+    def strptime(self, dtype, format: Optional[str] = None):
+        return self._op("strptime", dtype=dtype, format=format)
+
+
+class DtNamespace:
+    """Temporal functions, computed on-device from epoch ints via the
+    vectorized civil-calendar algorithm (no host round trips)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def _op(self, op: str, **kw) -> Expr:
+        return Expr("dt", (self._e,), op=op, **kw)
+
+    def year(self): return self._op("year")
+    def quarter(self): return self._op("quarter")
+    def month(self): return self._op("month")
+    def day(self): return self._op("day")
+    def ordinal_day(self): return self._op("ordinal_day")
+    def weekday(self): return self._op("weekday")
+    def week(self): return self._op("week")
+    def hour(self): return self._op("hour")
+    def minute(self): return self._op("minute")
+    def second(self): return self._op("second")
+    def millisecond(self): return self._op("millisecond")
+    def microsecond(self): return self._op("microsecond")
+    def nanosecond(self): return self._op("nanosecond")
+    def date(self): return self._op("date")
+    def truncate(self, every: str): return self._op("truncate", every=every)
+    def round(self, every: str): return self._op("round", every=every)
+    def offset_by(self, by: str): return self._op("offset_by", by=by)
+    def timestamp(self, time_unit: str = "us"):
+        return self._op("timestamp", time_unit=time_unit)
+    def epoch(self, time_unit: str = "us"):
+        return self._op("timestamp", time_unit=time_unit)
+    def total_days(self): return self._op("total_days")
+    def total_hours(self): return self._op("total_hours")
+    def total_minutes(self): return self._op("total_minutes")
+    def total_seconds(self): return self._op("total_seconds")
+    def total_milliseconds(self): return self._op("total_milliseconds")
+    def total_microseconds(self): return self._op("total_microseconds")
+    def cast_time_unit(self, time_unit: str):
+        return self._op("cast_time_unit", time_unit=time_unit)
+    def replace_time_zone(self, tz): return self._op("replace_time_zone", tz=tz)
+    def convert_time_zone(self, tz): return self._op("convert_time_zone", tz=tz)
+
+
+class NameNamespace:
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def keep(self) -> Expr:
+        return Expr("name_keep", (self._e,))
+
+    def prefix(self, prefix: str) -> Expr:
+        return Expr("name_map", (self._e,), how="prefix", arg=prefix)
+
+    def suffix(self, suffix: str) -> Expr:
+        return Expr("name_map", (self._e,), how="suffix", arg=suffix)
+
+    def to_uppercase(self) -> Expr:
+        return Expr("name_map", (self._e,), how="upper", arg=None)
+
+    def to_lowercase(self) -> Expr:
+        return Expr("name_map", (self._e,), how="lower", arg=None)
+
+
+# --- free functions -----------------------------------------------------
+
+def col(*names: str) -> Expr:
+    flat = list(_flatten(names))
+    if len(flat) == 1:
+        if flat[0] == "*":
+            return Expr("wildcard")
+        if isinstance(flat[0], DataType) or (isinstance(flat[0], type)):
+            return Expr("dtype_cols", dtypes=(flat[0],))
+        return Expr("col", name=flat[0])
+    if flat and all(isinstance(f, (DataType, type)) for f in flat):
+        return Expr("dtype_cols", dtypes=tuple(flat))
+    return Expr("cols", names=tuple(flat))
+
+
+def nth(n: int) -> Expr:
+    return Expr("nth", n=n)
+
+
+def first() -> Expr:
+    return Expr("nth", n=0)
+
+
+def last() -> Expr:
+    return Expr("nth", n=-1)
+
+
+def lit(value: Any, dtype: Optional[DataType] = None) -> Expr:
+    if isinstance(dtype, type) and dtype is not None and issubclass(dtype, DataType):
+        dtype = dtype()
+    return Expr("lit", value=value, dtype=dtype)
+
+
+def len_() -> Expr:
+    return Expr("table_len")
+
+
+def all_(*exprs) -> Expr:
+    if not exprs:
+        return Expr("wildcard")
+    # horizontal AND fold
+    acc = _wrap(exprs[0])
+    for e in exprs[1:]:
+        acc = acc & _wrap(e)
+    return acc
+
+
+class WhenThen:
+    def __init__(self, branches):
+        self._branches = branches  # list[(cond Expr, value Expr)]
+
+    def when(self, condition) -> "When":
+        return When(self._branches, _wrap(condition))
+
+    def otherwise(self, value) -> Expr:
+        conds = tuple(c for c, _ in self._branches)
+        vals = tuple(v for _, v in self._branches)
+        return Expr("when_then", conds + vals + (_wrap(value),),
+                    n_branches=len(self._branches))
+
+    # polars allows using WhenThen directly (implicit otherwise(None))
+    def _as_expr(self) -> Expr:
+        return self.otherwise(None)
+
+    def alias(self, name: str) -> Expr:
+        return self._as_expr().alias(name)
+
+
+class When:
+    def __init__(self, branches, condition: Expr):
+        self._branches = branches
+        self._condition = condition
+
+    def then(self, value) -> WhenThen:
+        return WhenThen(self._branches + [(self._condition, _wrap(value))])
+
+
+def when(condition) -> When:
+    return When([], _wrap(condition))
+
+
+# --- helpers ------------------------------------------------------------
+
+def _wrap(v) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, WhenThen):
+        return v._as_expr()
+    return lit(v)
+
+
+def _wrap_col(v) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, str):
+        return col(v)
+    return lit(v)
+
+
+def _flatten(items) -> Iterable:
+    for it in items:
+        if isinstance(it, (list, tuple)):
+            yield from _flatten(it)
+        else:
+            yield it
+
+
+def _fp_val(v) -> str:
+    if isinstance(v, Expr):
+        return v.fingerprint()
+    if callable(v):
+        return f"fn@{id(v)}"
+    return repr(v)

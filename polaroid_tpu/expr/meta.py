@@ -1,0 +1,350 @@
+"""Expression metadata: expansion, naming, dtype inference, classification.
+
+The planner-facing half of expressions — capability analogue of the
+reference's expr IR utilities (`polars-plan/src/plans/aexpr/`,
+`is_elementwise_rec_cached` at `polars-stream/src/physical_plan/
+lower_expr.rs:91`, output-name/field resolution in
+`polars-plan/src/plans/aexpr/schema.rs`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set
+
+import datetime as _pydt
+
+from ..dtypes import (
+    Boolean, DataType, Date, Datetime, Duration, Float32, Float64, Int32,
+    Int64, Null, String, UInt32, supertype,
+)
+from ..errors import ColumnNotFoundError, ComputeError, SchemaError
+from .expr import Expr, WhenThen
+
+__all__ = [
+    "expand_exprs", "output_name", "root_names", "output_dtype",
+    "is_elementwise", "has_agg", "is_scalar_expr",
+]
+
+_EXPANSION_KINDS = ("wildcard", "cols", "dtype_cols", "nth")
+
+
+def _find_expansion(e: Expr) -> Optional[Expr]:
+    if e.kind in _EXPANSION_KINDS:
+        return e
+    for c in e.children:
+        r = _find_expansion(c)
+        if r is not None:
+            return r
+    return None
+
+
+def _substitute(e: Expr, target: Expr, repl: Expr) -> Expr:
+    if e is target:
+        return repl
+    if not e.children:
+        return e
+    new_children = tuple(_substitute(c, target, repl) for c in e.children)
+    return Expr(e.kind, new_children, **e.attrs)
+
+
+def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
+    """Expand wildcard/cols/dtype-selector expressions against a schema:
+    `pl.col("*").sum()` -> one sum-expr per column (reference:
+    `polars-plan/src/plans/conversion/expr_expansion.rs`)."""
+    out: List[Expr] = []
+    for e in exprs:
+        if isinstance(e, WhenThen):
+            e = e._as_expr()
+        if isinstance(e, str):
+            e = Expr("col", name=e)
+        node = _find_expansion(e)
+        if node is None:
+            out.append(e)
+            continue
+        if node.kind == "wildcard":
+            names = list(schema.keys())
+        elif node.kind == "cols":
+            names = list(node.attrs["names"])
+        elif node.kind == "nth":
+            all_names = list(schema.keys())
+            names = [all_names[node.attrs["n"]]]
+        else:  # dtype_cols
+            want = []
+            for d in node.attrs["dtypes"]:
+                if isinstance(d, type) and issubclass(d, DataType):
+                    d = d()
+                want.append(d)
+            names = [n for n, dt in schema.items() if any(dt == w for w in want)]
+        for name in names:
+            out.append(_substitute(e, node, Expr("col", name=name)))
+    return out
+
+
+def output_name(e: Expr) -> str:
+    """Leftmost-root naming rule (reference: output_name resolution in
+    `polars-plan/src/utils.rs`)."""
+    if e.kind == "alias":
+        return e.attrs["name"]
+    if e.kind == "col":
+        return e.attrs["name"]
+    if e.kind == "lit":
+        return "literal"
+    if e.kind == "table_len":
+        return "len"
+    if e.kind == "name_map":
+        base = output_name(e.children[0])
+        how, arg = e.attrs["how"], e.attrs["arg"]
+        if how == "prefix":
+            return f"{arg}{base}"
+        if how == "suffix":
+            return f"{base}{arg}"
+        if how == "upper":
+            return base.upper()
+        return base.lower()
+    if e.kind == "when_then":
+        # name comes from first then-branch value
+        nb = e.attrs["n_branches"]
+        return output_name(e.children[nb])
+    if e.kind == "value_counts":
+        return output_name(e.children[0])
+    for c in e.children:
+        try:
+            return output_name(c)
+        except ComputeError:
+            continue
+    raise ComputeError(f"cannot determine output name of {e.kind} expression; "
+                       "use .alias()")
+
+
+def root_names(e: Expr, acc: Optional[Set[str]] = None) -> Set[str]:
+    if acc is None:
+        acc = set()
+    if e.kind == "col":
+        acc.add(e.attrs["name"])
+    for c in e.children:
+        root_names(c, acc)
+    return acc
+
+
+def _lit_dtype(value, dtype) -> DataType:
+    if dtype is not None:
+        return dtype
+    if value is None:
+        return Null
+    if isinstance(value, bool):
+        return Boolean
+    if isinstance(value, int):
+        return Int64
+    if isinstance(value, float):
+        return Float64
+    if isinstance(value, str):
+        return String
+    if isinstance(value, _pydt.datetime):
+        return Datetime("us")
+    if isinstance(value, _pydt.date):
+        return Date
+    if isinstance(value, _pydt.timedelta):
+        return Duration("us")
+    import numpy as np
+    if isinstance(value, np.generic):
+        from ..dtypes import dtype_from_numpy
+        return dtype_from_numpy(value.dtype)
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return Int64  # gather indices etc.
+    raise SchemaError(f"cannot infer literal dtype for {value!r}")
+
+
+_CMP = {"eq", "neq", "lt", "le", "gt", "ge"}
+_BOOL_OPS = {"and", "or", "xor"}
+
+_STR_DTYPES = {
+    "len_chars": UInt32, "len_bytes": UInt32, "count_matches": UInt32,
+    "to_integer": Int64, "to_decimal": Float64, "starts_with": Boolean,
+    "ends_with": Boolean, "contains": Boolean, "to_date": Date,
+}
+
+_DT_INT_OPS = {
+    "year": Int32, "quarter": Int32, "month": Int32, "day": Int32,
+    "ordinal_day": Int32, "weekday": Int32, "week": Int32, "hour": Int32,
+    "minute": Int32, "second": Int32, "millisecond": Int32,
+    "microsecond": Int32, "nanosecond": Int32, "total_days": Int64,
+    "total_hours": Int64, "total_minutes": Int64, "total_seconds": Int64,
+    "total_milliseconds": Int64, "total_microseconds": Int64,
+    "timestamp": Int64,
+}
+
+
+def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
+    k = e.kind
+    if k == "col":
+        name = e.attrs["name"]
+        if name not in schema:
+            raise ColumnNotFoundError(f"{name!r} not found; available: {list(schema)}")
+        return schema[name]
+    if k == "lit":
+        return _lit_dtype(e.attrs["value"], e.attrs["dtype"])
+    if k in ("alias", "name_map", "name_keep", "sort_self", "sort_by",
+             "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
+             "gather", "over", "repeat_by", "explode_expr", "fill_null_strategy"):
+        return output_dtype(e.children[0], schema)
+    if k == "cast":
+        return e.attrs["dtype"]
+    if k == "binary":
+        op = e.attrs["op"]
+        lt_ = output_dtype(e.children[0], schema)
+        rt = output_dtype(e.children[1], schema)
+        if op in _CMP:
+            return Boolean
+        if op in _BOOL_OPS:
+            if lt_.is_bool and rt.is_bool:
+                return Boolean
+            return supertype(lt_, rt)  # bitwise on ints
+        if op == "truediv":
+            st = supertype(lt_, rt)
+            return Float32 if st == Float32 else Float64
+        if op == "pow":
+            st = supertype(lt_, rt)
+            return st if st.is_float else Float64
+        st = supertype(lt_, rt)
+        if isinstance(st, Datetime) and op == "sub":
+            return Duration(st.time_unit)
+        if st == Date and op == "sub":
+            return Duration("ms")
+        return st
+    if k == "unary":
+        op = e.attrs["op"]
+        ct = output_dtype(e.children[0], schema)
+        if op == "not":
+            return Boolean
+        if op in ("neg", "abs", "sign", "floor", "ceil", "round"):
+            return ct
+        return Float32 if ct == Float32 else Float64
+    if k in ("is_null", "is_not_null", "is_nan", "is_not_nan", "is_finite",
+             "is_infinite", "is_in", "is_in_expr", "is_between",
+             "is_duplicated", "is_unique", "is_first_distinct"):
+        return Boolean
+    if k in ("fill_null", "fill_nan"):
+        ct = output_dtype(e.children[0], schema)
+        ft = output_dtype(e.children[1], schema)
+        return ct if ft == Null else supertype(ct, ft)
+    if k == "clip":
+        return output_dtype(e.children[0], schema)
+    if k == "agg":
+        agg = e.attrs["agg"]
+        ct = output_dtype(e.children[0], schema)
+        if agg in ("count", "len", "null_count", "n_unique"):
+            return UInt32
+        if agg in ("any", "all"):
+            return Boolean
+        if agg in ("mean", "median", "std", "var", "quantile"):
+            if isinstance(ct, (Datetime, Duration)) or ct == Date:
+                return ct
+            return Float32 if ct == Float32 else Float64
+        if agg in ("arg_min", "arg_max"):
+            return UInt32
+        if agg == "sum":
+            if ct.is_bool:
+                return UInt32
+            if ct.is_integer:
+                return Int64 if ct.is_signed_integer else ct
+            return ct
+        return ct  # min/max/first/last/product/mode
+    if k == "when_then":
+        nb = e.attrs["n_branches"]
+        vals = e.children[nb:]
+        dt = output_dtype(vals[0], schema)
+        for v in vals[1:]:
+            vt = output_dtype(v, schema)
+            if vt != Null:
+                dt = supertype(dt, vt) if dt != Null else vt
+        return dt
+    if k == "window":
+        op = e.attrs["op"]
+        ct = output_dtype(e.children[0], schema)
+        if op in ("cum_count",):
+            return UInt32
+        if op in ("pct_change", "rolling_mean", "rolling_std", "rolling_var",
+                  "ewm_mean", "interpolate"):
+            return Float32 if ct == Float32 else Float64
+        if op == "rank":
+            return Float64 if e.attrs.get("method") == "average" else UInt32
+        if op == "diff" and ct == Date:
+            return Duration("ms")
+        return ct
+    if k == "table_len":
+        return UInt32
+    if k == "str":
+        op = e.attrs["op"]
+        if op in _STR_DTYPES:
+            return _STR_DTYPES[op]
+        if op in ("to_datetime",):
+            return Datetime(e.attrs.get("time_unit", "us"))
+        if op == "strptime":
+            return e.attrs["dtype"]
+        return String
+    if k == "dt":
+        op = e.attrs["op"]
+        ct = output_dtype(e.children[0], schema)
+        if op in _DT_INT_OPS:
+            return _DT_INT_OPS[op]
+        if op == "date":
+            return Date
+        if op == "cast_time_unit":
+            return Datetime(e.attrs["time_unit"]) if isinstance(ct, Datetime) \
+                else Duration(e.attrs["time_unit"])
+        return ct
+    if k == "hash":
+        return UInt32
+    if k == "unique_counts":
+        return UInt32
+    if k == "value_counts":
+        return output_dtype(e.children[0], schema)
+    if k == "map_batches":
+        rd = e.attrs.get("return_dtype")
+        return rd if rd is not None else output_dtype(e.children[0], schema)
+    if k == "replace":
+        return output_dtype(e.children[0], schema)
+    raise SchemaError(f"cannot infer output dtype of expr kind {k!r}")
+
+
+_NON_ELEMENTWISE = {"agg", "window", "over", "sort_self", "sort_by",
+                    "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
+                    "table_len", "is_duplicated", "is_unique",
+                    "is_first_distinct", "gather", "unique_counts",
+                    "value_counts", "repeat_by", "explode_expr",
+                    "fill_null_strategy", "map_batches"}
+
+
+def is_elementwise(e: Expr) -> bool:
+    """True if the expr maps row->row independently (streamable; reference:
+    `lower_expr.rs:91`)."""
+    if e.kind in _NON_ELEMENTWISE:
+        return False
+    return all(is_elementwise(c) for c in e.children)
+
+
+def has_agg(e: Expr) -> bool:
+    if e.kind == "agg" or e.kind == "table_len":
+        return True
+    if e.kind == "over":
+        return False  # over() restores row-length
+    return any(has_agg(c) for c in e.children)
+
+
+def is_scalar_expr(e: Expr) -> bool:
+    """Output is a single row in select context (aggregate at the top of
+    every path from root to leaves)."""
+    k = e.kind
+    if k in ("agg", "table_len"):
+        return True
+    if k == "lit":
+        import numpy as np
+        v = e.attrs["value"]
+        return not isinstance(v, (list, tuple, np.ndarray))
+    if k in ("alias", "cast", "name_map"):
+        return is_scalar_expr(e.children[0])
+    if k == "binary":
+        return all(is_scalar_expr(c) for c in e.children)
+    if k == "unary":
+        return is_scalar_expr(e.children[0])
+    return False

@@ -1,0 +1,184 @@
+"""Arrow <-> device-table conversion (host boundary).
+
+The reference IS Arrow-native (`polars-arrow`); for us Arrow is only the
+host interchange format: pyarrow (C++) handles variable-length layouts and
+file decoding, and this module turns record batches into fixed-capacity
+device columns (strings dictionary-encoded on host, see `strings.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..config import capacity_for
+from ..dtypes import (Boolean, DataType, Date, Datetime, Duration, Float32,
+                      Float64, Int8, Int16, Int32, Int64, String, Time,
+                      UInt8, UInt16, UInt32, UInt64)
+from ..errors import SchemaError
+from ..strings import NULL_CODE, StringDict
+
+_PA_TO_DT = {
+    pa.int8(): Int8, pa.int16(): Int16, pa.int32(): Int32, pa.int64(): Int64,
+    pa.uint8(): UInt8, pa.uint16(): UInt16, pa.uint32(): UInt32,
+    pa.uint64(): UInt64, pa.float32(): Float32, pa.float64(): Float64,
+    pa.bool_(): Boolean, pa.date32(): Date,
+}
+
+
+def dtype_from_arrow(t: pa.DataType) -> DataType:
+    if t in _PA_TO_DT:
+        return _PA_TO_DT[t]
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_string_view(t):
+        return String
+    if pa.types.is_dictionary(t):
+        return String
+    if pa.types.is_timestamp(t):
+        unit = t.unit if t.unit in ("ms", "us", "ns") else "us"
+        return Datetime(unit, t.tz)
+    if pa.types.is_duration(t):
+        unit = t.unit if t.unit in ("ms", "us", "ns") else "us"
+        return Duration(unit)
+    if pa.types.is_date64(t):
+        return Datetime("ms")
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return Time
+    if pa.types.is_decimal(t):
+        return Float64
+    if pa.types.is_null(t):
+        return Boolean
+    raise SchemaError(f"unsupported arrow type: {t}")
+
+
+def dtype_to_arrow(dt: DataType) -> pa.DataType:
+    name = repr(dt)
+    simple = {"Int8": pa.int8(), "Int16": pa.int16(), "Int32": pa.int32(),
+              "Int64": pa.int64(), "UInt8": pa.uint8(), "UInt16": pa.uint16(),
+              "UInt32": pa.uint32(), "UInt64": pa.uint64(),
+              "Float32": pa.float32(), "Float64": pa.float64(),
+              "Boolean": pa.bool_(), "String": pa.large_string(),
+              "Categorical": pa.large_string(), "Date": pa.date32(),
+              "Time": pa.time64("ns")}
+    if name in simple:
+        return simple[name]
+    if isinstance(dt, Datetime):
+        return pa.timestamp(dt.time_unit, dt.time_zone)
+    if isinstance(dt, Duration):
+        return pa.duration(dt.time_unit)
+    raise SchemaError(f"cannot convert {dt!r} to arrow")
+
+
+def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dt = dtype_from_arrow(arr.type)
+    n = len(arr)
+    mask = None
+    if arr.null_count:
+        mask = ~np.asarray(arr.is_null())
+    if dt.is_string:
+        if pa.types.is_dictionary(arr.type):
+            arr = arr.cast(pa.large_string())
+        obj = arr.to_numpy(zero_copy_only=False)
+        codes, sdict = StringDict.encode(obj, mask if mask is not None
+                                         else np.ones(n, bool))
+        out = np.full(capacity, NULL_CODE, np.int32)
+        out[:n] = codes
+        validity = None
+        if mask is not None:
+            v = np.zeros(capacity, bool)
+            v[:n] = mask
+            validity = jnp.asarray(v)
+        return Column(dt, jnp.asarray(out), validity, sdict)
+    stor = storage_numpy_dtype(dt)
+    if pa.types.is_timestamp(arr.type) or pa.types.is_duration(arr.type) or \
+            pa.types.is_date32(arr.type) or pa.types.is_time64(arr.type) or \
+            pa.types.is_time32(arr.type) or pa.types.is_date64(arr.type):
+        vals = arr.cast(_physical_arrow(arr.type)).to_numpy(zero_copy_only=False)
+    elif pa.types.is_decimal(arr.type):
+        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    elif pa.types.is_null(arr.type):
+        vals = np.zeros(n, bool)
+        mask = np.zeros(n, bool)
+    else:
+        vals = arr.to_numpy(zero_copy_only=False)
+    vals = np.asarray(vals)
+    if vals.dtype == object or (mask is not None and vals.dtype.kind == "f"
+                                and not np.issubdtype(stor, np.floating)):
+        filled = np.zeros(n, dtype=stor)
+        if mask is not None:
+            filled[mask] = np.asarray(vals[mask]).astype(stor)
+        else:
+            filled = vals.astype(stor)
+        vals = filled
+    elif mask is not None and vals.dtype.kind == "f" and stor.kind != "f":
+        vals = np.where(mask, vals, 0).astype(stor)
+    elif mask is not None and vals.dtype.kind == "f" and np.isnan(vals).any() \
+            and stor.kind == "f":
+        # arrow nulls came through as NaN; zero them to keep NaN≠null
+        vals = np.where(mask, vals, 0.0).astype(stor)
+    out = np.zeros(capacity, dtype=stor)
+    out[:n] = np.asarray(vals).astype(stor, copy=False)
+    validity = None
+    if mask is not None:
+        v = np.zeros(capacity, bool)
+        v[:n] = mask
+        validity = jnp.asarray(v)
+    return Column(dt, jnp.asarray(out), validity, None)
+
+
+def _physical_arrow(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_date32(t):
+        return pa.int32()
+    return pa.int64()
+
+
+def table_from_arrow(at: pa.Table, capacity: Optional[int] = None) -> Table:
+    n = at.num_rows
+    cap = capacity or capacity_for(n)
+    names = list(at.column_names)
+    cols = {nm: column_from_arrow(at.column(nm), cap) for nm in names}
+    return Table(names, cols, cap, n, None)
+
+
+def table_to_arrow(t: Table) -> pa.Table:
+    d = {}
+    n = t.count_rows()
+    vmask = np.asarray(t.valid) if t.valid is not None else None
+    fields = []
+    arrays = []
+    for name in t.names:
+        c = t.cols[name]
+        patype = dtype_to_arrow(c.dtype)
+        data = np.asarray(c.data)
+        validity = np.asarray(c.validity) if c.validity is not None else None
+        if vmask is not None:
+            data = data[vmask]
+            if validity is not None:
+                validity = validity[vmask]
+        else:
+            data = data[:n]
+            if validity is not None:
+                validity = validity[:n]
+        if c.dtype.is_string:
+            obj = (c.sdict.decode(np.where(validity, data, NULL_CODE))
+                   if validity is not None else
+                   (c.sdict.decode(data) if c.sdict else data))
+            arr = pa.array(obj, type=patype)
+        else:
+            m = None if validity is None else ~validity
+            if repr(c.dtype) == "Date":
+                arr = pa.array(data.astype(np.int32), pa.int32(), mask=m).cast(patype)
+            elif isinstance(c.dtype, (Datetime, Duration)) or repr(c.dtype) == "Time":
+                arr = pa.array(data.astype(np.int64), pa.int64(), mask=m).cast(patype)
+            else:
+                arr = pa.array(data, type=patype, mask=m)
+        fields.append(pa.field(name, patype))
+        arrays.append(arr)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -1,0 +1,138 @@
+"""Parquet IO (host side, pyarrow-backed).
+
+Capability analogue of `crates/polars-parquet/` + `polars-io`'s parquet
+readers: projection & predicate pushdown to the decoder, row-group
+streaming for larger-than-memory scans, multi-file (glob) scans with
+parallel prefetch, and statistics-based row-group skipping. The decode
+itself rides pyarrow's C++ kernels; our job is the pushdown plumbing and
+the host->HBM batch pipeline.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import glob as _glob
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..batch import Table
+from ..errors import ComputeError, NoDataError
+from .arrow_interop import table_from_arrow, table_to_arrow
+
+
+def _expand_paths(source) -> List[str]:
+    if isinstance(source, (list, tuple)):
+        out = []
+        for s in source:
+            out.extend(_expand_paths(s))
+        return out
+    s = str(source)
+    if any(ch in s for ch in "*?["):
+        paths = sorted(_glob.glob(s))
+        if not paths:
+            raise NoDataError(f"no files match {s!r}")
+        return paths
+    return [s]
+
+
+def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
+                       filters=None, n_rows: Optional[int] = None) -> pa.Table:
+    paths = _expand_paths(source)
+    if len(paths) == 1:
+        t = pq.read_table(paths[0], columns=list(columns) if columns else None,
+                          filters=filters)
+    else:
+        # concurrent multi-file read (reference: batch read 4.1x speedup,
+        # docs/ADVANCED_ASYNC.md:297-302) — thread pool over pyarrow C++.
+        with _fut.ThreadPoolExecutor(max_workers=min(len(paths), 16)) as ex:
+            parts = list(ex.map(
+                lambda p: pq.read_table(
+                    p, columns=list(columns) if columns else None,
+                    filters=filters), paths))
+        t = pa.concat_tables(parts, promote_options="permissive")
+    if n_rows is not None:
+        t = t.slice(0, n_rows)
+    return t
+
+
+def read_parquet_table(source, columns=None, filters=None,
+                       n_rows=None) -> Table:
+    return table_from_arrow(read_parquet_arrow(source, columns, filters, n_rows))
+
+
+def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
+                    filters=None, batch_rows: int = 1 << 21,
+                    prefetch: int = 2) -> Iterator[pa.Table]:
+    """Stream a (multi-)file scan as arrow batches of ~batch_rows rows,
+    with background prefetch overlapping decode and device compute
+    (reference: async source prefetching in `polars-stream/src/nodes/
+    io_sources/parquet/`)."""
+    paths = _expand_paths(source)
+    ds = pads.dataset(paths, format="parquet")
+    scanner = ds.scanner(columns=list(columns) if columns else None,
+                         filter=filters, batch_size=batch_rows)
+    it = scanner.to_batches()
+
+    def gen():
+        buf: List[pa.RecordBatch] = []
+        rows = 0
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            rows += b.num_rows
+            if rows >= batch_rows:
+                yield pa.Table.from_batches(buf)
+                buf, rows = [], 0
+        if buf:
+            yield pa.Table.from_batches(buf)
+
+    # simple prefetch pipeline
+    import queue as _q
+    import threading
+    q: "_q.Queue" = _q.Queue(maxsize=prefetch)
+    DONE = object()
+
+    def worker():
+        try:
+            for t in gen():
+                q.put(t)
+            q.put(DONE)
+        except BaseException as e:  # propagate
+            q.put(e)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def parquet_schema(source):
+    paths = _expand_paths(source)
+    return pq.read_schema(paths[0])
+
+
+def parquet_num_rows(source) -> int:
+    total = 0
+    for p in _expand_paths(source):
+        total += pq.ParquetFile(p).metadata.num_rows
+    return total
+
+
+def write_parquet(df, file, compression: str = "zstd",
+                  compression_level: Optional[int] = None,
+                  statistics: bool = True, row_group_size=None, **kw) -> None:
+    at = table_to_arrow(df._table)
+    pq.write_table(at, str(file), compression=compression,
+                   compression_level=compression_level,
+                   write_statistics=statistics,
+                   row_group_size=row_group_size)

@@ -1,0 +1,118 @@
+"""Device-side row compaction & gather.
+
+The reference mutates Arrow buffers with filter/gather kernels
+(`polars-compute/src/filter/`, `gather/`); under XLA static shapes we
+instead compact with a stable argsort on the live mask (live rows move to
+the front, order preserved) — one fused XLA sort per table, no host sync.
+A cheaper prefix-sum + scatter Pallas kernel can replace the argsort later
+without changing callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table
+
+
+def compact_perm(mask: jax.Array) -> jax.Array:
+    """Permutation placing live rows first, order-preserving."""
+    return jnp.argsort(~mask, stable=True)
+
+
+def gather_table(table: Table, perm: jax.Array, nrows: Optional[int],
+                 valid: Optional[jax.Array]) -> Table:
+    """Gather all columns by `perm` (device). New live state supplied by
+    the caller."""
+    cols = {}
+    for name in table.names:
+        c = table.cols[name]
+        data = c.data[perm]
+        validity = c.validity[perm] if c.validity is not None else None
+        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    return Table(list(table.names), cols, table.capacity, nrows, valid)
+
+
+def compact(table: Table) -> Table:
+    """Return a compact-state table (live rows in [0, nrows), same
+    capacity). Syncs the row count to host (one scalar)."""
+    if table.valid is None:
+        return table
+    mask = table.valid
+    perm = compact_perm(mask)
+    n = int(jnp.sum(mask))
+    out = gather_table(table, perm, n, None)
+    return out
+
+
+def compact_device(table: Table):
+    """Device-only compaction: returns (table-with-live-prefix, count) where
+    count stays on device (no host sync). Used inside fused pipelines."""
+    mask = table.row_mask()
+    perm = compact_perm(mask)
+    count = jnp.sum(mask)
+    out = gather_table(table, perm, None, None)
+    return out, count
+
+
+def shrink_to(table: Table, nrows: int) -> Table:
+    """Re-bucket a compact table to the smallest capacity holding nrows
+    (host-free slice; capacities are static so this is a new XLA shape)."""
+    from ..config import capacity_for
+    cap = capacity_for(nrows)
+    if cap >= table.capacity:
+        return table.with_valid(None, nrows)
+    cols = {}
+    for name in table.names:
+        c = table.cols[name]
+        data = jax.lax.slice(c.data, (0,), (cap,))
+        validity = jax.lax.slice(c.validity, (0,), (cap,)) \
+            if c.validity is not None else None
+        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    return Table(list(table.names), cols, cap, nrows, None)
+
+
+def grow_to(table: Table, capacity: int) -> Table:
+    """Pad a table to a larger capacity bucket."""
+    if capacity <= table.capacity:
+        return table
+    pad = capacity - table.capacity
+    cols = {}
+    for name in table.names:
+        c = table.cols[name]
+        fill = jnp.int32(-1) if c.dtype.is_string else jnp.zeros((), c.data.dtype)
+        data = jnp.concatenate([c.data, jnp.full((pad,), fill, c.data.dtype)])
+        validity = None
+        if c.validity is not None:
+            validity = jnp.concatenate([c.validity, jnp.zeros(pad, jnp.bool_)])
+        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    valid = table.valid
+    if valid is not None:
+        valid = jnp.concatenate([valid, jnp.zeros(pad, jnp.bool_)])
+    return Table(list(table.names), cols, capacity, table.nrows, valid)
+
+
+def slice_rows(table: Table, offset: int, length: Optional[int]) -> Table:
+    """head/tail/slice on live rows. Negative offset counts from the end."""
+    t = compact(table)
+    n = t.nrows or 0
+    if offset < 0:
+        offset = max(n + offset, 0)
+    end = n if length is None else min(offset + length, n)
+    offset = min(offset, n)
+    end = max(end, offset)
+    new_n = end - offset
+    if offset == 0:
+        return shrink_to(t, new_n) if new_n < n else t.with_valid(None, new_n)
+    # shift rows down by offset via roll (static)
+    cols = {}
+    for name in t.names:
+        c = t.cols[name]
+        data = jnp.roll(c.data, -offset)
+        validity = jnp.roll(c.validity, -offset) if c.validity is not None else None
+        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    out = Table(list(t.names), cols, t.capacity, new_n, None)
+    return shrink_to(out, new_n)

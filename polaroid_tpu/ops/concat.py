@@ -1,0 +1,127 @@
+"""vstack / vertical concatenation.
+
+Reference analogue: `polars-core` vstack + `polars-plan` Union lowering.
+Schemas are unified by supertype (diagonal concat fills missing columns
+with nulls); string columns are recoded onto merged dictionaries.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..config import capacity_for
+from ..dtypes import DataType, Null, String, supertype
+from ..errors import SchemaError, ShapeError
+from ..expr.eval import Val, cast_val
+from ..strings import NULL_CODE, StringDict
+from . import compact as C
+
+
+def _unify_schema(tables: Sequence[Table], how: str):
+    if how in ("vertical", "vertical_relaxed"):
+        names = list(tables[0].names)
+        for t in tables[1:]:
+            if list(t.names) != names and how == "vertical":
+                raise SchemaError(
+                    f"vstack schemas differ: {names} vs {list(t.names)}")
+        dtypes = {}
+        for n in names:
+            dt: Optional[DataType] = None
+            for t in tables:
+                if n not in t.cols:
+                    raise SchemaError(f"column {n!r} missing in vstack input")
+                cdt = t.cols[n].dtype
+                dt = cdt if dt is None else supertype(dt, cdt)
+            dtypes[n] = dt
+        return names, dtypes
+    # diagonal: union of columns
+    names: List[str] = []
+    for t in tables:
+        for n in t.names:
+            if n not in names:
+                names.append(n)
+    dtypes = {}
+    for n in names:
+        dt = None
+        for t in tables:
+            if n in t.cols:
+                cdt = t.cols[n].dtype
+                dt = cdt if dt is None else supertype(dt, cdt)
+        dtypes[n] = dt
+    return names, dtypes
+
+
+def vstack_tables(tables: Sequence[Table], how: str = "vertical") -> Table:
+    """Concatenate tables vertically. Inputs are compacted first (one host
+    sync per input to learn counts), the result is a fresh compact table."""
+    tables = [C.compact(t) for t in tables]
+    names, dtypes = _unify_schema(tables, how)
+    total = sum(t.nrows or 0 for t in tables)
+    cap = capacity_for(total)
+    cols = {}
+    for n in names:
+        dt = dtypes[n]
+        stor = jnp.dtype(storage_numpy_dtype(dt))
+        # merge string dictionaries across inputs
+        sdict = None
+        remaps = [None] * len(tables)
+        if dt.is_string:
+            sdict = StringDict(np.array([], dtype=object))
+            for i, t in enumerate(tables):
+                if n in t.cols and t.cols[n].sdict is not None:
+                    sdict, rm_merged, rm_new = sdict.merge(t.cols[n].sdict)
+                    # previous remaps must be composed with rm_merged
+                    for j in range(i):
+                        if remaps[j] is not None:
+                            remaps[j] = rm_merged[remaps[j]]
+                    remaps[i] = rm_new
+        parts_data = []
+        parts_valid = []
+        any_valid = False
+        for i, t in enumerate(tables):
+            nt = t.nrows or 0
+            if n in t.cols:
+                c = t.cols[n]
+                v = Val(c.dtype, c.data, c.validity, c.sdict, False)
+                if dt.is_string:
+                    data = c.data
+                    if remaps[i] is not None and len(remaps[i]):
+                        rm = jnp.asarray(remaps[i])
+                        data = jnp.where(data >= 0,
+                                         rm[jnp.clip(data, 0, len(remaps[i]) - 1)],
+                                         NULL_CODE)
+                else:
+                    v = cast_val(v, dt)
+                    data = v.data
+                d = jax.lax.slice_in_dim(data, 0, min(nt, data.shape[0]))
+                if d.shape[0] < nt:
+                    d = jnp.pad(d, (0, nt - d.shape[0]))
+                parts_data.append(d)
+                if c.validity is not None:
+                    pv = jax.lax.slice_in_dim(c.validity, 0, nt)
+                    parts_valid.append(pv)
+                    any_valid = True
+                else:
+                    parts_valid.append(jnp.ones(nt, jnp.bool_))
+            else:  # diagonal fill with nulls
+                fill = NULL_CODE if dt.is_string else 0
+                parts_data.append(jnp.full(nt, fill, stor if not dt.is_string
+                                           else jnp.int32))
+                parts_valid.append(jnp.zeros(nt, jnp.bool_))
+                any_valid = True
+        pad = cap - total
+        dtype_ = parts_data[0].dtype if parts_data else stor
+        parts_data.append(jnp.zeros(pad, dtype_))
+        data = jnp.concatenate(parts_data) if parts_data else jnp.zeros(cap, stor)
+        validity = None
+        if any_valid:
+            parts_valid.append(jnp.zeros(pad, jnp.bool_))
+            validity = jnp.concatenate(parts_valid)
+        cols[n] = Column(dt, data, validity, sdict)
+    return Table(names, cols, cap, total, None)

@@ -1,0 +1,466 @@
+"""Group-by: sort-based segment aggregation.
+
+TPU-native replacement for the reference's two-phase hash group-by
+(`polars-stream/src/nodes/group_by.rs`, hot/cold tables in
+`polars-expr/src/hot_groups/`, `GroupedReduction` impls in
+`polars-expr/src/reduce/`): instead of per-thread hash tables + partition
+combine, keys are encoded to order-preserving words (`keycode.py`), rows
+are sorted once with XLA's fused multi-operand sort, group boundaries fall
+out of adjacent-inequality, and every aggregation is a vectorized
+segment reduction — deterministic, single compile, no dynamic allocation.
+
+The same machinery powers `unique` (mask the first/last row per group) and
+feeds the distributed path (`parallel/shuffle.py`): local partial states
+are exchanged by hash partition and merged with a second segment pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..dtypes import (Boolean, DataType, Date, Datetime, Duration, Float32,
+                      Float64, Int64, UInt32)
+from ..errors import ComputeError, DuplicateError, InvalidOperationError
+from ..expr import meta
+from ..expr.eval import Val, _acc_dtype, _float_dt, _sum_dtype, _type_bounds, \
+    cast_val, eval_expr
+from ..expr.expr import Expr
+from . import compact as C
+from .keycode import encode_key_words, lex_sort_indices
+
+__all__ = ["GroupContext", "build_groups", "group_by_agg", "unique_table"]
+
+
+class GroupContext:
+    """Sorted-segment group layout.
+
+    perm: sorted slot -> original row.  gid: group id per sorted slot
+    (dead rows get gid == capacity, the dump slot).  newgrp: True at each
+    group's first sorted slot.  ngroups: device scalar.
+    """
+
+    __slots__ = ("perm", "gid", "newgrp", "live_sorted", "ngroups", "cap",
+                 "group_start", "group_count")
+
+    def __init__(self, perm, gid, newgrp, live_sorted, ngroups, cap,
+                 group_start, group_count):
+        self.perm = perm
+        self.gid = gid
+        self.newgrp = newgrp
+        self.live_sorted = live_sorted
+        self.ngroups = ngroups
+        self.cap = cap
+        self.group_start = group_start  # per-group first sorted slot
+        self.group_count = group_count  # per-group live size
+
+
+def key_words_for(key_vals: Sequence[Val], cap: int) -> List[jax.Array]:
+    words: List[jax.Array] = []
+    for v in key_vals:
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        validity = v.validity
+        if validity is not None and validity.shape[0] != cap:
+            validity = jnp.broadcast_to(validity, (cap,))
+        words.extend(encode_key_words(data, validity, False, False))
+    return words
+
+
+def build_groups(key_vals: Sequence[Val], mask: jax.Array,
+                 extra_words: Sequence[jax.Array] = ()) -> GroupContext:
+    cap = mask.shape[0]
+    dead = (~mask).astype(jnp.uint32)
+    words = [dead] + key_words_for(key_vals, cap) + list(extra_words)
+    skeys, _, perm = lex_sort_indices(words)
+    live_sorted = skeys[0] == 0
+    idx = jnp.arange(cap)
+    newgrp = idx == 0
+    for w in skeys[1:len(words) - len(extra_words)]:
+        newgrp = newgrp | (w != jnp.roll(w, 1))
+    newgrp = newgrp & live_sorted
+    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    gid = jnp.where(live_sorted, gid, cap)  # dump slot for dead rows
+    ngroups = jnp.sum(newgrp)
+    ones = live_sorted.astype(jnp.int32)
+    group_count = _seg_sum(ones, gid, cap)
+    group_start = _seg_min(jnp.where(live_sorted, idx, cap).astype(jnp.int32),
+                           gid, cap)
+    return GroupContext(perm, gid, newgrp, live_sorted, ngroups, cap,
+                        group_start, group_count)
+
+
+# --- segment reduction helpers (dump-slot pattern: ids == cap are dropped
+# by reducing into cap+1 slots and slicing) --------------------------------
+
+def _seg_sum(data, gid, cap):
+    out = jax.ops.segment_sum(data, gid, num_segments=cap + 1,
+                              indices_are_sorted=True)
+    return jax.lax.slice_in_dim(out, 0, cap)
+
+
+def _seg_min(data, gid, cap):
+    out = jax.ops.segment_min(data, gid, num_segments=cap + 1,
+                              indices_are_sorted=True)
+    return jax.lax.slice_in_dim(out, 0, cap)
+
+
+def _seg_max(data, gid, cap):
+    out = jax.ops.segment_max(data, gid, num_segments=cap + 1,
+                              indices_are_sorted=True)
+    return jax.lax.slice_in_dim(out, 0, cap)
+
+
+# ---------------------------------------------------------------------------
+# aggregation over groups
+# ---------------------------------------------------------------------------
+
+def _sorted_val(v: Val, ctx: GroupContext) -> Tuple[jax.Array, jax.Array]:
+    """(data, participates) in sorted order. participates = live row ∩ expr
+    live-mask ∩ validity."""
+    cap = ctx.cap
+    data = v.data if v.data.shape[0] == cap else jnp.broadcast_to(v.data, (cap,))
+    part = jnp.ones(cap, jnp.bool_)
+    if v.validity is not None:
+        part = part & (v.validity if v.validity.shape[0] == cap
+                       else jnp.broadcast_to(v.validity, (cap,)))
+    if v.live is not None:
+        part = part & v.live
+    return data[ctx.perm], part[ctx.perm] & ctx.live_sorted
+
+
+def _group_present(v: Val, ctx: GroupContext) -> jax.Array:
+    """Per-sorted-slot mask of rows present in the group for this expr
+    (live ∩ expr live), ignoring validity (for len/null_count/first)."""
+    cap = ctx.cap
+    part = jnp.ones(cap, jnp.bool_)
+    if v.live is not None:
+        part = part & v.live
+    return part[ctx.perm] & ctx.live_sorted
+
+
+def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
+                 table: Table) -> Val:
+    """One GroupedReduction (reference: `polars-expr/src/reduce/*.rs`)."""
+    cap = ctx.cap
+    gid = ctx.gid
+    dt = v.dtype
+    sx, spart = _sorted_val(v, ctx)
+    present = _group_present(v, ctx)
+
+    def asval(out_dt, data, validity=None, sdict=None):
+        return Val(out_dt, data, validity, sdict, False)
+
+    if agg == "len":
+        cnt = _seg_sum(present.astype(jnp.uint32), gid, cap)
+        return asval(UInt32, cnt)
+    if agg == "count":
+        cnt = _seg_sum(spart.astype(jnp.uint32), gid, cap)
+        return asval(UInt32, cnt)
+    if agg == "null_count":
+        cnt = _seg_sum((present & ~spart).astype(jnp.uint32), gid, cap)
+        return asval(UInt32, cnt)
+    if agg in ("any", "all"):
+        if not dt.is_bool:
+            raise InvalidOperationError(f"{agg} on {dt!r}")
+        if agg == "any":
+            r = _seg_max(jnp.where(spart & sx, 1, 0), gid, cap)
+            return asval(Boolean, r == 1)
+        r = _seg_min(jnp.where(spart, sx.astype(jnp.int32), 1), gid, cap)
+        return asval(Boolean, r == 1)
+    if agg == "sum":
+        if dt.is_bool:
+            s = _seg_sum(jnp.where(spart & sx, jnp.uint32(1), jnp.uint32(0)), gid, cap)
+            return asval(UInt32, s)
+        acc = _acc_dtype(dt)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        out_dt = _sum_dtype(dt)
+        return asval(out_dt, s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
+    if agg == "product":
+        # log-free product via segment exp(sum(log)) is lossy; use scan-free
+        # trick: segment_prod doesn't exist -> sum of logs for floats,
+        # iterated doubling too costly; implement via sorted cumprod ratio.
+        acc = _acc_dtype(_float_dt(dt))
+        lx = jnp.where(spart, sx, 1).astype(acc)
+        cp = jnp.cumprod(lx)
+        start = ctx.group_start
+        prev = jnp.where(start > 0, cp[jnp.maximum(start - 1, 0)], 1)
+        endpos = start + ctx.group_count - 1
+        total = cp[jnp.clip(endpos, 0, cap - 1)] / prev
+        return asval(dt, total.astype(sx.dtype))
+    if agg == "mean":
+        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        acc = _acc_dtype(dt)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        out_dt = dt if (isinstance(dt, (Datetime, Duration)) or dt == Date) \
+            else _float_dt(dt)
+        m = s / jnp.maximum(n, 1)
+        data = m.astype(sx.dtype) if out_dt == dt and not dt.is_float else \
+            m.astype(jnp.dtype(storage_numpy_dtype(out_dt)))
+        return asval(out_dt, data, n > 0)
+    if agg in ("min", "max"):
+        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        if dt.is_string:
+            big = jnp.int32(np.iinfo(np.int32).max)
+            if agg == "min":
+                r = _seg_min(jnp.where(spart, sx, big), gid, cap)
+            else:
+                r = _seg_max(jnp.where(spart, sx, -1), gid, cap)
+            return asval(dt, r, n > 0, v.sdict)
+        lo, hi = _type_bounds(sx.dtype)
+        if agg == "min":
+            r = _seg_min(jnp.where(spart, sx, hi), gid, cap)
+        else:
+            r = _seg_max(jnp.where(spart, sx, lo), gid, cap)
+        return asval(dt, r, n > 0)
+    if agg in ("var", "std"):
+        ddof = attrs.get("ddof", 1)
+        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        acc = _acc_dtype(_float_dt(dt))
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        m = s / jnp.maximum(n, 1)
+        # two-pass for stability: gather group mean back to rows
+        mrow = m[jnp.clip(gid, 0, cap - 1)]
+        dev = jnp.where(spart, (sx.astype(acc) - mrow) ** 2, 0)
+        ss = _seg_sum(dev, gid, cap)
+        var = ss / jnp.maximum(n - ddof, 1)
+        out = jnp.sqrt(var) if agg == "std" else var
+        out_dt = _float_dt(dt)
+        return asval(out_dt, out.astype(jnp.dtype(storage_numpy_dtype(out_dt))),
+                     n > ddof)
+    if agg in ("first", "last"):
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        pos = jnp.where(present, idx, cap if agg == "first" else -1)
+        sel = _seg_min(pos, gid, cap) if agg == "first" else _seg_max(pos, gid, cap)
+        selc = jnp.clip(sel, 0, cap - 1)
+        data = sx[selc]
+        has = (sel < cap) & (sel >= 0)
+        validity = has & spart[selc]
+        if v.validity is None and v.live is None:
+            validity = None if True else validity
+            validity = None
+        else:
+            validity = has & spart[selc]
+        # group with no present rows -> null
+        if validity is None:
+            anyp = _seg_sum(present.astype(jnp.int32), gid, cap)
+            validity = anyp > 0
+        return asval(dt, data, validity, v.sdict)
+    if agg == "n_unique":
+        return _group_n_unique(v, ctx, table)
+    if agg in ("median", "quantile"):
+        q = 0.5 if agg == "median" else float(attrs["q"])
+        interp = "linear" if agg == "median" else attrs.get("interpolation", "nearest")
+        return _group_quantile(v, ctx, q, interp)
+    if agg in ("arg_min", "arg_max"):
+        raise InvalidOperationError(f"{agg} in group_by not yet supported")
+    raise ComputeError(f"unknown group aggregation {agg!r}")
+
+
+def _group_n_unique(v: Val, ctx: GroupContext, table: Table) -> Val:
+    """Distinct count per group: re-sort by (gid, value) then count
+    boundaries per segment."""
+    cap = ctx.cap
+    sx, spart = _sorted_val(v, ctx)
+    present = _group_present(v, ctx)
+    vw = encode_key_words(sx, spart, False, False)
+    words = [jnp.where(present, ctx.gid, cap).astype(jnp.uint32)] + vw
+    skeys, tails, perm2 = lex_sort_indices(words, (present.astype(jnp.int32),))
+    pres2 = tails[0].astype(jnp.bool_)
+    idx = jnp.arange(cap)
+    new_pair = idx == 0
+    for w in skeys:
+        new_pair = new_pair | (w != jnp.roll(w, 1))
+    gid2 = skeys[0].astype(jnp.int32)
+    cnt = _seg_sum(jnp.where(pres2 & new_pair, 1, 0), gid2, cap)
+    return Val(UInt32, cnt.astype(jnp.uint32), None, None, False)
+
+
+def _group_quantile(v: Val, ctx: GroupContext, q: float, interp: str) -> Val:
+    """Per-group quantile: re-sort rows by (gid, value) so each group's
+    values are contiguous sorted runs, then index by offset."""
+    cap = ctx.cap
+    sx, spart = _sorted_val(v, ctx)
+    vw = encode_key_words(sx, spart, False, True)  # nulls last within group
+    gkey = jnp.where(spart, ctx.gid, cap).astype(jnp.uint32)
+    words = [gkey] + vw
+    _, tails, _ = lex_sort_indices(words, (sx,))
+    sorted_vals = tails[0]
+    n = _seg_sum(spart.astype(jnp.int32), ctx.gid, cap)
+    # positions of valid rows in the second sort are exactly rank order:
+    # valid rows sort before nulls/dead within ascending gid, so the k-th
+    # valid row overall sits at slot k.
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pos = q * (n.astype(fdt) - 1)
+    base = jnp.cumsum(n) - n  # start offset of each group's valid run
+    dt = v.dtype
+    out_dt = dt if (isinstance(dt, (Datetime, Duration)) or dt == Date) \
+        else _float_dt(dt)
+
+    def pick(p):
+        return sorted_vals[jnp.clip(base + p, 0, cap - 1)]
+
+    if interp == "linear":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        frac = (pos - i0).astype(fdt)
+        val = pick(jnp.maximum(i0, 0)).astype(fdt) * (1 - frac) + \
+            pick(jnp.maximum(i1, 0)).astype(fdt) * frac
+    elif interp == "lower":
+        val = pick(jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0))
+    elif interp == "higher":
+        val = pick(jnp.maximum(jnp.ceil(pos).astype(jnp.int32), 0))
+    elif interp == "midpoint":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        val = (pick(jnp.maximum(i0, 0)).astype(fdt) +
+               pick(jnp.maximum(i1, 0)).astype(fdt)) / 2
+    else:
+        val = pick(jnp.maximum(jnp.round(pos).astype(jnp.int32), 0))
+    if isinstance(dt, (Datetime, Duration)) or dt == Date:
+        return Val(out_dt, val.astype(sx.dtype), n > 0)
+    return Val(out_dt, val.astype(jnp.dtype(storage_numpy_dtype(out_dt))), n > 0)
+
+
+# ---------------------------------------------------------------------------
+# group-expression evaluation (aggs + elementwise combinations of aggs)
+# ---------------------------------------------------------------------------
+
+def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
+                    key_names: Sequence[str], key_outputs: dict) -> Val:
+    """Evaluate an agg-context expression to a per-group Val."""
+    from ..expr.eval import _eval_binary, _eval_unary, _lit_val, cast_val as _cv
+    k = e.kind
+    if k in ("alias", "name_map", "name_keep"):
+        return eval_group_expr(e.children[0], table, ctx, key_names, key_outputs)
+    if k == "agg":
+        inner = eval_expr(e.children[0], table, "agg")
+        return reduce_group(e.attrs["agg"], inner, ctx, e.attrs, table)
+    if k == "table_len":
+        cnt = _seg_sum(ctx.live_sorted.astype(jnp.uint32), ctx.gid, ctx.cap)
+        return Val(UInt32, cnt, None, None, False)
+    if k == "lit":
+        return _lit_val(e.attrs["value"], e.attrs["dtype"])
+    if k == "col" and e.attrs["name"] in key_outputs:
+        return key_outputs[e.attrs["name"]]
+    if k == "cast":
+        return _cv(eval_group_expr(e.children[0], table, ctx, key_names,
+                                   key_outputs), e.attrs["dtype"])
+    if k == "binary":
+        l = eval_group_expr(e.children[0], table, ctx, key_names, key_outputs)
+        r = eval_group_expr(e.children[1], table, ctx, key_names, key_outputs)
+        fake = Table([], {}, ctx.cap, None, None)
+        return _eval_binary(e.attrs["op"], l, r, fake)
+    if k == "unary":
+        return _eval_unary(e.attrs["op"],
+                           eval_group_expr(e.children[0], table, ctx,
+                                           key_names, key_outputs), e.attrs)
+    if k == "col":
+        raise InvalidOperationError(
+            f"column {e.attrs['name']!r} must be aggregated in group_by "
+            "context (e.g. .first(), .sum())")
+    raise InvalidOperationError(
+        f"expression kind {k!r} not supported in group_by aggregation")
+
+
+def group_by_agg(table: Table, key_exprs: Sequence[Expr],
+                 agg_exprs: Sequence[Expr],
+                 maintain_order: bool = False) -> Table:
+    """GROUP BY keys AGG exprs -> one row per group."""
+    cap = table.capacity
+    mask = table.row_mask()
+    key_vals = [eval_expr(k, table, "select") for k in key_exprs]
+    key_vals = [Val(v.dtype,
+                    v.data if v.data.shape[0] == cap
+                    else jnp.broadcast_to(v.data, (cap,)),
+                    None if v.validity is None else
+                    (v.validity if v.validity.shape[0] == cap
+                     else jnp.broadcast_to(v.validity, (cap,))),
+                    v.sdict, False, v.live) for v in key_vals]
+    gctx = build_groups(key_vals, mask)
+
+    # group keys: value at each group's first sorted slot
+    key_outputs = {}
+    names: List[str] = []
+    cols = {}
+    start = jnp.clip(gctx.group_start, 0, cap - 1)
+    gvalid_rows = gctx.group_count > 0
+    for ke, kv in zip(key_exprs, key_vals):
+        name = meta.output_name(ke)
+        sdata = kv.data[gctx.perm][start]
+        svalid = None
+        if kv.validity is not None:
+            svalid = kv.validity[gctx.perm][start] & gvalid_rows
+        out_v = Val(kv.dtype, sdata, svalid, kv.sdict, False)
+        key_outputs[name] = out_v
+        if name in cols:
+            raise DuplicateError(f"duplicate key name {name!r}")
+        names.append(name)
+        cols[name] = Column(kv.dtype, sdata, svalid, kv.sdict)
+
+    for ae in agg_exprs:
+        name = meta.output_name(ae)
+        v = eval_group_expr(ae, table, gctx, names, key_outputs)
+        if name in cols:
+            raise DuplicateError(f"duplicate column name {name!r}")
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        validity = v.validity
+        if validity is not None and validity.shape[0] != cap:
+            validity = jnp.broadcast_to(validity, (cap,))
+        names.append(name)
+        cols[name] = Column(v.dtype, data, validity, v.sdict)
+
+    live = jnp.arange(cap) < gctx.ngroups
+    out = Table(names, cols, cap, None, live)
+    if maintain_order:
+        # order groups by first occurrence (original row index of first row)
+        first_orig = gctx.perm[start]
+        order_val = Val(Int64, first_orig.astype(jnp.int64), None, None, False)
+        from .sort import sort_table
+        out = sort_table(out, [order_val], [False], [False])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# unique / distinct
+# ---------------------------------------------------------------------------
+
+def unique_table(table: Table, subset: Optional[Sequence[str]],
+                 keep: str = "any", maintain_order: bool = False) -> Table:
+    """DISTINCT via group machinery: select one representative row per key
+    group as a row mask (original order preserved for free).
+    Reference: `polars-ops/src/frame/  unique`, streaming distinct."""
+    names = subset or list(table.names)
+    cap = table.capacity
+    mask = table.row_mask()
+    key_vals = []
+    for n in names:
+        c = table.column(n)
+        key_vals.append(Val(c.dtype, c.data, c.validity, c.sdict, False))
+    gctx = build_groups(key_vals, mask)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    if keep in ("any", "first"):
+        pos = _seg_min(jnp.where(gctx.live_sorted, idx, cap).astype(jnp.int32),
+                       gctx.gid, cap)
+    elif keep == "last":
+        pos = _seg_max(jnp.where(gctx.live_sorted, idx, -1).astype(jnp.int32),
+                       gctx.gid, cap)
+    elif keep == "none":
+        pos = jnp.where(gctx.group_count == 1, gctx.group_start, cap)
+    else:
+        raise ComputeError(f"invalid keep strategy {keep!r}")
+    posc = jnp.clip(pos, 0, cap - 1)
+    rep_orig = gctx.perm[posc]
+    in_range = (pos >= 0) & (pos < cap) & (gctx.group_count > 0)
+    if keep == "none":
+        in_range = in_range & (gctx.group_count == 1)
+    sel = jnp.zeros(cap + 1, jnp.bool_).at[
+        jnp.where(in_range, rep_orig, cap)].set(True)
+    sel = jax.lax.slice_in_dim(sel, 0, cap)
+    return table.with_valid(sel & mask, None)

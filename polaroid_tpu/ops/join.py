@@ -1,0 +1,329 @@
+"""Joins: sorted-segment merge join.
+
+TPU-native replacement for the reference's partitioned hash join
+(`polars-stream/src/nodes/joins/equi_join.rs` Sample/Build/Probe state
+machine; `polars-ops/src/frame/join/hash_join/`): both sides' key columns
+are cast to a common supertype, encoded into order-preserving words
+(`keycode.py`), CONCATENATED into one array with a side tag, and sorted
+once — rows with equal keys become contiguous runs with left rows before
+right rows. Match counts per run are segment sums; the output size is one
+host-synced scalar that picks a static capacity bucket; the expansion
+enumerates (group, i, j) pairs with vectorized searchsorted + gathers.
+
+Exact for any number of key columns (no hash collisions), deterministic,
+and O((n+m)log(n+m)) in XLA's fused sort — the TPU answer to build/probe
+hash tables that need dynamic allocation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..config import capacity_for
+from ..dtypes import supertype
+from ..errors import ComputeError, SchemaError
+from ..expr.eval import Val, _align_strings, cast_val
+from ..strings import NULL_CODE
+from . import compact as Cp
+from .groupby import _seg_max, _seg_min, _seg_sum
+from .keycode import encode_key_words, lex_sort_indices
+
+__all__ = ["join_tables", "cross_join"]
+
+
+def _key_vals(t: Table, names: Sequence[str]) -> List[Val]:
+    out = []
+    for n in names:
+        c = t.column(n)
+        out.append(Val(c.dtype, c.data, c.validity, c.sdict, False))
+    return out
+
+
+def _unify_keys(lv: List[Val], rv: List[Val]):
+    """Cast both sides' keys to common supertypes; merge string dicts."""
+    lo, ro = [], []
+    for a, b in zip(lv, rv):
+        if a.dtype.is_string or b.dtype.is_string:
+            if not (a.dtype.is_string and b.dtype.is_string):
+                raise SchemaError(
+                    f"join key dtype mismatch: {a.dtype!r} vs {b.dtype!r}")
+            a, b = _align_strings(a, b)
+        else:
+            st = supertype(a.dtype, b.dtype)
+            a, b = cast_val(a, st), cast_val(b, st)
+        lo.append(a)
+        ro.append(b)
+    return lo, ro
+
+
+def join_tables(left: Table, right: Table, left_on: Sequence[str],
+                right_on: Sequence[str], how: str, suffix: str = "_right",
+                join_nulls: bool = False, coalesce: Optional[bool] = None,
+                maintain_order: Optional[str] = None) -> Table:
+    if how == "cross":
+        return cross_join(left, right, suffix)
+    if how == "outer":
+        how = "full"
+    if coalesce is None:
+        coalesce = how != "full"
+    if len(left_on) != len(right_on):
+        raise ComputeError("left_on and right_on lengths differ")
+
+    lv, rv = _unify_keys(_key_vals(left, left_on), _key_vals(right, right_on))
+
+    lmask = left.row_mask()
+    rmask = right.row_mask()
+    if not join_nulls:
+        for v in lv:
+            if v.validity is not None:
+                lmask = lmask & v.validity
+        for v in rv:
+            if v.validity is not None:
+                rmask = rmask & v.validity
+    capL, capR = left.capacity, right.capacity
+    capT = capL + capR
+
+    def side_words(vals, mask, cap):
+        ws = []
+        for v in vals:
+            data = v.data if v.data.shape[0] == cap else \
+                jnp.broadcast_to(v.data, (cap,))
+            validity = v.validity if join_nulls else None
+            if validity is not None and validity.shape[0] != cap:
+                validity = jnp.broadcast_to(validity, (cap,))
+            ws.append(encode_key_words(data, validity, False, False))
+        return ws
+
+    lws = side_words(lv, lmask, capL)
+    rws = side_words(rv, rmask, capR)
+    nwords = [len(w) for w in lws]
+    if [len(w) for w in rws] != nwords:
+        # nullability differs between sides under join_nulls: pad null word
+        for i in range(len(lws)):
+            if len(lws[i]) < len(rws[i]):
+                lws[i] = [jnp.ones(capL, jnp.uint32)] + lws[i]
+            elif len(rws[i]) < len(lws[i]):
+                rws[i] = [jnp.ones(capR, jnp.uint32)] + rws[i]
+
+    dead = jnp.concatenate([(~lmask).astype(jnp.uint32),
+                            (~rmask).astype(jnp.uint32)])
+    keywords = [jnp.concatenate([lw, rw])
+                for lws_i, rws_i in zip(lws, rws)
+                for lw, rw in zip(lws_i, rws_i)]
+    tag = jnp.concatenate([jnp.zeros(capL, jnp.uint32),
+                           jnp.ones(capR, jnp.uint32)])
+    side_idx = jnp.concatenate([jnp.arange(capL, dtype=jnp.int32),
+                                jnp.arange(capR, dtype=jnp.int32)])
+
+    words = [dead] + keywords + [tag]
+    skeys, tails, perm = lex_sort_indices(words, (side_idx,))
+    s_sideidx = tails[0]
+    s_dead = skeys[0]
+    s_tag = skeys[-1]
+    live_sorted = s_dead == 0
+    idx = jnp.arange(capT)
+    newgrp = idx == 0
+    for w in skeys[1:-1]:
+        newgrp = newgrp | (w != jnp.roll(w, 1))
+    newgrp = newgrp & live_sorted
+    gid = jnp.where(live_sorted, jnp.cumsum(newgrp.astype(jnp.int32)) - 1, capT)
+    cl = _seg_sum(jnp.where(live_sorted & (s_tag == 0), 1, 0), gid, capT)
+    cr = _seg_sum(jnp.where(live_sorted & (s_tag == 1), 1, 0), gid, capT)
+    group_start = _seg_min(jnp.where(live_sorted, idx, capT).astype(jnp.int32),
+                           gid, capT)
+
+    if how == "semi" or how == "anti":
+        has_match = cr > 0
+        flag_row = has_match[jnp.clip(gid, 0, capT - 1)]
+        want = flag_row if how == "semi" else ~flag_row
+        lsel = want & live_sorted & (s_tag == 0)
+        # scatter back to original left rows
+        tgt = jnp.where(lsel, s_sideidx, capL)
+        sel = jnp.zeros(capL + 1, jnp.bool_).at[tgt].set(True)
+        sel = jax.lax.slice_in_dim(sel, 0, capL)
+        # anti join also keeps left rows that were masked out by null keys
+        if how == "anti" and not join_nulls:
+            sel = sel | (left.row_mask() & ~lmask)
+        return left.with_valid(sel & left.row_mask(), None)
+
+    # --- expansion counts per group ---
+    cr1 = jnp.maximum(cr, 1)
+    cl1 = jnp.maximum(cl, 1)
+    if how == "inner":
+        m = cl * cr
+    elif how == "left":
+        m = cl * cr1
+    elif how == "right":
+        m = cl1 * cr
+    elif how == "full":
+        m = cl * cr1 + jnp.where(cl == 0, cr, 0)
+    else:
+        raise ComputeError(f"unknown join type {how!r}")
+
+    # unmatched null-key rows also surface in left/full/right joins
+    extraL = extraR = 0
+    if not join_nulls:
+        lnull = left.row_mask() & ~lmask
+        rnull = right.row_mask() & ~rmask
+        if how in ("left", "full"):
+            extraL = int(jnp.sum(lnull))
+        if how in ("right", "full"):
+            extraR = int(jnp.sum(rnull))
+
+    total = int(jnp.sum(m)) + extraL + extraR
+    capO = capacity_for(max(total, 1))
+
+    offsets = jnp.cumsum(m)
+    k = jnp.arange(capO, dtype=jnp.int64)
+    g = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+    gc = jnp.clip(g, 0, capT - 1)
+    base = offsets[gc] - m[gc]
+    r = (k - base).astype(jnp.int32)
+
+    cl_g, cr_g = cl[gc], cr[gc]
+    cr1_g, cl1_g = cr1[gc], cl1[gc]
+    gs = group_start[gc]
+    if how == "inner":
+        i = r // jnp.maximum(cr_g, 1)
+        j = r % jnp.maximum(cr_g, 1)
+        lmatch = jnp.ones(capO, jnp.bool_)
+        rmatch = jnp.ones(capO, jnp.bool_)
+    elif how == "left":
+        i = r // cr1_g
+        j = r % cr1_g
+        lmatch = jnp.ones(capO, jnp.bool_)
+        rmatch = cr_g > 0
+    elif how == "right":
+        j = r // cl1_g
+        i = r % cl1_g
+        rmatch = jnp.ones(capO, jnp.bool_)
+        lmatch = cl_g > 0
+    else:  # full
+        main = cl_g * cr1_g
+        in_main = r < main
+        i = jnp.where(in_main, r // cr1_g, 0)
+        j = jnp.where(in_main, r % cr1_g, r - main)
+        lmatch = in_main & (cl_g > 0)
+        rmatch = jnp.where(in_main, cr_g > 0, True)
+
+    valid_out = k < (total - extraL - extraR)
+    lslot = jnp.clip(gs + i, 0, capT - 1)
+    rslot = jnp.clip(gs + cl_g + j, 0, capT - 1)
+    lidx = jnp.clip(s_sideidx[lslot], 0, capL - 1)
+    ridx = jnp.clip(s_sideidx[rslot], 0, capR - 1)
+    lmatch = lmatch & valid_out
+    rmatch = rmatch & valid_out
+
+    # append unmatched null-key rows (host-known counts)
+    if extraL or extraR:
+        nl_perm = jnp.argsort(~lnull, stable=True) if extraL else None
+        nr_perm = jnp.argsort(~rnull, stable=True) if extraR else None
+        pos = k - (total - extraL - extraR)
+        if extraL:
+            sel = (pos >= 0) & (pos < extraL)
+            lidx = jnp.where(sel, nl_perm[jnp.clip(pos, 0, capL - 1)], lidx)
+            lmatch = lmatch | sel
+        if extraR:
+            pos2 = pos - extraL
+            sel2 = (pos2 >= 0) & (pos2 < extraR)
+            ridx = jnp.where(sel2, nr_perm[jnp.clip(pos2, 0, capR - 1)], ridx)
+            rmatch = rmatch | sel2
+
+    live_out = k < total
+
+    # --- build output columns ---
+    names: List[str] = []
+    cols = {}
+    lkeys = set(left_on) if coalesce else set()
+    rkeys = set(right_on) if coalesce else set()
+
+    def add_side(t: Table, sidx, match, skip: set, other_names, is_left: bool):
+        for n in t.names:
+            if n in skip:
+                continue
+            c = t.cols[n]
+            data = c.data[sidx]
+            validity = c.validity[sidx] if c.validity is not None else None
+            allm = match if not is_left or how in ("right", "full") else None
+            if how in ("full", "right") and is_left:
+                validity = match if validity is None else (validity & match)
+            if how in ("full", "left") and not is_left:
+                validity = match if validity is None else (validity & match)
+            if how == "right" and is_left:
+                pass
+            name = n
+            if name in cols:
+                name = f"{n}{suffix}"
+                if name in cols:
+                    raise ComputeError(f"duplicate output column {name!r}")
+            names.append(name)
+            cols[name] = Column(c.dtype, data, validity, c.sdict)
+
+    if how == "right":
+        add_side(left, lidx, lmatch, lkeys, right.names, True)
+        add_side(right, ridx, rmatch, set(), left.names, False)
+    else:
+        add_side(left, lidx, lmatch, set(), right.names, True)
+        add_side(right, ridx, rmatch, rkeys, left.names, False)
+
+    if how == "full" and coalesce:
+        # merge key columns: take left when matched else right
+        for ln, rn in zip(left_on, right_on):
+            lc = left.cols[ln]
+            rc = right.cols[rn]
+            a = Val(lc.dtype, lc.data[lidx],
+                    None if lc.validity is None else lc.validity[lidx],
+                    lc.sdict, False)
+            b = Val(rc.dtype, rc.data[ridx],
+                    None if rc.validity is None else rc.validity[ridx],
+                    rc.sdict, False)
+            if a.dtype.is_string:
+                a, b = _align_strings(a, b)
+            else:
+                st = supertype(a.dtype, b.dtype)
+                a, b = cast_val(a, st), cast_val(b, st)
+            data = jnp.where(lmatch, a.data, b.data)
+            av = lmatch & (a.validity if a.validity is not None else True)
+            bv = rmatch & (b.validity if b.validity is not None else True)
+            validity = jnp.where(lmatch, av, bv)
+            cols[ln] = Column(a.dtype, data, validity, a.sdict)
+            rname = f"{rn}{suffix}" if rn in cols or rn == ln else rn
+            names[:] = [n for n in names if n != rname]
+            cols.pop(rname, None)
+
+    out = Table(names, cols, capO, total, None)
+    mask_live = jnp.arange(capO) < total
+    # dead slots: ensure masked
+    return out
+
+
+def cross_join(left: Table, right: Table, suffix: str = "_right") -> Table:
+    L = Cp.compact(left)
+    R = Cp.compact(right)
+    nl, nr = L.nrows or 0, R.nrows or 0
+    total = nl * nr
+    capO = capacity_for(max(total, 1))
+    k = jnp.arange(capO, dtype=jnp.int64)
+    i = jnp.clip((k // max(nr, 1)).astype(jnp.int32), 0, max(L.capacity - 1, 0))
+    j = jnp.clip((k % max(nr, 1)).astype(jnp.int32), 0, max(R.capacity - 1, 0))
+    names, cols = [], {}
+    for n in L.names:
+        c = L.cols[n]
+        names.append(n)
+        cols[n] = Column(c.dtype, c.data[i],
+                         c.validity[i] if c.validity is not None else None,
+                         c.sdict)
+    for n in R.names:
+        c = R.cols[n]
+        name = n if n not in cols else f"{n}{suffix}"
+        names.append(name)
+        cols[name] = Column(c.dtype, c.data[j],
+                            c.validity[j] if c.validity is not None else None,
+                            c.sdict)
+    return Table(names, cols, capO, total, None)

@@ -1,0 +1,149 @@
+"""Order-preserving key encoding ("row format").
+
+TPU-native replacement for the reference's polars-row encoding
+(`crates/polars-row/src/lib.rs:1-60`, `encode.rs:23`): instead of packing
+variable-length big-endian byte rows, we encode every key column into
+fixed-width unsigned *words* whose integer order equals the logical order:
+
+  * signed ints:  flip the sign bit           (lib.rs int scheme)
+  * floats:       sign bit set -> ~bits, else bits | signbit
+                  (the mantissa-tweak trick from polars-row)
+  * bools:        0/1
+  * strings:      dictionary codes are already order-preserving
+                  (sorted dicts, see `strings.py`)
+  * descending:   bitwise NOT of the word
+  * nulls:        a dedicated leading bit folded into the word when spare
+                  bits exist, else a separate null-key word
+                  (null_sentinel analogue, `polars-row/src/row.rs:59-114`)
+
+Multi-key sorts feed the word list to `lax.sort` multi-operand
+lexicographic sort; group-bys/joins pack words into as few uint32/uint64
+lanes as fit (bit-budget packing) so comparisons stay single-word.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def encode_orderable(x, descending: bool = False):
+    """Map an array to same-width unsigned ints with order preserved."""
+    dt = x.dtype
+    if dt == jnp.bool_:
+        u = x.astype(jnp.uint32)
+    elif jnp.issubdtype(dt, jnp.floating):
+        if dt.itemsize == 8:
+            b = jax.lax.bitcast_convert_type(x, jnp.uint64)
+            sign = b >> jnp.uint64(63)
+            u = jnp.where(sign == 1, ~b, b | jnp.uint64(1) << jnp.uint64(63))
+        else:
+            b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+            sign = b >> jnp.uint32(31)
+            u = jnp.where(sign == 1, ~b, b | (jnp.uint32(1) << jnp.uint32(31)))
+    elif jnp.issubdtype(dt, jnp.unsignedinteger):
+        u = x
+    else:  # signed int: flip sign bit
+        w = dt.itemsize * 8
+        udt = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[w]
+        u = jax.lax.bitcast_convert_type(x, udt) ^ (
+            jnp.array(1, udt) << jnp.array(w - 1, udt))
+    if descending:
+        u = ~u
+    return u
+
+
+def encode_key_words(x, validity, descending: bool, nulls_last: bool
+                     ) -> List[jax.Array]:
+    """Encode one key column (+null placement) into a list of uint32 words,
+    most significant first. Nulls get an extra leading word (0/1/2) only
+    when validity exists."""
+    u = encode_orderable(x, descending)
+    words: List[jax.Array] = []
+    if validity is not None:
+        # null key: nulls_last -> nulls sort after everything
+        nk = jnp.where(validity, jnp.uint32(1),
+                       jnp.uint32(2) if nulls_last else jnp.uint32(0))
+        words.append(nk)
+    if u.dtype.itemsize == 8:
+        words.append((u >> jnp.uint64(32)).astype(jnp.uint32))
+        words.append((u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    else:
+        words.append(u.astype(jnp.uint32))
+    if validity is not None:
+        # neutralize value words for nulls so null rows compare equal
+        words[1:] = [jnp.where(validity, w, jnp.uint32(0)) for w in words[1:]]
+    return words
+
+
+def lex_sort_indices(key_words: Sequence[jax.Array],
+                     tail_operands: Sequence[jax.Array] = ()
+                     ) -> Tuple[List[jax.Array], List[jax.Array], jax.Array]:
+    """Stable lexicographic sort by the given key words.
+    Returns (sorted key words, sorted tail operands, permutation); the
+    permutation maps sorted slot -> original row."""
+    cap = key_words[0].shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    ops = tuple(key_words) + tuple(tail_operands) + (idx,)
+    out = jax.lax.sort(ops, num_keys=len(key_words), is_stable=True)
+    keys = list(out[:len(key_words)])
+    tails = list(out[len(key_words):-1])
+    perm = out[-1]
+    return keys, tails, perm
+
+
+# ---------------------------------------------------------------------------
+# bit-budget packing (for group-by / join keys where only equality matters
+# or where orderable single-word keys speed up sorting)
+# ---------------------------------------------------------------------------
+
+def column_bit_width(x, validity) -> jax.Array:
+    """Bits needed to represent (max - min) of the encoded column, +1 if
+    nullable. Returns (bits, minval) as device scalars (uint64)."""
+    u = encode_orderable(x).astype(jnp.uint64)
+    big = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    if validity is not None:
+        mn = jnp.min(jnp.where(validity, u, big))
+        mx = jnp.max(jnp.where(validity, u, jnp.uint64(0)))
+    else:
+        mn = jnp.min(u)
+        mx = jnp.max(u)
+    span = mx - jnp.minimum(mn, mx)
+    # ceil(log2(span+2)): +1 slot reserved for null
+    bits = jnp.ceil(jnp.log2(span.astype(jnp.float64 if jax.config.jax_enable_x64
+                                         else jnp.float32) + 2)).astype(jnp.int32)
+    return jnp.maximum(bits, 1), mn
+
+
+def pack_keys_single_word(columns, validities, bits: Sequence[int],
+                          mins) -> jax.Array:
+    """Pack multiple key columns into ONE uint64 word given per-column bit
+    budgets (host-known ints). Order-preserving within each column and
+    lexicographic across columns (first column = most significant).
+    Null encodes as 0; valid values encode as (u - min + 1)."""
+    total = sum(bits)
+    if total > 64:
+        raise ValueError(f"bit budget {total} exceeds 64")
+    acc = None
+    for x, valid, b, mn in zip(columns, validities, bits, mins):
+        u = encode_orderable(x).astype(jnp.uint64)
+        v = u - mn + jnp.uint64(1)
+        if valid is not None:
+            v = jnp.where(valid, v, jnp.uint64(0))
+        acc = v if acc is None else ((acc << jnp.uint64(b)) | v)
+    return acc
+
+
+def unpack_keys_single_word(packed, bits: Sequence[int]):
+    """Inverse of pack for diagnostics; returns offset codes per column."""
+    out = []
+    shift = 0
+    for b in reversed(list(bits)):
+        mask = (jnp.uint64(1) << jnp.uint64(b)) - jnp.uint64(1)
+        out.append((packed >> jnp.uint64(shift)) & mask)
+        shift += b
+    return list(reversed(out))

@@ -1,0 +1,63 @@
+"""Table sorting.
+
+TPU-native replacement for the reference's rayon comparison sort
+(`polars-core/src/chunked_array/ops/sort/mod.rs:96` par_sort_unstable_by;
+multi-key row-encoded path at `ops/sort/arg_sort.rs:256-266`): key columns
+are encoded into order-preserving uint32 words (`keycode.py`) and sorted
+with XLA's `lax.sort` multi-operand lexicographic sort — a single fused
+radix-style device sort, no comparator callbacks. Dead rows sort last via
+a leading liveness word, so masked tables sort without prior compaction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Table
+from ..errors import ShapeError
+from . import compact as C
+from .keycode import encode_key_words
+
+
+def sort_perm(key_vals, descending: Sequence[bool], nulls_last: Sequence[bool],
+              mask: jax.Array, maintain_order: bool = True) -> jax.Array:
+    """Permutation sorting live rows by the given evaluated key Vals
+    (dead rows pushed to the back). Stable for equal keys."""
+    words: List[jax.Array] = [(~mask).astype(jnp.uint32)]
+    for v, d, nl in zip(key_vals, descending, nulls_last):
+        cap = mask.shape[0]
+        data = v.data if v.data.shape[0] == cap else jnp.broadcast_to(v.data, (cap,))
+        validity = v.validity
+        if validity is not None and validity.shape[0] != cap:
+            validity = jnp.broadcast_to(validity, (cap,))
+        words.extend(encode_key_words(data, validity, d, nl))
+    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort(tuple(words) + (idx,), num_keys=len(words),
+                       is_stable=maintain_order)
+    return out[-1]
+
+
+def sort_table(table: Table, key_vals, descending, nulls_last,
+               maintain_order: bool = True) -> Table:
+    if not key_vals:
+        raise ShapeError("sort requires at least one key")
+    mask = table.row_mask()
+    perm = sort_perm(key_vals, descending, nulls_last, mask, maintain_order)
+    count = jnp.sum(mask)
+    out = C.gather_table(table, perm, None, None)
+    # live rows are now a prefix; express as a mask to avoid a host sync
+    live = jnp.arange(table.capacity) < count
+    return out.with_valid(live, table.nrows)
+
+
+def top_k_table(table: Table, key_vals, k: int, descending, nulls_last) -> Table:
+    """sort + slice fused (reference lowers sort+slice to TopK,
+    `polars-stream/src/physical_plan/lower_ir.rs:639`). XLA's sort is
+    already O(n log n) single-pass; we sort then statically shrink."""
+    t = sort_table(table, key_vals, descending, nulls_last)
+    t = C.compact(t)
+    n = min(k, t.nrows or 0)
+    return C.shrink_to(t.with_valid(None, n), n)

@@ -1,0 +1,252 @@
+"""Distributed shuffle + relational ops over a device mesh.
+
+TPU-native replacement for the reference's in-process hash partitioning
+(`polars-utils/src/hashing.rs:72` HashPartitioner,
+`polars-expr/src/hash_keys.rs:263` gen_idxs_per_partition, group-by
+combine in `polars-stream/src/nodes/group_by.rs:215`): every chip holds a
+row shard; group-by/join first pre-aggregate/pre-partition locally, then
+exchange by `hash(key) % n_shards` with ONE `lax.all_to_all` over ICI, and
+finish with a local segment pass. All code here is pure jnp and runs under
+`shard_map` — XLA overlaps the collective with surrounding compute.
+
+Keys are pre-packed uint64 words (`ops/keycode.py`); payload columns ride
+alongside. Static per-destination capacity keeps shapes fixed; skewed
+exchanges get slack via the `per_dest_cap` parameter (heavy-hitter
+splitting uses the local pre-aggregation: duplicates of a hot key are
+already collapsed to ONE partial state per chip before the shuffle, the
+same trick as the reference's HotGrouper eviction tables).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import AXIS
+
+# agg kind -> (identity, combine) for segment reductions
+_MERGE_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _hash_u64(k):
+    from ..ops.hashing import _fmix32, combine_hashes
+    lo = (k & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (k >> jnp.uint64(32)).astype(jnp.uint32)
+    return combine_hashes(_fmix32(hi), _fmix32(lo))
+
+
+def _seg(data, gid, cap, kind):
+    if kind == "sum":
+        out = jax.ops.segment_sum(data, gid, num_segments=cap + 1,
+                                  indices_are_sorted=True)
+    elif kind == "min":
+        out = jax.ops.segment_min(data, gid, num_segments=cap + 1,
+                                  indices_are_sorted=True)
+    else:
+        out = jax.ops.segment_max(data, gid, num_segments=cap + 1,
+                                  indices_are_sorted=True)
+    return jax.lax.slice_in_dim(out, 0, cap)
+
+
+def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
+    """Per-chip sort-based group-by over packed u64 keys.
+
+    Returns (gkey[cap], outs list[cap], gvalid[cap]) where group g's state
+    sits at slot g. `aggs[i]` applies to vals[i]; "count" ignores vals[i]
+    and counts valid rows.
+    """
+    cap = key.shape[0]
+    dead = (~valid).astype(jnp.uint32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    ops = (dead, khi, klo) + tuple(vals) + (key,)
+    out = jax.lax.sort(ops, num_keys=3, is_stable=True)
+    sdead, shi, slo = out[0], out[1], out[2]
+    svals = out[3:-1]
+    skey = out[-1]
+    live = sdead == 0
+    idx = jnp.arange(cap)
+    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) | (slo != jnp.roll(slo, 1))) \
+        & live
+    gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
+    outs = []
+    for sv, agg in zip(svals, aggs):
+        if agg == "count":
+            outs.append(_seg(live.astype(jnp.int64), gid, cap, "sum"))
+        elif agg == "sum":
+            outs.append(_seg(jnp.where(live, sv, 0), gid, cap, "sum"))
+        elif agg == "min":
+            big = _ident(sv.dtype, "min")
+            outs.append(_seg(jnp.where(live, sv, big), gid, cap, "min"))
+        elif agg == "max":
+            small = _ident(sv.dtype, "max")
+            outs.append(_seg(jnp.where(live, sv, small), gid, cap, "max"))
+        else:
+            raise ValueError(f"agg {agg}")
+    start = _seg(jnp.where(live, idx, cap).astype(jnp.int32), gid, cap, "min")
+    gcount = _seg(live.astype(jnp.int32), gid, cap, "sum")
+    gvalid = gcount > 0
+    gkey = skey[jnp.clip(start, 0, cap - 1)]
+    return gkey, outs, gvalid
+
+
+def _ident(dt, kind):
+    if jnp.issubdtype(dt, jnp.floating):
+        v = jnp.inf if kind == "min" else -jnp.inf
+        return jnp.array(v, dt)
+    info = jnp.iinfo(dt)
+    return jnp.array(info.max if kind == "min" else info.min, dt)
+
+
+def exchange_by_hash(key, payloads: Sequence, valid, num_shards: int,
+                     per_dest_cap: int, axis: str = AXIS):
+    """Route (key,payload) records to shard hash(key)%S with one
+    all_to_all. Returns (key', payloads', valid') with capacity
+    S*per_dest_cap. Records beyond a destination's capacity are dropped —
+    callers size per_dest_cap with slack (local pre-aggregation bounds the
+    record count per (chip, dest) at the group count, so cap==local
+    capacity is always lossless)."""
+    cap = key.shape[0]
+    dest = jnp.where(valid, _hash_u64(key) % jnp.uint32(num_shards),
+                     jnp.uint32(num_shards)).astype(jnp.int32)
+    # sort records by destination; position within destination = rank
+    order = jnp.argsort(dest, stable=True)
+    dsort = dest[order]
+    idx = jnp.arange(cap)
+    starts = jnp.searchsorted(dsort, jnp.arange(num_shards + 1))
+    within = idx - starts[jnp.clip(dsort, 0, num_shards)]
+    ok = (dsort < num_shards) & (within < per_dest_cap)
+    slot = jnp.where(ok, dsort * per_dest_cap + within,
+                     num_shards * per_dest_cap)
+
+    def scatter(arr, fill):
+        out = jnp.full((num_shards * per_dest_cap + 1,), fill, arr.dtype)
+        out = out.at[slot].set(arr[order], mode="drop")
+        return jax.lax.slice_in_dim(out, 0, num_shards * per_dest_cap) \
+            .reshape(num_shards, per_dest_cap)
+
+    skey = scatter(key, jnp.uint64(0))
+    svalid = scatter(valid.astype(jnp.int32), 0)
+    spay = [scatter(p, jnp.zeros((), p.dtype)) for p in payloads]
+
+    rkey = jax.lax.all_to_all(skey, axis, 0, 0, tiled=True)
+    rvalid = jax.lax.all_to_all(svalid, axis, 0, 0, tiled=True)
+    rpay = [jax.lax.all_to_all(p, axis, 0, 0, tiled=True) for p in spay]
+    n = num_shards * per_dest_cap
+    return (rkey.reshape(n), [p.reshape(n) for p in rpay],
+            rvalid.reshape(n).astype(jnp.bool_))
+
+
+def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
+                         num_shards: int, per_dest_cap: int,
+                         axis: str = AXIS):
+    """Full distributed group-by (runs inside shard_map):
+    local partial agg -> hash all_to_all -> local merge.
+    Output: per-shard (gkey, outs, gvalid) of capacity S*per_dest_cap,
+    each shard owning a disjoint hash range of keys."""
+    gkey, partials, gvalid = local_groupby(key, vals, valid, aggs)
+    rkey, rpart, rvalid = exchange_by_hash(gkey, partials, gvalid,
+                                           num_shards, per_dest_cap, axis)
+    merge_aggs = [_MERGE_OF[a] for a in aggs]
+    return local_groupby(rkey, rpart, rvalid, merge_aggs)
+
+
+def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
+    """jit-compiled distributed group-by over row-sharded arrays.
+
+    Inputs: key (uint64, sharded on rows), vals list, valid.
+    Outputs: sharded (gkey, outs..., gvalid)."""
+    S = mesh.shape[AXIS]
+
+    def step(key, valid, *vals):
+        gk, outs, gv = sharded_groupby_step(key, list(vals), valid, aggs,
+                                            S, per_dest_cap)
+        return (gk, gv) + tuple(outs)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
+                   out_specs=tuple(P(AXIS) for _ in range(2 + len(aggs))))
+    return jax.jit(fn)
+
+
+def shuffle_rows_step(key, payloads, valid, num_shards: int,
+                      per_dest_cap: int, axis: str = AXIS):
+    """Row-level shuffle (for joins): every live row is routed to
+    hash(key)%S. Unlike group-by, rows are not pre-aggregated."""
+    return exchange_by_hash(key, payloads, valid, num_shards, per_dest_cap,
+                            axis)
+
+
+def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
+    """Per-chip inner join on packed u64 keys with STATIC output capacity
+    (overflow rows dropped — callers provide slack). Pure-jnp variant of
+    `ops/join.py` for use inside shard_map.
+
+    Returns (jkey, lpay', rpay', jvalid) with capacity out_cap."""
+    capL, capR = lkey.shape[0], rkey.shape[0]
+    capT = capL + capR
+    key = jnp.concatenate([lkey, rkey])
+    valid = jnp.concatenate([lvalid, rvalid])
+    tag = jnp.concatenate([jnp.zeros(capL, jnp.uint32),
+                           jnp.ones(capR, jnp.uint32)])
+    sidx = jnp.concatenate([jnp.arange(capL, dtype=jnp.int32),
+                            jnp.arange(capR, dtype=jnp.int32)])
+    dead = (~valid).astype(jnp.uint32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    sdead, shi, slo, stag, ssid, skey64 = jax.lax.sort(
+        (dead, khi, klo, tag, sidx, key), num_keys=4, is_stable=True)
+    live = sdead == 0
+    idx = jnp.arange(capT)
+    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
+            (slo != jnp.roll(slo, 1))) & live
+    gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, capT)
+    cl = _seg(jnp.where(live & (stag == 0), 1, 0), gid, capT, "sum")
+    cr = _seg(jnp.where(live & (stag == 1), 1, 0), gid, capT, "sum")
+    gstart = _seg(jnp.where(live, idx, capT).astype(jnp.int32), gid, capT, "min")
+    m = cl * cr
+    offs = jnp.cumsum(m)
+    k = jnp.arange(out_cap, dtype=jnp.int64)
+    g = jnp.searchsorted(offs, k, side="right").astype(jnp.int32)
+    gc = jnp.clip(g, 0, capT - 1)
+    base = offs[gc] - m[gc]
+    r = (k - base).astype(jnp.int32)
+    crg = jnp.maximum(cr[gc], 1)
+    i = r // crg
+    j = r % crg
+    lslot = jnp.clip(gstart[gc] + i, 0, capT - 1)
+    rslot = jnp.clip(gstart[gc] + cl[gc] + j, 0, capT - 1)
+    total = offs[capT - 1]
+    jvalid = k < total
+    lidx = jnp.clip(ssid[lslot], 0, capL - 1)
+    ridx = jnp.clip(ssid[rslot], 0, capR - 1)
+    jkey = skey64[lslot]
+    lout = [p[lidx] for p in lpay]
+    rout = [p[ridx] for p in rpay]
+    return jkey, lout, rout, jvalid
+
+
+def make_sharded_join(mesh, n_lpay: int, n_rpay: int, per_dest_cap: int,
+                      out_cap: int):
+    """jit-compiled distributed inner join: both sides shuffled by key
+    hash, then joined locally per shard."""
+    S = mesh.shape[AXIS]
+
+    def step(lkey, lvalid, rkey, rvalid, *pays):
+        lpay = list(pays[:n_lpay])
+        rpay = list(pays[n_lpay:])
+        lk, lp, lv = exchange_by_hash(lkey, lpay, lvalid, S, per_dest_cap)
+        rk, rp, rv = exchange_by_hash(rkey, rpay, rvalid, S, per_dest_cap)
+        jk, lo, ro, jv = local_join_inner(lk, lp, lv, rk, rp, rv, out_cap)
+        return (jk, jv) + tuple(lo) + tuple(ro)
+
+    n_out = 2 + n_lpay + n_rpay
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=tuple(P(AXIS) for _ in range(4 + n_lpay + n_rpay)),
+                   out_specs=tuple(P(AXIS) for _ in range(n_out)))
+    return jax.jit(fn)

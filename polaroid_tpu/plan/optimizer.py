@@ -1,0 +1,372 @@
+"""Plan optimizer: projection / predicate / slice pushdown.
+
+Capability analogue of the reference optimizer
+(`polars-plan/src/plans/optimizer/mod.rs:100` — projection pushdown,
+predicate pushdown, slice pushdown, simplify; CSE later). Pushdowns matter
+even more on TPU: pruning columns/rows at the pyarrow scan keeps host->HBM
+transfer minimal, and sort+slice fuses into top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set
+
+from ..expr import meta
+from ..expr.expr import Expr
+from . import logical as L
+
+
+def optimize(plan: L.Plan) -> L.Plan:
+    plan = push_predicates(plan)
+    plan = push_slice(plan)
+    plan = push_projection(plan, None)
+    plan = fuse_topk(plan)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# predicate pushdown
+# ---------------------------------------------------------------------------
+
+def _split_conjuncts(e: Expr) -> List[Expr]:
+    if e.kind == "binary" and e.attrs.get("op") == "and":
+        return _split_conjuncts(e.children[0]) + _split_conjuncts(e.children[1])
+    return [e]
+
+
+def _join_conjuncts(es: Sequence[Expr]) -> Expr:
+    acc = es[0]
+    for e in es[1:]:
+        acc = Expr("binary", (acc, e), op="and")
+    return acc
+
+
+def _passthrough_names(node) -> Set[str]:
+    """Output names of `node` that are plain copies of input columns."""
+    ins = set(node.input.schema().keys())
+    if node.kind == "with_columns":
+        redefined = set()
+        for e in meta.expand_exprs(node.exprs, node.input.schema()):
+            redefined.add(meta.output_name(e))
+        return ins - redefined
+    if node.kind == "select":
+        out = set()
+        for e in meta.expand_exprs(node.exprs, node.input.schema()):
+            if e.kind == "col":
+                out.add(e.attrs["name"])
+            elif e.kind == "alias" and e.children[0].kind == "col":
+                pass  # renamed, not a passthrough under the same name
+        return out & ins
+    return set()
+
+
+def push_predicates(plan: L.Plan, pending: Optional[List[Expr]] = None) -> L.Plan:
+    pending = pending or []
+    k = plan.kind
+
+    if k == "filter":
+        conj = _split_conjuncts(plan.predicate)
+        return push_predicates(plan.input, pending + conj)
+
+    if k in ("select", "with_columns") and pending:
+        pt = _passthrough_names(plan)
+        down, stay = [], []
+        for c in pending:
+            roots = meta.root_names(c)
+            if roots <= pt and meta.is_elementwise(c):
+                down.append(c)
+            else:
+                stay.append(c)
+        new_in = push_predicates(plan.input, down)
+        out = plan.with_inputs([new_in])
+        if stay:
+            out = L.Filter(out, _join_conjuncts(stay))
+        return out
+
+    if k == "join" and pending:
+        ls = set(plan.left.schema().keys())
+        rs_schema = plan.right.schema()
+        out_schema = plan.schema()
+        down_l, down_r, stay = [], [], []
+        for c in pending:
+            roots = meta.root_names(c)
+            if not meta.is_elementwise(c):
+                stay.append(c)
+            elif roots <= ls and plan.how in ("inner", "left", "semi", "anti"):
+                down_l.append(c)
+            elif plan.how in ("inner", "right") and \
+                    all(r in rs_schema and r not in ls for r in roots):
+                down_r.append(c)
+            else:
+                stay.append(c)
+        nl = push_predicates(plan.left, down_l)
+        nr = push_predicates(plan.right, down_r)
+        out = plan.with_inputs([nl, nr])
+        if stay:
+            out = L.Filter(out, _join_conjuncts(stay))
+        return out
+
+    if k == "group_by" and pending:
+        ins = plan.input.schema()
+        plain_keys = set()
+        for e in meta.expand_exprs(plan.keys, ins):
+            if e.kind == "col":
+                plain_keys.add(e.attrs["name"])
+        down, stay = [], []
+        for c in pending:
+            roots = meta.root_names(c)
+            if roots <= plain_keys and meta.is_elementwise(c):
+                down.append(c)
+            else:
+                stay.append(c)
+        new_in = push_predicates(plan.input, down)
+        out = plan.with_inputs([new_in])
+        if stay:
+            out = L.Filter(out, _join_conjuncts(stay))
+        return out
+
+    if k == "sort" and pending:
+        return plan.with_inputs([push_predicates(plan.input, pending)])
+
+    if k in ("distinct",) and pending:
+        # distinct keeps whole rows: a filter commutes when keep is
+        # first/any over the same rows? Not in general (keep="first" picks
+        # different representatives) — only safe for keep="any"/"none" on
+        # key-only predicates; be conservative and stop here.
+        out = plan.with_inputs([push_predicates(plan.input, [])])
+        return L.Filter(out, _join_conjuncts(pending))
+
+    if k == "rename" and pending:
+        inv = {v: kk for kk, v in plan.mapping.items()}
+        renamed = [_rename_expr(c, inv) for c in pending]
+        return plan.with_inputs([push_predicates(plan.input, renamed)])
+
+    if k == "union" and pending:
+        new_inputs = [push_predicates(p, list(pending)) for p in plan.inputs]
+        return plan.with_inputs(new_inputs)
+
+    if k == "scan" and pending:
+        new_pred = _join_conjuncts(pending)
+        if plan.predicate is not None:
+            new_pred = Expr("binary", (plan.predicate, new_pred), op="and")
+        if plan.n_rows is None:
+            return plan.replace(predicate=new_pred)
+        # predicate after head() must stay a Filter
+        return L.Filter(plan, _join_conjuncts(pending))
+
+    # default: stop pushing here
+    new_inputs = [push_predicates(p, []) for p in plan.inputs]
+    out = plan.with_inputs(new_inputs) if plan.inputs else plan
+    if pending:
+        out = L.Filter(out, _join_conjuncts(pending))
+    return out
+
+
+def _rename_expr(e: Expr, mapping: Dict[str, str]) -> Expr:
+    if e.kind == "col":
+        n = e.attrs["name"]
+        return Expr("col", name=mapping.get(n, n))
+    if not e.children:
+        return e
+    return Expr(e.kind, tuple(_rename_expr(c, mapping) for c in e.children),
+                **e.attrs)
+
+
+# ---------------------------------------------------------------------------
+# slice pushdown
+# ---------------------------------------------------------------------------
+
+def push_slice(plan: L.Plan) -> L.Plan:
+    if plan.kind == "slice" and plan.offset == 0 and plan.length is not None:
+        child = plan.input
+        n = plan.length
+        if child.kind == "scan" and child.predicate is None:
+            sc = child.replace(n_rows=n if child.n_rows is None
+                               else min(child.n_rows, n))
+            return push_slice(sc)
+        if child.kind == "sort":
+            new = L.Sort(push_slice(child.input), child.by, child.descending,
+                         child.nulls_last, child.maintain_order, (0, n))
+            return new
+        if child.kind in ("select", "with_columns") and \
+                all(meta.is_elementwise(e) for e in child.exprs):
+            pushed = L.Slice(child.input, 0, n)
+            return child.with_inputs([push_slice(pushed)])
+    new_inputs = [push_slice(p) for p in plan.inputs]
+    return plan.with_inputs(new_inputs) if plan.inputs else plan
+
+
+def fuse_topk(plan: L.Plan) -> L.Plan:
+    new_inputs = [fuse_topk(p) for p in plan.inputs]
+    return plan.with_inputs(new_inputs) if plan.inputs else plan
+
+
+# ---------------------------------------------------------------------------
+# projection pushdown
+# ---------------------------------------------------------------------------
+
+def push_projection(plan: L.Plan, needed: Optional[Set[str]]) -> L.Plan:
+    k = plan.kind
+
+    if k == "scan":
+        fs = plan.file_schema()
+        cols = list(fs.keys())
+        if needed is not None:
+            pred_roots = meta.root_names(plan.predicate) \
+                if plan.predicate is not None else set()
+            want = needed | pred_roots
+            cols = [c for c in cols if c in want]
+        if plan.columns is not None:
+            cols = [c for c in plan.columns if c in (needed or set(plan.columns))
+                    or needed is None]
+        return plan.replace(columns=cols if needed is not None else plan.columns)
+
+    if k == "df_scan":
+        if needed is not None:
+            keep = [n for n in plan.table.names if n in needed]
+            return L.DataFrameScan(plan.table.select_columns(keep))
+        return plan
+
+    if k == "select":
+        ins = plan.input.schema()
+        exprs = meta.expand_exprs(plan.exprs, ins)
+        if needed is not None:
+            exprs = [e for e in exprs if meta.output_name(e) in needed]
+            if not exprs:  # keep at least one for shape
+                exprs = meta.expand_exprs(plan.exprs, ins)[:1]
+        roots: Set[str] = set()
+        for e in exprs:
+            roots |= meta.root_names(e)
+        roots &= set(ins.keys())
+        return L.Select(push_projection(plan.input, roots), exprs)
+
+    if k == "with_columns":
+        ins = plan.input.schema()
+        exprs = meta.expand_exprs(plan.exprs, ins)
+        if needed is not None:
+            exprs = [e for e in exprs if meta.output_name(e) in needed]
+        roots: Set[str] = set()
+        for e in exprs:
+            roots |= meta.root_names(e)
+        if needed is None:
+            child_need = None
+        else:
+            child_need = (needed & set(ins.keys())) | (roots & set(ins.keys()))
+        new_in = push_projection(plan.input, child_need)
+        out: L.Plan = L.WithColumns(new_in, exprs) if exprs else new_in
+        if needed is not None:
+            out_names = [n for n in out.schema() if n in needed]
+            if set(out.schema().keys()) != set(out_names):
+                out = L.Select(out, [Expr("col", name=n) for n in out_names])
+        return out
+
+    if k == "filter":
+        roots = meta.root_names(plan.predicate)
+        child_need = None if needed is None else \
+            (needed | roots) & set(plan.input.schema().keys())
+        out = L.Filter(push_projection(plan.input, child_need), plan.predicate)
+        if needed is not None and set(out.schema()) - needed:
+            keep = [n for n in out.schema() if n in needed]
+            return L.Select(out, [Expr("col", name=n) for n in keep])
+        return out
+
+    if k == "group_by":
+        ins = plan.input.schema()
+        keys = meta.expand_exprs(plan.keys, ins)
+        aggs = meta.expand_exprs(plan.aggs, ins)
+        if needed is not None:
+            aggs = [a for a in aggs if meta.output_name(a) in needed]
+        roots: Set[str] = set()
+        for e in list(keys) + list(aggs):
+            roots |= meta.root_names(e)
+        roots &= set(ins.keys())
+        return L.GroupBy(push_projection(plan.input, roots), keys, aggs,
+                         plan.maintain_order)
+
+    if k == "join":
+        ls, rs = plan.left.schema(), plan.right.schema()
+        if needed is None:
+            ln = rn = None
+        else:
+            ln = set(plan.left_on)
+            rn = set(plan.right_on)
+            for n in needed:
+                if n in ls:
+                    ln.add(n)
+                base = n[: -len(plan.suffix)] if n.endswith(plan.suffix) else n
+                if base in rs:
+                    rn.add(base)
+                elif n in rs:
+                    rn.add(n)
+        out = L.Join(push_projection(plan.left, ln),
+                     push_projection(plan.right, rn),
+                     plan.left_on, plan.right_on, plan.how, plan.suffix,
+                     plan.join_nulls, plan.coalesce)
+        if needed is not None and set(out.schema()) - needed:
+            keep = [n for n in out.schema() if n in needed]
+            if keep:
+                return L.Select(out, [Expr("col", name=n) for n in keep])
+        return out
+
+    if k == "sort":
+        roots: Set[str] = set()
+        for e in plan.by:
+            roots |= meta.root_names(e)
+        child_need = None if needed is None else \
+            (needed | roots) & set(plan.input.schema().keys())
+        out = L.Sort(push_projection(plan.input, child_need), plan.by,
+                     plan.descending, plan.nulls_last, plan.maintain_order,
+                     plan.slice_)
+        if needed is not None and set(out.schema()) - needed:
+            keep = [n for n in out.schema() if n in needed]
+            return L.Select(out, [Expr("col", name=n) for n in keep])
+        return out
+
+    if k == "distinct":
+        # distinct semantics depend on all subset columns; row identity
+        # keeps every column
+        sub = set(plan.subset) if plan.subset else set(plan.input.schema())
+        child_need = None if needed is None else \
+            (needed | sub) & set(plan.input.schema().keys())
+        out = plan.with_inputs([push_projection(plan.input, child_need)])
+        if needed is not None and set(out.schema()) - needed:
+            keep = [n for n in out.schema() if n in needed]
+            return L.Select(out, [Expr("col", name=n) for n in keep])
+        return out
+
+    if k == "rename":
+        if needed is None:
+            child_need = None
+        else:
+            inv = {v: kk for kk, v in plan.mapping.items()}
+            child_need = {inv.get(n, n) for n in needed}
+        return L.Rename(push_projection(plan.input, child_need), plan.mapping)
+
+    if k == "drop":
+        child_need = None if needed is None else \
+            needed & set(plan.schema().keys())
+        inner = push_projection(
+            plan.input,
+            None if child_need is None else child_need)
+        # after projection, dropped cols may already be gone
+        present = set(inner.schema().keys())
+        names = [n for n in plan.names if n in present]
+        return L.Drop(inner, names, strict=False) if names else inner
+
+    if k == "union":
+        return plan.with_inputs([push_projection(p, needed)
+                                 for p in plan.inputs])
+
+    if k == "slice":
+        return plan.with_inputs([push_projection(plan.input, needed)])
+
+    if k == "with_row_index":
+        child_need = None
+        if needed is not None:
+            child_need = {n for n in needed if n != plan.name} & \
+                set(plan.input.schema().keys())
+        return plan.with_inputs([push_projection(plan.input, child_need)])
+
+    # opaque nodes (map_function, sink, explode, unpivot, hconcat): need all
+    return plan.with_inputs([push_projection(p, None) for p in plan.inputs]) \
+        if plan.inputs else plan

@@ -1,0 +1,170 @@
+"""Group-by kernel: segment aggregation vs numpy oracle."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+def sorted_dict(df, by):
+    return df.sort(by).to_dict()
+
+
+def test_groupby_sum_mean():
+    df = pl.DataFrame({"k": ["a", "b", "a", "b", "c"],
+                       "v": [1, 2, 3, 4, 5]})
+    out = df.group_by("k").agg(
+        pl.col("v").sum().alias("s"),
+        pl.col("v").mean().alias("m"),
+        pl.len().alias("n"),
+    ).sort("k")
+    assert out.to_dict() == {
+        "k": ["a", "b", "c"], "s": [4, 6, 5], "m": [2.0, 3.0, 5.0],
+        "n": [2, 2, 1]}
+
+
+def test_groupby_multi_key():
+    df = pl.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "y", "x", "x", "x"],
+                       "v": [10, 20, 30, 40, 50]})
+    out = df.group_by("a", "b").agg(pl.col("v").sum().alias("s")) \
+        .sort(["a", "b"])
+    assert out.to_dict() == {
+        "a": [1, 1, 2], "b": ["x", "y", "x"], "s": [60, 20, 70]}
+
+
+def test_groupby_null_keys_group_together():
+    df = pl.DataFrame({"k": ["a", None, "a", None], "v": [1, 2, 3, 4]})
+    out = df.group_by("k").agg(pl.col("v").sum().alias("s")).sort("k")
+    d = out.to_dict()
+    assert d["k"] == [None, "a"] or d["k"] == ["a", None]
+    m = dict(zip(d["k"], d["s"]))
+    assert m["a"] == 4 and m[None] == 6
+
+
+def test_groupby_agg_with_nulls():
+    df = pl.DataFrame({"k": ["a", "a", "b"], "v": [1, None, None]})
+    out = df.group_by("k").agg(
+        pl.col("v").sum().alias("s"),
+        pl.col("v").count().alias("c"),
+        pl.col("v").mean().alias("m"),
+        pl.col("v").max().alias("mx"),
+    ).sort("k")
+    assert out.to_dict() == {
+        "k": ["a", "b"], "s": [1, 0], "c": [1, 0], "m": [1.0, None],
+        "mx": [1, None]}
+
+
+def test_groupby_min_max_first_last():
+    df = pl.DataFrame({"k": [1, 2, 1, 2, 1], "v": [5, 1, 3, 8, 4]})
+    out = df.group_by("k").agg(
+        pl.col("v").min().alias("mn"), pl.col("v").max().alias("mx"),
+        pl.col("v").first().alias("f"), pl.col("v").last().alias("l"),
+    ).sort("k")
+    assert out.to_dict() == {
+        "k": [1, 2], "mn": [3, 1], "mx": [5, 8], "f": [5, 1], "l": [4, 8]}
+
+
+def test_groupby_std_var_nunique():
+    rng = np.random.default_rng(0)
+    k = rng.integers(0, 5, 200)
+    v = rng.normal(0, 10, 200)
+    df = pl.DataFrame({"k": k, "v": v})
+    out = df.group_by("k").agg(
+        pl.col("v").std().alias("sd"),
+        pl.col("v").n_unique().alias("nu"),
+    ).sort("k")
+    d = out.to_dict()
+    for i, kk in enumerate(d["k"]):
+        ref = np.std(v[k == kk], ddof=1)
+        assert abs(d["sd"][i] - ref) < 1e-6
+        assert d["nu"][i] == len(np.unique(v[k == kk]))
+
+
+def test_groupby_expression_key():
+    df = pl.DataFrame({"a": [1, 2, 3, 4, 5, 6]})
+    out = df.group_by((pl.col("a") % 2).alias("par")).agg(
+        pl.col("a").sum().alias("s")).sort("par")
+    assert out.to_dict() == {"par": [0, 1], "s": [12, 9]}
+
+
+def test_groupby_compound_agg_expr():
+    df = pl.DataFrame({"k": ["a", "a", "b"], "x": [1.0, 3.0, 5.0],
+                       "y": [2.0, 4.0, 6.0]})
+    out = df.group_by("k").agg(
+        (pl.col("x") * pl.col("y")).sum().alias("xy"),
+        (pl.col("x").sum() + pl.col("y").sum()).alias("sxy"),
+        (pl.col("x").max() - pl.col("x").min()).alias("rng"),
+    ).sort("k")
+    assert out.to_dict() == {
+        "k": ["a", "b"], "xy": [14.0, 30.0], "sxy": [10.0, 11.0],
+        "rng": [2.0, 0.0]}
+
+
+def test_groupby_maintain_order():
+    df = pl.DataFrame({"k": ["z", "a", "z", "m", "a"], "v": [1, 2, 3, 4, 5]})
+    out = df.group_by("k", maintain_order=True).agg(pl.col("v").sum().alias("s"))
+    assert out.to_dict() == {"k": ["z", "a", "m"], "s": [4, 7, 4]}
+
+
+def test_groupby_median_quantile():
+    df = pl.DataFrame({"k": ["a"] * 4 + ["b"] * 3,
+                       "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0]})
+    out = df.group_by("k").agg(
+        pl.col("v").median().alias("med"),
+        pl.col("v").quantile(0.5, "lower").alias("ql"),
+    ).sort("k")
+    assert out.to_dict() == {"k": ["a", "b"], "med": [2.5, 20.0],
+                             "ql": [2.0, 20.0]}
+
+
+def test_groupby_after_filter():
+    df = pl.DataFrame({"k": ["a", "b", "a", "b"], "v": [1, 2, 3, 4]})
+    out = df.filter(pl.col("v") > 1).group_by("k").agg(
+        pl.col("v").sum().alias("s")).sort("k")
+    assert out.to_dict() == {"k": ["a", "b"], "s": [3, 6]}
+
+
+def test_groupby_len_shortcut():
+    df = pl.DataFrame({"k": ["x", "y", "x"]})
+    assert df.group_by("k").len().sort("k").to_dict() == {
+        "k": ["x", "y"], "len": [2, 1]}
+
+
+def test_groupby_any_all():
+    df = pl.DataFrame({"k": [1, 1, 2, 2], "b": [True, False, True, True]})
+    out = df.group_by("k").agg(pl.col("b").any().alias("any"),
+                               pl.col("b").all().alias("all")).sort("k")
+    assert out.to_dict() == {"k": [1, 2], "any": [True, True],
+                             "all": [False, True]}
+
+
+def test_unique():
+    df = pl.DataFrame({"a": [1, 2, 1, 3, 2], "b": ["x", "y", "x", "z", "q"]})
+    out = df.unique(subset="a", keep="first", maintain_order=True)
+    assert out.to_dict() == {"a": [1, 2, 3], "b": ["x", "y", "z"]}
+    out2 = df.unique(subset="a", keep="last", maintain_order=True)
+    assert out2.to_dict() == {"a": [1, 3, 2], "b": ["x", "z", "q"]}
+    out3 = df.unique(maintain_order=True)
+    assert out3.height == 4  # (1,"x") appears twice
+    out4 = df.unique(subset="a", keep="none", maintain_order=True)
+    assert out4.to_dict() == {"a": [3], "b": ["z"]}
+
+
+def test_groupby_numeric_random_oracle(rng):
+    n = 3000
+    k = rng.integers(0, 50, n)
+    v = rng.integers(-100, 100, n)
+    df = pl.DataFrame({"k": k, "v": v})
+    out = df.group_by("k").agg(pl.col("v").sum().alias("s"),
+                               pl.col("v").min().alias("mn"),
+                               pl.col("v").max().alias("mx"),
+                               pl.len().alias("n")).sort("k")
+    d = out.to_dict()
+    keys = sorted(np.unique(k))
+    assert d["k"] == [int(x) for x in keys]
+    for i, kk in enumerate(keys):
+        sel = v[k == kk]
+        assert d["s"][i] == int(sel.sum())
+        assert d["mn"][i] == int(sel.min())
+        assert d["mx"][i] == int(sel.max())
+        assert d["n"][i] == len(sel)

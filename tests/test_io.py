@@ -1,0 +1,113 @@
+"""IO: parquet/csv/ipc/ndjson round trips, multi-file scans, streaming."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+@pytest.fixture
+def df0():
+    return pl.DataFrame({
+        "i": [1, 2, 3, None],
+        "f": [1.5, None, 3.5, 4.5],
+        "s": ["a", "b", None, "d"],
+        "b": [True, False, True, None],
+        "d": [dt.date(2024, 1, 1), None, dt.date(2024, 3, 1),
+              dt.date(2024, 4, 1)],
+    })
+
+
+def test_parquet_roundtrip(tmp_path, df0):
+    p = tmp_path / "x.parquet"
+    df0.write_parquet(p)
+    back = pl.read_parquet(p)
+    assert back.to_dict() == df0.to_dict()
+    assert [repr(d) for d in back.dtypes] == [repr(d) for d in df0.dtypes]
+
+
+def test_ipc_roundtrip(tmp_path, df0):
+    p = tmp_path / "x.arrow"
+    df0.write_ipc(p)
+    back = pl.read_ipc(p)
+    assert back.to_dict() == df0.to_dict()
+
+
+def test_csv_roundtrip(tmp_path):
+    df = pl.DataFrame({"a": [1, 2], "s": ["x", "y"]})
+    p = tmp_path / "x.csv"
+    df.write_csv(p)
+    back = pl.read_csv(p)
+    assert back.to_dict() == df.to_dict()
+    txt = df.write_csv()
+    assert txt.splitlines()[0].replace('"', "") == "a,s"
+
+
+def test_ndjson_roundtrip(tmp_path):
+    df = pl.DataFrame({"a": [1, 2], "s": ["x", None]})
+    p = tmp_path / "x.ndjson"
+    df.write_ndjson(p)
+    back = pl.read_ndjson(p)
+    assert back.to_dict() == df.to_dict()
+
+
+def test_read_parquet_columns_nrows(tmp_path, df0):
+    p = tmp_path / "x.parquet"
+    df0.write_parquet(p)
+    back = pl.read_parquet(p, columns=["i", "s"], n_rows=2)
+    assert back.columns == ["i", "s"]
+    assert back.height == 2
+
+
+def test_multifile_glob_scan(tmp_path):
+    for i in range(4):
+        pl.DataFrame({"part": [i] * 10, "v": list(range(10))}) \
+            .write_parquet(tmp_path / f"f{i}.parquet")
+    out = pl.scan_parquet(str(tmp_path / "*.parquet")).collect()
+    assert out.height == 40
+    agg = (pl.scan_parquet(str(tmp_path / "*.parquet"))
+           .group_by("part").agg(pl.col("v").sum().alias("s"))
+           .sort("part").collect())
+    assert agg.to_dict() == {"part": [0, 1, 2, 3], "s": [45] * 4}
+
+
+def test_streaming_scan_multifile(tmp_path):
+    for i in range(3):
+        pl.DataFrame({"k": [i % 2] * 20, "v": list(range(20))}) \
+            .write_parquet(tmp_path / f"s{i}.parquet")
+    lf = (pl.scan_parquet(str(tmp_path / "s*.parquet"))
+          .group_by("k").agg(pl.col("v").sum().alias("s"), pl.len().alias("n")))
+    a = lf.collect().sort("k").to_dict()
+    b = lf.collect(engine="streaming").sort("k").to_dict()
+    assert a == b
+
+
+def test_from_pandas_and_arrow():
+    import pandas as pd
+    import pyarrow as pa
+    pdf = pd.DataFrame({"a": [1, 2], "s": ["x", "y"]})
+    assert pl.from_pandas(pdf).to_dict() == {"a": [1, 2], "s": ["x", "y"]}
+    at = pa.table({"a": [1, 2], "s": ["x", "y"]})
+    assert pl.from_arrow(at).to_dict() == {"a": [1, 2], "s": ["x", "y"]}
+
+
+def test_to_arrow_to_pandas(df0):
+    at = df0.to_arrow()
+    assert at.num_rows == 4
+    pdf = df0.to_pandas()
+    assert list(pdf.columns) == df0.columns
+
+
+def test_csv_string_io():
+    csv = "a,b\n1,x\n2,y\n"
+    df = pl.read_csv(csv)
+    assert df.to_dict() == {"a": [1, 2], "b": ["x", "y"]}
+
+
+def test_sink_csv(tmp_path):
+    lf = pl.LazyFrame({"a": [3, 1, 2]})
+    out = tmp_path / "o.csv"
+    lf.sort("a").sink_csv(str(out))
+    assert pl.read_csv(str(out)).to_dict() == {"a": [1, 2, 3]}

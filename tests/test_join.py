@@ -1,0 +1,150 @@
+"""Join kernel: all join types vs oracle."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+def canon(df, by):
+    return df.sort(by).to_dict()
+
+
+def test_inner_join():
+    a = pl.DataFrame({"k": [1, 2, 3], "x": ["a", "b", "c"]})
+    b = pl.DataFrame({"k": [2, 3, 4], "y": [20, 30, 40]})
+    out = canon(a.join(b, on="k"), "k")
+    assert out == {"k": [2, 3], "x": ["b", "c"], "y": [20, 30]}
+
+
+def test_inner_join_duplicates():
+    a = pl.DataFrame({"k": [1, 1, 2], "x": [10, 11, 12]})
+    b = pl.DataFrame({"k": [1, 1, 3], "y": [100, 101, 103]})
+    out = canon(a.join(b, on="k"), ["k", "x", "y"])
+    assert out == {"k": [1, 1, 1, 1], "x": [10, 10, 11, 11],
+                   "y": [100, 101, 100, 101]}
+
+
+def test_left_join():
+    a = pl.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
+    b = pl.DataFrame({"k": [2], "y": [200]})
+    out = canon(a.join(b, on="k", how="left"), "k")
+    assert out == {"k": [1, 2, 3], "x": [10, 20, 30], "y": [None, 200, None]}
+
+
+def test_full_join_coalesce():
+    a = pl.DataFrame({"k": [1, 2], "x": [10, 20]})
+    b = pl.DataFrame({"k": [2, 3], "y": [200, 300]})
+    out = canon(a.join(b, on="k", how="full", coalesce=True), "k")
+    assert out == {"k": [1, 2, 3], "x": [10, 20, None], "y": [None, 200, 300]}
+
+
+def test_full_join_no_coalesce():
+    a = pl.DataFrame({"k": [1, 2], "x": [10, 20]})
+    b = pl.DataFrame({"k": [2, 3], "y": [200, 300]})
+    out = a.join(b, on="k", how="full")
+    d = canon(out, ["k", "k_right"])
+    assert d["k"] == [None, 1, 2]
+    assert d["k_right"] == [3, None, 2]
+
+
+def test_semi_anti_join():
+    a = pl.DataFrame({"k": [1, 2, 3, 4], "x": [1, 2, 3, 4]})
+    b = pl.DataFrame({"k": [2, 4, 9]})
+    assert canon(a.join(b, on="k", how="semi"), "k") == \
+        {"k": [2, 4], "x": [2, 4]}
+    assert canon(a.join(b, on="k", how="anti"), "k") == \
+        {"k": [1, 3], "x": [1, 3]}
+
+
+def test_join_multi_key():
+    a = pl.DataFrame({"k1": [1, 1, 2], "k2": ["x", "y", "x"], "v": [1, 2, 3]})
+    b = pl.DataFrame({"k1": [1, 2, 2], "k2": ["x", "x", "z"], "w": [10, 20, 30]})
+    out = canon(a.join(b, on=["k1", "k2"]), ["k1", "k2"])
+    assert out == {"k1": [1, 2], "k2": ["x", "x"], "v": [1, 3], "w": [10, 20]}
+
+
+def test_join_string_key_dict_merge():
+    a = pl.DataFrame({"k": ["apple", "beta", "cherry"], "v": [1, 2, 3]})
+    b = pl.DataFrame({"k": ["beta", "delta", "apple"], "w": [20, 40, 10]})
+    out = canon(a.join(b, on="k"), "k")
+    assert out == {"k": ["apple", "beta"], "v": [1, 2], "w": [10, 20]}
+
+
+def test_join_left_right_on():
+    a = pl.DataFrame({"ka": [1, 2], "x": [1, 2]})
+    b = pl.DataFrame({"kb": [2, 3], "y": [20, 30]})
+    out = canon(a.join(b, left_on="ka", right_on="kb"), "ka")
+    assert out == {"ka": [2], "x": [2], "y": [20]}
+
+
+def test_join_nulls_param():
+    a = pl.DataFrame({"k": [1, None], "x": [1, 2]})
+    b = pl.DataFrame({"k": [1, None], "y": [10, 20]})
+    out = canon(a.join(b, on="k"), "k")
+    assert out == {"k": [1], "x": [1], "y": [10]}
+    out2 = canon(a.join(b, on="k", join_nulls=True), "k")
+    assert out2 == {"k": [None, 1], "x": [2, 1], "y": [20, 10]}
+
+
+def test_left_join_null_keys_kept():
+    a = pl.DataFrame({"k": [1, None], "x": [1, 2]})
+    b = pl.DataFrame({"k": [1], "y": [10]})
+    out = canon(a.join(b, on="k", how="left"), "x")
+    assert out == {"k": [1, None], "x": [1, 2], "y": [10, None]}
+
+
+def test_cross_join():
+    a = pl.DataFrame({"x": [1, 2]})
+    b = pl.DataFrame({"y": ["a", "b", "c"]})
+    out = a.join(b, how="cross")
+    assert out.height == 6
+    assert canon(out, ["x", "y"]) == {
+        "x": [1, 1, 1, 2, 2, 2], "y": ["a", "b", "c", "a", "b", "c"]}
+
+
+def test_join_suffix_collision():
+    a = pl.DataFrame({"k": [1], "v": [1]})
+    b = pl.DataFrame({"k": [1], "v": [2]})
+    out = a.join(b, on="k")
+    assert out.columns == ["k", "v", "v_right"]
+    assert out.to_dict() == {"k": [1], "v": [1], "v_right": [2]}
+
+
+def test_right_join():
+    a = pl.DataFrame({"k": [1, 2], "x": [10, 20]})
+    b = pl.DataFrame({"k": [2, 3], "y": [200, 300]})
+    out = canon(a.join(b, on="k", how="right"), "k")
+    assert out == {"x": [20, None], "k": [2, 3], "y": [200, 300]}
+
+
+def test_join_random_oracle(rng):
+    import pandas as pd
+    n1, n2 = 300, 400
+    a = pl.DataFrame({"k": rng.integers(0, 50, n1), "x": np.arange(n1)})
+    b = pl.DataFrame({"k": rng.integers(0, 50, n2), "y": np.arange(n2)})
+    got = a.join(b, on="k").sort(["k", "x", "y"]).to_dict()
+    pa_ = pd.DataFrame(a.to_dict())
+    pb_ = pd.DataFrame(b.to_dict())
+    ref = pa_.merge(pb_, on="k").sort_values(["k", "x", "y"])
+    assert got["k"] == ref["k"].tolist()
+    assert got["x"] == ref["x"].tolist()
+    assert got["y"] == ref["y"].tolist()
+
+
+def test_join_asof():
+    a = pl.DataFrame({"t": [1, 5, 10], "x": [1, 2, 3]})
+    b = pl.DataFrame({"t": [0, 4, 9], "y": ["a", "b", "c"]})
+    out = a.lazy().join_asof(b.lazy(), on="t").collect()
+    assert out.to_dict() == {"t": [1, 5, 10], "x": [1, 2, 3],
+                             "y": ["a", "b", "c"]}
+
+
+def test_join_asof_strategies():
+    a = pl.DataFrame({"t": [3, 7]})
+    b = pl.DataFrame({"t": [1, 5, 8], "y": [10, 50, 80]})
+    fw = a.lazy().join_asof(b.lazy(), on="t", strategy="forward").collect()
+    assert fw.to_dict() == {"t": [3, 7], "y": [50, 80]}
+    a2 = pl.DataFrame({"t": [4, 7]})
+    nr = a2.lazy().join_asof(b.lazy(), on="t", strategy="nearest").collect()
+    assert nr.to_dict() == {"t": [4, 7], "y": [50, 80]}

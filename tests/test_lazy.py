@@ -1,0 +1,198 @@
+"""Lazy engine: plan building, optimizer pushdowns, collect parity."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+@pytest.fixture
+def pq_file(tmp_path, rng):
+    n = 2000
+    df = pl.DataFrame({
+        "id": np.arange(n),
+        "price": rng.uniform(0, 200, n),
+        "volume": rng.integers(0, 5000, n),
+        "symbol": rng.choice(["AAPL", "MSFT", "GOOG", "AMZN"], n).tolist(),
+    })
+    p = tmp_path / "t.parquet"
+    df.write_parquet(p)
+    return p, df
+
+
+def test_lazy_basic_collect():
+    lf = pl.LazyFrame({"a": [1, 2, 3]})
+    out = lf.select((pl.col("a") * 2).alias("b")).collect()
+    assert out.to_dict() == {"b": [2, 4, 6]}
+
+
+def test_lazy_schema_propagation():
+    lf = pl.LazyFrame({"a": [1], "s": ["x"]})
+    lf2 = lf.with_columns((pl.col("a") / 2).alias("half"))
+    assert lf2.schema == {"a": pl.Int64, "s": pl.String, "half": pl.Float64}
+    assert lf2.select(pl.col("half")).columns == ["half"]
+
+
+def test_scan_parquet_collect(pq_file):
+    p, df = pq_file
+    out = pl.scan_parquet(str(p)).collect()
+    assert out.shape == df.shape
+    assert out.sort("id").to_dict()["id"] == df.to_dict()["id"]
+
+
+def test_scan_projection_pushdown(pq_file):
+    p, _ = pq_file
+    lf = pl.scan_parquet(str(p)).select("id", "price")
+    plan = lf.optimized_plan()
+    txt = plan.describe()
+    assert "π=2" in txt
+    out = lf.collect()
+    assert out.columns == ["id", "price"]
+
+
+def test_scan_predicate_pushdown(pq_file):
+    p, df = pq_file
+    lf = pl.scan_parquet(str(p)).filter(pl.col("price") > 100.0)
+    txt = lf.optimized_plan().describe()
+    assert "σ" in txt and "FILTER" not in txt
+    out = lf.collect()
+    ref = df.filter(pl.col("price") > 100.0)
+    assert out.height == ref.height
+    assert out.sort("id").to_dict() == ref.sort("id").to_dict()
+
+
+def test_filter_pushdown_through_with_columns(pq_file):
+    p, df = pq_file
+    lf = (pl.scan_parquet(str(p))
+          .with_columns((pl.col("price") * pl.col("volume")).alias("notional"))
+          .filter(pl.col("symbol") == "AAPL"))
+    txt = lf.optimized_plan().describe()
+    assert "FILTER" not in txt  # pushed into scan
+    out = lf.collect()
+    ref = df.filter(pl.col("symbol") == "AAPL").with_columns(
+        (pl.col("price") * pl.col("volume")).alias("notional"))
+    assert out.sort("id").to_dict() == ref.sort("id").to_dict()
+
+
+def test_slice_pushdown(pq_file):
+    p, _ = pq_file
+    lf = pl.scan_parquet(str(p)).head(7)
+    txt = lf.optimized_plan().describe()
+    assert "n=7" in txt
+    assert lf.collect().height == 7
+
+
+def test_lazy_full_pipeline(pq_file):
+    """The showcase query shape (BASELINE.md cell 4)."""
+    p, df = pq_file
+    lf = (pl.scan_parquet(str(p))
+          .filter(pl.col("volume") > 1000)
+          .with_columns((pl.col("price") * pl.col("volume")).alias("notional"))
+          .group_by("symbol")
+          .agg(pl.len().alias("trade_count"),
+               pl.col("price").mean().alias("avg_price"),
+               pl.col("notional").sum().alias("total_notional"),
+               pl.col("price").std().alias("price_std"))
+          .filter(pl.col("trade_count") > 10)
+          .sort("total_notional", descending=True))
+    out = lf.collect()
+    # oracle with eager engine
+    ref = (df.filter(pl.col("volume") > 1000)
+           .with_columns((pl.col("price") * pl.col("volume")).alias("notional"))
+           .group_by("symbol")
+           .agg(pl.len().alias("trade_count"),
+                pl.col("price").mean().alias("avg_price"),
+                pl.col("notional").sum().alias("total_notional"),
+                pl.col("price").std().alias("price_std"))
+           .filter(pl.col("trade_count") > 10)
+           .sort("total_notional", descending=True))
+    g, r = out.to_dict(), ref.to_dict()
+    assert g["symbol"] == r["symbol"]
+    assert g["trade_count"] == r["trade_count"]
+    assert np.allclose(g["avg_price"], r["avg_price"])
+    assert np.allclose(g["total_notional"], r["total_notional"])
+
+
+def test_lazy_join(pq_file):
+    p, df = pq_file
+    dim = pl.LazyFrame({"symbol": ["AAPL", "MSFT", "GOOG", "AMZN"],
+                        "sector": ["tech", "tech", "ads", "retail"]})
+    out = (pl.scan_parquet(str(p)).join(dim, on="symbol")
+           .group_by("sector").agg(pl.col("volume").sum().alias("v"))
+           .sort("sector").collect())
+    ref = (df.join(pl.DataFrame({"symbol": ["AAPL", "MSFT", "GOOG", "AMZN"],
+                                 "sector": ["tech", "tech", "ads", "retail"]}),
+                   on="symbol")
+           .group_by("sector").agg(pl.col("volume").sum().alias("v"))
+           .sort("sector"))
+    assert out.to_dict() == ref.to_dict()
+
+
+def test_streaming_collect_matches(pq_file):
+    p, df = pq_file
+    lf = (pl.scan_parquet(str(p))
+          .filter(pl.col("volume") > 500)
+          .group_by("symbol")
+          .agg(pl.len().alias("n"), pl.col("price").mean().alias("m"),
+               pl.col("price").min().alias("mn"),
+               pl.col("price").max().alias("mx")))
+    a = lf.collect().sort("symbol").to_dict()
+    b = lf.collect(engine="streaming").sort("symbol").to_dict()
+    assert a["symbol"] == b["symbol"]
+    assert a["n"] == b["n"]
+    assert np.allclose(a["m"], b["m"])
+    assert a["mn"] == b["mn"] and a["mx"] == b["mx"]
+
+
+def test_streaming_std_mean_decomposition(pq_file):
+    p, _ = pq_file
+    lf = (pl.scan_parquet(str(p)).group_by("symbol")
+          .agg(pl.col("price").std().alias("sd"),
+               pl.col("price").mean().alias("m")))
+    a = lf.collect().sort("symbol").to_dict()
+    b = lf.collect(engine="streaming").sort("symbol").to_dict()
+    assert np.allclose(a["sd"], b["sd"])
+    assert np.allclose(a["m"], b["m"])
+
+
+def test_lazy_concat():
+    a = pl.LazyFrame({"x": [1, 2]})
+    b = pl.LazyFrame({"x": [3]})
+    out = pl.concat([a, b]).collect()
+    assert out.to_dict() == {"x": [1, 2, 3]}
+
+
+def test_lazy_unique_distinct():
+    lf = pl.LazyFrame({"a": [1, 1, 2], "b": ["x", "x", "y"]})
+    assert lf.unique(maintain_order=True).collect().height == 2
+
+
+def test_explain_contains_nodes(pq_file):
+    p, _ = pq_file
+    lf = pl.scan_parquet(str(p)).filter(pl.col("price") > 0).select("id")
+    txt = lf.explain()
+    assert "SCAN" in txt
+
+
+def test_sink_parquet(tmp_path, pq_file):
+    p, df = pq_file
+    out_path = tmp_path / "out.parquet"
+    pl.scan_parquet(str(p)).filter(pl.col("volume") > 2500).sink_parquet(
+        str(out_path))
+    back = pl.read_parquet(str(out_path))
+    assert back.height == df.filter(pl.col("volume") > 2500).height
+
+
+def test_with_row_index_lazy():
+    lf = pl.LazyFrame({"a": [10, 20]})
+    assert lf.with_row_index("i").collect().to_dict() == \
+        {"i": [0, 1], "a": [10, 20]}
+
+
+def test_unpivot():
+    df = pl.DataFrame({"id": [1, 2], "x": [10, 20], "y": [30, 40]})
+    out = df.lazy().unpivot(["x", "y"], index=["id"]).collect() \
+        .sort(["variable", "id"])
+    assert out.to_dict() == {
+        "id": [1, 2, 1, 2], "variable": ["x", "x", "y", "y"],
+        "value": [10, 20, 30, 40]}
