@@ -234,6 +234,7 @@ class LazyFrame:
                 background: bool = False, **kw):
         from .frame import DataFrame
         from ..exec.executor import ExecState, execute
+        self._plan.schema()  # validate names/dtypes before pushdowns mask them
         plan = optimize(self._plan)
         if CONFIG.visualize_ir:
             print(plan.describe())

@@ -1,0 +1,205 @@
+"""SQL frontend tests (parity target: py-polars/tests/unit/sql/)."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+@pytest.fixture
+def ctx():
+    sales = pl.DataFrame({
+        "region": ["eu", "us", "eu", "us", "apac", "eu"],
+        "amount": [100.0, 200.0, 150.0, 50.0, 300.0, None],
+        "qty": [1, 2, 3, 4, 5, 6],
+        "product": ["widget", "gadget", "widget", "widget", "gizmo", "gadget"],
+    })
+    regions = pl.DataFrame({
+        "region": ["eu", "us", "apac"],
+        "name": ["Europe", "United States", "Asia Pacific"],
+    })
+    return pl.SQLContext(sales=sales, regions=regions)
+
+
+def test_select_where(ctx):
+    out = ctx.execute(
+        "SELECT product, amount FROM sales WHERE amount > 100", eager=True)
+    assert out.to_dict() == {"product": ["gadget", "widget", "gizmo"],
+                             "amount": [200.0, 150.0, 300.0]}
+
+
+def test_select_star_limit(ctx):
+    out = ctx.execute("SELECT * FROM sales LIMIT 2", eager=True)
+    assert out.height == 2 and out.width == 4
+
+
+def test_arithmetic_alias(ctx):
+    out = ctx.execute(
+        "SELECT qty * 2 AS dq, amount / 2 half FROM sales LIMIT 1",
+        eager=True)
+    assert out.to_dict() == {"dq": [2], "half": [50.0]}
+
+
+def test_group_by_agg(ctx):
+    out = ctx.execute("""
+        SELECT region, COUNT(*) AS n, SUM(amount) AS total,
+               AVG(amount) AS avg_amt
+        FROM sales GROUP BY region ORDER BY region
+    """, eager=True)
+    assert out.to_dict()["region"] == ["apac", "eu", "us"]
+    assert out.to_dict()["n"] == [1, 3, 2]
+    assert out.to_dict()["total"] == [300.0, 250.0, 250.0]
+
+
+def test_group_by_having(ctx):
+    out = ctx.execute("""
+        SELECT region, SUM(qty) AS tq FROM sales
+        GROUP BY region HAVING SUM(qty) > 5 ORDER BY tq DESC
+    """, eager=True)
+    assert out.to_dict() == {"region": ["eu", "us"], "tq": [10, 6]}
+
+
+def test_join(ctx):
+    out = ctx.execute("""
+        SELECT s.product, r.name, s.amount
+        FROM sales s JOIN regions r ON s.region = r.region
+        WHERE s.amount >= 200 ORDER BY s.amount
+    """, eager=True)
+    assert out.to_dict() == {
+        "product": ["gadget", "gizmo"],
+        "name": ["United States", "Asia Pacific"],
+        "amount": [200.0, 300.0]}
+
+
+def test_left_join_using(ctx):
+    out = ctx.execute("""
+        SELECT region, name FROM regions LEFT JOIN sales USING (region)
+        WHERE qty = 5
+    """, eager=True)
+    assert out.to_dict() == {"region": ["apac"], "name": ["Asia Pacific"]}
+
+
+def test_case_when(ctx):
+    out = ctx.execute("""
+        SELECT product,
+               CASE WHEN amount >= 200 THEN 'big'
+                    WHEN amount >= 100 THEN 'mid'
+                    ELSE 'small' END AS size
+        FROM sales WHERE amount IS NOT NULL ORDER BY amount
+    """, eager=True)
+    assert out.to_dict()["size"] == ["small", "mid", "mid", "big", "big"]
+
+
+def test_in_between_like(ctx):
+    out = ctx.execute(
+        "SELECT qty FROM sales WHERE region IN ('eu','apac') AND qty BETWEEN 2 AND 6 ORDER BY qty",
+        eager=True)
+    assert out.to_dict() == {"qty": [3, 5, 6]}
+    out2 = ctx.execute(
+        "SELECT DISTINCT product FROM sales WHERE product LIKE 'g%' ORDER BY product",
+        eager=True)
+    assert out2.to_dict() == {"product": ["gadget", "gizmo"]}
+
+
+def test_order_nulls_last(ctx):
+    out = ctx.execute(
+        "SELECT amount FROM sales ORDER BY amount DESC NULLS LAST LIMIT 3",
+        eager=True)
+    assert out.to_dict() == {"amount": [300.0, 200.0, 150.0]}
+
+
+def test_distinct_union(ctx):
+    out = ctx.execute("""
+        SELECT region FROM sales WHERE qty > 4
+        UNION SELECT region FROM sales WHERE qty < 2
+    """, eager=True).sort("region")
+    assert out.to_dict() == {"region": ["apac", "eu"]}
+    out2 = ctx.execute("""
+        SELECT region FROM sales WHERE qty = 1
+        UNION ALL SELECT region FROM sales WHERE qty = 1
+    """, eager=True)
+    assert out2.height == 2
+
+
+def test_subquery_cte(ctx):
+    out = ctx.execute("""
+        WITH big AS (SELECT * FROM sales WHERE amount > 100)
+        SELECT region, COUNT(*) AS n FROM big GROUP BY region ORDER BY region
+    """, eager=True)
+    assert out.to_dict() == {"region": ["apac", "eu", "us"], "n": [1, 1, 1]}
+    out2 = ctx.execute("""
+        SELECT * FROM (SELECT qty FROM sales WHERE qty <= 2) t ORDER BY qty
+    """, eager=True)
+    assert out2.to_dict() == {"qty": [1, 2]}
+
+
+def test_scalar_functions(ctx):
+    out = ctx.execute("""
+        SELECT UPPER(product) AS up, LENGTH(product) AS ln,
+               ROUND(amount / 7, 1) AS r
+        FROM sales WHERE qty = 1
+    """, eager=True)
+    assert out.to_dict() == {"up": ["WIDGET"], "ln": [6], "r": [14.3]}
+
+
+def test_count_distinct(ctx):
+    out = ctx.execute(
+        "SELECT COUNT(DISTINCT region) AS nr FROM sales", eager=True)
+    assert out.to_dict() == {"nr": [3]}
+
+
+def test_cast_and_coalesce(ctx):
+    out = ctx.execute("""
+        SELECT CAST(qty AS DOUBLE) AS q, COALESCE(amount, 0.0) AS amt
+        FROM sales WHERE qty >= 5 ORDER BY qty
+    """, eager=True)
+    assert out.to_dict() == {"q": [5.0, 6.0], "amt": [300.0, 0.0]}
+    out2 = ctx.execute("SELECT qty::float8 AS q FROM sales LIMIT 1", eager=True)
+    assert out2.to_dict() == {"q": [1.0]}
+
+
+def test_show_tables(ctx):
+    out = ctx.execute("SHOW TABLES", eager=True)
+    assert out.to_dict() == {"name": ["regions", "sales"]}
+
+
+def test_select_no_from():
+    ctx = pl.SQLContext()
+    out = ctx.execute("SELECT 1 + 2 AS x, 'hi' AS s", eager=True)
+    assert out.to_dict() == {"x": [3], "s": ["hi"]}
+
+
+def test_read_parquet_table_fn(tmp_path):
+    pl.DataFrame({"a": [1, 2, 3]}).write_parquet(tmp_path / "f.parquet")
+    ctx = pl.SQLContext()
+    out = ctx.execute(
+        f"SELECT SUM(a) AS s FROM read_parquet('{tmp_path}/f.parquet')",
+        eager=True)
+    assert out.to_dict() == {"s": [6]}
+
+
+def test_group_by_ordinal_and_expr(ctx):
+    out = ctx.execute("""
+        SELECT region, MAX(amount) - MIN(amount) AS rng
+        FROM sales WHERE amount IS NOT NULL GROUP BY 1 ORDER BY 1
+    """, eager=True)
+    assert out.to_dict()["region"] == ["apac", "eu", "us"]
+    assert out.to_dict()["rng"] == [0.0, 50.0, 150.0]
+
+
+def test_anti_semi_join(ctx):
+    out = ctx.execute("""
+        SELECT region FROM regions ANTI JOIN sales ON regions.region = sales.region
+    """, eager=True)
+    assert out.height == 0
+    out2 = ctx.execute("""
+        SELECT r.region FROM regions r SEMI JOIN sales s ON r.region = s.region
+        ORDER BY region
+    """, eager=True)
+    assert out2.to_dict() == {"region": ["apac", "eu", "us"]}
+
+
+def test_lazy_execution(ctx):
+    lf = ctx.execute("SELECT region FROM sales LIMIT 2")
+    assert isinstance(lf, pl.LazyFrame)
+    assert lf.collect().height == 2
