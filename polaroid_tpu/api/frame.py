@@ -346,6 +346,63 @@ class DataFrame:
         keys = meta.expand_exprs(keys, self.schema)
         return GroupBy(self, keys, maintain_order)
 
+    def group_by_dynamic(self, index_column: str, *, every: str,
+                         period: Optional[str] = None,
+                         offset: Optional[str] = None, closed: str = "left",
+                         group_by=None, start_by: str = "window"):
+        from ..ops.temporal_window import dynamic_group_by
+        keys = _to_exprs((group_by,)) if group_by is not None else []
+
+        class _Dyn:
+            def agg(_s, *aggs, **named):
+                es = meta.expand_exprs(_to_exprs(aggs, named), self.schema)
+                return DataFrame._from_table(dynamic_group_by(
+                    self._table, index_column, every, period, offset, closed,
+                    keys, es, start_by))
+        return _Dyn()
+
+    def rolling(self, index_column: str, *, period: str, group_by=None,
+                closed: str = "right"):
+        from ..ops.temporal_window import rolling_agg
+        keys = _to_exprs((group_by,)) if group_by is not None else []
+
+        class _Roll:
+            def agg(_s, *aggs, **named):
+                es = meta.expand_exprs(_to_exprs(aggs, named), self.schema)
+                return DataFrame._from_table(rolling_agg(
+                    self._table, index_column, period, keys, es, closed))
+        return _Roll()
+
+    def upsample(self, time_column: str, *, every: str) -> "DataFrame":
+        """Insert rows at regular intervals (nulls elsewhere); reference:
+        polars-time upsample."""
+        import numpy as np
+        t = C.compact(self._table)
+        cvals = t.column(time_column).to_numpy(t.nrows or 0)
+        if len(cvals) == 0:
+            return self
+        from ..ops.temporal import parse_every
+        kind, n = parse_every(every)
+        dt = t.column(time_column).dtype
+        import datetime as _dt
+        lo, hi = min(cvals), max(cvals)
+        if repr(dt) == "Date":
+            step = _dt.timedelta(days=max(n // (86_400 * 1_000_000_000), 1))
+            grid = []
+            cur = lo
+            while cur <= hi:
+                grid.append(cur)
+                cur = cur + step
+        else:
+            step = _dt.timedelta(microseconds=n / 1000)
+            grid = []
+            cur = lo
+            while cur <= hi:
+                grid.append(cur)
+                cur = cur + step
+        gdf = DataFrame({time_column: grid})
+        return gdf.join(self, on=time_column, how="left")
+
     def join(self, other: "DataFrame", on=None, how: str = "inner", *,
              left_on=None, right_on=None, suffix: str = "_right",
              join_nulls: bool = False, coalesce: Optional[bool] = None,

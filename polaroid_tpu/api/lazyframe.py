@@ -175,6 +175,53 @@ class LazyFrame:
             L.Join(self._plan, other._plan, left_on, right_on, how, suffix,
                    join_nulls, coalesce))
 
+    def group_by_dynamic(self, index_column: str, *, every: str,
+                         period: Optional[str] = None,
+                         offset: Optional[str] = None, closed: str = "left",
+                         group_by=None, start_by: str = "window"):
+        outer = self
+
+        class _Dyn:
+            def agg(_s, *aggs, **named):
+                def fn(t):
+                    from ..ops.temporal_window import dynamic_group_by
+                    keys = _to_exprs((group_by,)) if group_by is not None else []
+                    es = meta.expand_exprs(_to_exprs(aggs, named),
+                                           dict(t.schema))
+                    return dynamic_group_by(t, index_column, every, period,
+                                            offset, closed, keys, es, start_by)
+
+                def schema_fn(ins):
+                    keys = _to_exprs((group_by,)) if group_by is not None else []
+                    out = {}
+                    for k in keys:
+                        out[meta.output_name(k)] = meta.output_dtype(k, ins)
+                    out[index_column] = ins[index_column]
+                    for a in meta.expand_exprs(_to_exprs(aggs, named), ins):
+                        out[meta.output_name(a)] = meta.output_dtype(a, ins)
+                    return out
+                return LazyFrame._from_plan(
+                    L.MapFunction(outer._plan, fn, schema_fn, False,
+                                  "group_by_dynamic"))
+        return _Dyn()
+
+    def rolling(self, index_column: str, *, period: str, group_by=None,
+                closed: str = "right"):
+        outer = self
+
+        class _Roll:
+            def agg(_s, *aggs, **named):
+                def fn(t):
+                    from ..ops.temporal_window import rolling_agg
+                    keys = _to_exprs((group_by,)) if group_by is not None else []
+                    es = meta.expand_exprs(_to_exprs(aggs, named),
+                                           dict(t.schema))
+                    return rolling_agg(t, index_column, period, keys, es,
+                                       closed)
+                return LazyFrame._from_plan(
+                    L.MapFunction(outer._plan, fn, None, False, "rolling"))
+        return _Roll()
+
     def join_asof(self, other: "LazyFrame", *, on=None, left_on=None,
                   right_on=None, by=None, by_left=None, by_right=None,
                   strategy: str = "backward", suffix: str = "_right",

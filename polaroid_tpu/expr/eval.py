@@ -1316,8 +1316,8 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             data = jnp.where(v.data == o, jnp.asarray(n, data.dtype), data)
         return Val(v.dtype, data, v.validity, None, v.is_scalar, v.live)
     if k == "over":
-        raise InvalidOperationError("window .over() requires group machinery; "
-                                    "evaluated by the executor")
+        from ..ops.window_over import eval_over
+        return eval_over(e, table, ctx)
     raise ComputeError(f"cannot evaluate expr kind {k!r}")
 
 

@@ -1,0 +1,256 @@
+"""Grouped window expressions: `expr.over(partition_by)`.
+
+Capability analogue of the reference's WindowExpr
+(`polars-expr/src/expressions/window.rs`): evaluate an aggregation per
+partition and broadcast it back to rows, or run order-dependent ops
+(shift/cum_*/rank/fill) segmented by partition. All segmented ops run on
+the group-sorted layout (stable sort keeps original row order within a
+partition) with boundary-reset scans — one device sort, no per-group
+loops.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Table
+from ..dtypes import Boolean, Float64, UInt32
+from ..errors import InvalidOperationError
+from ..expr.expr import Expr
+from ..expr.eval import Val, _float_dt, _stor, _type_bounds, eval_expr
+from .groupby import GroupContext, build_groups, eval_group_expr
+
+
+def _row_gid(gctx: GroupContext):
+    """gid per ORIGINAL row position."""
+    inv = jnp.argsort(gctx.perm, stable=True)
+    return gctx.gid[inv]
+
+
+def _segmented_cummax(values, reset):
+    """Per-segment running max; `reset` marks segment starts."""
+
+    def comb(a, b):
+        ra, va = a
+        rb, vb = b
+        return (ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb)))
+
+    _, out = jax.lax.associative_scan(comb, (reset, values))
+    return out
+
+
+def _segmented_cumsum(values, reset):
+    def comb(a, b):
+        ra, va = a
+        rb, vb = b
+        return (ra | rb, jnp.where(rb, vb, va + vb))
+
+    _, out = jax.lax.associative_scan(comb, (reset, values))
+    return out
+
+
+def _segmented_cummin(values, reset):
+    def comb(a, b):
+        ra, va = a
+        rb, vb = b
+        return (ra | rb, jnp.where(rb, vb, jnp.minimum(va, vb)))
+
+    _, out = jax.lax.associative_scan(comb, (reset, values))
+    return out
+
+
+def eval_over(e: Expr, table: Table, ctx: str) -> Val:
+    inner = e.children[0]
+    parts = list(e.children[1:])
+    key_vals = [eval_expr(p, table, ctx) for p in parts]
+    cap = table.capacity
+    mask = table.row_mask()
+    key_vals = [Val(v.dtype,
+                    v.data if v.data.shape[0] == cap
+                    else jnp.broadcast_to(v.data, (cap,)),
+                    None if v.validity is None else
+                    (v.validity if v.validity.shape[0] == cap
+                     else jnp.broadcast_to(v.validity, (cap,))),
+                    v.sdict, False, v.live) for v in key_vals]
+    gctx = build_groups(key_vals, mask)
+    gid_row = _row_gid(gctx)
+
+    if inner.kind in ("agg", "table_len") or _is_agg_combo(inner):
+        gv = eval_group_expr(inner, table, gctx, [], {})
+        gdata = gv.data if gv.data.shape[0] == cap else \
+            jnp.broadcast_to(gv.data, (cap,))
+        gidc = jnp.clip(gid_row, 0, cap - 1)
+        data = gdata[gidc]
+        validity = None
+        if gv.validity is not None:
+            gval = gv.validity if gv.validity.shape[0] == cap else \
+                jnp.broadcast_to(gv.validity, (cap,))
+            validity = gval[gidc]
+        return Val(gv.dtype, data, validity, gv.sdict, False)
+
+    if inner.kind == "window":
+        return _eval_window_over(inner, table, ctx, gctx)
+
+    raise InvalidOperationError(
+        f"expression kind {inner.kind!r} not supported with .over()")
+
+
+def _is_agg_combo(e: Expr) -> bool:
+    """elementwise combination of aggregates (e.g. x.sum()+1)."""
+    if e.kind in ("agg", "table_len"):
+        return True
+    if e.kind in ("binary", "unary", "cast", "alias"):
+        ok = False
+        for c in e.children:
+            if c.kind == "lit":
+                continue
+            if not _is_agg_combo(c):
+                return False
+            ok = True
+        return ok
+    return False
+
+
+def _eval_window_over(e: Expr, table: Table, ctx: str,
+                      gctx: GroupContext) -> Val:
+    op = e.attrs["op"]
+    v = eval_expr(e.children[0], table, ctx)
+    fillv = eval_expr(e.children[1], table, ctx)
+    cap = table.capacity
+    # sorted layout: groups contiguous, original order within group
+    x = (v.data if v.data.shape[0] == cap
+         else jnp.broadcast_to(v.data, (cap,)))[gctx.perm]
+    xv = (v.valid_or_true() if v.validity is not None
+          else jnp.ones(cap, jnp.bool_))
+    xv = (xv if xv.shape[0] == cap else jnp.broadcast_to(xv, (cap,)))[gctx.perm]
+    xv = xv & gctx.live_sorted
+    idx = jnp.arange(cap)
+    gstart = gctx.group_start[jnp.clip(gctx.gid, 0, cap - 1)]
+    reset = gctx.newgrp
+    inv = jnp.argsort(gctx.perm, stable=True)
+
+    def back(data, validity, out_dt=None, sdict=None):
+        out_dt = out_dt or v.dtype
+        return Val(out_dt, data[inv],
+                   validity[inv] if validity is not None else None,
+                   sdict if sdict is not None else v.sdict, False, v.live)
+
+    if op == "shift" or op == "diff" or op == "pct_change":
+        n = e.attrs.get("n", 1)
+        src = idx - n
+        inb = (src >= gstart) & (src >= 0) & (src < cap) & gctx.live_sorted
+        # shifting backward (n<0): stay within group end
+        if n < 0:
+            gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+            inb = (src < gstart + gcount) & (src >= 0) & gctx.live_sorted
+        srcc = jnp.clip(src, 0, cap - 1)
+        prev = x[srcc]
+        pvalid = inb & xv[srcc]
+        if op == "shift":
+            data, validity = prev, pvalid
+            if repr(fillv.dtype) != "Null":
+                from ..expr.eval import cast_val
+                fv = cast_val(fillv, v.dtype)
+                data = jnp.where(inb, prev, jnp.broadcast_to(fv.data, (cap,)))
+                validity = jnp.where(inb, pvalid, True)
+            return back(data, validity)
+        validity = pvalid & xv
+        if op == "diff":
+            return back(x - prev, validity)
+        out_dt = _float_dt(v.dtype)
+        f = x.astype(_stor(out_dt))
+        return back(f / prev.astype(_stor(out_dt)) - 1.0, validity, out_dt)
+
+    if op in ("cum_sum", "cum_min", "cum_max", "cum_count", "cum_prod"):
+        if op == "cum_count":
+            data = _segmented_cumsum(xv.astype(jnp.uint32), reset)
+            return back(data, None, UInt32)
+        if op == "cum_sum":
+            data = _segmented_cumsum(jnp.where(xv, x, 0), reset)
+        elif op == "cum_prod":
+            # log-domain would lose sign; use scan with multiply
+            def comb(a, b):
+                ra, va = a
+                rb, vb = b
+                return (ra | rb, jnp.where(rb, vb, va * vb))
+            _, data = jax.lax.associative_scan(
+                comb, (reset, jnp.where(xv, x, 1)))
+        else:
+            lo, hi = _type_bounds(x.dtype)
+            ident = hi if op == "cum_min" else lo
+            fn = _segmented_cummin if op == "cum_min" else _segmented_cummax
+            data = fn(jnp.where(xv, x, ident), reset)
+        validity = (v.valid_or_true()[gctx.perm]) if v.validity is not None \
+            else None
+        return back(data.astype(x.dtype), validity)
+
+    if op == "rank":
+        return _rank_over(e, v, x, xv, gctx, back)
+
+    if op in ("forward_fill", "backward_fill"):
+        fwd = op == "forward_fill"
+        if fwd:
+            last = _segmented_cummax(jnp.where(xv, idx, -1), reset)
+            has = last >= 0
+            data = x[jnp.clip(last, 0, cap - 1)]
+            return back(data, has & gctx.live_sorted)
+        # backward: reverse the sorted layout per group == reverse whole
+        # array with reversed reset marks (group ends become starts)
+        rx, rxv = x[::-1], xv[::-1]
+        rreset = jnp.roll(reset, -1)[::-1]
+        rlast = _segmented_cummax(jnp.where(rxv, idx, -1), rreset)
+        has = rlast >= 0
+        data = rx[jnp.clip(rlast, 0, cap - 1)]
+        return back(data[::-1], (has & gctx.live_sorted[::-1])[::-1])
+
+    raise InvalidOperationError(f"window op {op!r} not supported with .over()")
+
+
+def _rank_over(e: Expr, v: Val, x, xv, gctx: GroupContext, back):
+    method = e.attrs.get("method", "average")
+    desc = e.attrs.get("descending", False)
+    cap = x.shape[0]
+    from .keycode import encode_key_words
+    from .keycode import lex_sort_indices
+    gkey = jnp.where(xv, gctx.gid, cap).astype(jnp.uint32)
+    vw = encode_key_words(x, None, desc, False)
+    words = [gkey] + vw
+    idx32 = jnp.arange(cap, dtype=jnp.int32)
+    skeys, tails, perm2 = lex_sort_indices(words, (idx32,))
+    sgid = skeys[0].astype(jnp.int32)
+    idx = jnp.arange(cap)
+    # group starts in the second sort
+    g_new = (idx == 0) | (sgid != jnp.roll(sgid, 1))
+    # tie starts: value OR group changes (g_new ⊆ new_val), so plain global
+    # scans respect group boundaries automatically
+    new_val = g_new
+    for w in skeys[1:]:
+        new_val = new_val | (w != jnp.roll(w, 1))
+    base = jax.lax.cummax(jnp.where(g_new, idx, -1))
+    pos = idx - base  # 0-based position within group
+    tie_start = jax.lax.cummax(jnp.where(new_val, idx, -1)) - base
+    # next tie start (suffix min of stop positions) -> tie end
+    stoppos = jnp.where(new_val, idx, cap).astype(jnp.int32)
+    sufmin = jax.lax.cummin(stoppos[::-1])[::-1]
+    next_stop = jnp.concatenate([sufmin[1:], jnp.array([cap], jnp.int32)])
+    tie_end = next_stop - 1 - base
+    cnv = jnp.cumsum(new_val.astype(jnp.int32))
+    dense = cnv - cnv[jnp.clip(base, 0, cap - 1)] + 1
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if method == "ordinal":
+        r = (pos + 1).astype(fdt)
+    elif method == "min":
+        r = (tie_start + 1).astype(fdt)
+    elif method == "max":
+        r = (tie_end + 1).astype(fdt)
+    elif method == "dense":
+        r = dense.astype(fdt)
+    else:  # average
+        r = (tie_start + tie_end).astype(fdt) / 2 + 1
+    out_sorted2 = jnp.zeros(cap, r.dtype).at[perm2].set(r)
+    out_dt = Float64 if method == "average" else UInt32
+    data = out_sorted2.astype(_stor(out_dt))
+    return back(data, xv, out_dt)

@@ -1,0 +1,153 @@
+"""group_by_dynamic, rolling windows, timeseries ops."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polaroid_tpu as pl
+from polaroid_tpu import timeseries as ts
+
+
+def ts_range(start, n, step_s):
+    return [start + dt.timedelta(seconds=i * step_s) for i in range(n)]
+
+
+def test_group_by_dynamic_hourly():
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    times = ts_range(t0, 8, 30 * 60)  # every 30 min -> 4 hourly buckets
+    df = pl.DataFrame({"t": times, "v": [1, 2, 3, 4, 5, 6, 7, 8]})
+    out = df.group_by_dynamic("t", every="1h").agg(
+        pl.col("v").sum().alias("s"), pl.len().alias("n"))
+    assert out.to_dict()["s"] == [3, 7, 11, 15]
+    assert out.to_dict()["n"] == [2, 2, 2, 2]
+    assert out.to_dict()["t"][0] == t0
+
+
+def test_group_by_dynamic_with_group():
+    t0 = dt.datetime(2024, 1, 1)
+    df = pl.DataFrame({
+        "t": ts_range(t0, 6, 30 * 60),
+        "sym": ["a", "b", "a", "b", "a", "b"],
+        "v": [1.0, 10.0, 2.0, 20.0, 3.0, 30.0]})
+    out = df.group_by_dynamic("t", every="1h", group_by="sym").agg(
+        pl.col("v").sum().alias("s"))
+    d = out.to_dict()
+    assert d["sym"] == ["a", "a", "a", "b", "b", "b"]
+    assert d["s"] == [1.0, 2.0, 3.0, 10.0, 20.0, 30.0]
+
+
+def test_group_by_dynamic_int_index():
+    df = pl.DataFrame({"i": [0, 1, 2, 3, 4, 5, 9], "v": [1] * 7})
+    out = df.group_by_dynamic("i", every="3i").agg(pl.len().alias("n"))
+    assert out.to_dict() == {"i": [0, 3, 9], "n": [3, 3, 1]}
+
+
+def test_rolling_sum_time_window():
+    t0 = dt.datetime(2024, 1, 1)
+    df = pl.DataFrame({
+        "t": ts_range(t0, 5, 60),  # 1 minute apart
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = df.rolling("t", period="2m").agg(pl.col("v").sum().alias("s"),
+                                           pl.col("v").min().alias("mn"),
+                                           pl.col("v").max().alias("mx"),
+                                           pl.col("v").mean().alias("m"))
+    d = out.to_dict()
+    # window (t-2m, t]: rows within the last 2 minutes
+    assert d["s"] == [1.0, 3.0, 5.0, 7.0, 9.0]
+    assert d["mn"] == [1.0, 1.0, 2.0, 3.0, 4.0]
+    assert d["mx"] == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_rolling_grouped():
+    t0 = dt.datetime(2024, 1, 1)
+    df = pl.DataFrame({
+        "t": ts_range(t0, 6, 60),
+        "k": ["a", "b", "a", "b", "a", "b"],
+        "v": [1.0, 10.0, 2.0, 20.0, 3.0, 30.0]})
+    out = df.rolling("t", period="5m", group_by="k").agg(
+        pl.col("v").sum().alias("s"))
+    d = out.to_dict()
+    # original row order preserved; windows within each group
+    assert d["k"] == ["a", "b", "a", "b", "a", "b"]
+    assert d["s"] == [1.0, 10.0, 3.0, 30.0, 6.0, 60.0]
+
+
+def test_rolling_oracle_random(rng):
+    n = 300
+    secs = np.sort(rng.choice(np.arange(0, 3000), n, replace=False))
+    t0 = dt.datetime(2024, 1, 1)
+    times = [t0 + dt.timedelta(seconds=int(s)) for s in secs]
+    vals = rng.normal(size=n)
+    df = pl.DataFrame({"t": times, "v": vals})
+    out = df.rolling("t", period="5m").agg(
+        pl.col("v").sum().alias("s"), pl.col("v").max().alias("mx"),
+        pl.col("v").count().alias("c"))
+    pdf = pd.DataFrame({"v": vals}, index=pd.to_datetime(times))
+    r = pdf.rolling("300s")
+    got = out.to_dict()
+    assert np.allclose(got["s"], r.sum()["v"].values)
+    assert np.allclose(got["mx"], r.max()["v"].values)
+    assert got["c"] == [int(x) for x in r.count()["v"].values]
+
+
+def test_vwap():
+    df = pl.DataFrame({"price": [10.0, 20.0, 30.0],
+                       "volume": [1, 1, 2],
+                       "sym": ["x", "x", "y"]})
+    out = ts.vwap(df, by="sym").sort("sym")
+    assert out.to_dict()["vwap"] == [15.0, 30.0]
+    flat = ts.vwap(df)
+    assert flat.to_dict()["vwap"] == [22.5]
+
+
+def test_twap():
+    t0 = dt.datetime(2024, 1, 1)
+    df = pl.DataFrame({
+        "timestamp": [t0, t0 + dt.timedelta(minutes=1),
+                      t0 + dt.timedelta(minutes=3)],
+        "price": [10.0, 20.0, 99.0]})
+    out = ts.twap(df)
+    # p=10 held 1min, p=20 held 2min, last row no interval
+    assert abs(out.to_dict()["twap"][0] - (10 * 1 + 20 * 2) / 3) < 1e-9
+
+
+def test_resample_ohlcv():
+    t0 = dt.datetime(2024, 1, 1)
+    df = pl.DataFrame({
+        "timestamp": ts_range(t0, 6, 30),
+        "price": [5.0, 9.0, 1.0, 7.0, 3.0, 8.0],
+        "volume": [1, 2, 3, 4, 5, 6]})
+    out = ts.resample_ohlcv(df, "1m")
+    d = out.to_dict()
+    assert d["open"] == [5.0, 1.0, 3.0]
+    assert d["high"] == [9.0, 7.0, 8.0]
+    assert d["low"] == [5.0, 1.0, 3.0]
+    assert d["close"] == [9.0, 7.0, 8.0]
+    assert d["volume"] == [3, 7, 11]
+
+
+def test_sessions():
+    times = [dt.datetime(2024, 1, 1, h) for h in (2, 9, 15, 22)]
+    df = pl.DataFrame({"timestamp": times, "v": [1, 2, 3, 4]})
+    out = df.with_columns(ts.session_id())
+    assert out.to_dict()["session"] == ["asia", "europe", "us", "asia"]
+    us = ts.filter_trading_hours(df, "us")
+    assert us.to_dict()["v"] == [3]
+
+
+def test_lazy_group_by_dynamic():
+    t0 = dt.datetime(2024, 1, 1)
+    lf = pl.LazyFrame({"t": ts_range(t0, 4, 30 * 60), "v": [1, 2, 3, 4]})
+    out = lf.group_by_dynamic("t", every="1h").agg(
+        pl.col("v").sum().alias("s")).collect()
+    assert out.to_dict()["s"] == [3, 7]
+
+
+def test_upsample():
+    df = pl.DataFrame({"t": [dt.date(2024, 1, 1), dt.date(2024, 1, 4)],
+                       "v": [1, 4]})
+    out = df.upsample("t", every="1d").sort("t")
+    assert out.height == 4
+    assert out.to_dict()["v"] == [1, None, None, 4]
