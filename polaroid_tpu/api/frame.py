@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..batch import Column, Table
 from ..config import capacity_for
-from ..dtypes import Boolean, DataType
+from ..dtypes import Boolean, DataType, Float64, UInt8
 from ..errors import (ColumnNotFoundError, ComputeError, DuplicateError,
                       InvalidOperationError, ShapeError)
 from ..expr import meta
@@ -418,6 +418,124 @@ class DataFrame:
         out = join_tables(self._table, other._table, left_on, right_on, how,
                           suffix, join_nulls, coalesce)
         return DataFrame._from_table(out)
+
+    # --- reshaping ------------------------------------------------------
+    def pivot(self, on, *, index=None, values=None,
+              aggregate_function: str = "first") -> "DataFrame":
+        """Wide pivot (reference: polars-ops pivot): one output column per
+        distinct `on` value, filled by the chosen aggregation."""
+        on_names = [on] if isinstance(on, str) else list(on)
+        if len(on_names) != 1:
+            raise ComputeError("pivot supports a single `on` column")
+        on_col = on_names[0]
+        index = [index] if isinstance(index, str) else list(index or [])
+        if not index:
+            index = [c for c in self.columns
+                     if c != on_col and (values is None or c not in values)]
+            index = index[:1]
+        if values is None:
+            values = [c for c in self.columns
+                      if c != on_col and c not in index]
+        values = [values] if isinstance(values, str) else list(values)
+        distinct = sorted(set(self.get_column(on_col).to_list()),
+                          key=lambda x: (x is None, x))
+        aggs = []
+        for v in values:
+            for d in distinct:
+                base = _col(v).filter(_col(on_col) == d) if d is not None \
+                    else _col(v).filter(_col(on_col).is_null())
+                agg = getattr(base, aggregate_function
+                              if aggregate_function != "count" else "count")()
+                name = str(d) if len(values) == 1 else f"{v}_{d}"
+                aggs.append(agg.alias(name))
+        return self.group_by(index, maintain_order=True).agg(aggs)
+
+    def unpivot(self, on=None, *, index=None, variable_name: str = "variable",
+                value_name: str = "value") -> "DataFrame":
+        return self.lazy().unpivot(on, index=index,
+                                   variable_name=variable_name,
+                                   value_name=value_name).collect()
+
+    melt = unpivot
+
+    def partition_by(self, *by, as_dict: bool = False,
+                     maintain_order: bool = True):
+        names = []
+        for b in by:
+            names.extend(b if isinstance(b, (list, tuple)) else [b])
+        keys = self.select(names).unique(maintain_order=maintain_order)
+        key_rows = keys.rows()
+        out = []
+        for row in key_rows:
+            pred = None
+            for n, v in zip(names, row):
+                p = _col(n).is_null() if v is None else (_col(n) == v)
+                pred = p if pred is None else (pred & p)
+            out.append(self.filter(pred))
+        if as_dict:
+            return {row if len(row) > 1 else row[0]: df
+                    for row, df in zip(key_rows, out)}
+        return out
+
+    def sample(self, n: Optional[int] = None, *,
+               fraction: Optional[float] = None, shuffle: bool = False,
+               seed: Optional[int] = None,
+               with_replacement: bool = False) -> "DataFrame":
+        t = C.compact(self._table)
+        total = t.nrows or 0
+        if n is None:
+            n = total if fraction is None else int(total * fraction)
+        rng = np.random.default_rng(seed)
+        if with_replacement:
+            idx = rng.integers(0, max(total, 1), n)
+        else:
+            n = min(n, total)
+            idx = rng.choice(total, n, replace=False)
+        if not shuffle:
+            idx = np.sort(idx)
+        perm = np.zeros(t.capacity, dtype=np.int32)
+        perm[:len(idx)] = idx
+        out = C.gather_table(t, jnp.asarray(perm), len(idx), None)
+        return DataFrame._from_table(C.shrink_to(out, len(idx)))
+
+    def shuffle(self, seed: Optional[int] = None) -> "DataFrame":
+        return self.sample(fraction=1.0, shuffle=True, seed=seed)
+
+    def describe(self) -> "DataFrame":
+        stats = ["count", "null_count", "mean", "std", "min", "25%", "50%",
+                 "75%", "max"]
+        data: Dict[str, list] = {"statistic": stats}
+        for name in self.columns:
+            dt = self.schema[name]
+            col_vals: list = []
+            c = _col(name)
+            if dt.is_numeric or dt.is_bool:
+                cc = c if not dt.is_bool else c.cast(UInt8)
+                vals = self.select(
+                    c.count().cast(Float64).alias("count"),
+                    c.null_count().cast(Float64).alias("nc"),
+                    cc.mean().alias("mean"), cc.std().alias("std"),
+                    cc.min().cast(Float64).alias("min"),
+                    cc.quantile(0.25, "linear").alias("q1"),
+                    cc.quantile(0.5, "linear").alias("q2"),
+                    cc.quantile(0.75, "linear").alias("q3"),
+                    cc.max().cast(Float64).alias("max")).rows()[0]
+                col_vals = list(vals)
+            else:
+                cnt = self.select(c.count().alias("c")).item()
+                nc = self.select(c.null_count().alias("c")).item()
+                mn = self.select(c.min().alias("m")).item() \
+                    if dt.is_string or dt.is_temporal else None
+                mx = self.select(c.max().alias("m")).item() \
+                    if dt.is_string or dt.is_temporal else None
+                # non-numeric columns report as strings (polars semantics)
+                col_vals = [str(cnt), str(nc), None, None,
+                            None if mn is None else str(mn),
+                            None, None, None,
+                            None if mx is None else str(mx)]
+            data[name] = col_vals if not (dt.is_numeric or dt.is_bool) else \
+                [None if v is None else float(v) for v in col_vals]
+        return DataFrame(data)
 
     # --- combining ------------------------------------------------------
     def vstack(self, other: "DataFrame") -> "DataFrame":

@@ -282,17 +282,27 @@ def coalesce(*exprs) -> Expr:
 
 
 def corr(a, b, ddof: int = 1) -> Expr:
+    """Pearson correlation via the sums formulation — composes out of
+    plain aggregations so it is exact per group in group_by context and
+    pairwise-complete under nulls."""
     a, b = _wrap_col(a), _wrap_col(b)
-    am, bm = a.mean(), b.mean()
-    cov_ = ((a - am) * (b - bm)).sum()
-    return (cov_ / (((a - am) * (a - am)).sum().sqrt()
-                    * ((b - bm) * (b - bm)).sum().sqrt())).alias("corr")
+    pair = a.is_not_null() & b.is_not_null()
+    ax, bx = a.filter(pair), b.filter(pair)
+    n = ax.count()
+    sx, sy = ax.sum(), bx.sum()
+    sxx, syy = (ax * ax).sum(), (bx * bx).sum()
+    sxy = (ax * bx).sum()
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx).sqrt() * (n * syy - sy * sy).sqrt())
+    return (num / den).alias("corr")
 
 
 def cov(a, b, ddof: int = 1) -> Expr:
     a, b = _wrap_col(a), _wrap_col(b)
-    n = a.count()
-    return (((a - a.mean()) * (b - b.mean())).sum()
+    pair = a.is_not_null() & b.is_not_null()
+    ax, bx = a.filter(pair), b.filter(pair)
+    n = ax.count()
+    return (((ax * bx).sum() - ax.sum() * bx.sum() / n)
             / (n - ddof)).alias("cov")
 
 

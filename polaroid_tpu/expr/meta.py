@@ -293,6 +293,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return Datetime(e.attrs["time_unit"]) if isinstance(ct, Datetime) \
                 else Duration(e.attrs["time_unit"])
         return ct
+    if k == "concat_str":
+        return String
     if k == "hash":
         return UInt32
     if k == "unique_counts":

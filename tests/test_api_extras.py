@@ -1,0 +1,108 @@
+"""pivot, partition_by, sample, describe, concat_str, string casts, Series."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+def test_pivot():
+    df = pl.DataFrame({"k": ["a", "a", "b", "b"],
+                       "cat": ["x", "y", "x", "y"],
+                       "v": [1, 2, 3, 4]})
+    out = df.pivot("cat", index="k", values="v")
+    assert out.to_dict() == {"k": ["a", "b"], "x": [1, 3], "y": [2, 4]}
+
+
+def test_pivot_agg_sum():
+    df = pl.DataFrame({"k": ["a", "a", "a"], "cat": ["x", "x", "y"],
+                       "v": [1, 2, 10]})
+    out = df.pivot("cat", index="k", values="v", aggregate_function="sum")
+    assert out.to_dict() == {"k": ["a"], "x": [3], "y": [10]}
+
+
+def test_partition_by():
+    df = pl.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    parts = df.partition_by("k")
+    assert len(parts) == 2
+    assert parts[0].to_dict() == {"k": ["a", "a"], "v": [1, 3]}
+    d = df.partition_by("k", as_dict=True)
+    assert d["b"].to_dict() == {"k": ["b"], "v": [2]}
+
+
+def test_sample_and_shuffle():
+    df = pl.DataFrame({"a": list(range(100))})
+    s = df.sample(10, seed=1)
+    assert s.height == 10
+    assert len(set(s.to_dict()["a"])) == 10
+    sh = df.shuffle(seed=2)
+    assert sh.height == 100
+    assert sorted(sh.to_dict()["a"]) == list(range(100))
+    assert sh.to_dict()["a"] != list(range(100))
+
+
+def test_describe():
+    df = pl.DataFrame({"a": [1.0, 2.0, 3.0, None], "s": ["x", "y", "y", None]})
+    out = df.describe()
+    d = out.to_dict()
+    assert d["statistic"][0] == "count"
+    assert d["a"][0] == 3.0  # count
+    assert d["a"][1] == 1.0  # null_count
+    assert d["a"][2] == 2.0  # mean
+    assert d["s"][4] == "x" and d["s"][8] == "y"  # min/max
+
+
+def test_cast_to_string():
+    df = pl.DataFrame({"a": [1, 2], "f": [1.5, 2.0], "b": [True, False]})
+    out = df.select(pl.col("a").cast(pl.String).alias("sa"),
+                    pl.col("f").cast(pl.String).alias("sf"),
+                    pl.col("b").cast(pl.String).alias("sb"))
+    assert out.to_dict() == {"sa": ["1", "2"], "sf": ["1.5", "2.0"],
+                             "sb": ["true", "false"]}
+
+
+def test_cast_string_to_number():
+    df = pl.DataFrame({"s": ["1", "2.5", "zzz", None]})
+    out = df.select(pl.col("s").cast(pl.Float64, strict=False).alias("f"),
+                    pl.col("s").cast(pl.Int64, strict=False).alias("i"))
+    assert out.to_dict()["f"] == [1.0, 2.5, None, None]
+    assert out.to_dict()["i"] == [1, 2, None, None]
+
+
+def test_concat_str():
+    df = pl.DataFrame({"a": ["x", "y", None], "n": [1, 2, 3]})
+    out = df.select(pl.concat_str(pl.col("a"), pl.col("n"),
+                                  separator="-").alias("c"))
+    assert out.to_dict() == {"c": ["x-1", "y-2", None]}
+
+
+def test_series_arithmetic():
+    s = pl.Series("v", [1, 2, 3])
+    assert (s + 1).to_list() == [2, 3, 4]
+    assert (s * s).to_list() == [1, 4, 9]
+    assert (-s).to_list() == [-1, -2, -3]
+    assert s.cast(pl.Float64).to_list() == [1.0, 2.0, 3.0]
+
+
+def test_series_filter_sort_unique():
+    s = pl.Series("v", [3, 1, 2, 1])
+    assert s.sort().to_list() == [1, 1, 2, 3]
+    assert sorted(s.unique().to_list()) == [1, 2, 3]
+    m = s > 1
+    assert s.filter(m).to_list() == [3, 2]
+    assert s.head(2).to_list() == [3, 1]
+
+
+def test_series_value_counts():
+    s = pl.Series("v", ["a", "b", "a"])
+    out = s.value_counts()
+    assert out.to_dict() == {"v": ["a", "b"], "count": [2, 1]}
+
+
+def test_series_null_ops():
+    s = pl.Series("v", [1, None, 3])
+    assert s.is_null().to_list() == [False, True, False]
+    assert s.fill_null(0).to_list() == [1, 0, 3]
+    assert s.shift(1).to_list() == [None, 1, None] or \
+        s.shift(1).to_list() == [None, 1, None]
+    assert s.cum_sum().to_list() == [1, None, 4]
