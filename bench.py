@@ -44,7 +44,35 @@ def _bench(fn, args, iters=10, warmup=2):
     return max((total - fetch) / iters, 1e-9)
 
 
+def _device_selftest(timeout_s: float = 120.0) -> bool:
+    """The axon tunnel can wedge (device->host readback hangs forever);
+    probe it with a watchdog so bench always produces a result line."""
+    import threading
+    ok = [False]
+
+    def probe():
+        try:
+            x = jax.device_put(np.arange(8, dtype=np.int32))
+            ok[0] = bool(np.asarray(x).sum() == 28)
+        except Exception:
+            ok[0] = False
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
 def main():
+    if jax.default_backend() != "cpu" and not _device_selftest():
+        import sys
+        print(json.dumps({
+            "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
+            "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
+            "details": {"error": "device readback wedged (axon tunnel); "
+                                 "no measurement possible",
+                        "platform": jax.default_backend()}}))
+        sys.exit(0)
     n = 1 << 23  # 8.4M rows
     rng = np.random.default_rng(0)
     price = jnp.asarray(rng.uniform(1, 200, n).astype(np.float32))

@@ -289,6 +289,9 @@ class LazyFrame:
         if streaming or eng == "streaming":
             from ..exec.streaming import execute_streaming
             t = execute_streaming(plan)
+        elif eng == "distributed":
+            from ..exec.distributed import collect_distributed
+            t = collect_distributed(plan, kw.get("mesh"))
         else:
             state = ExecState()
             t = execute(plan, state)

@@ -111,8 +111,17 @@ def exchange_by_hash(key, payloads: Sequence, valid, num_shards: int,
     callers size per_dest_cap with slack (local pre-aggregation bounds the
     record count per (chip, dest) at the group count, so cap==local
     capacity is always lossless)."""
+    dest = _hash_u64(key) % jnp.uint32(num_shards)
+    return exchange_records(dest, key, payloads, valid, num_shards,
+                            per_dest_cap, axis)
+
+
+def exchange_records(dest, key, payloads: Sequence, valid, num_shards: int,
+                     per_dest_cap: int, axis: str = AXIS):
+    """Route records to explicit destinations (range partitioning for
+    distributed sort, hash partitioning for joins/group-by)."""
     cap = key.shape[0]
-    dest = jnp.where(valid, _hash_u64(key) % jnp.uint32(num_shards),
+    dest = jnp.where(valid, dest.astype(jnp.uint32),
                      jnp.uint32(num_shards)).astype(jnp.int32)
     # sort records by destination; position within destination = rank
     order = jnp.argsort(dest, stable=True)
