@@ -135,6 +135,38 @@ def main():
 
     t_join = _bench(op_join, (bkey, bval, pkey))
 
+    # --- engine-level end-to-end (lazy pipeline through the fused
+    # executor, host collect included) ---
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"symbol": np.asarray(sym), "price": np.asarray(price),
+                       "volume": np.asarray(volume)})
+    lf = (df.lazy().filter(pl.col("volume") > 1000)
+          .with_columns((pl.col("price") * pl.col("volume")).alias("notional"))
+          .group_by("symbol")
+          .agg(pl.len().alias("n"), pl.col("notional").sum().alias("total"),
+               pl.col("price").mean().alias("avg")))
+    lf.collect()  # compile
+    t_engine = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        lf.collect()
+        t_engine.append(time.perf_counter() - t0)
+    t_eng = float(np.median(t_engine))
+
+    # --- parquet scan throughput (host decode + device upload) ---
+    import os
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    pq_path = os.path.join(tmp, "bench.parquet")
+    df.write_parquet(pq_path, compression="zstd", compression_level=1)
+    pq_bytes = os.path.getsize(pq_path)
+    t0 = time.perf_counter()
+    pl.read_parquet(pq_path)
+    t_read = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pl.read_parquet(pq_path)
+    t_read = min(t_read, time.perf_counter() - t0)
+
     rows_s = n / t_q1
     baseline_rows_s = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
     result = {
@@ -154,6 +186,10 @@ def main():
             "sort_rows_per_s": round(n / t_sort, 1),
             "agg_rows_per_s": round(n / t_agg, 1),
             "join_rows_per_s": round(npr / t_join, 1),
+            "engine_q1_e2e_ms": round(t_eng * 1e3, 3),
+            "engine_q1_rows_per_s": round(n / t_eng, 1),
+            "parquet_read_ms": round(t_read * 1e3, 3),
+            "parquet_read_mb_per_s": round(pq_bytes / t_read / 1e6, 1),
         },
     }
     print(json.dumps(result))

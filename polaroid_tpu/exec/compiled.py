@@ -1,0 +1,177 @@
+"""Fused segment compilation: whole plan chains as ONE jitted XLA program.
+
+The performance analogue of the reference's per-operator Rust kernels +
+morsel pipeline: instead of eager per-op dispatch (one XLA launch per
+jnp call), a chain of plan nodes (filter/select/with_columns, optionally
+terminated by a group_by or sort breaker) traces into a single
+`jax.jit`-compiled function over the table's flat arrays. XLA then fuses
+elementwise work into the sort/segment kernels — the fusion the
+reference gets from hand-written kernels, we get from the compiler.
+
+Compile cache key = (plan-chain fingerprint, input schema incl. string
+dictionary versions, capacity bucket); string dictionaries and other
+host-side metadata are captured at trace time and replayed on cache hits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table
+from ..config import CONFIG
+from ..errors import ComputeError
+from ..expr import meta
+from ..plan import logical as L
+
+_CACHE: Dict[tuple, tuple] = {}
+FUSABLE = ("filter", "select", "with_columns")
+BREAKERS = ("group_by", "sort")
+
+
+def plan_chain_fingerprint(nodes: List[L.Plan]) -> str:
+    parts = []
+    for n in nodes:
+        if n.kind == "filter":
+            parts.append(f"F({n.predicate.fingerprint()})")
+        elif n.kind in ("select", "with_columns"):
+            parts.append(f"{n.kind}({';'.join(e.fingerprint() for e in n.exprs)})")
+        elif n.kind == "group_by":
+            parts.append(
+                f"G({';'.join(e.fingerprint() for e in n.keys)}|"
+                f"{';'.join(e.fingerprint() for e in n.aggs)}|{n.maintain_order})")
+        elif n.kind == "sort":
+            parts.append(
+                f"S({';'.join(e.fingerprint() for e in n.by)}|"
+                f"{n.descending}|{n.nulls_last})")
+        else:
+            raise ComputeError(f"unfusable node {n.kind}")
+    return "→".join(parts)
+
+
+def _table_key(t: Table) -> tuple:
+    items = []
+    for n in t.names:
+        c = t.cols[n]
+        items.append((n, repr(c.dtype), c.validity is not None,
+                      c.sdict.version if c.sdict is not None else 0))
+    return (tuple(items), t.capacity)
+
+
+def _apply_node(node: L.Plan, table: Table) -> Table:
+    from ..api.frame import DataFrame
+    k = node.kind
+    if k == "filter":
+        return DataFrame._from_table(table).filter(node.predicate)._table
+    if k == "select":
+        return DataFrame._from_table(table).select(node.exprs)._table
+    if k == "with_columns":
+        return DataFrame._from_table(table).with_columns(node.exprs)._table
+    if k == "group_by":
+        from ..ops.groupby import group_by_agg
+        ins = dict(table.schema)
+        keys = meta.expand_exprs(node.keys, ins)
+        aggs = meta.expand_exprs(node.aggs, ins)
+        return group_by_agg(table, keys, aggs, node.maintain_order)
+    if k == "sort":
+        from ..expr.eval import eval_expr
+        from ..ops.sort import sort_table
+        vals = [eval_expr(b, table, "select") for b in node.by]
+        return sort_table(table, vals, node.descending, node.nulls_last,
+                          node.maintain_order)
+    raise ComputeError(k)
+
+
+def run_fused(nodes: List[L.Plan], table: Table) -> Table:
+    """Execute a fusable chain as one compiled program. Chains whose
+    evaluation needs host values (e.g. cast-to-String builds a dictionary
+    from data) fail the trace once, are marked no-fuse, and run eagerly."""
+    key = (plan_chain_fingerprint(nodes), _table_key(table))
+    hit = _CACHE.get(key)
+
+    if hit == ("nofuse",):
+        t = table
+        for node in nodes:
+            t = _apply_node(node, t)
+        return t
+
+    in_flat, in_meta = _flatten_table(table)
+
+    if hit is None:
+        out_meta_cell: list = [None]
+
+        def fn(flat):
+            t = _unflatten_table(flat, in_meta)
+            for node in nodes:
+                t = _apply_node(node, t)
+            out_flat, out_meta = _flatten_table(t)
+            out_meta_cell[0] = out_meta
+            return out_flat
+
+        jitted = jax.jit(fn)
+        try:
+            out_flat = jitted(in_flat)  # traces now; captures out metadata
+        except Exception:
+            # host-dependent op inside the chain: permanently run eagerly
+            _CACHE[key] = ("nofuse",)
+            t = table
+            for node in nodes:
+                t = _apply_node(node, t)
+            return t
+        out_meta = out_meta_cell[0]
+        _CACHE[key] = (jitted, out_meta)
+        if len(_CACHE) > 512:
+            _CACHE.pop(next(iter(_CACHE)))
+        return _unflatten_table(out_flat, out_meta)
+
+    jitted, out_meta = hit
+    out_flat = jitted(in_flat)
+    return _unflatten_table(out_flat, out_meta)
+
+
+def _flatten_table(t: Table):
+    """(flat arrays dict, metadata). Metadata carries everything that is
+    NOT a device array."""
+    flat = {}
+    colmeta = []
+    for n in t.names:
+        c = t.cols[n]
+        flat[f"d:{n}"] = c.data
+        if c.validity is not None:
+            flat[f"v:{n}"] = c.validity
+        colmeta.append((n, c.dtype, c.validity is not None, c.sdict))
+    if t.valid is not None:
+        flat["__valid"] = t.valid
+    metadata = (tuple(colmeta), t.capacity, t.nrows, t.valid is not None)
+    return flat, metadata
+
+
+def _unflatten_table(flat, metadata) -> Table:
+    colmeta, capacity, nrows, has_valid = metadata
+    names = []
+    cols = {}
+    for (n, dt, has_v, sdict) in colmeta:
+        names.append(n)
+        cols[n] = Column(dt, flat[f"d:{n}"],
+                         flat.get(f"v:{n}") if has_v else None, sdict)
+    valid = flat.get("__valid") if has_valid else None
+    return Table(names, cols, capacity, nrows, valid)
+
+
+def collect_fusable_chain(plan: L.Plan) -> Tuple[List[L.Plan], L.Plan]:
+    """Walk down from `plan` gathering a fusable suffix ending at the
+    chain's input. Returns (nodes bottom-up order, input plan)."""
+    chain: List[L.Plan] = []
+    cur = plan
+    if cur.kind == "group_by" or (
+            cur.kind == "sort" and cur.slice_ is None):
+        # sort with a fused top-k slice needs the host-synced compact path
+        chain.append(cur)
+        cur = cur.input
+    while cur.kind in FUSABLE:
+        chain.append(cur)
+        cur = cur.input
+    chain.reverse()
+    return chain, cur

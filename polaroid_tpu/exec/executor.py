@@ -48,6 +48,15 @@ def execute(plan: L.Plan, state: Optional[ExecState] = None) -> Table:
 def _exec(plan: L.Plan, state: ExecState) -> Table:
     k = plan.kind
 
+    # fused segment compilation: chains of elementwise nodes (+ a
+    # group_by/sort breaker on top) compile into ONE jitted XLA program
+    from .compiled import BREAKERS, FUSABLE, collect_fusable_chain, run_fused
+    if k in FUSABLE or k in BREAKERS:
+        chain, inp = collect_fusable_chain(plan)
+        if chain and (len(chain) >= 2 or chain[-1].kind in BREAKERS):
+            t = execute(inp, state)
+            return run_fused(chain, t)
+
     if k == "df_scan":
         return plan.table
 

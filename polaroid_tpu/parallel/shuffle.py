@@ -64,11 +64,13 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     dead = (~valid).astype(jnp.uint32)
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    ops = (dead, khi, klo) + tuple(vals) + (key,)
-    out = jax.lax.sort(ops, num_keys=3, is_stable=True)
-    sdead, shi, slo = out[0], out[1], out[2]
-    svals = out[3:-1]
-    skey = out[-1]
+    # sort only (keys, row-id); payloads are gathered by the permutation —
+    # one gather pass instead of dragging every column through the sort
+    idx0 = jnp.arange(cap, dtype=jnp.int32)
+    sdead, shi, slo, perm = jax.lax.sort((dead, khi, klo, idx0), num_keys=3,
+                                         is_stable=True)
+    svals = [v[perm] for v in vals]
+    skey = key[perm]
     live = sdead == 0
     idx = jnp.arange(cap)
     newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) | (slo != jnp.roll(slo, 1))) \

@@ -24,15 +24,21 @@ import numpy as np
 NULL_CODE = np.int32(-1)
 
 
+_DICT_COUNTER = [0]
+
+
 class StringDict:
     """Immutable sorted dictionary of unique strings."""
 
-    __slots__ = ("values", "_index")
+    __slots__ = ("values", "_index", "version")
 
     def __init__(self, values: np.ndarray):
         # values must be sorted unique, dtype=object or str
         self.values = values
         self._index: Optional[dict] = None
+        # monotonic id for compile-cache keys (id() can be reused by GC)
+        _DICT_COUNTER[0] += 1
+        self.version = _DICT_COUNTER[0]
 
     def __len__(self) -> int:
         return len(self.values)
