@@ -84,6 +84,14 @@ class RemoteClient:
         resp = self._call("Sql", pb.SqlRequest(query=query), pb.HandleResponse)
         return RemoteFrame(self, resp.handle, json.loads(resp.schema_json))
 
+    def execute_plan(self, lf) -> "RemoteFrame":
+        """Ship a locally-built LazyFrame's plan to the server."""
+        from .plan.serde import plan_to_dict
+        pb = self._pb
+        resp = self._call("ExecutePlan", pb.PlanRequest(
+            plan_json=json.dumps(plan_to_dict(lf._plan))), pb.HandleResponse)
+        return RemoteFrame(self, resp.handle, json.loads(resp.schema_json))
+
     def upload(self, df) -> "RemoteFrame":
         import pyarrow as pa
         pb = self._pb

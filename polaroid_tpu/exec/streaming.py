@@ -46,13 +46,22 @@ _DECOMPOSABLE = {
 
 
 def execute_streaming(plan: L.Plan) -> Table:
-    batches = list(_stream(plan))
-    if len(batches) == 1:
-        return batches[0]
-    if not batches:
-        from ..exec.executor import execute
-        return execute(plan)
-    return vstack_tables(batches)
+    from ..metrics import current, tracking
+    with tracking(CONFIG.track_metrics or CONFIG.log_metrics) as qm:
+        batches = []
+        for t in _stream(plan):
+            if qm is not None:
+                m = qm.node("stream_output")
+                m.batches += 1
+                m.rows_out += t.count_rows()
+            batches.append(t)
+        if not batches:
+            from ..exec.executor import execute
+            return execute(plan)
+        out = batches[0] if len(batches) == 1 else vstack_tables(batches)
+        if qm is not None and CONFIG.log_metrics:
+            qm.print_report()
+        return out
 
 
 def _stream(plan: L.Plan) -> Iterator[Table]:
@@ -64,7 +73,12 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
 
     if k in ("select", "with_columns", "filter"):
         from ..api.frame import DataFrame
+        from ..metrics import current
+        qm = current()
         for t in _stream(plan.input):
+            if qm is not None:
+                with qm.timed(k) as m:
+                    m.batches += 1
             df = DataFrame._from_table(t)
             if k == "select":
                 # aggregates in select context are not streamable; bail out
@@ -174,13 +188,17 @@ def _decompose_aggs(aggs: List[Expr]):
                 merges.append(Expr("agg", (_col(nm),), agg=m).alias(nm))
                 return _col(nm)
             if name == "mean":
+                from ..expr.expr import lit, when
                 ns, nc = fresh("msum"), fresh("mcnt")
                 partials.append(Expr("agg", e.children, agg="sum").alias(ns))
                 partials.append(Expr("agg", e.children, agg="count").alias(nc))
                 merges.append(Expr("agg", (_col(ns),), agg="sum").alias(ns))
                 merges.append(Expr("agg", (_col(nc),), agg="sum").alias(nc))
-                return _col(ns) / _col(nc)
+                # all-null group: count==0 -> null, not 0/0=NaN
+                return when(_col(nc) > 0).then(_col(ns) / _col(nc)) \
+                    .otherwise(lit(None))
             if name in ("std", "var"):
+                from ..expr.expr import lit, when
                 ddof = e.attrs.get("ddof", 1)
                 x = e.children[0]
                 ns, ns2, nc = fresh("vsum"), fresh("vsq"), fresh("vcnt")
@@ -191,7 +209,8 @@ def _decompose_aggs(aggs: List[Expr]):
                     merges.append(Expr("agg", (_col(nm),), agg="sum").alias(nm))
                 var = (_col(ns2) - _col(ns) * _col(ns) / _col(nc)) / \
                     (_col(nc) - ddof)
-                return var.sqrt() if name == "std" else var
+                out = var.sqrt() if name == "std" else var
+                return when(_col(nc) > ddof).then(out).otherwise(lit(None))
             return None
         if e.kind == "table_len":
             nm = fresh("len")

@@ -73,6 +73,14 @@ class DataFrameService:
         lf = sctx.execute(req.query)
         return self._register(lf)
 
+    def ExecutePlan(self, req: pb.PlanRequest, ctx) -> pb.HandleResponse:
+        """Ship a whole serialized lazy plan (the cloud-plan parity hook,
+        reference: prepare_cloud_plan)."""
+        from ..api.lazyframe import LazyFrame
+        from ..plan.serde import plan_from_dict
+        plan = plan_from_dict(json.loads(req.plan_json))
+        return self._register(LazyFrame._from_plan(plan))
+
     def Filter(self, req: pb.ExprOpRequest, ctx) -> pb.HandleResponse:
         from ..expr.serde import exprs_from_obj
         exprs = exprs_from_obj(json.loads(req.exprs_json))
@@ -186,6 +194,7 @@ class DataFrameService:
 _RPCS = {
     "ReadFile": (pb.ReadFileRequest, pb.HandleResponse, "unary"),
     "Sql": (pb.SqlRequest, pb.HandleResponse, "unary"),
+    "ExecutePlan": (pb.PlanRequest, pb.HandleResponse, "unary"),
     "Filter": (pb.ExprOpRequest, pb.HandleResponse, "unary"),
     "Select": (pb.ExprOpRequest, pb.HandleResponse, "unary"),
     "WithColumns": (pb.ExprOpRequest, pb.HandleResponse, "unary"),

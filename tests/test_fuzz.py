@@ -1,0 +1,175 @@
+"""Differential fuzzing: random pipelines, three engines + pandas oracle.
+
+The load-bearing strategy from the reference (SURVEY §4): engines are
+validated against each other on randomized inputs. Each case builds a
+random table (ints/floats/strings with nulls) and a random
+filter/with_columns/group_by/sort pipeline, then asserts the in-memory,
+streaming, and (on a subset) distributed engines agree, and that
+aggregates match a pandas oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polaroid_tpu as pl
+
+
+def make_table(rng, n):
+    def nullify(vals, frac):
+        out = list(vals)
+        for i in rng.choice(n, int(n * frac), replace=False):
+            out[i] = None
+        return out
+
+    return {
+        "g": [f"k{i}" for i in rng.integers(0, rng.integers(2, 30), n)],
+        "h": [int(x) for x in rng.integers(-5, 5, n)],
+        "x": nullify([float(v) for v in np.round(rng.normal(0, 50, n), 4)],
+                     0.1),
+        "y": nullify([int(v) for v in rng.integers(-1000, 1000, n)], 0.05),
+        "s": nullify([f"s{i}" for i in rng.integers(0, 10, n)], 0.08),
+    }
+
+
+FILTERS = [
+    lambda: pl.col("y") > 0,
+    lambda: pl.col("x").is_not_null(),
+    lambda: pl.col("g") != "k1",
+    lambda: (pl.col("h") >= -2) & (pl.col("y") < 500),
+    lambda: pl.col("s").is_in(["s1", "s3", "s5"]),
+]
+
+AGGS = [
+    lambda: pl.col("x").sum().alias("a1"),
+    lambda: pl.col("y").mean().alias("a2"),
+    lambda: pl.col("x").min().alias("a3"),
+    lambda: pl.col("y").max().alias("a4"),
+    lambda: pl.len().alias("a5"),
+    lambda: pl.col("x").count().alias("a6"),
+]
+
+PD_AGGS = {
+    "a1": ("x", "sum"), "a2": ("y", "mean"), "a3": ("x", "min"),
+    "a4": ("y", "max"), "a5": ("g", "size"), "a6": ("x", "count"),
+}
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_pipeline(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 800))
+    data = make_table(rng, n)
+    df = pl.DataFrame(data)
+    pdf = pd.DataFrame(data)
+
+    # random pipeline
+    n_filters = int(rng.integers(0, 3))
+    fidx = rng.choice(len(FILTERS), n_filters, replace=False)
+    aidx = rng.choice(len(AGGS), int(rng.integers(1, 4)), replace=False)
+    keys = ["g"] if rng.random() < 0.5 else ["g", "h"]
+
+    lf = df.lazy()
+    plf = pdf
+    for i in fidx:
+        lf = lf.filter(FILTERS[i]())
+    # pandas equivalent filters
+    for i in fidx:
+        if i == 0:
+            plf = plf[plf.y > 0]
+        elif i == 1:
+            plf = plf[plf.x.notna()]
+        elif i == 2:
+            plf = plf[plf.g != "k1"]
+        elif i == 3:
+            plf = plf[(plf.h >= -2) & (plf.y < 500)]
+        else:
+            plf = plf[plf.s.isin(["s1", "s3", "s5"])]
+
+    aggs = [AGGS[i]() for i in aidx]
+    agg_names = [f"a{i+1}" for i in aidx]
+    lf = lf.group_by(keys).agg(aggs)
+
+    a = lf.collect().sort(keys, nulls_last=True).to_dict()
+    b = lf.collect(engine="streaming").sort(keys, nulls_last=True).to_dict()
+    assert a == b or _approx_equal(a, b), f"streaming mismatch seed={seed}"
+
+    if seed % 3 == 0:  # distributed is compile-heavy; subset
+        c = lf.collect(engine="distributed").sort(
+            keys, nulls_last=True).to_dict()
+        assert _approx_equal(a, c), f"distributed mismatch seed={seed}"
+
+    # pandas oracle
+    if len(plf):
+        spec = {nm: PD_AGGS[nm] for nm in agg_names}
+        ref = plf.groupby(keys, dropna=False, as_index=False).agg(**spec)
+        for c_ in keys:
+            if ref[c_].dtype == object:
+                ref[c_] = ref[c_].where(ref[c_].notna(), None)
+        ref = ref.sort_values(keys, na_position="last").reset_index(drop=True)
+        assert len(ref) == len(a[keys[0]]), f"group count seed={seed}"
+        for nm in agg_names:
+            got = np.array([np.nan if v is None else v for v in a[nm]], float)
+            want = ref[nm].to_numpy(dtype=float, na_value=np.nan)
+            # all-null groups: our min/max give null, pandas gives nan — equal
+            assert np.allclose(got, want, equal_nan=True, rtol=1e-9), \
+                f"oracle mismatch seed={seed} col={nm}"
+
+
+def _approx_equal(a, b):
+    if list(a.keys()) != list(b.keys()):
+        return False
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            if x is None or y is None:
+                if x is not y:
+                    return False
+            elif isinstance(x, float):
+                if abs(x - y) > 1e-9 + 1e-9 * abs(y):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_sort_roundtrip(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(20, 500))
+    data = make_table(rng, n)
+    df = pl.DataFrame(data)
+    pdf = pd.DataFrame(data)
+    desc = bool(rng.random() < 0.5)
+    nl = bool(rng.random() < 0.5)
+    out = df.sort(["y", "g"], descending=desc, nulls_last=nl).to_dict()
+    ref = pdf.sort_values(["y", "g"], ascending=not desc,
+                          na_position="last" if nl else "first",
+                          kind="stable")
+    got_y = [None if v is None else v for v in out["y"]]
+    want_y = [None if v != v else int(v) for v in
+              ref["y"].to_numpy(dtype=float, na_value=np.nan)]
+    assert got_y == want_y, f"sort mismatch seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_join(seed):
+    rng = np.random.default_rng(200 + seed)
+    nl_, nr_ = int(rng.integers(10, 300)), int(rng.integers(10, 300))
+    kl = [int(x) for x in rng.integers(0, 40, nl_)]
+    kr = [int(x) for x in rng.integers(0, 40, nr_)]
+    a = pl.DataFrame({"k": kl, "va": list(range(nl_))})
+    b = pl.DataFrame({"k": kr, "vb": list(range(nr_))})
+    pa_ = pd.DataFrame(a.to_dict())
+    pb_ = pd.DataFrame(b.to_dict())
+    how = ["inner", "left", "semi", "anti"][seed % 4]
+    out = a.join(b, on="k", how=how)
+    if how in ("semi", "anti"):
+        mask = pa_.k.isin(pb_.k.unique())
+        ref = pa_[mask] if how == "semi" else pa_[~mask]
+        assert sorted(out.to_dict()["va"]) == sorted(ref["va"].tolist())
+    else:
+        ref = pa_.merge(pb_, on="k", how=how)
+        assert out.height == len(ref)
+        got = out.sort(["k", "va"]).to_dict()["k"]
+        want = ref.sort_values(["k", "va"])["k"].tolist()
+        assert got == want

@@ -158,3 +158,30 @@ def test_async_client(server_and_port, pq):
         await c.close()
 
     asyncio.run(run())
+
+
+def test_execute_plan_rpc(client, pq):
+    lf = (pl.scan_parquet(pq).filter(pl.col("v") > 5.0)
+          .group_by("k").agg(pl.len().alias("n")))
+    rf = client.execute_plan(lf)
+    out = rf.collect().sort("k")
+    ref = lf.collect().sort("k")
+    assert out.to_dict() == ref.to_dict()
+
+
+def test_plan_serde_roundtrip(pq):
+    import json as _json
+    from polaroid_tpu.plan.serde import plan_from_dict, plan_to_dict
+    lf = (pl.scan_parquet(pq).filter(pl.col("v") > 3.0)
+          .with_columns((pl.col("v") * 2).alias("v2"))
+          .group_by("k", "s").agg(pl.col("v2").sum().alias("t"))
+          .sort("t", descending=True).head(5))
+    d = _json.loads(_json.dumps(plan_to_dict(lf._plan)))
+    lf2 = pl.LazyFrame._from_plan(plan_from_dict(d))
+    assert lf.collect().to_dict() == lf2.collect().to_dict()
+    # in-memory frame payloads roundtrip too
+    df = pl.DataFrame({"a": [1, None], "s": ["x", None]})
+    lf3 = df.lazy().filter(pl.col("a").is_not_null())
+    d3 = _json.loads(_json.dumps(plan_to_dict(lf3._plan)))
+    assert pl.LazyFrame._from_plan(plan_from_dict(d3)).collect().to_dict() == \
+        {"a": [1], "s": ["x"]}
