@@ -178,6 +178,11 @@ class DataFrame:
         any_row = False
         for e in es:
             name = meta.output_name(e)
+            if e.kind == "col" and e.attrs["name"] in t.cols:
+                # bare column: pass the Column object through (keeps stats)
+                results.append((name, t.cols[name]))
+                any_row = True
+                continue
             v = eval_expr(e, t, "select")
             results.append((name, v))
             any_row = any_row or not v.is_scalar
@@ -189,11 +194,14 @@ class DataFrame:
             for name, v in results:
                 if name in cols:
                     raise DuplicateError(f"duplicate column name {name!r}")
+                names.append(name)
+                if isinstance(v, Column):
+                    cols[name] = v
+                    continue
                 data = jnp.broadcast_to(v.data, (cap,)) if v.is_scalar else v.data
                 validity = v.validity
                 if validity is not None and v.is_scalar:
                     validity = jnp.broadcast_to(validity, (cap,))
-                names.append(name)
                 cols[name] = Column(v.dtype, data, validity, v.sdict)
             return DataFrame._from_table(
                 Table(names, cols, cap, t.nrows, t.valid))

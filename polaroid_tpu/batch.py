@@ -53,15 +53,19 @@ class Column:
     `validity` is True where the value is non-null (None => all non-null).
     """
 
-    __slots__ = ("dtype", "data", "validity", "sdict")
+    __slots__ = ("dtype", "data", "validity", "sdict", "stats")
 
     def __init__(self, dtype: DataType, data: jax.Array,
                  validity: Optional[jax.Array] = None,
-                 sdict: Optional[StringDict] = None):
+                 sdict: Optional[StringDict] = None,
+                 stats: Optional[dict] = None):
         self.dtype = dtype
         self.data = data
         self.validity = validity
         self.sdict = sdict
+        # host-cached column statistics ({"min","max"}): unlock the dense
+        # O(n) group-by for integer keys (computed lazily, one sync)
+        self.stats = stats
 
     @property
     def capacity(self) -> int:

@@ -55,9 +55,56 @@ def _table_key(t: Table) -> tuple:
     items = []
     for n in t.names:
         c = t.cols[n]
+        st = None
+        if c.stats is not None:
+            st = (c.stats.get("min"), c.stats.get("max"))
         items.append((n, repr(c.dtype), c.validity is not None,
-                      c.sdict.version if c.sdict is not None else 0))
+                      c.sdict.version if c.sdict is not None else 0, st))
     return (tuple(items), t.capacity)
+
+
+def _ensure_groupby_stats(nodes: List[L.Plan], table: Table) -> None:
+    """Host pre-pass: cache bucketed min/max on integer key columns so the
+    traced group-by can take the dense O(n) path. One device sync per
+    column, amortized across calls (stats live on the Column object)."""
+    import jax.numpy as jnp
+    redefined = set()
+    for node in nodes:
+        if node.kind in ("select", "with_columns"):
+            try:
+                for e in node.exprs:
+                    # a bare col passes through unchanged — stats stay valid
+                    if e.kind == "col":
+                        continue
+                    redefined.add(meta.output_name(e))
+            except Exception:
+                pass
+        if node.kind != "group_by":
+            continue
+        for ke in node.keys:
+            e = ke
+            while e.kind == "alias":
+                e = e.children[0]
+            if e.kind != "col":
+                continue
+            name = e.attrs["name"]
+            if name in redefined or name not in table.cols:
+                continue
+            c = table.cols[name]
+            if not c.dtype.is_integer or c.stats is not None:
+                continue
+            mask = table.row_mask()
+            if c.validity is not None:
+                mask = mask & c.validity
+            big = jnp.iinfo(c.data.dtype).max
+            small = jnp.iinfo(c.data.dtype).min
+            mn = int(jnp.min(jnp.where(mask, c.data, big)))
+            mx = int(jnp.max(jnp.where(mask, c.data, small)))
+            if mx < mn:
+                mn, mx = 0, 0
+            # bucket bounds so stats stay stable across similar batches
+            B = 1024
+            c.stats = {"min": (mn // B) * B, "max": ((mx // B) + 1) * B - 1}
 
 
 def _apply_node(node: L.Plan, table: Table) -> Table:
@@ -88,6 +135,7 @@ def run_fused(nodes: List[L.Plan], table: Table) -> Table:
     """Execute a fusable chain as one compiled program. Chains whose
     evaluation needs host values (e.g. cast-to-String builds a dictionary
     from data) fail the trace once, are marked no-fuse, and run eagerly."""
+    _ensure_groupby_stats(nodes, table)
     key = (plan_chain_fingerprint(nodes), _table_key(table))
     hit = _CACHE.get(key)
 
@@ -141,7 +189,7 @@ def _flatten_table(t: Table):
         flat[f"d:{n}"] = c.data
         if c.validity is not None:
             flat[f"v:{n}"] = c.validity
-        colmeta.append((n, c.dtype, c.validity is not None, c.sdict))
+        colmeta.append((n, c.dtype, c.validity is not None, c.sdict, c.stats))
     if t.valid is not None:
         flat["__valid"] = t.valid
     metadata = (tuple(colmeta), t.capacity, t.nrows, t.valid is not None)
@@ -152,10 +200,10 @@ def _unflatten_table(flat, metadata) -> Table:
     colmeta, capacity, nrows, has_valid = metadata
     names = []
     cols = {}
-    for (n, dt, has_v, sdict) in colmeta:
+    for (n, dt, has_v, sdict, stats) in colmeta:
         names.append(n)
         cols[n] = Column(dt, flat[f"d:{n}"],
-                         flat.get(f"v:{n}") if has_v else None, sdict)
+                         flat.get(f"v:{n}") if has_v else None, sdict, stats)
     valid = flat.get("__valid") if has_valid else None
     return Table(names, cols, capacity, nrows, valid)
 

@@ -38,26 +38,37 @@ __all__ = ["GroupContext", "build_groups", "group_by_agg", "unique_table"]
 
 
 class GroupContext:
-    """Sorted-segment group layout.
+    """Group layout over rows.
 
-    perm: sorted slot -> original row.  gid: group id per sorted slot
-    (dead rows get gid == capacity, the dump slot).  newgrp: True at each
-    group's first sorted slot.  ngroups: device scalar.
+    Sorted layout (default): perm maps sorted slot -> original row, groups
+    are contiguous runs, gid is monotone (`sorted_ids=True`).
+
+    Dense layout (statically small key domains — dictionary strings,
+    bools, 8/16-bit ints): perm is the identity and gid is the key's
+    dense code directly — NO SORT; segment reductions scatter by gid
+    (`sorted_ids=False`). The hash-table O(n) group-by the reference gets
+    from HotGrouper, expressed as direct indexing.
+
+    `cap` is the row capacity; `out_cap` the group-slot count (== cap for
+    sorted, == padded key-domain product for dense). Dead rows get
+    gid == out_cap (the dump slot).
     """
 
     __slots__ = ("perm", "gid", "newgrp", "live_sorted", "ngroups", "cap",
-                 "group_start", "group_count")
+                 "group_start", "group_count", "out_cap", "sorted_ids")
 
     def __init__(self, perm, gid, newgrp, live_sorted, ngroups, cap,
-                 group_start, group_count):
+                 group_start, group_count, out_cap=None, sorted_ids=True):
         self.perm = perm
         self.gid = gid
         self.newgrp = newgrp
         self.live_sorted = live_sorted
         self.ngroups = ngroups
         self.cap = cap
-        self.group_start = group_start  # per-group first sorted slot
+        self.group_start = group_start  # per-group first slot (orig idx in dense)
         self.group_count = group_count  # per-group live size
+        self.out_cap = out_cap if out_cap is not None else cap
+        self.sorted_ids = sorted_ids
 
 
 def key_words_for(key_vals: Sequence[Val], cap: int) -> List[jax.Array]:
@@ -95,25 +106,121 @@ def build_groups(key_vals: Sequence[Val], mask: jax.Array,
                         group_start, group_count)
 
 
-# --- segment reduction helpers (dump-slot pattern: ids == cap are dropped
-# by reducing into cap+1 slots and slicing) --------------------------------
+# --- segment reduction helpers (dump-slot pattern: ids == ncap are dropped
+# by reducing into ncap+1 slots and slicing) -------------------------------
 
-def _seg_sum(data, gid, cap):
-    out = jax.ops.segment_sum(data, gid, num_segments=cap + 1,
-                              indices_are_sorted=True)
-    return jax.lax.slice_in_dim(out, 0, cap)
-
-
-def _seg_min(data, gid, cap):
-    out = jax.ops.segment_min(data, gid, num_segments=cap + 1,
-                              indices_are_sorted=True)
-    return jax.lax.slice_in_dim(out, 0, cap)
+def _seg_sum(data, gid, ncap, sorted_ids: bool = True):
+    out = jax.ops.segment_sum(data, gid, num_segments=ncap + 1,
+                              indices_are_sorted=sorted_ids)
+    return jax.lax.slice_in_dim(out, 0, ncap)
 
 
-def _seg_max(data, gid, cap):
-    out = jax.ops.segment_max(data, gid, num_segments=cap + 1,
-                              indices_are_sorted=True)
-    return jax.lax.slice_in_dim(out, 0, cap)
+def _seg_min(data, gid, ncap, sorted_ids: bool = True):
+    out = jax.ops.segment_min(data, gid, num_segments=ncap + 1,
+                              indices_are_sorted=sorted_ids)
+    return jax.lax.slice_in_dim(out, 0, ncap)
+
+
+def _seg_max(data, gid, ncap, sorted_ids: bool = True):
+    out = jax.ops.segment_max(data, gid, num_segments=ncap + 1,
+                              indices_are_sorted=sorted_ids)
+    return jax.lax.slice_in_dim(out, 0, ncap)
+
+
+# --- dense (no-sort) group layout for statically small key domains --------
+
+def _dense_spans(key_vals: Sequence[Val], key_exprs=None, table=None):
+    """Per-key (span, base) when the key's domain is statically known:
+    dictionary strings (dict length), Boolean, 8/16-bit ints, and wider
+    ints carrying host-cached min/max stats (see Column.stats). Returns
+    None if any key is unbounded. Slot 0 of each span is null."""
+    out = []
+    for i, v in enumerate(key_vals):
+        dt = v.dtype
+        name = repr(dt)
+        if dt.is_string:
+            if v.sdict is None:
+                return None
+            out.append((len(v.sdict) + 1, None))
+        elif name == "Boolean":
+            out.append((3, None))
+        elif name in ("Int8", "UInt8"):
+            out.append((257, -128 if name == "Int8" else 0))
+        elif name in ("Int16", "UInt16"):
+            out.append((65537, -32768 if name == "Int16" else 0))
+        elif dt.is_integer and key_exprs is not None and table is not None:
+            e = key_exprs[i]
+            while e.kind == "alias":
+                e = e.children[0]
+            if e.kind != "col":
+                return None
+            c = table.cols.get(e.attrs["name"])
+            if c is None or c.stats is None or "min" not in c.stats:
+                return None
+            span = int(c.stats["max"]) - int(c.stats["min"]) + 2
+            if span <= 1:
+                span = 2
+            out.append((span, int(c.stats["min"])))
+        else:
+            return None
+    return out
+
+
+def _dense_code(v: Val, span: int, base, cap: int):
+    data = v.data if v.data.shape[0] == cap else \
+        jnp.broadcast_to(v.data, (cap,))
+    name = repr(v.dtype)
+    if v.dtype.is_string:
+        code = data.astype(jnp.int32) + 1  # null code -1 -> 0
+    elif name == "Boolean":
+        code = data.astype(jnp.int32) + 1
+    else:  # integer with known base
+        code = (data.astype(jnp.int64) - base + 1).astype(jnp.int32)
+    if v.validity is not None:
+        validity = v.validity if v.validity.shape[0] == cap else \
+            jnp.broadcast_to(v.validity, (cap,))
+        code = jnp.where(validity, code, 0)
+    return jnp.clip(code, 0, span - 1)
+
+
+def _dense_decode(gidx, v: Val, span: int):
+    """Group slot code -> key value (data, validity)."""
+    name = repr(v.dtype)
+    code = gidx.astype(jnp.int32)
+    validity = code != 0
+    if v.dtype.is_string:
+        return (code - 1).astype(jnp.int32), validity
+    if name == "Boolean":
+        return code == 2, validity
+    if name in ("Int8", "UInt8"):
+        base = -128 if name == "Int8" else 0
+        stor = jnp.int8 if name == "Int8" else jnp.uint8
+        return (code - 1 + base).astype(stor), validity
+    base = -32768 if name == "Int16" else 0
+    stor = jnp.int16 if name == "Int16" else jnp.uint16
+    return (code - 1 + base).astype(stor), validity
+
+
+def build_groups_dense(key_vals: Sequence[Val], mask: jax.Array,
+                       spans) -> GroupContext:
+    """O(n) group layout: gid = mixed-radix dense key code; no sort."""
+    from ..config import capacity_for
+    cap = mask.shape[0]
+    prod = 1
+    for span, _ in spans:
+        prod *= span
+    out_cap = capacity_for(prod)
+    gid = jnp.zeros(cap, jnp.int32)
+    for v, (span, base) in zip(key_vals, spans):
+        gid = gid * span + _dense_code(v, span, base or 0, cap)
+    gid = jnp.where(mask, gid, out_cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    group_count = _seg_sum(mask.astype(jnp.int32), gid, out_cap, False)
+    group_start = _seg_min(jnp.where(mask, idx, cap).astype(jnp.int32), gid,
+                           out_cap, False)
+    ngroups = jnp.sum(group_count > 0)
+    return GroupContext(idx, gid, None, mask, ngroups, cap,
+                        group_start, group_count, out_cap, sorted_ids=False)
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +255,8 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                  table: Table) -> Val:
     """One GroupedReduction (reference: `polars-expr/src/reduce/*.rs`)."""
     cap = ctx.cap
+    ncap = ctx.out_cap
+    sids = ctx.sorted_ids
     gid = ctx.gid
     dt = v.dtype
     sx, spart = _sorted_val(v, ctx)
@@ -157,28 +266,28 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         return Val(out_dt, data, validity, sdict, False)
 
     if agg == "len":
-        cnt = _seg_sum(present.astype(jnp.uint32), gid, cap)
+        cnt = _seg_sum(present.astype(jnp.uint32), gid, ncap, sids)
         return asval(UInt32, cnt)
     if agg == "count":
-        cnt = _seg_sum(spart.astype(jnp.uint32), gid, cap)
+        cnt = _seg_sum(spart.astype(jnp.uint32), gid, ncap, sids)
         return asval(UInt32, cnt)
     if agg == "null_count":
-        cnt = _seg_sum((present & ~spart).astype(jnp.uint32), gid, cap)
+        cnt = _seg_sum((present & ~spart).astype(jnp.uint32), gid, ncap, sids)
         return asval(UInt32, cnt)
     if agg in ("any", "all"):
         if not dt.is_bool:
             raise InvalidOperationError(f"{agg} on {dt!r}")
         if agg == "any":
-            r = _seg_max(jnp.where(spart & sx, 1, 0), gid, cap)
+            r = _seg_max(jnp.where(spart & sx, 1, 0), gid, ncap, sids)
             return asval(Boolean, r == 1)
-        r = _seg_min(jnp.where(spart, sx.astype(jnp.int32), 1), gid, cap)
+        r = _seg_min(jnp.where(spart, sx.astype(jnp.int32), 1), gid, ncap, sids)
         return asval(Boolean, r == 1)
     if agg == "sum":
         if dt.is_bool:
-            s = _seg_sum(jnp.where(spart & sx, jnp.uint32(1), jnp.uint32(0)), gid, cap)
+            s = _seg_sum(jnp.where(spart & sx, jnp.uint32(1), jnp.uint32(0)), gid, ncap, sids)
             return asval(UInt32, s)
         acc = _acc_dtype(dt)
-        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         out_dt = _sum_dtype(dt)
         return asval(out_dt, s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
     if agg == "product":
@@ -194,9 +303,9 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         total = cp[jnp.clip(endpos, 0, cap - 1)] / prev
         return asval(dt, total.astype(sx.dtype))
     if agg == "mean":
-        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(dt)
-        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         out_dt = dt if (isinstance(dt, (Datetime, Duration)) or dt == Date) \
             else _float_dt(dt)
         m = s / jnp.maximum(n, 1)
@@ -204,30 +313,30 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             m.astype(jnp.dtype(storage_numpy_dtype(out_dt)))
         return asval(out_dt, data, n > 0)
     if agg in ("min", "max"):
-        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         if dt.is_string:
             big = jnp.int32(np.iinfo(np.int32).max)
             if agg == "min":
-                r = _seg_min(jnp.where(spart, sx, big), gid, cap)
+                r = _seg_min(jnp.where(spart, sx, big), gid, ncap, sids)
             else:
-                r = _seg_max(jnp.where(spart, sx, -1), gid, cap)
+                r = _seg_max(jnp.where(spart, sx, -1), gid, ncap, sids)
             return asval(dt, r, n > 0, v.sdict)
         lo, hi = _type_bounds(sx.dtype)
         if agg == "min":
-            r = _seg_min(jnp.where(spart, sx, hi), gid, cap)
+            r = _seg_min(jnp.where(spart, sx, hi), gid, ncap, sids)
         else:
-            r = _seg_max(jnp.where(spart, sx, lo), gid, cap)
+            r = _seg_max(jnp.where(spart, sx, lo), gid, ncap, sids)
         return asval(dt, r, n > 0)
     if agg in ("var", "std"):
         ddof = attrs.get("ddof", 1)
-        n = _seg_sum(spart.astype(jnp.int32), gid, cap)
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(_float_dt(dt))
-        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, cap)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         m = s / jnp.maximum(n, 1)
         # two-pass for stability: gather group mean back to rows
-        mrow = m[jnp.clip(gid, 0, cap - 1)]
+        mrow = m[jnp.clip(gid, 0, ncap - 1)]
         dev = jnp.where(spart, (sx.astype(acc) - mrow) ** 2, 0)
-        ss = _seg_sum(dev, gid, cap)
+        ss = _seg_sum(dev, gid, ncap, sids)
         var = ss / jnp.maximum(n - ddof, 1)
         out = jnp.sqrt(var) if agg == "std" else var
         out_dt = _float_dt(dt)
@@ -236,7 +345,7 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
     if agg in ("first", "last"):
         idx = jnp.arange(cap, dtype=jnp.int32)
         pos = jnp.where(present, idx, cap if agg == "first" else -1)
-        sel = _seg_min(pos, gid, cap) if agg == "first" else _seg_max(pos, gid, cap)
+        sel = _seg_min(pos, gid, ncap, sids) if agg == "first" else _seg_max(pos, gid, ncap, sids)
         selc = jnp.clip(sel, 0, cap - 1)
         data = sx[selc]
         has = (sel < cap) & (sel >= 0)
@@ -248,7 +357,7 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             validity = has & spart[selc]
         # group with no present rows -> null
         if validity is None:
-            anyp = _seg_sum(present.astype(jnp.int32), gid, cap)
+            anyp = _seg_sum(present.astype(jnp.int32), gid, ncap, sids)
             validity = anyp > 0
         return asval(dt, data, validity, v.sdict)
     if agg == "n_unique":
@@ -266,10 +375,11 @@ def _group_n_unique(v: Val, ctx: GroupContext, table: Table) -> Val:
     """Distinct count per group: re-sort by (gid, value) then count
     boundaries per segment."""
     cap = ctx.cap
+    ncap = ctx.out_cap
     sx, spart = _sorted_val(v, ctx)
     present = _group_present(v, ctx)
     vw = encode_key_words(sx, spart, False, False)
-    words = [jnp.where(present, ctx.gid, cap).astype(jnp.uint32)] + vw
+    words = [jnp.where(present, ctx.gid, ncap).astype(jnp.uint32)] + vw
     skeys, tails, perm2 = lex_sort_indices(words, (present.astype(jnp.int32),))
     pres2 = tails[0].astype(jnp.bool_)
     idx = jnp.arange(cap)
@@ -277,7 +387,8 @@ def _group_n_unique(v: Val, ctx: GroupContext, table: Table) -> Val:
     for w in skeys:
         new_pair = new_pair | (w != jnp.roll(w, 1))
     gid2 = skeys[0].astype(jnp.int32)
-    cnt = _seg_sum(jnp.where(pres2 & new_pair, 1, 0), gid2, cap)
+    cnt = _seg_sum(jnp.where(pres2 & new_pair, 1, 0), gid2, ncap,
+                   False)
     return Val(UInt32, cnt.astype(jnp.uint32), None, None, False)
 
 
@@ -285,13 +396,15 @@ def _group_quantile(v: Val, ctx: GroupContext, q: float, interp: str) -> Val:
     """Per-group quantile: re-sort rows by (gid, value) so each group's
     values are contiguous sorted runs, then index by offset."""
     cap = ctx.cap
+    ncap = ctx.out_cap
     sx, spart = _sorted_val(v, ctx)
     vw = encode_key_words(sx, spart, False, True)  # nulls last within group
-    gkey = jnp.where(spart, ctx.gid, cap).astype(jnp.uint32)
+    gkey = jnp.where(spart, ctx.gid, ncap).astype(jnp.uint32)
     words = [gkey] + vw
     _, tails, _ = lex_sort_indices(words, (sx,))
     sorted_vals = tails[0]
-    n = _seg_sum(spart.astype(jnp.int32), ctx.gid, cap)
+    n = _seg_sum(spart.astype(jnp.int32), ctx.gid, ncap,
+                 ctx.sorted_ids)
     # positions of valid rows in the second sort are exactly rank order:
     # valid rows sort before nulls/dead within ascending gid, so the k-th
     # valid row overall sits at slot k.
@@ -342,7 +455,8 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
         inner = eval_expr(e.children[0], table, "agg")
         return reduce_group(e.attrs["agg"], inner, ctx, e.attrs, table)
     if k == "table_len":
-        cnt = _seg_sum(ctx.live_sorted.astype(jnp.uint32), ctx.gid, ctx.cap)
+        cnt = _seg_sum(ctx.live_sorted.astype(jnp.uint32), ctx.gid,
+                       ctx.out_cap, ctx.sorted_ids)
         return Val(UInt32, cnt, None, None, False)
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
@@ -368,6 +482,15 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
         f"expression kind {k!r} not supported in group_by aggregation")
 
 
+def _aggs_need_sorted_layout(agg_exprs: Sequence[Expr]) -> bool:
+    """product's cumprod trick requires contiguous group runs."""
+    def rec(e: Expr) -> bool:
+        if e.kind == "agg" and e.attrs.get("agg") == "product":
+            return True
+        return any(rec(c) for c in e.children)
+    return any(rec(a) for a in agg_exprs)
+
+
 def group_by_agg(table: Table, key_exprs: Sequence[Expr],
                  agg_exprs: Sequence[Expr],
                  maintain_order: bool = False) -> Table:
@@ -382,9 +505,27 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
                     (v.validity if v.validity.shape[0] == cap
                      else jnp.broadcast_to(v.validity, (cap,))),
                     v.sdict, False, v.live) for v in key_vals]
-    gctx = build_groups(key_vals, mask)
 
-    # group keys: value at each group's first sorted slot
+    # dense O(n) path when key domains are statically small and no agg
+    # needs the sorted contiguous layout (product's cumprod trick)
+    spans = _dense_spans(key_vals, key_exprs, table) \
+        if not any(v.live is not None for v in key_vals) else None
+    if spans is not None and _aggs_need_sorted_layout(agg_exprs):
+        spans = None
+    prod_span = 1
+    if spans is not None:
+        for s, _ in spans:
+            prod_span *= s
+        from ..config import CONFIG as _CFG
+        if prod_span > max(4 * cap, 1 << 20):
+            spans = None  # domain too large to scatter densely
+    if spans is not None:
+        gctx = build_groups_dense(key_vals, mask, spans)
+    else:
+        gctx = build_groups(key_vals, mask)
+    ocap = gctx.out_cap
+
+    # group keys: value at each group's first row
     key_outputs = {}
     names: List[str] = []
     cols = {}
@@ -392,10 +533,13 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
     gvalid_rows = gctx.group_count > 0
     for ke, kv in zip(key_exprs, key_vals):
         name = meta.output_name(ke)
-        sdata = kv.data[gctx.perm][start]
+        src = kv.data if gctx.sorted_ids is False else kv.data[gctx.perm]
+        sdata = src[start]
         svalid = None
         if kv.validity is not None:
-            svalid = kv.validity[gctx.perm][start] & gvalid_rows
+            vsrc = kv.validity if gctx.sorted_ids is False \
+                else kv.validity[gctx.perm]
+            svalid = vsrc[start] & gvalid_rows
         out_v = Val(kv.dtype, sdata, svalid, kv.sdict, False)
         key_outputs[name] = out_v
         if name in cols:
@@ -408,16 +552,19 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         v = eval_group_expr(ae, table, gctx, names, key_outputs)
         if name in cols:
             raise DuplicateError(f"duplicate column name {name!r}")
-        data = v.data if v.data.shape[0] == cap else \
-            jnp.broadcast_to(v.data, (cap,))
+        data = v.data if v.data.shape[0] == ocap else \
+            jnp.broadcast_to(v.data, (ocap,))
         validity = v.validity
-        if validity is not None and validity.shape[0] != cap:
-            validity = jnp.broadcast_to(validity, (cap,))
+        if validity is not None and validity.shape[0] != ocap:
+            validity = jnp.broadcast_to(validity, (ocap,))
         names.append(name)
         cols[name] = Column(v.dtype, data, validity, v.sdict)
 
-    live = jnp.arange(cap) < gctx.ngroups
-    out = Table(names, cols, cap, None, live)
+    if gctx.sorted_ids:
+        live = jnp.arange(ocap) < gctx.ngroups
+    else:
+        live = gvalid_rows
+    out = Table(names, cols, ocap, None, live)
     if maintain_order:
         # order groups by first occurrence (original row index of first row)
         first_orig = gctx.perm[start]

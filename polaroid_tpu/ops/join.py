@@ -89,6 +89,14 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
     capL, capR = left.capacity, right.capacity
     capT = capL + capR
 
+    # dense fast path: small key domains -> direct-indexed lookup join;
+    # only the build (right) side is sorted, probes are O(1) gathers
+    if how in ("inner", "left", "semi", "anti") and not join_nulls:
+        spans = _dense_join_spans(lv, rv, lmask, rmask, capL, capR)
+        if spans is not None:
+            return _dense_join(left, right, left_on, right_on, how, suffix,
+                               coalesce, lv, rv, lmask, rmask, spans)
+
     def side_words(vals, mask, cap):
         ws = []
         for v in vals:
@@ -237,6 +245,116 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     live_out = k < total
 
+    return _assemble_join_output(left, right, left_on, right_on, how,
+                                 suffix, coalesce, lidx, ridx, lmatch,
+                                 rmatch, total, capO)
+
+
+def _dense_join_spans(lv, rv, lmask, rmask, capL, capR):
+    """Per-key (span, base) when both sides' domains are small: shared
+    string dictionaries, bools, small/statistic-bounded ints. Joins run
+    eagerly (they host-sync the output size anyway), so int ranges are
+    measured with one extra sync — the reference's Sample phase analogue
+    (`equi_join.rs:250`)."""
+    spans = []
+    for a, b in zip(lv, rv):
+        dt = a.dtype
+        if dt.is_string:
+            # after _align_strings both share one dict
+            spans.append((len(a.sdict or []) + 1, None))
+        elif repr(dt) == "Boolean":
+            spans.append((3, None))
+        elif dt.is_integer:
+            bits = dt.bit_width()
+            if bits <= 16:
+                base = -(1 << (bits - 1)) if dt.is_signed_integer else 0
+                spans.append(((1 << bits) + 1, base))
+            else:
+                info = jnp.iinfo(a.data.dtype)
+                am = jnp.where(lmask, a.data if a.data.shape[0] == capL
+                               else jnp.broadcast_to(a.data, (capL,)), info.max)
+                bm = jnp.where(rmask, b.data if b.data.shape[0] == capR
+                               else jnp.broadcast_to(b.data, (capR,)), info.max)
+                mn = int(min(int(jnp.min(am)), int(jnp.min(bm))))
+                aM = jnp.where(lmask, a.data if a.data.shape[0] == capL
+                               else jnp.broadcast_to(a.data, (capL,)), info.min)
+                bM = jnp.where(rmask, b.data if b.data.shape[0] == capR
+                               else jnp.broadcast_to(b.data, (capR,)), info.min)
+                mx = int(max(int(jnp.max(aM)), int(jnp.max(bM))))
+                if mx < mn:
+                    mn, mx = 0, 0
+                spans.append((mx - mn + 2, mn))
+        else:
+            return None
+    prod = 1
+    for s, _ in spans:
+        prod *= s
+    if prod > max(4 * (capL + capR), 1 << 21):
+        return None
+    return spans
+
+
+def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
+                lv, rv, lmask, rmask, spans):
+    capL, capR = left.capacity, right.capacity
+    prod = 1
+    for s, _ in spans:
+        prod *= s
+
+    def codes(vals, mask, cap):
+        gid = jnp.zeros(cap, jnp.int32)
+        for v, (span, base) in zip(vals, spans):
+            data = v.data if v.data.shape[0] == cap else \
+                jnp.broadcast_to(v.data, (cap,))
+            if v.dtype.is_string:
+                c = data.astype(jnp.int32) + 1
+            elif repr(v.dtype) == "Boolean":
+                c = data.astype(jnp.int32) + 1
+            else:
+                c = (data.astype(jnp.int64) - (base or 0) + 1).astype(jnp.int32)
+            gid = gid * span + jnp.clip(c, 0, span - 1)
+        return jnp.where(mask, gid, prod)
+
+    code_l = codes(lv, lmask, capL)
+    code_r = codes(rv, rmask, capR)
+
+    counts = _seg_sum(jnp.ones(capR, jnp.int32), code_r, prod, False)
+    cnt_p = jnp.where(lmask, counts[jnp.clip(code_l, 0, prod - 1)], 0)
+
+    if how in ("semi", "anti"):
+        sel = lmask & (cnt_p > 0)
+        if how == "anti":
+            sel = left.row_mask() & ~sel
+        return left.with_valid(sel & left.row_mask(), None)
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive, per dense code
+    rsorted = jnp.argsort(code_r, stable=True)  # dump code sorts last
+
+    row_live = left.row_mask()
+    if how == "inner":
+        m = cnt_p
+    else:  # left: every live left row emits >= 1 (null-key rows included)
+        m = jnp.where(row_live, jnp.maximum(cnt_p, 1), 0)
+
+    total = int(jnp.sum(m))
+    capO = capacity_for(max(total, 1))
+    moff = jnp.cumsum(m)
+    k = jnp.arange(capO, dtype=jnp.int64)
+    p = jnp.searchsorted(moff, k, side="right").astype(jnp.int32)
+    pc = jnp.clip(p, 0, capL - 1)
+    j = (k - (moff[pc] - m[pc])).astype(jnp.int32)
+    slot = offsets[jnp.clip(code_l[pc], 0, prod - 1)] + j
+    ridx = rsorted[jnp.clip(slot, 0, capR - 1)]
+    live_out = k < total
+    lmatch = live_out
+    rmatch = live_out & (cnt_p[pc] > 0)
+    return _assemble_join_output(left, right, left_on, right_on, how, suffix,
+                                 coalesce, pc, ridx, lmatch, rmatch, total,
+                                 capO)
+
+
+def _assemble_join_output(left, right, left_on, right_on, how, suffix,
+                          coalesce, lidx, ridx, lmatch, rmatch, total, capO):
     # --- build output columns ---
     names: List[str] = []
     cols = {}
@@ -297,10 +415,7 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
             names[:] = [n for n in names if n != rname]
             cols.pop(rname, None)
 
-    out = Table(names, cols, capO, total, None)
-    mask_live = jnp.arange(capO) < total
-    # dead slots: ensure masked
-    return out
+    return Table(names, cols, capO, total, None)
 
 
 def cross_join(left: Table, right: Table, suffix: str = "_right") -> Table:
