@@ -87,8 +87,7 @@ def main():
     def q1(price, volume, sym, valid):
         live = valid & (volume > 1000)
         notional = price * volume.astype(jnp.float32)
-        gkey, (s, c), gv = local_groupby(sym.astype(jnp.uint64),
-                                         [notional, notional], live,
+        gkey, (s, c), gv = local_groupby(sym, [notional, notional], live,
                                          ["sum", "count"])
         return gkey, s / jnp.maximum(c, 1), gv
 
@@ -110,8 +109,7 @@ def main():
 
     @jax.jit
     def op_agg(sym, price, valid):
-        gkey, (s, c), gv = local_groupby(sym.astype(jnp.uint64),
-                                         [price, price], valid,
+        gkey, (s, c), gv = local_groupby(sym, [price, price], valid,
                                          ["sum", "count"])
         return gkey, s, c
 
@@ -120,9 +118,9 @@ def main():
     # join: 4M probe x 1M build on one chip
     nb = 1 << 20
     npr = 1 << 22
-    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint64))
+    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint32))
     bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
-    pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint64))
+    pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint32))
 
     @jax.jit
     def op_join(bkey, bval, pkey):

@@ -32,6 +32,7 @@ from .errors import (  # noqa: E402
     NoDataError, OutOfBoundsError, PolaroidError, SchemaError, ShapeError,
     SQLInterfaceError, SQLSyntaxError,
 )
+from . import exceptions  # noqa: E402  (pl.exceptions parity namespace)
 from .expr.expr import (  # noqa: E402
     Expr, col, first, last, len_ as len, lit, nth, when,
 )

@@ -62,24 +62,35 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     """
     cap = key.shape[0]
     dead = (~valid).astype(jnp.uint32)
-    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
-    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     # sort only (keys, row-id); payloads are gathered by the permutation —
-    # one gather pass instead of dragging every column through the sort
+    # one gather pass instead of dragging every column through the sort.
+    # 64-bit keys split into u32 words: TPU v5e emulates 64-bit ops at a
+    # severe penalty, so everything on the sort path stays 32-bit.
     idx0 = jnp.arange(cap, dtype=jnp.int32)
-    sdead, shi, slo, perm = jax.lax.sort((dead, khi, klo, idx0), num_keys=3,
+    if key.dtype.itemsize <= 4:
+        k32 = key.astype(jnp.uint32) if key.dtype != jnp.uint32 else key
+        sdead, sk32, perm = jax.lax.sort((dead, k32, idx0), num_keys=2,
                                          is_stable=True)
+        kwords = (sk32,)
+    else:
+        khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+        klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        sdead, shi, slo, perm = jax.lax.sort((dead, khi, klo, idx0),
+                                             num_keys=3, is_stable=True)
+        kwords = (shi, slo)
     svals = [v[perm] for v in vals]
     skey = key[perm]
     live = sdead == 0
     idx = jnp.arange(cap)
-    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) | (slo != jnp.roll(slo, 1))) \
-        & live
+    newg = idx == 0
+    for w in kwords:
+        newg = newg | (w != jnp.roll(w, 1))
+    newg = newg & live
     gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
     outs = []
     for sv, agg in zip(svals, aggs):
         if agg == "count":
-            outs.append(_seg(live.astype(jnp.int64), gid, cap, "sum"))
+            outs.append(_seg(live.astype(jnp.int32), gid, cap, "sum"))
         elif agg == "sum":
             outs.append(_seg(jnp.where(live, sv, 0), gid, cap, "sum"))
         elif agg == "min":

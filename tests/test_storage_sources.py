@@ -119,7 +119,7 @@ def test_rest_source():
     port = httpd.server_address[1]
     try:
         src = RestSource(f"http://127.0.0.1:{port}/data", interval_s=0.01,
-                         batch_rows=3, max_polls=6)
+                         batch_rows=3, max_polls=6, flush_interval=3600.0)
         df = asyncio.run(collect_stream(src, max_batches=2))
         assert df.height == 6
         assert df.to_dict()["poll"] == [1, 2, 3, 4, 5, 6]
