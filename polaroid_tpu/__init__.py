@@ -24,8 +24,8 @@ if _os.environ.get("PT_NO_X64") not in ("1", "true"):
 from .config import CONFIG, Config  # noqa: E402
 from .dtypes import (  # noqa: E402
     Boolean, Categorical, DataType, Date, Datetime, Duration, Float32,
-    Float64, Int8, Int16, Int32, Int64, List, Null, String, Time, UInt8,
-    UInt16, UInt32, UInt64, Utf8,
+    Float64, Int8, Int16, Int32, Int64, List, Null, String, Struct, Time,
+    UInt8, UInt16, UInt32, UInt64, Utf8,
 )
 from .errors import (  # noqa: E402
     ColumnNotFoundError, ComputeError, DuplicateError, InvalidOperationError,

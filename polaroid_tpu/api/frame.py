@@ -20,7 +20,7 @@ from ..dtypes import Boolean, DataType, Float64, UInt8
 from ..errors import (ColumnNotFoundError, ComputeError, DuplicateError,
                       InvalidOperationError, ShapeError)
 from ..expr import meta
-from ..expr.eval import Val, eval_expr
+from ..expr.eval import Val, eval_expr, val_to_column
 from ..expr.expr import Expr, WhenThen, col as _col
 from ..ops import compact as C
 from ..ops import sort as S
@@ -173,6 +173,16 @@ class DataFrame:
     # --- expression contexts --------------------------------------------
     def select(self, *exprs, **named_exprs) -> "DataFrame":
         es = meta.expand_exprs(_to_exprs(exprs, named_exprs), self.schema)
+        stripped, explode_names = [], []
+        for e in es:
+            e2, hit = meta.strip_top_explode(e)
+            stripped.append(e2)
+            if hit:
+                explode_names.append(meta.output_name(e2))
+        if explode_names:
+            out = self.select(*stripped)
+            return out.explode(explode_names)
+        es = stripped
         t = self._table
         results = []
         any_row = False
@@ -198,26 +208,15 @@ class DataFrame:
                 if isinstance(v, Column):
                     cols[name] = v
                     continue
-                data = jnp.broadcast_to(v.data, (cap,)) if v.is_scalar else v.data
-                validity = v.validity
-                if validity is not None and v.is_scalar:
-                    validity = jnp.broadcast_to(validity, (cap,))
-                cols[name] = Column(v.dtype, data, validity, v.sdict)
+                cols[name] = val_to_column(v, cap)
             return DataFrame._from_table(
                 Table(names, cols, cap, t.nrows, t.valid))
         cap = capacity_for(1)
         for name, v in results:
             if name in cols:
                 raise DuplicateError(f"duplicate column name {name!r}")
-            data = jnp.broadcast_to(v.data, (1,))
-            pad = jnp.zeros(cap - 1, dtype=data.dtype)
-            data = jnp.concatenate([data, pad])
-            validity = None
-            if v.validity is not None:
-                validity = jnp.concatenate(
-                    [jnp.broadcast_to(v.validity, (1,)), jnp.zeros(cap - 1, jnp.bool_)])
             names.append(name)
-            cols[name] = Column(v.dtype, data, validity, v.sdict)
+            cols[name] = val_to_column(v, cap)
         return DataFrame._from_table(Table(names, cols, cap, 1, None))
 
     def with_columns(self, *exprs, **named_exprs) -> "DataFrame":
@@ -226,11 +225,7 @@ class DataFrame:
         for e in es:
             name = meta.output_name(e)
             v = eval_expr(e, t, "select")
-            data = jnp.broadcast_to(v.data, (t.capacity,)) if v.is_scalar else v.data
-            validity = v.validity
-            if validity is not None and v.is_scalar:
-                validity = jnp.broadcast_to(validity, (t.capacity,))
-            t = t.with_column(name, Column(v.dtype, data, validity, v.sdict))
+            t = t.with_column(name, val_to_column(v, t.capacity))
         return DataFrame._from_table(t)
 
     def with_row_index(self, name: str = "index", offset: int = 0) -> "DataFrame":
@@ -270,6 +265,21 @@ class DataFrame:
 
     def rename(self, mapping: Dict[str, str], strict: bool = True) -> "DataFrame":
         return DataFrame._from_table(self._table.rename(mapping, strict))
+
+    def explode(self, *columns) -> "DataFrame":
+        from ..ops.nested import explode_table
+        flat = []
+        for c in columns:
+            flat.extend(c if isinstance(c, (list, tuple)) else [c])
+        names = [c.attrs["name"] if isinstance(c, Expr) else c for c in flat]
+        return DataFrame._from_table(explode_table(self._table, names))
+
+    def unnest(self, *columns) -> "DataFrame":
+        from .lazyframe import _unnest_table
+        flat = []
+        for c in columns:
+            flat.extend(c if isinstance(c, (list, tuple)) else [c])
+        return DataFrame._from_table(_unnest_table(self._table, flat))
 
     def cast(self, dtypes, strict: bool = True) -> "DataFrame":
         if isinstance(dtypes, dict):

@@ -311,9 +311,9 @@ def concat_str(*exprs, separator: str = "") -> Expr:
     return Expr("concat_str", tuple(es), separator=separator)
 
 
-def struct(*exprs) -> Expr:
-    es = [_wrap_col(e) for e in _flatten(exprs)]
-    return Expr("struct", tuple(es))
+def struct(*exprs, **named) -> Expr:
+    from ..expr.expr import struct as _struct
+    return _struct(*exprs, **named)
 
 
 def select(*exprs, **named):

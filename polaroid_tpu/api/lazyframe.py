@@ -75,7 +75,17 @@ class LazyFrame:
 
     # --- plan builders --------------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
-        return LazyFrame._from_plan(L.Select(self._plan, _to_exprs(exprs, named)))
+        es = _to_exprs(exprs, named)
+        stripped, explode_names = [], []
+        for e in es:
+            e2, hit = meta.strip_top_explode(e)
+            stripped.append(e2)
+            if hit:
+                explode_names.append(meta.output_name(e2))
+        plan = L.Select(self._plan, stripped)
+        if explode_names:
+            plan = L.Explode(plan, explode_names)
+        return LazyFrame._from_plan(plan)
 
     def with_columns(self, *exprs, **named) -> "LazyFrame":
         return LazyFrame._from_plan(
@@ -147,6 +157,25 @@ class LazyFrame:
 
     def rename(self, mapping: Dict[str, str], strict: bool = True) -> "LazyFrame":
         return LazyFrame._from_plan(L.Rename(self._plan, mapping))
+
+    def explode(self, *columns) -> "LazyFrame":
+        flat = []
+        for c in columns:
+            if isinstance(c, (list, tuple)):
+                flat.extend(c)
+            else:
+                flat.append(c)
+        names = [c.attrs["name"] if isinstance(c, Expr) else c for c in flat]
+        return LazyFrame._from_plan(L.Explode(self._plan, names))
+
+    def unnest(self, *columns) -> "LazyFrame":
+        flat = []
+        for c in columns:
+            flat.extend(c if isinstance(c, (list, tuple)) else [c])
+        return LazyFrame._from_plan(L.MapFunction(
+            self._plan, lambda t: _unnest_table(t, flat),
+            schema_fn=lambda s: _unnest_schema(s, flat),
+            label=f"unnest[{','.join(flat)}]"))
 
     def cast(self, dtypes, strict: bool = True) -> "LazyFrame":
         if isinstance(dtypes, dict):
@@ -401,3 +430,45 @@ def scan_ipc(source, n_rows: Optional[int] = None, **options) -> LazyFrame:
 def scan_ndjson(source, n_rows: Optional[int] = None, **options) -> LazyFrame:
     return LazyFrame._from_plan(
         L.Scan("ndjson", source, n_rows=n_rows, options=options))
+
+
+# --- unnest helpers ------------------------------------------------------
+
+def _unnest_schema(schema, columns):
+    from ..dtypes import Struct as StructT
+    from ..errors import SchemaError
+    out = {}
+    for n, dt in schema.items():
+        if n in columns:
+            if not isinstance(dt, StructT):
+                raise SchemaError(f"unnest: {n!r} is {dt!r}, not a Struct")
+            for fn, fdt in dt.fields:
+                out[fn] = fdt
+        else:
+            out[n] = dt
+    return out
+
+
+def _unnest_table(t, columns):
+    """Replace struct columns by their fields in place (reference:
+    `polars-ops` unnest / DataFrame::unnest)."""
+    from ..batch import Table
+    from ..errors import SchemaError
+    import jax.numpy as jnp
+    names, cols = [], {}
+    for n in t.names:
+        c = t.cols[n]
+        if n in columns:
+            if c.fields is None:
+                raise SchemaError(f"unnest: {n!r} is {c.dtype!r}, not a Struct")
+            for fn, f in c.fields.items():
+                if c.validity is not None:
+                    fv = f.validity & c.validity if f.validity is not None \
+                        else c.validity
+                    f = f.with_data(f.data, fv)
+                names.append(fn)
+                cols[fn] = f
+        else:
+            names.append(n)
+            cols[n] = c
+    return Table(names, cols, t.capacity, t.nrows, t.valid)

@@ -51,14 +51,26 @@ class Column:
     `data` has shape (capacity,); rows outside the table's live set hold
     zeros/-1 and must be ignored by all kernels.
     `validity` is True where the value is non-null (None => all non-null).
+
+    Nested layouts (TPU-native, see `dtypes.List`/`dtypes.Struct`):
+      * List: `data` is (capacity, width) of the inner physical dtype,
+        `lengths` is (capacity,) int32 per-row list length, `elem_valid`
+        an optional (capacity, width) inner-null mask. `sdict` is the
+        inner dictionary when the inner dtype is a string.
+      * Struct: `fields` is an ordered {name: Column} of child columns
+        (struct-of-arrays); `data` is None.
     """
 
-    __slots__ = ("dtype", "data", "validity", "sdict", "stats")
+    __slots__ = ("dtype", "data", "validity", "sdict", "stats", "lengths",
+                 "elem_valid", "fields")
 
-    def __init__(self, dtype: DataType, data: jax.Array,
+    def __init__(self, dtype: DataType, data: Optional[jax.Array],
                  validity: Optional[jax.Array] = None,
                  sdict: Optional[StringDict] = None,
-                 stats: Optional[dict] = None):
+                 stats: Optional[dict] = None,
+                 lengths: Optional[jax.Array] = None,
+                 elem_valid: Optional[jax.Array] = None,
+                 fields: Optional[Dict[str, "Column"]] = None):
         self.dtype = dtype
         self.data = data
         self.validity = validity
@@ -66,26 +78,56 @@ class Column:
         # host-cached column statistics ({"min","max"}): unlock the dense
         # O(n) group-by for integer keys (computed lazily, one sync)
         self.stats = stats
+        self.lengths = lengths
+        self.elem_valid = elem_valid
+        self.fields = fields
 
     @property
     def capacity(self) -> int:
-        return self.data.shape[0]
+        if self.data is not None:
+            return self.data.shape[0]
+        return next(iter(self.fields.values())).capacity
 
     def with_data(self, data: jax.Array,
                   validity: Optional[jax.Array] = "__keep__") -> "Column":
         v = self.validity if isinstance(validity, str) else validity
-        return Column(self.dtype, data, v, self.sdict)
+        return Column(self.dtype, data, v, self.sdict,
+                      lengths=self.lengths, elem_valid=self.elem_valid,
+                      fields=self.fields)
 
     def validity_or_true(self) -> jax.Array:
         if self.validity is None:
             return jnp.ones(self.capacity, dtype=jnp.bool_)
         return self.validity
 
+    def take(self, perm: jax.Array) -> "Column":
+        """Gather rows by index (axis 0); the one structural op every
+        kernel uses — handles flat, list (2-D + lengths) and struct
+        (recursive) layouts uniformly."""
+        if self.fields is not None:
+            return Column(self.dtype, None,
+                          self.validity[perm] if self.validity is not None
+                          else None,
+                          fields={k: f.take(perm)
+                                  for k, f in self.fields.items()})
+        return Column(
+            self.dtype, self.data[perm],
+            self.validity[perm] if self.validity is not None else None,
+            self.sdict,
+            lengths=self.lengths[perm] if self.lengths is not None else None,
+            elem_valid=self.elem_valid[perm]
+            if self.elem_valid is not None else None)
+
     # ------------------------------------------------------------------
     @staticmethod
     def from_numpy(values, dtype: Optional[DataType] = None,
                    capacity: Optional[int] = None) -> "Column":
         """Build a device column from host values, padding to capacity."""
+        nested = _detect_nested(values, dtype)
+        if nested == "list":
+            return _list_column_from_host(values, dtype, capacity)
+        if nested == "struct":
+            return _struct_column_from_host(values, dtype, capacity)
         values, mask, dt, sdict = _coerce_host_values(values, dtype)
         n = len(values)
         cap = capacity_for(n) if capacity is None else capacity
@@ -105,6 +147,26 @@ class Column:
 
     def to_numpy(self, nrows: int, valid_mask: Optional[np.ndarray] = None):
         """Host copy of the live rows (object array when nulls/strings)."""
+        if self.fields is not None:
+            # struct -> object array of dicts
+            parts = {k: f.to_numpy(nrows, valid_mask)
+                     for k, f in self.fields.items()}
+            m = len(next(iter(parts.values()))) if parts else 0
+            vmask = np.ones(m, dtype=bool)
+            if self.validity is not None:
+                vm = np.asarray(self.validity)[:nrows]
+                vmask = vm[valid_mask[:nrows]] if valid_mask is not None else vm
+            out = np.empty(m, dtype=object)
+
+            def _py(x):
+                return x.item() if isinstance(x, np.generic) else x
+
+            for i in range(m):
+                out[i] = ({k: _py(parts[k][i]) for k in parts}
+                          if vmask[i] else None)
+            return out
+        if self.lengths is not None:
+            return _list_to_numpy_impl(self, nrows, valid_mask)
         data = np.asarray(self.data)[:nrows]
         vmask = None
         if self.validity is not None:
@@ -130,6 +192,186 @@ class Column:
             out = np.asarray(out, dtype=object)
             out[~vmask] = None
         return out
+
+
+def _empty_column(dt: DataType, cap: int) -> Column:
+    from .dtypes import List as ListT, Struct as StructT
+    if isinstance(dt, ListT):
+        stor = storage_numpy_dtype(dt.inner)
+        return Column(dt, jnp.zeros((cap, 1), dtype=stor), None,
+                      StringDict(np.array([], dtype=object))
+                      if dt.inner.is_string else None,
+                      lengths=jnp.zeros(cap, dtype=jnp.int32))
+    if isinstance(dt, StructT):
+        return Column(dt, None, None,
+                      fields={n: _empty_column(d, cap) for n, d in dt.fields})
+    stor = storage_numpy_dtype(dt)
+    return Column(dt, jnp.zeros(cap, dtype=stor), None,
+                  StringDict(np.array([], dtype=object))
+                  if dt.is_string else None)
+
+
+def width_for(n: int) -> int:
+    """List-width bucket: power of two >= n (min 1). Small floor keeps tiny
+    lists cheap; powers of two bound the distinct XLA shapes."""
+    c = max(int(n), 1)
+    b = 1
+    while b < c:
+        b <<= 1
+    return b
+
+
+def _detect_nested(values, dtype: Optional[DataType]) -> Optional[str]:
+    from .dtypes import List as ListT, Struct as StructT
+    if isinstance(dtype, ListT):
+        return "list"
+    if isinstance(dtype, StructT):
+        return "struct"
+    if isinstance(values, np.ndarray):
+        if values.ndim == 2:
+            return "list"
+        if values.dtype.kind != "O":
+            return None
+    try:
+        it = iter(values)
+    except TypeError:
+        return None
+    for v in it:
+        if v is None:
+            continue
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "struct"
+        return None
+    return None
+
+
+def _list_column_from_host(values, dtype: Optional[DataType],
+                           capacity: Optional[int]) -> Column:
+    from .dtypes import List as ListT
+    if isinstance(values, np.ndarray) and values.ndim == 2:
+        seq = [list(r) for r in values]
+    else:
+        seq = list(values)
+    n = len(seq)
+    cap = capacity_for(n) if capacity is None else capacity
+    if cap < n:
+        raise ShapeError(f"capacity {cap} < row count {n}")
+    mask = np.array([v is not None for v in seq], dtype=bool)
+    lens = np.array([len(v) if v is not None else 0 for v in seq],
+                    dtype=np.int32)
+    W = width_for(int(lens.max()) if n else 1)
+    inner_dt = dtype.inner if isinstance(dtype, ListT) else None
+    # one flat coercion over the padded (cap, W) grid reuses the scalar
+    # coercion logic (strings/temporal/bool) unchanged
+    flat: list = [None] * (cap * W)
+    for i, row in enumerate(seq):
+        if row is None:
+            continue
+        base = i * W
+        for j, e in enumerate(row):
+            flat[base + j] = e
+    vals, emask, dt, sdict = _coerce_host_values(flat, inner_dt)
+    if repr(dt) == "Null":
+        dt = Boolean
+    stor = storage_numpy_dtype(dt)
+    data2 = np.asarray(vals).astype(stor, copy=False).reshape(cap, W)
+    em2 = emask.reshape(cap, W)
+    lens_full = np.zeros(cap, dtype=np.int32)
+    lens_full[:n] = lens
+    in_len = np.arange(W)[None, :] < lens_full[:, None]
+    elem_valid = None
+    if not (em2 == in_len).all():
+        elem_valid = jnp.asarray(em2 & in_len)
+    validity = None
+    if not mask.all():
+        m = np.zeros(cap, dtype=bool)
+        m[:n] = mask
+        validity = jnp.asarray(m)
+    return Column(ListT(dt), jnp.asarray(data2), validity, sdict,
+                  lengths=jnp.asarray(lens_full), elem_valid=elem_valid)
+
+
+def _struct_column_from_host(values, dtype: Optional[DataType],
+                             capacity: Optional[int]) -> Column:
+    from .dtypes import Struct as StructT
+    seq = list(values)
+    n = len(seq)
+    cap = capacity_for(n) if capacity is None else capacity
+    if cap < n:
+        raise ShapeError(f"capacity {cap} < row count {n}")
+    mask = np.array([v is not None for v in seq], dtype=bool)
+    if isinstance(dtype, StructT):
+        keys = [k for k, _ in dtype.fields]
+        fdts = dict(dtype.fields)
+    else:
+        keys, fdts = [], {}
+        for row in seq:
+            if row is not None:
+                for k in row:
+                    if k not in fdts:
+                        keys.append(k)
+                        fdts[k] = None
+    fields = {}
+    out_fields = []
+    for k in keys:
+        child_vals = [row.get(k) if row is not None else None for row in seq]
+        child = Column.from_numpy(child_vals, dtype=fdts.get(k), capacity=cap)
+        fields[k] = child
+        out_fields.append((k, child.dtype))
+    validity = None
+    if not mask.all():
+        m = np.zeros(cap, dtype=bool)
+        m[:n] = mask
+        validity = jnp.asarray(m)
+    return Column(StructT(out_fields), None, validity, fields=fields)
+
+
+def _decode_flat_host(dt: DataType, arr: np.ndarray, sdict):
+    """Decode a flat physical host array to user-facing values (mirror of
+    the scalar branch in Column.to_numpy)."""
+    if dt.is_string:
+        return sdict.decode(arr.astype(np.int32)) if sdict is not None else arr
+    name = repr(dt)
+    if name == "Date":
+        return arr.astype("datetime64[D]").astype(object)
+    if isinstance(dt, Datetime):
+        return arr.astype(f"datetime64[{dt.time_unit}]")
+    if isinstance(dt, Duration):
+        return arr.astype(f"timedelta64[{dt.time_unit}]")
+    return arr
+
+
+def _list_to_numpy_impl(col: Column, nrows: int,
+                        valid_mask: Optional[np.ndarray]):
+    data = np.asarray(col.data)[:nrows]
+    lens = np.asarray(col.lengths)[:nrows]
+    ev = np.asarray(col.elem_valid)[:nrows] \
+        if col.elem_valid is not None else None
+    vmask = np.asarray(col.validity)[:nrows] \
+        if col.validity is not None else None
+    if valid_mask is not None:
+        sel = valid_mask[:nrows]
+        data, lens = data[sel], lens[sel]
+        if ev is not None:
+            ev = ev[sel]
+        if vmask is not None:
+            vmask = vmask[sel]
+    inner = col.dtype.inner
+    out = np.empty(len(data), dtype=object)
+    for i in range(len(data)):
+        if vmask is not None and not vmask[i]:
+            out[i] = None
+            continue
+        L = int(lens[i])
+        vals = _decode_flat_host(inner, data[i, :L], col.sdict)
+        vals = vals.tolist() if isinstance(vals, np.ndarray) else list(vals)
+        if ev is not None:
+            out[i] = [v if ev[i, j] else None for j, v in enumerate(vals)]
+        else:
+            out[i] = vals
+    return out
 
 
 def _coerce_host_values(values, dtype: Optional[DataType]):
@@ -256,10 +498,7 @@ class Table:
         names, cols = [], {}
         for name, dt in schema:
             names.append(name)
-            stor = storage_numpy_dtype(dt)
-            cols[name] = Column(dt, jnp.zeros(cap, dtype=stor), None,
-                                StringDict(np.array([], dtype=object))
-                                if dt.is_string else None)
+            cols[name] = _empty_column(dt, cap)
         return Table(names, cols, cap, 0, None)
 
     # --- basic introspection -------------------------------------------

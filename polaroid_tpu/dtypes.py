@@ -31,6 +31,7 @@ __all__ = [
     "DataType", "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16",
     "UInt32", "UInt64", "Float32", "Float64", "Boolean", "String", "Utf8",
     "Categorical", "Date", "Datetime", "Duration", "Time", "Null",
+    "List", "Struct",
     "dtype_from_numpy", "supertype", "physical_numpy_dtype",
     "NUMERIC_DTYPES", "INTEGER_DTYPES", "FLOAT_DTYPES",
 ]
@@ -162,9 +163,18 @@ class Duration(DataType):
 
 
 class List(DataType):
-    """Nested list type (fixed-capacity ragged representation)."""
+    """Nested list type.
+
+    TPU-native physical layout (vs the reference's Arrow offsets+child,
+    `polars-arrow/src/array/list/`): a list column is a fixed-width padded
+    2-D device array `(capacity, width)` of the inner physical dtype plus a
+    per-row `lengths` int32 vector — ragged offsets are hostile to XLA's
+    static shapes, padded lanes vectorize on the VPU.
+    """
 
     def __init__(self, inner: DataType):
+        if isinstance(inner, type) and issubclass(inner, DataType):
+            inner = inner()
         self.inner = inner
 
     @property
@@ -174,6 +184,41 @@ class List(DataType):
     @property
     def is_nested(self) -> bool:
         return True
+
+
+class Struct(DataType):
+    """Nested struct type: named fields, stored as parallel child columns
+    (the reference's `polars-arrow/src/array/struct_/` equivalent — struct
+    of arrays, never array of structs)."""
+
+    def __init__(self, fields):
+        # accepts {name: dtype} or [(name, dtype)] or [Field-like]
+        if isinstance(fields, dict):
+            items = list(fields.items())
+        else:
+            items = [(f[0], f[1]) if isinstance(f, (tuple, list))
+                     else (f.name, f.dtype) for f in fields]
+        norm = []
+        for n, d in items:
+            if isinstance(d, type) and issubclass(d, DataType):
+                d = d()
+            norm.append((n, d))
+        self.fields = norm
+
+    @property
+    def _name(self) -> str:  # type: ignore[override]
+        body = ", ".join(f"{n!r}: {d!r}" for n, d in self.fields)
+        return f"Struct({{{body}}})"
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+    def field_dtype(self, name: str) -> "DataType":
+        for n, d in self.fields:
+            if n == name:
+                return d
+        raise SchemaError(f"struct has no field {name!r}")
 
 
 INTEGER_DTYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64]
@@ -278,4 +323,6 @@ def supertype(a: DataType, b: DataType) -> DataType:
         return b
     if (b == Date and isinstance(a, Datetime)):
         return a
+    if isinstance(a, List) and isinstance(b, List):
+        return List(supertype(a.inner, b.inner))
     raise SchemaError(f"no supertype of {a!r} and {b!r}")

@@ -186,10 +186,35 @@ def _flatten_table(t: Table):
     colmeta = []
     for n in t.names:
         c = t.cols[n]
+        if c.fields is not None:
+            # struct: flatten child columns under a prefixed key space
+            fmeta = []
+            for fn, f in c.fields.items():
+                flat[f"d:{n}.{fn}"] = f.data
+                if f.validity is not None:
+                    flat[f"v:{n}.{fn}"] = f.validity
+                if f.lengths is not None:
+                    flat[f"l:{n}.{fn}"] = f.lengths
+                if f.elem_valid is not None:
+                    flat[f"e:{n}.{fn}"] = f.elem_valid
+                fmeta.append((fn, f.dtype, f.validity is not None, f.sdict,
+                              f.lengths is not None,
+                              f.elem_valid is not None))
+            if c.validity is not None:
+                flat[f"v:{n}"] = c.validity
+            colmeta.append((n, c.dtype, c.validity is not None, c.sdict,
+                            c.stats, False, False, tuple(fmeta)))
+            continue
         flat[f"d:{n}"] = c.data
         if c.validity is not None:
             flat[f"v:{n}"] = c.validity
-        colmeta.append((n, c.dtype, c.validity is not None, c.sdict, c.stats))
+        if c.lengths is not None:
+            flat[f"l:{n}"] = c.lengths
+        if c.elem_valid is not None:
+            flat[f"e:{n}"] = c.elem_valid
+        colmeta.append((n, c.dtype, c.validity is not None, c.sdict, c.stats,
+                        c.lengths is not None, c.elem_valid is not None,
+                        None))
     if t.valid is not None:
         flat["__valid"] = t.valid
     metadata = (tuple(colmeta), t.capacity, t.nrows, t.valid is not None)
@@ -200,10 +225,23 @@ def _unflatten_table(flat, metadata) -> Table:
     colmeta, capacity, nrows, has_valid = metadata
     names = []
     cols = {}
-    for (n, dt, has_v, sdict, stats) in colmeta:
+    for (n, dt, has_v, sdict, stats, has_l, has_e, fmeta) in colmeta:
         names.append(n)
+        if fmeta is not None:
+            fields = {}
+            for (fn, fdt, f_v, f_sd, f_l, f_e) in fmeta:
+                fields[fn] = Column(
+                    fdt, flat[f"d:{n}.{fn}"],
+                    flat.get(f"v:{n}.{fn}") if f_v else None, f_sd,
+                    lengths=flat.get(f"l:{n}.{fn}") if f_l else None,
+                    elem_valid=flat.get(f"e:{n}.{fn}") if f_e else None)
+            cols[n] = Column(dt, None, flat.get(f"v:{n}") if has_v else None,
+                             fields=fields)
+            continue
         cols[n] = Column(dt, flat[f"d:{n}"],
-                         flat.get(f"v:{n}") if has_v else None, sdict, stats)
+                         flat.get(f"v:{n}") if has_v else None, sdict, stats,
+                         lengths=flat.get(f"l:{n}") if has_l else None,
+                         elem_valid=flat.get(f"e:{n}") if has_e else None)
     valid = flat.get("__valid") if has_valid else None
     return Table(names, cols, capacity, nrows, valid)
 

@@ -150,7 +150,9 @@ def _exec(plan: L.Plan, state: ExecState) -> Table:
         return _exec_unpivot(t, plan)
 
     if k == "explode":
-        raise ComputeError("explode not yet supported")
+        t = execute(plan.input, state)
+        from ..ops.nested import explode_table
+        return explode_table(t, plan.columns)
 
     raise ComputeError(f"cannot execute plan node {k!r}")
 

@@ -48,16 +48,23 @@ class Val:
     expr-level filter/drop_nulls, consumed by aggregations).
     """
 
-    __slots__ = ("dtype", "data", "validity", "sdict", "is_scalar", "live")
+    __slots__ = ("dtype", "data", "validity", "sdict", "is_scalar", "live",
+                 "lengths", "elem_valid", "fields")
 
     def __init__(self, dtype, data, validity=None, sdict=None,
-                 is_scalar=False, live=None):
+                 is_scalar=False, live=None, lengths=None, elem_valid=None,
+                 fields=None):
         self.dtype = dtype
         self.data = data
         self.validity = validity
         self.sdict = sdict
         self.is_scalar = is_scalar
         self.live = live
+        # nested layouts (see batch.Column): List -> 2-D data + lengths
+        # (+ optional elem_valid); Struct -> fields dict of child Vals
+        self.lengths = lengths
+        self.elem_valid = elem_valid
+        self.fields = fields
 
     def valid_or_true(self):
         if self.validity is None:
@@ -632,7 +639,11 @@ def _eval_agg(e: Expr, v: Val, table: Table) -> Val:
     if agg == "mode":
         raise InvalidOperationError("mode() not yet supported")
     if agg == "implode":
-        raise InvalidOperationError("implode() not yet supported")
+        from ..ops.nested import implode_all
+        packed, lengths, elem_valid, ldt = implode_all(
+            x, v.validity, live, dt, v.sdict)
+        return Val(ldt, packed, None, v.sdict, True,
+                   lengths=lengths, elem_valid=elem_valid)
     if agg == "agg_groups":
         raise InvalidOperationError("agg_groups() outside group_by")
     raise ComputeError(f"unknown aggregation {agg!r}")
@@ -934,6 +945,42 @@ def _neg_key(x):
 # str / dt namespaces
 # ---------------------------------------------------------------------------
 
+def _eval_list(e: Expr, v: Val, table: Table) -> Val:
+    """`.list.<op>` — masked axis-1 kernels (`ops/nested.py`); `join` is a
+    host-side dictionary transform like the `.str` ops."""
+    from ..ops import nested as N
+
+    op = e.attrs["op"]
+    if op == "join":
+        if v.lengths is None or not v.dtype.inner.is_string:
+            raise InvalidOperationError(".list.join requires List(String)")
+        sep = e.attrs.get("separator", "")
+        data = np.asarray(v.data)
+        lens = np.asarray(v.lengths)
+        ev = np.asarray(v.elem_valid) if v.elem_valid is not None else None
+        cap = data.shape[0]
+        words = v.sdict.values if v.sdict is not None else np.array([], object)
+        out = np.empty(cap, dtype=object)
+        mask = np.ones(cap, dtype=bool)
+        for i in range(cap):
+            L = int(lens[i])
+            codes = data[i, :L]
+            if ev is not None and not ev[i, :L].all():
+                out[i] = None  # null element -> null result (polars default)
+                mask[i] = False
+                continue
+            out[i] = sep.join(str(words[c]) for c in codes)
+        codes, sdict = StringDict.encode(out, mask)
+        validity = jnp.asarray(mask) if not mask.all() else None
+        validity = _and_valid(validity, v.validity)
+        return Val(String, jnp.asarray(codes), validity, sdict,
+                   v.is_scalar, v.live)
+    res = N.list_namespace_op(op, v, e.attrs)
+    return Val(res["dtype"], res["data"], res.get("validity"),
+               res.get("sdict"), v.is_scalar, v.live,
+               lengths=res.get("lengths"), elem_valid=res.get("elem_valid"))
+
+
 def _eval_str(e: Expr, v: Val, table: Table) -> Val:
     import re as _re
     op = e.attrs["op"]
@@ -986,6 +1033,29 @@ def _eval_str(e: Expr, v: Val, table: Table) -> Val:
         out_dt = UInt32 if op == "count_matches" else Boolean
         return lut_gather(sd.map_to_array(f, np.uint32 if op == "count_matches"
                                           else np.bool_), out_dt)
+    if op == "split":
+        from ..dtypes import List as ListT
+        from ..batch import width_for
+        by = e.attrs["by"]
+        words = sd.values
+        parts = [str(w).split(by) for w in words]
+        W = width_for(max((len(p) for p in parts), default=1))
+        flat = [s for p in parts for s in p]
+        codes_flat, nd = StringDict.encode(
+            np.array(flat, dtype=object) if flat
+            else np.array([], dtype=object))
+        lut = np.zeros((max(len(words), 1), W), dtype=np.int32)
+        lut_len = np.zeros(max(len(words), 1), dtype=np.int32)
+        pos = 0
+        for i, p in enumerate(parts):
+            lut[i, :len(p)] = codes_flat[pos:pos + len(p)]
+            lut_len[i] = len(p)
+            pos += len(p)
+        cidx = jnp.clip(code, 0, lut.shape[0] - 1)
+        data2 = jnp.asarray(lut)[cidx]
+        lens = jnp.asarray(lut_len)[cidx]
+        return Val(ListT(String), data2, v.validity, nd, v.is_scalar,
+                   v.live, lengths=lens)
     if op == "extract":
         rx = _re.compile(e.attrs["pat"])
         gi = e.attrs.get("group_index", 1)
@@ -1187,7 +1257,14 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
 
     if k == "col":
         c = table.column(e.attrs["name"])
-        return Val(c.dtype, c.data, c.validity, c.sdict, False)
+        fields = None
+        if c.fields is not None:
+            fields = {fn: Val(f.dtype, f.data, f.validity, f.sdict, False,
+                              lengths=f.lengths, elem_valid=f.elem_valid,
+                              fields=None)
+                      for fn, f in c.fields.items()}
+        return Val(c.dtype, c.data, c.validity, c.sdict, False,
+                   lengths=c.lengths, elem_valid=c.elem_valid, fields=fields)
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
     if k in ("alias", "name_map", "name_keep"):
@@ -1319,6 +1396,31 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return _eval_str(e, eval_expr(e.children[0], table, ctx), table)
     if k == "dt":
         return _eval_dt(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "list":
+        return _eval_list(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "struct":
+        from ..dtypes import Struct as StructT
+        names = e.attrs["names"]
+        fields = {}
+        fdts = []
+        for name, ch in zip(names, e.children):
+            v = _bcast(eval_expr(ch, table, ctx), table.capacity)
+            fields[name] = v
+            fdts.append((name, v.dtype))
+        return Val(StructT(fdts), None, None, None, False, fields=fields)
+    if k == "struct_field":
+        v = eval_expr(e.children[0], table, ctx)
+        if v.fields is None:
+            raise InvalidOperationError(
+                f".struct.field on non-struct dtype {v.dtype!r}")
+        name = e.attrs["name"]
+        if name not in v.fields:
+            raise ComputeError(f"struct has no field {name!r}")
+        f = v.fields[name]
+        validity = _and_valid(f.validity, v.validity)
+        return Val(f.dtype, f.data, validity, f.sdict, v.is_scalar, v.live,
+                   lengths=f.lengths, elem_valid=f.elem_valid,
+                   fields=f.fields)
     if k == "expr_filter":
         v = eval_expr(e.children[0], table, ctx)
         p = eval_expr(e.children[1], table, ctx)
@@ -1549,6 +1651,32 @@ def eval_to_column(e: Expr, table: Table, ctx: str = "select") -> Tuple[str, Col
     """Evaluate and wrap as a named Column. Returns (name, column, is_scalar)."""
     name = meta.output_name(e)
     v = eval_expr(e, table, ctx)
-    validity = v.validity
-    col = Column(v.dtype, v.data, validity, v.sdict)
+    cap = v.data.shape[0] if v.data is not None \
+        else next(iter(v.fields.values())).data.shape[0]
+    col = val_to_column(v, cap)
     return name, col, v.is_scalar
+
+
+def val_to_column(v: Val, cap: int) -> Column:
+    """Materialize a Val as a Column with row-capacity `cap`, broadcasting
+    scalars and preserving nested (list/struct) layouts."""
+    if v.fields is not None:
+        fields = {fn: val_to_column(f, cap) for fn, f in v.fields.items()}
+        validity = v.validity
+        if validity is not None and validity.shape[0] != cap:
+            validity = jnp.broadcast_to(validity, (cap,))
+        return Column(v.dtype, None, validity, fields=fields)
+    data = v.data
+    if data.shape[0] != cap:
+        data = jnp.broadcast_to(data, (cap,) + tuple(data.shape[1:]))
+    validity = v.validity
+    if validity is not None and validity.shape[0] != cap:
+        validity = jnp.broadcast_to(validity, (cap,))
+    lengths = v.lengths
+    if lengths is not None and lengths.shape[0] != cap:
+        lengths = jnp.broadcast_to(lengths, (cap,))
+    ev = v.elem_valid
+    if ev is not None and ev.shape[0] != cap:
+        ev = jnp.broadcast_to(ev, (cap,) + tuple(ev.shape[1:]))
+    return Column(v.dtype, data, validity, v.sdict, lengths=lengths,
+                  elem_valid=ev)

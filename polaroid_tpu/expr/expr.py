@@ -371,6 +371,14 @@ class Expr:
     def name(self) -> "NameNamespace":
         return NameNamespace(self)
 
+    @property
+    def list(self) -> "ListNamespace":
+        return ListNamespace(self)
+
+    @property
+    def struct(self) -> "StructNamespace":
+        return StructNamespace(self)
+
 
 class StrNamespace:
     """String functions. Evaluated as host-side dictionary transforms +
@@ -469,6 +477,70 @@ class DtNamespace:
         return self._op("cast_time_unit", time_unit=time_unit)
     def replace_time_zone(self, tz): return self._op("replace_time_zone", tz=tz)
     def convert_time_zone(self, tz): return self._op("convert_time_zone", tz=tz)
+
+
+class ListNamespace:
+    """List functions over `dtypes.List` columns — masked axis-1 device
+    kernels (`ops/nested.py`)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def _op(self, op: str, **kw) -> Expr:
+        return Expr("list", (self._e,), op=op, **kw)
+
+    def len(self): return self._op("len")
+    def sum(self): return self._op("sum")
+    def mean(self): return self._op("mean")
+    def min(self): return self._op("min")
+    def max(self): return self._op("max")
+    def any(self): return self._op("any")
+    def all(self): return self._op("all")
+    def first(self): return self._op("first")
+    def last(self): return self._op("last")
+    def get(self, index: int): return self._op("get", index=index)
+    def contains(self, item): return self._op("contains", item=item)
+    def arg_min(self): return self._op("arg_min")
+    def arg_max(self): return self._op("arg_max")
+    def reverse(self): return self._op("reverse")
+    def sort(self, descending: bool = False):
+        return self._op("sort", descending=descending)
+    def unique(self): return self._op("unique")
+    def head(self, n: int = 5): return self._op("head", n=n)
+    def tail(self, n: int = 5): return self._op("tail", n=n)
+    def slice(self, offset: int, length: Optional[int] = None):
+        return self._op("slice", offset=offset, length=length)
+    def join(self, separator: str = ""):
+        return self._op("join", separator=separator)
+    def explode(self): return Expr("explode_expr", (self._e,))
+
+
+class StructNamespace:
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def field(self, name: str) -> Expr:
+        return Expr("struct_field", (self._e,), name=name)
+
+    def rename_fields(self, names) -> Expr:
+        return Expr("struct_rename", (self._e,), names=tuple(names))
+
+
+def struct(*exprs, **named) -> Expr:
+    """Build a struct column from field expressions (`pl.struct`,
+    reference: `polars-plan/src/dsl/functions/horizontal.rs` as_struct)."""
+    from . import meta as _meta
+    flat = list(_flatten(exprs))
+    children = []
+    names = []
+    for f in flat:
+        e = _wrap_col(f)
+        children.append(e)
+        names.append(_meta.output_name(e))
+    for k, v in named.items():
+        children.append(_wrap(v))
+        names.append(k)
+    return Expr("struct", tuple(children), names=tuple(names))
 
 
 class NameNamespace:

@@ -107,6 +107,8 @@ def output_name(e: Expr) -> str:
         return output_name(e.children[nb])
     if e.kind == "value_counts":
         return output_name(e.children[0])
+    if e.kind == "struct_field":
+        return e.attrs["name"]
     for c in e.children:
         try:
             return output_name(c)
@@ -114,6 +116,20 @@ def output_name(e: Expr) -> str:
             continue
     raise ComputeError(f"cannot determine output name of {e.kind} expression; "
                        "use .alias()")
+
+
+def strip_top_explode(e: Expr):
+    """Split a top-level `.explode()` off an expression (possibly under an
+    alias). Returns (expr_without_explode, had_explode) — the planner turns
+    `select(col.explode())` into Select + Explode nodes."""
+    if e.kind == "alias":
+        inner, hit = strip_top_explode(e.children[0])
+        if hit:
+            return Expr("alias", (inner,), **e.attrs), True
+        return e, False
+    if e.kind == "explode_expr":
+        return e.children[0], True
+    return e, False
 
 
 def root_names(e: Expr, acc: Optional[Set[str]] = None) -> Set[str]:
@@ -185,8 +201,12 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return _lit_dtype(e.attrs["value"], e.attrs["dtype"])
     if k in ("alias", "name_map", "name_keep", "sort_self", "sort_by",
              "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
-             "gather", "over", "repeat_by", "explode_expr", "fill_null_strategy"):
+             "gather", "over", "repeat_by", "fill_null_strategy"):
         return output_dtype(e.children[0], schema)
+    if k == "explode_expr":
+        from ..dtypes import List as ListT
+        ct = output_dtype(e.children[0], schema)
+        return ct.inner if isinstance(ct, ListT) else ct
     if k == "cast":
         return e.attrs["dtype"]
     if k == "binary":
@@ -248,6 +268,12 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             if ct.is_integer:
                 return Int64 if ct.is_signed_integer else ct
             return ct
+        if agg == "implode":
+            from ..dtypes import List as ListT
+            return ListT(ct)
+        if agg == "agg_groups":
+            from ..dtypes import List as ListT
+            return ListT(UInt32)
         return ct  # min/max/first/last/product/mode
     if k == "when_then":
         nb = e.attrs["n_branches"]
@@ -281,6 +307,9 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return Datetime(e.attrs.get("time_unit", "us"))
         if op == "strptime":
             return e.attrs["dtype"]
+        if op == "split":
+            from ..dtypes import List as ListT
+            return ListT(String)
         return String
     if k == "dt":
         op = e.attrs["op"]
@@ -293,6 +322,43 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return Datetime(e.attrs["time_unit"]) if isinstance(ct, Datetime) \
                 else Duration(e.attrs["time_unit"])
         return ct
+    if k == "list":
+        from ..dtypes import List as ListT
+        op = e.attrs["op"]
+        ct = output_dtype(e.children[0], schema)
+        inner = ct.inner if isinstance(ct, ListT) else ct
+        if op in ("len", "n_elements", "arg_min", "arg_max"):
+            return UInt32
+        if op == "sum":
+            if inner.is_bool:
+                return UInt32
+            return inner if inner.is_float else Int64
+        if op == "mean":
+            return Float64
+        if op in ("min", "max", "first", "last", "get"):
+            return inner
+        if op in ("any", "all", "contains"):
+            return Boolean
+        if op == "join":
+            return String
+        return ct  # reverse/sort/unique/head/tail/slice keep the list dtype
+    if k == "struct":
+        from ..dtypes import Struct as StructT
+        return StructT([(n, output_dtype(c, schema))
+                        for n, c in zip(e.attrs["names"], e.children)])
+    if k == "struct_field":
+        from ..dtypes import Struct as StructT
+        ct = output_dtype(e.children[0], schema)
+        if isinstance(ct, StructT):
+            return ct.field_dtype(e.attrs["name"])
+        raise SchemaError(f".struct.field on non-struct {ct!r}")
+    if k == "struct_rename":
+        from ..dtypes import Struct as StructT
+        ct = output_dtype(e.children[0], schema)
+        if isinstance(ct, StructT):
+            return StructT([(n, d) for n, (_, d)
+                            in zip(e.attrs["names"], ct.fields)])
+        raise SchemaError(f".struct.rename_fields on non-struct {ct!r}")
     if k == "concat_str":
         return String
     if k == "hash":

@@ -53,6 +53,13 @@ def dtype_from_arrow(t: pa.DataType) -> DataType:
         return Float64
     if pa.types.is_null(t):
         return Boolean
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        from ..dtypes import List as ListT
+        return ListT(dtype_from_arrow(t.value_type))
+    if pa.types.is_struct(t):
+        from ..dtypes import Struct as StructT
+        return StructT([(t.field(i).name, dtype_from_arrow(t.field(i).type))
+                        for i in range(t.num_fields)])
     raise SchemaError(f"unsupported arrow type: {t}")
 
 
@@ -71,6 +78,12 @@ def dtype_to_arrow(dt: DataType) -> pa.DataType:
         return pa.timestamp(dt.time_unit, dt.time_zone)
     if isinstance(dt, Duration):
         return pa.duration(dt.time_unit)
+    from ..dtypes import List as ListT, Struct as StructT
+    if isinstance(dt, ListT):
+        return pa.large_list(dtype_to_arrow(dt.inner))
+    if isinstance(dt, StructT):
+        return pa.struct([pa.field(n, dtype_to_arrow(d))
+                          for n, d in dt.fields])
     raise SchemaError(f"cannot convert {dt!r} to arrow")
 
 
@@ -82,6 +95,19 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
     mask = None
     if arr.null_count:
         mask = ~np.asarray(arr.is_null())
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        return _list_column_from_arrow(arr, dt, n, mask, capacity)
+    if pa.types.is_struct(arr.type):
+        fields = {}
+        for i in range(arr.type.num_fields):
+            fname = arr.type.field(i).name
+            fields[fname] = column_from_arrow(arr.field(i), capacity)
+        validity = None
+        if mask is not None:
+            v = np.zeros(capacity, bool)
+            v[:n] = mask
+            validity = jnp.asarray(v)
+        return Column(dt, None, validity, fields=fields)
     if dt.is_string:
         if pa.types.is_dictionary(arr.type):
             arr = arr.cast(pa.large_string())
@@ -133,6 +159,42 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
     return Column(dt, jnp.asarray(out), validity, None)
 
 
+def _list_column_from_arrow(arr, dt, n: int, mask, capacity: int) -> Column:
+    """Arrow List -> padded 2-D device column: gather the flat child by
+    (row base + lane) index, masked past each row's length."""
+    from ..batch import width_for
+    offs = np.asarray(arr.offsets)
+    child = arr.values
+    lens = np.diff(offs).astype(np.int32)
+    if mask is not None:
+        lens = np.where(mask, lens, 0).astype(np.int32)
+    W = width_for(int(lens.max()) if n else 1)
+    ccap = max(len(child), 1)
+    ccol = column_from_arrow(child, ccap)
+    base = offs[:-1].astype(np.int64)
+    idx = np.minimum(base[:, None] + np.arange(W)[None, :], ccap - 1)
+    in_len = np.arange(W)[None, :] < lens[:, None]
+    cdata = np.asarray(ccol.data)
+    g = cdata[idx]  # (n, W)
+    out = np.zeros((capacity, W), dtype=cdata.dtype)
+    out[:n] = np.where(in_len, g, 0)
+    lens_full = np.zeros(capacity, dtype=np.int32)
+    lens_full[:n] = lens
+    elem_valid = None
+    if ccol.validity is not None:
+        cv = np.asarray(ccol.validity)[idx]
+        ev = np.zeros((capacity, W), dtype=bool)
+        ev[:n] = cv & in_len
+        elem_valid = jnp.asarray(ev)
+    validity = None
+    if mask is not None:
+        v = np.zeros(capacity, bool)
+        v[:n] = mask
+        validity = jnp.asarray(v)
+    return Column(dt, jnp.asarray(out), validity, ccol.sdict,
+                  lengths=jnp.asarray(lens_full), elem_valid=elem_valid)
+
+
 def _physical_arrow(t: pa.DataType) -> pa.DataType:
     if pa.types.is_date32(t):
         return pa.int32()
@@ -156,6 +218,12 @@ def table_to_arrow(t: Table) -> pa.Table:
     for name in t.names:
         c = t.cols[name]
         patype = dtype_to_arrow(c.dtype)
+        if c.dtype.is_nested:
+            obj = c.to_numpy(t.capacity if vmask is not None else n, vmask)
+            arr = pa.array(list(obj), type=patype)
+            fields.append(pa.field(name, patype))
+            arrays.append(arr)
+            continue
         data = np.asarray(c.data)
         validity = np.asarray(c.validity) if c.validity is not None else None
         if vmask is not None:

@@ -27,13 +27,22 @@ def gather_table(table: Table, perm: jax.Array, nrows: Optional[int],
                  valid: Optional[jax.Array]) -> Table:
     """Gather all columns by `perm` (device). New live state supplied by
     the caller."""
-    cols = {}
-    for name in table.names:
-        c = table.cols[name]
-        data = c.data[perm]
-        validity = c.validity[perm] if c.validity is not None else None
-        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    cols = {name: table.cols[name].take(perm) for name in table.names}
     return Table(list(table.names), cols, table.capacity, nrows, valid)
+
+
+def _map_axis0(c: Column, fn) -> Column:
+    """Apply an axis-0 structural transform to every per-row array of a
+    column (data/validity/lengths/elem_valid; struct fields recursively)."""
+    if c.fields is not None:
+        return Column(c.dtype, None,
+                      fn(c.validity) if c.validity is not None else None,
+                      fields={k: _map_axis0(f, fn) for k, f in c.fields.items()})
+    return Column(
+        c.dtype, fn(c.data),
+        fn(c.validity) if c.validity is not None else None, c.sdict,
+        lengths=fn(c.lengths) if c.lengths is not None else None,
+        elem_valid=fn(c.elem_valid) if c.elem_valid is not None else None)
 
 
 def compact(table: Table) -> Table:
@@ -65,13 +74,9 @@ def shrink_to(table: Table, nrows: int) -> Table:
     cap = capacity_for(nrows)
     if cap >= table.capacity:
         return table.with_valid(None, nrows)
-    cols = {}
-    for name in table.names:
-        c = table.cols[name]
-        data = jax.lax.slice(c.data, (0,), (cap,))
-        validity = jax.lax.slice(c.validity, (0,), (cap,)) \
-            if c.validity is not None else None
-        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    cols = {name: _map_axis0(table.cols[name],
+                             lambda a: jax.lax.slice_in_dim(a, 0, cap, axis=0))
+            for name in table.names}
     return Table(list(table.names), cols, cap, nrows, None)
 
 
@@ -80,15 +85,24 @@ def grow_to(table: Table, capacity: int) -> Table:
     if capacity <= table.capacity:
         return table
     pad = capacity - table.capacity
+
+    def _pad0(a):
+        shape = (pad,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=0)
+
     cols = {}
     for name in table.names:
         c = table.cols[name]
-        fill = jnp.int32(-1) if c.dtype.is_string else jnp.zeros((), c.data.dtype)
-        data = jnp.concatenate([c.data, jnp.full((pad,), fill, c.data.dtype)])
-        validity = None
-        if c.validity is not None:
-            validity = jnp.concatenate([c.validity, jnp.zeros(pad, jnp.bool_)])
-        cols[name] = Column(c.dtype, data, validity, c.sdict)
+        if c.dtype.is_string and c.data is not None:
+            data = jnp.concatenate(
+                [c.data, jnp.full((pad,), jnp.int32(-1), c.data.dtype)])
+            validity = None
+            if c.validity is not None:
+                validity = jnp.concatenate(
+                    [c.validity, jnp.zeros(pad, jnp.bool_)])
+            cols[name] = Column(c.dtype, data, validity, c.sdict)
+        else:
+            cols[name] = _map_axis0(c, _pad0)
     valid = table.valid
     if valid is not None:
         valid = jnp.concatenate([valid, jnp.zeros(pad, jnp.bool_)])
@@ -108,11 +122,8 @@ def slice_rows(table: Table, offset: int, length: Optional[int]) -> Table:
     if offset == 0:
         return shrink_to(t, new_n) if new_n < n else t.with_valid(None, new_n)
     # shift rows down by offset via roll (static)
-    cols = {}
-    for name in t.names:
-        c = t.cols[name]
-        data = jnp.roll(c.data, -offset)
-        validity = jnp.roll(c.validity, -offset) if c.validity is not None else None
-        cols[name] = Column(c.dtype, data, validity, c.sdict)
+    cols = {name: _map_axis0(t.cols[name],
+                             lambda a: jnp.roll(a, -offset, axis=0))
+            for name in t.names}
     out = Table(list(t.names), cols, t.capacity, new_n, None)
     return shrink_to(out, new_n)

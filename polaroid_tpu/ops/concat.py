@@ -57,6 +57,126 @@ def _unify_schema(tables: Sequence[Table], how: str):
     return names, dtypes
 
 
+def _concat_nested(tables: Sequence[Table], n: str, dt: DataType,
+                   cap: int, total: int) -> Column:
+    """Vertical concat of list/struct columns (inputs already compact)."""
+    from ..dtypes import List as ListT, Struct as StructT
+
+    if isinstance(dt, StructT):
+        # recurse per field by wrapping child columns in 1-col tables;
+        # tables missing the struct (or a field) diagonal-fill with nulls
+        fields = {}
+        for fname, fdt in dt.fields:
+            sub = []
+            for t in tables:
+                nt = t.nrows or 0
+                c = t.cols.get(n)
+                if c is not None and c.fields is not None \
+                        and fname in c.fields:
+                    sub.append(Table([fname], {fname: c.fields[fname]},
+                                     t.capacity, nt, None))
+                else:
+                    sub.append(Table([], {}, t.capacity, nt, None))
+            fields[fname] = vstack_tables(sub, how="diagonal").cols[fname]
+        parts_valid, any_valid = [], False
+        for t in tables:
+            nt = t.nrows or 0
+            c = t.cols.get(n)
+            if c is None:
+                parts_valid.append(jnp.zeros(nt, jnp.bool_))
+                any_valid = True
+            elif c.validity is not None:
+                parts_valid.append(jax.lax.slice_in_dim(c.validity, 0, nt))
+                any_valid = True
+            else:
+                parts_valid.append(jnp.ones(nt, jnp.bool_))
+        validity = None
+        if any_valid:
+            parts_valid.append(jnp.zeros(cap - total, jnp.bool_))
+            validity = jnp.concatenate(parts_valid)
+        return Column(dt, None, validity, fields=fields)
+
+    assert isinstance(dt, ListT)
+    inner = dt.inner
+    stor = jnp.dtype(storage_numpy_dtype(inner))
+    W = 1
+    any_ev = False
+    for t in tables:
+        c = t.cols.get(n)
+        if c is not None:
+            W = max(W, c.data.shape[1])
+            if c.elem_valid is not None:
+                any_ev = True
+    # merge inner string dictionaries
+    sdict = None
+    remaps = [None] * len(tables)
+    if inner.is_string:
+        sdict = StringDict(np.array([], dtype=object))
+        for i, t in enumerate(tables):
+            c = t.cols.get(n)
+            if c is not None and c.sdict is not None:
+                sdict, rm_merged, rm_new = sdict.merge(c.sdict)
+                for j in range(i):
+                    if remaps[j] is not None:
+                        remaps[j] = rm_merged[remaps[j]]
+                remaps[i] = rm_new
+    parts_d, parts_len, parts_ev, parts_valid = [], [], [], []
+    any_valid = False
+    for i, t in enumerate(tables):
+        nt = t.nrows or 0
+        c = t.cols.get(n)
+        if c is not None:
+            d = jax.lax.slice_in_dim(c.data, 0, nt, axis=0)
+            ln = jax.lax.slice_in_dim(c.lengths, 0, nt)
+            if inner.is_string:
+                if remaps[i] is not None and len(remaps[i]):
+                    rm = jnp.asarray(remaps[i])
+                    d = jnp.where(d >= 0,
+                                  rm[jnp.clip(d, 0, len(remaps[i]) - 1)],
+                                  NULL_CODE)
+            elif d.dtype != stor:
+                d = d.astype(stor)
+            if d.shape[1] < W:
+                d = jnp.pad(d, ((0, 0), (0, W - d.shape[1])))
+            parts_d.append(d)
+            parts_len.append(ln)
+            if any_ev:
+                if c.elem_valid is not None:
+                    ev = jax.lax.slice_in_dim(c.elem_valid, 0, nt, axis=0)
+                    if ev.shape[1] < W:
+                        ev = jnp.pad(ev, ((0, 0), (0, W - ev.shape[1])))
+                else:
+                    ev = jnp.arange(W)[None, :] < ln[:, None]
+                parts_ev.append(ev)
+            if c.validity is not None:
+                parts_valid.append(jax.lax.slice_in_dim(c.validity, 0, nt))
+                any_valid = True
+            else:
+                parts_valid.append(jnp.ones(nt, jnp.bool_))
+        else:
+            parts_d.append(jnp.zeros((nt, W), stor))
+            parts_len.append(jnp.zeros(nt, jnp.int32))
+            if any_ev:
+                parts_ev.append(jnp.zeros((nt, W), jnp.bool_))
+            parts_valid.append(jnp.zeros(nt, jnp.bool_))
+            any_valid = True
+    pad = cap - total
+    parts_d.append(jnp.zeros((pad, W), stor))
+    parts_len.append(jnp.zeros(pad, jnp.int32))
+    data = jnp.concatenate(parts_d, axis=0)
+    lengths = jnp.concatenate(parts_len)
+    elem_valid = None
+    if any_ev:
+        parts_ev.append(jnp.zeros((pad, W), jnp.bool_))
+        elem_valid = jnp.concatenate(parts_ev, axis=0)
+    validity = None
+    if any_valid:
+        parts_valid.append(jnp.zeros(pad, jnp.bool_))
+        validity = jnp.concatenate(parts_valid)
+    return Column(dt, data, validity, sdict, lengths=lengths,
+                  elem_valid=elem_valid)
+
+
 def vstack_tables(tables: Sequence[Table], how: str = "vertical") -> Table:
     """Concatenate tables vertically. Inputs are compacted first (one host
     sync per input to learn counts), the result is a fresh compact table."""
@@ -67,6 +187,9 @@ def vstack_tables(tables: Sequence[Table], how: str = "vertical") -> Table:
     cols = {}
     for n in names:
         dt = dtypes[n]
+        if dt.is_nested:
+            cols[n] = _concat_nested(tables, n, dt, cap, total)
+            continue
         stor = jnp.dtype(storage_numpy_dtype(dt))
         # merge string dictionaries across inputs
         sdict = None

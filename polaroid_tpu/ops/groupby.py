@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..batch import Column, Table, storage_numpy_dtype
+from ..batch import Column, Table, storage_numpy_dtype, width_for
 from ..dtypes import (Boolean, DataType, Date, Datetime, Duration, Float32,
                       Float64, Int64, UInt32)
 from ..errors import ComputeError, DuplicateError, InvalidOperationError
@@ -450,7 +450,51 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         return _group_quantile(v, ctx, q, interp)
     if agg in ("arg_min", "arg_max"):
         raise InvalidOperationError(f"{agg} in group_by not yet supported")
+    if agg in ("implode", "agg_groups"):
+        return _group_implode(v, ctx, agg)
     raise ComputeError(f"unknown group aggregation {agg!r}")
+
+
+def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:
+    """Gather each group's rows into a padded list row (agg without a
+    reduction — polars' implicit implode; reference: AggregatedList in
+    `polars-expr/src/expressions/`). The list width is the max group size
+    (host sync — the fused-jit path marks this chain nofuse and re-runs
+    eagerly)."""
+    from ..dtypes import List as ListT, UInt32 as U32
+    cap, ncap = ctx.cap, ctx.out_cap
+    sx, spart = _sorted_val(v, ctx)
+    present = _group_present(v, ctx)
+    g = jnp.where(present, ctx.gid, ncap).astype(jnp.int32)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    sg, sslot = jax.lax.sort((g, slot), num_keys=1, is_stable=True)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    base = _seg_min(jnp.where(sg < ncap, idx, cap), sg, ncap, True)
+    pos = idx - base[jnp.clip(sg, 0, ncap - 1)]
+    counts = _seg_sum(present.astype(jnp.int32), ctx.gid, ncap,
+                      ctx.sorted_ids)
+    W = width_for(int(jnp.max(counts)))
+    ok = (sg < ncap) & (pos < W)
+    tgt = jnp.where(ok, jnp.clip(sg, 0, ncap - 1) * W +
+                    jnp.clip(pos, 0, W - 1), ncap * W)
+    if agg == "agg_groups":
+        vals = ctx.perm[sslot].astype(jnp.uint32)
+        inner_dt, sdict = U32, None
+        elem_src = None
+    else:
+        vals = sx[sslot]
+        inner_dt, sdict = v.dtype, v.sdict
+        elem_src = spart[sslot] \
+            if (v.validity is not None or v.live is not None) else None
+    flat = jnp.zeros(ncap * W + 1, vals.dtype).at[tgt].set(vals, mode="drop")
+    data2 = flat[:ncap * W].reshape(ncap, W)
+    elem_valid = None
+    if elem_src is not None:
+        evflat = jnp.zeros(ncap * W + 1, jnp.bool_).at[tgt].set(
+            elem_src, mode="drop")
+        elem_valid = evflat[:ncap * W].reshape(ncap, W)
+    return Val(ListT(inner_dt), data2, None, sdict, False,
+               lengths=counts.astype(jnp.int32), elem_valid=elem_valid)
 
 
 def _group_n_unique(v: Val, ctx: GroupContext, table: Table) -> Val:
@@ -557,9 +601,15 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
                            eval_group_expr(e.children[0], table, ctx,
                                            key_names, key_outputs), e.attrs)
     if k == "col":
-        raise InvalidOperationError(
-            f"column {e.attrs['name']!r} must be aggregated in group_by "
-            "context (e.g. .first(), .sum())")
+        # bare column in agg context -> implicit implode (polars semantics:
+        # group_by().agg(pl.col("x")) yields a list per group)
+        inner = eval_expr(e, table, "agg")
+        return reduce_group("implode", inner, ctx, {}, table)
+    if k == "list":
+        from ..expr.eval import _eval_list
+        v = eval_group_expr(e.children[0], table, ctx, key_names, key_outputs)
+        fake = Table([], {}, ctx.out_cap, None, None)
+        return _eval_list(e, v, fake)
     raise InvalidOperationError(
         f"expression kind {k!r} not supported in group_by aggregation")
 
@@ -657,12 +707,14 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         if name in cols:
             raise DuplicateError(f"duplicate column name {name!r}")
         data = v.data if v.data.shape[0] == ocap else \
-            jnp.broadcast_to(v.data, (ocap,))
+            jnp.broadcast_to(v.data, (ocap,) + v.data.shape[1:])
         validity = v.validity
         if validity is not None and validity.shape[0] != ocap:
             validity = jnp.broadcast_to(validity, (ocap,))
         names.append(name)
-        cols[name] = Column(v.dtype, data, validity, v.sdict)
+        cols[name] = Column(v.dtype, data, validity, v.sdict,
+                            lengths=getattr(v, "lengths", None),
+                            elem_valid=getattr(v, "elem_valid", None))
 
     if gctx.sorted_ids:
         live = jnp.arange(ocap) < gctx.ngroups

@@ -366,22 +366,21 @@ def _assemble_join_output(left, right, left_on, right_on, how, suffix,
             if n in skip:
                 continue
             c = t.cols[n]
-            data = c.data[sidx]
-            validity = c.validity[sidx] if c.validity is not None else None
-            allm = match if not is_left or how in ("right", "full") else None
+            gc = c.take(sidx)
+            validity = gc.validity
             if how in ("full", "right") and is_left:
                 validity = match if validity is None else (validity & match)
             if how in ("full", "left") and not is_left:
                 validity = match if validity is None else (validity & match)
-            if how == "right" and is_left:
-                pass
             name = n
             if name in cols:
                 name = f"{n}{suffix}"
                 if name in cols:
                     raise ComputeError(f"duplicate output column {name!r}")
             names.append(name)
-            cols[name] = Column(c.dtype, data, validity, c.sdict)
+            cols[name] = Column(gc.dtype, gc.data, validity, gc.sdict,
+                                lengths=gc.lengths, elem_valid=gc.elem_valid,
+                                fields=gc.fields)
 
     if how == "right":
         add_side(left, lidx, lmatch, lkeys, right.names, True)
@@ -429,16 +428,10 @@ def cross_join(left: Table, right: Table, suffix: str = "_right") -> Table:
     j = jnp.clip((k % max(nr, 1)).astype(jnp.int32), 0, max(R.capacity - 1, 0))
     names, cols = [], {}
     for n in L.names:
-        c = L.cols[n]
         names.append(n)
-        cols[n] = Column(c.dtype, c.data[i],
-                         c.validity[i] if c.validity is not None else None,
-                         c.sdict)
+        cols[n] = L.cols[n].take(i)
     for n in R.names:
-        c = R.cols[n]
         name = n if n not in cols else f"{n}{suffix}"
         names.append(name)
-        cols[name] = Column(c.dtype, c.data[j],
-                            c.validity[j] if c.validity is not None else None,
-                            c.sdict)
+        cols[name] = R.cols[n].take(j)
     return Table(names, cols, capO, total, None)

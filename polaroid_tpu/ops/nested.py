@@ -1,0 +1,323 @@
+"""Nested (list/struct) kernels.
+
+TPU-native replacement for the reference's nested-array machinery
+(`polars-arrow/src/array/list/`, `polars-ops/src/chunked_array/list/`):
+lists are fixed-width padded 2-D device arrays + a per-row length vector
+(see `dtypes.List`), so every per-list op is a masked axis-1 reduction or
+gather that XLA vectorizes across rows — no offsets, no ragged loops.
+
+explode (`polars-ops/src/frame/explode.rs` capability) maps each output
+row to its (source row, element) pair with a device `searchsorted` over
+the output offsets; the only host sync is the output row count, which the
+plan layer needs anyway to pick the result capacity bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, storage_numpy_dtype
+from ..config import capacity_for
+from ..dtypes import (Boolean, DataType, Float64, Int64, UInt32,
+                      List as ListT)
+from ..errors import ComputeError, InvalidOperationError, ShapeError
+from . import compact as C
+
+__all__ = ["explode_table", "implode_all", "list_namespace_op"]
+
+
+# ---------------------------------------------------------------------------
+# explode
+# ---------------------------------------------------------------------------
+
+def explode_table(table: Table, columns: Sequence[str]) -> Table:
+    """Expand list rows to one row per element (empty/null lists produce a
+    single null row, matching polars). Non-exploded columns repeat."""
+    t = C.compact(table)
+    n = t.nrows or 0
+    for name in columns:
+        c = t.cols[name] if name in t.cols else t.column(name)
+        if c.lengths is None:
+            raise InvalidOperationError(
+                f"explode: column {name!r} is {c.dtype!r}, not a List")
+    c0 = t.cols[columns[0]]
+    lens_h = np.asarray(c0.lengths)[:n].astype(np.int64)
+    for name in columns[1:]:
+        other = np.asarray(t.cols[name].lengths)[:n]
+        if not (other == lens_h).all():
+            raise ShapeError(
+                "exploded columns must have matching element counts")
+    counts = np.maximum(lens_h, 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    ocap = capacity_for(total)
+
+    offs_d = jnp.asarray(offsets)
+    j = jnp.arange(ocap, dtype=jnp.int64)
+    r = jnp.clip(jnp.searchsorted(offs_d, j, side="right") - 1, 0,
+                 max(n - 1, 0)).astype(jnp.int32)
+    e = (j - offs_d[r]).astype(jnp.int32)
+    live = j < total
+
+    expl = set(columns)
+    cols = {}
+    for name in t.names:
+        c = t.cols[name]
+        if name not in expl:
+            cols[name] = c.take(r)
+            continue
+        W = c.data.shape[1]
+        ec = jnp.clip(e, 0, W - 1)
+        data = c.data[r, ec]
+        lens_r = c.lengths[r]
+        validity = e < lens_r  # empty/null list -> null element row
+        if c.elem_valid is not None:
+            validity = validity & c.elem_valid[r, ec]
+        if c.validity is not None:
+            validity = validity & c.validity[r]
+        cols[name] = Column(c.dtype.inner, data, validity, c.sdict)
+    out = Table(list(t.names), cols, ocap, total, None)
+    if total < ocap:
+        out = out.with_valid(jnp.arange(ocap) < total, total)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# implode (whole-column -> one list row)
+# ---------------------------------------------------------------------------
+
+def implode_all(data: jax.Array, validity: Optional[jax.Array],
+                mask: jax.Array, inner_dtype: DataType, sdict):
+    """Gather live rows (in order, nulls kept) into a single list row.
+    Returns (data2, lengths, elem_valid, dtype)."""
+    cap = data.shape[0]
+    perm = jnp.argsort(~mask, stable=True)
+    packed = data[perm][None, :]  # (1, cap)
+    count = jnp.sum(mask).astype(jnp.int32)[None]
+    in_len = jnp.arange(cap)[None, :] < count[:, None]
+    elem_valid = None
+    if validity is not None:
+        elem_valid = validity[perm][None, :] & in_len
+    return packed, count, elem_valid, ListT(inner_dtype)
+
+
+# ---------------------------------------------------------------------------
+# .list namespace
+# ---------------------------------------------------------------------------
+
+def _elem_mask(v) -> jax.Array:
+    """(cap, W) mask of present (in-length AND non-null) elements."""
+    W = v.data.shape[1]
+    m = jnp.arange(W)[None, :] < v.lengths[:, None]
+    if v.elem_valid is not None:
+        m = m & v.elem_valid
+    return m
+
+
+def list_namespace_op(op: str, v, attrs: dict):
+    """Evaluate a `.list.<op>` on a list Val. Returns a dict with keys
+    dtype/data/validity/sdict/lengths/elem_valid for the result Val."""
+    if v.lengths is None:
+        raise InvalidOperationError(
+            f".list.{op} on non-list dtype {v.dtype!r}")
+    inner: DataType = v.dtype.inner
+    data, lens = v.data, v.lengths
+    cap, W = data.shape
+    row_valid = v.validity
+    m = _elem_mask(v)
+
+    def flat(dtype, out, validity=None):
+        validity = _and(validity, row_valid)
+        return dict(dtype=dtype, data=out, validity=validity,
+                    sdict=None)
+
+    def flat_inner(out, validity=None):
+        validity = _and(validity, row_valid)
+        return dict(dtype=inner, data=out, validity=validity, sdict=v.sdict)
+
+    def listy(data2, lens2, ev2):
+        return dict(dtype=v.dtype, data=data2, validity=row_valid,
+                    sdict=v.sdict, lengths=lens2, elem_valid=ev2)
+
+    if op in ("len", "n_elements"):
+        return flat(UInt32, lens.astype(jnp.uint32))
+    if op == "sum":
+        if inner.is_bool:
+            out = jnp.sum(jnp.where(m, data, False).astype(jnp.uint32),
+                          axis=1)
+            return flat(UInt32, out)
+        acc = jnp.float32 if inner.is_float else jnp.int64
+        out = jnp.sum(jnp.where(m, data, 0).astype(acc), axis=1)
+        out_dt = inner if inner.is_float else Int64
+        return flat(out_dt, out.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
+    if op == "mean":
+        cnt = jnp.sum(m, axis=1)
+        s = jnp.sum(jnp.where(m, data, 0).astype(jnp.float32), axis=1)
+        out = s / jnp.maximum(cnt, 1)
+        return flat(Float64, out.astype(jnp.dtype(storage_numpy_dtype(Float64))),
+                    cnt > 0)
+    if op in ("min", "max"):
+        if inner.is_string:
+            # sorted dictionary: code order == string order
+            sent = jnp.iinfo(jnp.int32).max if op == "min" \
+                else jnp.iinfo(jnp.int32).min
+            red = jnp.min if op == "min" else jnp.max
+            out = red(jnp.where(m, data, sent), axis=1)
+            has = jnp.any(m, axis=1)
+            return flat_inner(jnp.where(has, out, 0).astype(data.dtype), has)
+        if inner.is_float:
+            sent = jnp.inf if op == "min" else -jnp.inf
+        elif inner.is_bool:
+            sent = op == "min"
+        else:
+            info = jnp.iinfo(data.dtype)
+            sent = info.max if op == "min" else info.min
+        red = jnp.min if op == "min" else jnp.max
+        out = red(jnp.where(m, data, sent), axis=1)
+        has = jnp.any(m, axis=1)
+        return flat_inner(jnp.where(has, out,
+                                    jnp.zeros((), data.dtype)), has)
+    if op in ("any", "all"):
+        if not inner.is_bool:
+            raise InvalidOperationError(f".list.{op} requires Boolean inner")
+        if op == "any":
+            out = jnp.any(m & data.astype(bool), axis=1)
+        else:
+            out = jnp.all(~m | data.astype(bool), axis=1)
+        return flat(Boolean, out)
+    if op in ("first", "last", "get"):
+        if op == "first":
+            idx = jnp.zeros(cap, jnp.int32)
+        elif op == "last":
+            idx = jnp.maximum(lens - 1, 0)
+        else:
+            i = int(attrs.get("index", 0))
+            idx = jnp.full(cap, i, jnp.int32) if i >= 0 \
+                else (lens + i).astype(jnp.int32)
+        inb = (idx >= 0) & (idx < lens)
+        ic = jnp.clip(idx, 0, W - 1)
+        out = data[jnp.arange(cap), ic]
+        validity = inb
+        if v.elem_valid is not None:
+            validity = validity & v.elem_valid[jnp.arange(cap), ic]
+        return flat_inner(out, validity)
+    if op == "contains":
+        item = attrs["item"]
+        if inner.is_string:
+            code = v.sdict.find(item) if v.sdict is not None else None
+            code = -2 if code is None else code
+            out = jnp.any(m & (data == code), axis=1)
+        else:
+            out = jnp.any(m & (data == item), axis=1)
+        return flat(Boolean, out)
+    if op == "arg_min" or op == "arg_max":
+        if inner.is_float:
+            sent = jnp.inf if op == "arg_min" else -jnp.inf
+        else:
+            info = jnp.iinfo(data.dtype)
+            sent = info.max if op == "arg_min" else info.min
+        masked = jnp.where(m, data, sent)
+        out = (jnp.argmin(masked, axis=1) if op == "arg_min"
+               else jnp.argmax(masked, axis=1)).astype(jnp.uint32)
+        has = jnp.any(m, axis=1)
+        return flat(UInt32, out, has)
+    if op == "reverse":
+        jidx = jnp.arange(W)[None, :]
+        src = jnp.clip(lens[:, None] - 1 - jidx, 0, W - 1)
+        data2 = jnp.take_along_axis(data, src, axis=1)
+        ev2 = None
+        if v.elem_valid is not None:
+            ev2 = jnp.take_along_axis(v.elem_valid, src, axis=1) \
+                & (jidx < lens[:, None])
+        return listy(data2, lens, ev2)
+    if op == "sort":
+        desc = bool(attrs.get("descending", False))
+        in_len = jnp.arange(W)[None, :] < lens[:, None]
+        is_null = in_len & ~m
+        # key order: present values first (by value), nulls last, padding
+        # after that — all inside one lax.sort along axis 1
+        rank = jnp.where(~in_len, jnp.int32(2), jnp.where(is_null, 1, 0))
+        if inner.is_float:
+            kv = jnp.where(m, data, 0.0)
+            kv = -kv if desc else kv
+        else:
+            kv = jnp.where(m, data, jnp.zeros((), data.dtype))
+            if desc:
+                kv = -kv.astype(jnp.int64) if not inner.is_bool else ~kv
+        sorted_ = jax.lax.sort((rank, kv, data), num_keys=2, dimension=1,
+                               is_stable=True)
+        data2 = sorted_[2]
+        ev2 = None
+        if v.elem_valid is not None:
+            ev2 = (jnp.arange(W)[None, :] <
+                   jnp.sum(m, axis=1)[:, None])
+        return listy(data2, lens, ev2)
+    if op in ("head", "slice", "tail"):
+        if op == "head":
+            off = jnp.zeros(cap, jnp.int32)
+            ln = jnp.minimum(lens, int(attrs["n"]))
+        elif op == "tail":
+            nn = int(attrs["n"])
+            ln = jnp.minimum(lens, nn)
+            off = lens - ln
+        else:
+            o = int(attrs.get("offset", 0))
+            length = attrs.get("length")
+            off = jnp.where(o >= 0, jnp.minimum(o, lens),
+                            jnp.maximum(lens + o, 0)).astype(jnp.int32)
+            avail = lens - off
+            ln = avail if length is None else jnp.minimum(avail, int(length))
+        jidx = jnp.arange(W)[None, :]
+        src = jnp.clip(off[:, None] + jidx, 0, W - 1)
+        data2 = jnp.take_along_axis(data, src, axis=1)
+        ev2 = None
+        if v.elem_valid is not None:
+            ev2 = jnp.take_along_axis(v.elem_valid, src, axis=1) \
+                & (jidx < ln[:, None])
+        return listy(data2, ln.astype(jnp.int32), ev2)
+    if op == "unique":
+        # sort within row then keep first of each run (order not maintained,
+        # matching polars' default maintain_order=False)
+        res = list_namespace_op("sort", v, {})
+        sd, ln = res["data"], lens
+        in_len = jnp.arange(W)[None, :] < ln[:, None]
+        prev = jnp.roll(sd, 1, axis=1)
+        isfirst = jnp.arange(W)[None, :] == 0
+        newrun = (isfirst | (sd != prev)) & in_len
+        # elem_valid: nulls sorted to the end count as one value in polars
+        nvalid = jnp.sum(_elem_mask(v), axis=1)
+        has_null = in_len & (jnp.arange(W)[None, :] >= nvalid[:, None])
+        newrun = newrun & ~has_null | (has_null &
+                                       (jnp.arange(W)[None, :] ==
+                                        nvalid[:, None]))
+        keep = newrun
+        # compact kept elements to the front per row via axis-1 sort on ~keep
+        order = jax.lax.sort((jnp.where(keep, 0, 1).astype(jnp.int32),
+                              jnp.arange(W, dtype=jnp.int32)
+                              * jnp.ones((cap, 1), jnp.int32)),
+                             num_keys=1, dimension=1, is_stable=True)[1]
+        data2 = jnp.take_along_axis(sd, order, axis=1)
+        ln2 = jnp.sum(keep, axis=1).astype(jnp.int32)
+        ev2 = None
+        if v.elem_valid is not None:
+            nuniq_valid = jnp.sum(keep & ~has_null, axis=1)
+            ev2 = jnp.arange(W)[None, :] < nuniq_valid[:, None]
+        return listy(data2, ln2, ev2)
+    if op == "join":
+        raise InvalidOperationError(
+            ".list.join is evaluated host-side (see eval.py)")
+    raise InvalidOperationError(f"unsupported .list op {op!r}")
+
+
+def _and(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b

@@ -503,7 +503,13 @@ class Explode(_Unary):
         self.columns = columns
 
     def _compute_schema(self) -> Schema:
-        return self.input.schema()
+        from ..dtypes import List as ListT
+        out = dict(self.input.schema())
+        for c in self.columns:
+            dt = out.get(c)
+            if isinstance(dt, ListT):
+                out[c] = dt.inner
+        return out
 
     def with_inputs(self, inputs):
         return Explode(inputs[0], self.columns)
