@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..batch import Column, Table, storage_numpy_dtype
+from ..config import capacity_for as capacity_for_rows
 from ..dtypes import (Boolean, Date, Datetime, Duration, Float64, Int64,
                       UInt32)
 from ..errors import ComputeError, InvalidOperationError
@@ -69,18 +70,33 @@ def bucket_expr(index_column: str, index_dtype, every: str,
     return ((e - off) // step) * step + off
 
 
+def _span_units(dt, ns: int, what: str) -> int:
+    """Duration in index units (epoch counts for temporal, raw for int)."""
+    if isinstance(dt, Datetime):
+        return ns // (1_000_000_000 // T.UNIT_PER_SECOND[dt.time_unit])
+    if dt == Date:
+        d = ns // 86_400_000_000_000
+        if d == 0:
+            raise InvalidOperationError(
+                f"{what} shorter than 1d on a Date index")
+        return d
+    return ns  # integer index: 'i' counts parse as raw units
+
+
 def dynamic_group_by(table: Table, index_column: str, every: str,
                      period: Optional[str], offset: Optional[str],
                      closed: str, group_by: Sequence[Expr],
                      aggs: Sequence[Expr], start_by: str = "window") -> Table:
-    if period is not None and period != every:
-        raise InvalidOperationError(
-            "group_by_dynamic with period != every (overlapping windows) "
-            "is not supported yet")
     dt = table.column(index_column).dtype
-    b = bucket_expr(index_column, dt, every, offset).alias(index_column)
-    keys = list(group_by) + [b]
-    out = group_by_agg(table, keys, list(aggs), maintain_order=False)
+    if (period is None or period == every) and closed == "left":
+        # non-overlapping windows: truncate is the whole assignment
+        b = bucket_expr(index_column, dt, every, offset).alias(index_column)
+        keys = list(group_by) + [b]
+        out = group_by_agg(table, keys, list(aggs), maintain_order=False)
+    else:
+        out = _dynamic_overlap(table, index_column, every, period or every,
+                               offset, closed, group_by, aggs)
+        keys = list(group_by) + [_col(index_column)]
     # polars returns sorted by keys then window
     from .sort import sort_table
     key_vals = []
@@ -90,6 +106,64 @@ def dynamic_group_by(table: Table, index_column: str, every: str,
         key_vals.append(Val(c.dtype, c.data, c.validity, c.sdict, False))
     return sort_table(out, key_vals, [False] * len(key_vals),
                       [False] * len(key_vals))
+
+
+def _dynamic_overlap(table: Table, index_column: str, every: str,
+                     period: str, offset: Optional[str], closed: str,
+                     group_by: Sequence[Expr], aggs: Sequence[Expr]) -> Table:
+    """Overlapping / non-left-closed dynamic windows (reference:
+    `polars-time/src/windows/group_by.rs` with period != every).
+
+    TPU-native shape: each row is fanned out to K = ceil(period/every)+1
+    CANDIDATE windows (a static expansion — no data-dependent shapes),
+    candidates outside the row's actual window range are masked dead, and
+    the expanded table reuses the ordinary segment group-by on
+    (group keys, window start)."""
+    ekind, en = T.parse_every(every)
+    pkind, pn = T.parse_every(period)
+    if ekind != "fixed" or pkind != "fixed":
+        raise InvalidOperationError(
+            "month-based overlapping windows not supported yet")
+    dt = table.column(index_column).dtype
+    e_units = _span_units(dt, en, "every")
+    p_units = _span_units(dt, pn, "period")
+    K = max(-(-p_units // e_units), 1) + 1  # +1 covers closed-edge shifts
+
+    cap = table.capacity
+    ecap = capacity_for_rows(cap * K)
+    rep = (jnp.arange(ecap) // K).astype(jnp.int32)
+    j = (jnp.arange(ecap) % K).astype(jnp.int32)
+    in_range = jnp.arange(ecap) < cap * K
+    rep = jnp.where(in_range, rep, 0)
+
+    # expand all columns by row-repeat; live mask repeats too
+    names = list(table.names)
+    cols = {n: table.cols[n].take(rep) for n in names}
+    exp_valid = table.row_mask()[rep] & in_range
+    exp = Table(names, cols, ecap, None, exp_valid)
+
+    # candidate window start: trunc(t) - j*every (grid-aligned by
+    # construction); bucket_expr reuses the device truncate + offset logic
+    s0 = eval_expr(bucket_expr(index_column, dt, every, offset), exp,
+                   "select")
+    t = exp.column(index_column).data
+    stor = t.dtype
+    s = s0.data.astype(stor) - j.astype(stor) * jnp.asarray(e_units, stor)
+    if closed == "left":
+        ok = (s <= t) & (t < s + p_units)
+    elif closed == "right":
+        ok = (s < t) & (t <= s + p_units)
+    elif closed == "both":
+        ok = (s <= t) & (t <= s + p_units)
+    else:  # "none"
+        ok = (s < t) & (t < s + p_units)
+    if s0.validity is not None:
+        ok = ok & s0.validity
+    exp = exp.with_column("__ws", Column(dt, s, None, None))
+    exp = exp.with_valid(exp_valid & ok, None)
+
+    keys = list(group_by) + [_col("__ws").alias(index_column)]
+    return group_by_agg(exp, keys, list(aggs), maintain_order=False)
 
 
 _ROLL_AGGS = {"sum", "mean", "min", "max", "count", "len", "std", "var",

@@ -151,3 +151,42 @@ def test_upsample():
     out = df.upsample("t", every="1d").sort("t")
     assert out.height == 4
     assert out.to_dict()["v"] == [1, None, None, 4]
+
+
+def test_dynamic_overlapping_windows():
+    from datetime import datetime
+    times = [datetime(2024, 1, 1, 0, m) for m in [0, 10, 20, 30, 45, 55]]
+    vals = [1, 2, 3, 4, 5, 6]
+    df = pl.DataFrame({"t": times, "v": vals})
+    out = df.group_by_dynamic("t", every="30m", period="1h").agg(
+        pl.col("v").sum().alias("s"))
+    assert out.to_dict()["s"] == [6, 21, 15]
+    assert out.to_dict()["t"][1] == datetime(2024, 1, 1, 0, 0)
+
+
+def test_dynamic_closed_right():
+    from datetime import datetime
+    times = [datetime(2024, 1, 1, 0, m) for m in [0, 10, 20, 30, 45, 55]]
+    df = pl.DataFrame({"t": times, "v": [1, 2, 3, 4, 5, 6]})
+    out = df.group_by_dynamic("t", every="30m", closed="right").agg(
+        pl.col("v").sum().alias("s"))
+    assert out.to_dict()["s"] == [1, 9, 11]
+
+
+def test_dynamic_overlap_grouped():
+    from datetime import datetime
+    times = [datetime(2024, 1, 1, 0, m) for m in [0, 10, 20, 30, 45, 55]]
+    vals = [1, 2, 3, 4, 5, 6]
+    df = pl.DataFrame({"t": times * 2, "g": ["a"] * 6 + ["b"] * 6,
+                       "v": vals + [10 * v for v in vals]})
+    out = df.group_by_dynamic("t", every="30m", period="1h",
+                              group_by="g").agg(pl.col("v").sum().alias("s"))
+    assert out.to_dict()["s"] == [6, 21, 15, 60, 210, 150]
+
+
+def test_dynamic_overlap_integer_index():
+    df = pl.DataFrame({"i": list(range(10)), "v": [1] * 10})
+    out = df.group_by_dynamic("i", every="2i", period="4i").agg(
+        pl.col("v").sum().alias("s"))
+    assert out.to_dict()["i"] == [-2, 0, 2, 4, 6, 8]
+    assert out.to_dict()["s"] == [2, 4, 4, 4, 4, 2]
