@@ -20,7 +20,8 @@ from ..dtypes import Boolean, DataType, Float64, UInt8
 from ..errors import (ColumnNotFoundError, ComputeError, DuplicateError,
                       InvalidOperationError, ShapeError)
 from ..expr import meta
-from ..expr.eval import Val, eval_expr, val_to_column
+from ..expr.eval import (Val, cse_rewrite, cse_scope, eval_expr,
+                         val_to_column)
 from ..expr.expr import Expr, WhenThen, col as _col
 from ..ops import compact as C
 from ..ops import sort as S
@@ -182,20 +183,21 @@ class DataFrame:
         if explode_names:
             out = self.select(*stripped)
             return out.explode(explode_names)
-        es = stripped
+        es, _ = cse_rewrite(stripped)
         t = self._table
         results = []
         any_row = False
-        for e in es:
-            name = meta.output_name(e)
-            if e.kind == "col" and e.attrs["name"] in t.cols:
-                # bare column: pass the Column object through (keeps stats)
-                results.append((name, t.cols[name]))
-                any_row = True
-                continue
-            v = eval_expr(e, t, "select")
-            results.append((name, v))
-            any_row = any_row or not v.is_scalar
+        with cse_scope():
+            for e in es:
+                name = meta.output_name(e)
+                if e.kind == "col" and e.attrs["name"] in t.cols:
+                    # bare column: pass the Column object through (keeps stats)
+                    results.append((name, t.cols[name]))
+                    any_row = True
+                    continue
+                v = eval_expr(e, t, "select")
+                results.append((name, v))
+                any_row = any_row or not v.is_scalar
         names, cols = [], {}
         if not results:
             return DataFrame._from_table(Table([], {}, capacity_for(0), 0, None))
@@ -221,11 +223,20 @@ class DataFrame:
 
     def with_columns(self, *exprs, **named_exprs) -> "DataFrame":
         es = meta.expand_exprs(_to_exprs(exprs, named_exprs), self.schema)
-        t = self._table
+        # CSE is safe when no expr reads a column another expr (re)defines
+        # (polars semantics: all exprs see the input schema anyway)
+        out_names = {meta.output_name(e) for e in es}
+        reads = set()
         for e in es:
-            name = meta.output_name(e)
-            v = eval_expr(e, t, "select")
-            t = t.with_column(name, val_to_column(v, t.capacity))
+            reads |= meta.root_names(e)
+        if not (out_names & reads):
+            es, _ = cse_rewrite(es)
+        t = self._table
+        with cse_scope():
+            for e in es:
+                name = meta.output_name(e)
+                v = eval_expr(e, t, "select")
+                t = t.with_column(name, val_to_column(v, t.capacity))
         return DataFrame._from_table(t)
 
     def with_row_index(self, name: str = "index", offset: int = 0) -> "DataFrame":

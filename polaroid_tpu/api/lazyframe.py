@@ -350,7 +350,7 @@ class LazyFrame:
         return self
 
     def cache(self) -> "LazyFrame":
-        return self  # plan-level caching: CSE pass later
+        return LazyFrame._from_plan(L.Cache(self._plan))
 
     def pipe(self, fn, *args, **kwargs):
         return fn(self, *args, **kwargs)

@@ -33,6 +33,8 @@ class ExecState:
     def __init__(self, track_metrics: bool = False):
         self.track_metrics = track_metrics or CONFIG.track_metrics
         self.timings: List[tuple] = []
+        # Cache-node results, one entry per cache_id per query run
+        self.subplan_cache: Dict[int, Table] = {}
 
 
 def execute(plan: L.Plan, state: Optional[ExecState] = None) -> Table:
@@ -59,6 +61,13 @@ def _exec(plan: L.Plan, state: ExecState) -> Table:
 
     if k == "df_scan":
         return plan.table
+
+    if k == "cache":
+        hit = state.subplan_cache.get(plan.cache_id)
+        if hit is None:
+            hit = execute(plan.input, state)
+            state.subplan_cache[plan.cache_id] = hit
+        return hit
 
     if k == "scan":
         return _exec_scan(plan)

@@ -1255,6 +1255,16 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
 def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     k = e.kind
 
+    if k == "cse_cached":
+        if not _CSE_STACK:
+            return eval_expr(e.children[0], table, ctx)
+        cache = _CSE_STACK[-1]
+        fp = e.attrs["fp"]
+        hit = cache.get(fp)
+        if hit is None:
+            hit = eval_expr(e.children[0], table, ctx)
+            cache[fp] = hit
+        return hit
     if k == "col":
         c = table.column(e.attrs["name"])
         fields = None
@@ -1655,6 +1665,62 @@ def eval_to_column(e: Expr, table: Table, ctx: str = "select") -> Tuple[str, Col
         else next(iter(v.fields.values())).data.shape[0]
     col = val_to_column(v, cap)
     return name, col, v.is_scalar
+
+
+_CSE_STACK: list = []
+
+
+class cse_scope:
+    """Context manager providing a Val cache for `cse_cached` exprs."""
+
+    def __enter__(self):
+        _CSE_STACK.append({})
+        return self
+
+    def __exit__(self, *exc):
+        _CSE_STACK.pop()
+        return False
+
+
+_CSE_TRIVIAL = {"col", "lit", "wildcard", "cols", "nth", "dtype_cols",
+                "table_len", "alias", "name_map", "name_keep"}
+
+
+def cse_rewrite(es):
+    """Factor repeated non-trivial subexpressions into `cse_cached` nodes
+    evaluated once per table (reference: expression CSE,
+    `polars-plan/src/plans/optimizer/cse/cse_expr.rs`). Counting recurses
+    into a subtree only on first sight, so descendants of a shared subtree
+    are not separately marked."""
+    counts = {}
+
+    def count(e):
+        fp = e.fingerprint()
+        c = counts.get(fp, 0)
+        counts[fp] = c + 1
+        if c == 0:
+            for ch in e.children:
+                count(ch)
+
+    for e in es:
+        count(e)
+    shared = {fp for fp, c in counts.items() if c > 1}
+    if not shared:
+        return list(es), False
+
+    def rewrite(e):
+        fp = e.fingerprint()
+        if fp in shared and e.children and e.kind not in _CSE_TRIVIAL \
+                and e.kind != "cse_cached":
+            return Expr("cse_cached", (_rw_children(e),), fp=fp)
+        return _rw_children(e)
+
+    def _rw_children(e):
+        if not e.children:
+            return e
+        return Expr(e.kind, tuple(rewrite(c) for c in e.children), **e.attrs)
+
+    return [rewrite(e) for e in es], True
 
 
 def val_to_column(v: Val, cap: int) -> Column:

@@ -201,7 +201,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return _lit_dtype(e.attrs["value"], e.attrs["dtype"])
     if k in ("alias", "name_map", "name_keep", "sort_self", "sort_by",
              "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
-             "gather", "over", "repeat_by", "fill_null_strategy"):
+             "gather", "over", "repeat_by", "fill_null_strategy",
+             "cse_cached"):
         return output_dtype(e.children[0], schema)
     if k == "explode_expr":
         from ..dtypes import List as ListT

@@ -47,8 +47,35 @@ class Plan:
             s += "\n" + i.describe(indent + 1)
         return s
 
+    def fingerprint(self) -> str:
+        """Structural identity for common-subplan elimination (reference:
+        `polars-plan/src/plans/optimizer/cse/`)."""
+        parts = []
+        for k, v in sorted(self.__dict__.items()):
+            if k in ("_schema", "inputs", "_file_schema") or \
+                    isinstance(v, Plan):
+                continue
+            parts.append(f"{k}={_fp_value(v)}")
+        ch = ",".join(c.fingerprint() for c in self.inputs)
+        return f"{self.kind}({';'.join(parts)};{ch})"
+
     def __repr__(self) -> str:
         return self.kind.upper()
+
+
+def _fp_value(v) -> str:
+    if isinstance(v, Expr):
+        return v.fingerprint()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_fp_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_fp_value(x)}"
+                              for k, x in sorted(v.items())) + "}"
+    if callable(v):
+        return f"fn@{id(v)}"
+    if hasattr(v, "cols") and hasattr(v, "capacity"):  # a Table
+        return f"table@{id(v)}"
+    return repr(v)
 
 
 class DataFrameScan(Plan):
@@ -493,6 +520,31 @@ class Sink(_Unary):
 
     def __repr__(self):
         return f"SINK[{self.fmt}:{self.target}]"
+
+
+class Cache(_Unary):
+    """Materialize-once barrier: the executor memoizes this subtree's
+    result per query run (reference: IR::Cache + common-subplan-elim,
+    `polars-plan/src/plans/optimizer/cse/`)."""
+
+    kind = "cache"
+    _counter = [0]
+
+    def __init__(self, input: Plan, cache_id: Optional[int] = None):
+        super().__init__(input)
+        if cache_id is None:
+            Cache._counter[0] += 1
+            cache_id = Cache._counter[0]
+        self.cache_id = cache_id
+
+    def _compute_schema(self) -> Schema:
+        return self.input.schema()
+
+    def with_inputs(self, inputs):
+        return Cache(inputs[0], self.cache_id)
+
+    def __repr__(self):
+        return f"CACHE[{self.cache_id}]"
 
 
 class Explode(_Unary):

@@ -21,7 +21,55 @@ def optimize(plan: L.Plan) -> L.Plan:
     plan = push_slice(plan)
     plan = push_projection(plan, None)
     plan = fuse_topk(plan)
+    plan = insert_common_subplan_caches(plan)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# common subplan elimination (runs LAST, after pushdowns have specialized
+# each branch — only still-identical subtrees share a cache)
+# ---------------------------------------------------------------------------
+
+def insert_common_subplan_caches(plan: L.Plan) -> L.Plan:
+    """Wrap subplans that occur more than once in a shared Cache node so
+    the executor materializes them exactly once per query (reference:
+    common-subplan-elim, `polars-plan/src/plans/optimizer/cse/`).
+
+    Counting only recurses into a subtree the first time its fingerprint
+    is seen: descendants of a shared subtree are not themselves marked
+    (the outer cache already deduplicates them)."""
+    counts: Dict[str, int] = {}
+
+    def walk(p: L.Plan) -> None:
+        fp = p.fingerprint()
+        counts[fp] = counts.get(fp, 0) + 1
+        if counts[fp] == 1:
+            for i in p.inputs:
+                walk(i)
+
+    walk(plan)
+    shared = {fp for fp, c in counts.items() if c > 1}
+    if not shared:
+        return plan
+    cache_nodes: Dict[str, L.Plan] = {}
+
+    def rewrite(p: L.Plan) -> L.Plan:
+        fp = p.fingerprint()
+        if fp in shared and p.inputs and p.kind not in ("df_scan", "cache"):
+            if fp not in cache_nodes:
+                cache_nodes[fp] = L.Cache(_rewrite_children(p))
+            return cache_nodes[fp]
+        return _rewrite_children(p)
+
+    def _rewrite_children(p: L.Plan) -> L.Plan:
+        if not p.inputs:
+            return p
+        new_ins = [rewrite(i) for i in p.inputs]
+        if all(a is b for a, b in zip(new_ins, p.inputs)):
+            return p
+        return p.with_inputs(new_ins)
+
+    return rewrite(plan)
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,43 @@ def test_unpivot():
     assert out.to_dict() == {
         "id": [1, 2, 1, 2], "variable": ["x", "x", "y", "y"],
         "value": [10, 20, 30, 40]}
+
+
+def test_expression_cse_single_eval():
+    calls = {"n": 0}
+
+    def f(s):
+        calls["n"] += 1
+        return s
+
+    df = pl.DataFrame({"x": [1.0, 2.0, 3.0]})
+    e = pl.col("x").map_batches(f)
+    out = df.select((e + 1).alias("p"), (e + 2).alias("q"))
+    assert calls["n"] == 1
+    assert out.to_dict() == {"p": [2.0, 3.0, 4.0], "q": [3.0, 4.0, 5.0]}
+
+
+def test_common_subplan_cache_inserted():
+    lf = pl.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}).lazy() \
+        .with_columns(w=pl.col("v") * 2)
+    j = lf.join(lf, on="k", suffix="_r")
+    assert "CACHE" in j.explain()
+    d = j.collect().to_dict()
+    assert d["w"] == [20, 40, 60] and d["w_r"] == [20, 40, 60]
+
+
+def test_cache_node_memoizes():
+    calls = {"n": 0}
+
+    def fn(t):
+        calls["n"] += 1
+        return t
+
+    import polaroid_tpu.plan.logical as L
+    base = pl.DataFrame({"k": [1, 2], "v": [5, 6]}).lazy()
+    mapped = pl.LazyFrame._from_plan(
+        L.MapFunction(base._plan, fn, label="count"))
+    c = mapped.cache()
+    out = c.join(c, on="k").collect()
+    assert calls["n"] == 1
+    assert out.height == 2
