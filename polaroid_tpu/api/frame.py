@@ -183,6 +183,28 @@ class DataFrame:
         if explode_names:
             out = self.select(*stripped)
             return out.explode(explode_names)
+        if len(stripped) == 1:
+            e0 = stripped[0]
+            name0 = meta.output_name(e0)
+            while e0.kind == "alias":
+                e0 = e0.children[0]
+            if e0.kind == "cat_categories":
+                # row-count-changing: the categories themselves
+                v = eval_expr(e0.children[0], self._table, "select")
+                if not v.dtype.is_string:
+                    raise ComputeError(
+                        f".cat.get_categories on {v.dtype!r}")
+                import numpy as np
+                cap = self._table.capacity
+                col = val_to_column(v, cap)
+                mask = np.asarray(self._table.row_mask())
+                if col.validity is not None:
+                    mask = mask & np.asarray(col.validity)
+                codes = np.asarray(col.data)
+                used = np.unique(codes[mask & (codes >= 0)])
+                cats = list(col.sdict.values[used]) \
+                    if col.sdict is not None else []
+                return DataFrame({name0: cats})
         es, _ = cse_rewrite(stripped)
         t = self._table
         results = []

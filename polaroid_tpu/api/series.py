@@ -72,6 +72,10 @@ class Series:
             return self.to_list() == other.to_list()
         return NotImplemented
 
+    @property
+    def cat(self) -> "SeriesCatNamespace":
+        return SeriesCatNamespace(self)
+
     # reductions via the expression engine
     def _agg(self, agg: str, **kw):
         from ..expr.expr import col
@@ -188,3 +192,27 @@ def _pyify(v):
     if isinstance(v, np.generic):
         return v.item()
     return v
+
+
+class SeriesCatNamespace:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def get_categories(self) -> Series:
+        col = self._s._col
+        if not col.dtype.is_string:
+            from ..errors import ComputeError
+            raise ComputeError(f".cat.get_categories on {col.dtype!r}")
+        return Series(self._s.name, _used_categories(col, len(self._s)))
+
+
+def _used_categories(col: Column, nrows: int):
+    """Categories actually referenced by live codes (dictionaries may hold
+    an unused slot for the null filler)."""
+    codes = np.asarray(col.data)[:nrows]
+    if col.validity is not None:
+        codes = codes[np.asarray(col.validity)[:nrows]]
+    used = np.unique(codes[codes >= 0])
+    if col.sdict is None:
+        return []
+    return list(col.sdict.values[used])

@@ -123,6 +123,8 @@ class Column:
     def from_numpy(values, dtype: Optional[DataType] = None,
                    capacity: Optional[int] = None) -> "Column":
         """Build a device column from host values, padding to capacity."""
+        if isinstance(dtype, type) and issubclass(dtype, DataType):
+            dtype = dtype()
         nested = _detect_nested(values, dtype)
         if nested == "list":
             return _list_column_from_host(values, dtype, capacity)

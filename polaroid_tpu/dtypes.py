@@ -262,6 +262,8 @@ def dtype_from_numpy(np_dtype: np.dtype) -> DataType:
 
 def physical_numpy_dtype(dt: DataType) -> np.dtype:
     """The on-device physical storage dtype for a logical dtype."""
+    if isinstance(dt, type) and issubclass(dt, DataType):
+        dt = dt()  # allow bare classes like pl.Categorical in schemas
     name = repr(dt)
     if name.startswith("Datetime") or name.startswith("Duration"):
         return np.dtype(np.int64)

@@ -112,9 +112,15 @@ def _live_order(table: Table):
 # ---------------------------------------------------------------------------
 
 def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
+    if isinstance(dtype, type) and issubclass(dtype, DataType):
+        dtype = dtype()
     if v.dtype == dtype:
         return v
     src, dst = v.dtype, dtype
+    if src.is_string and dst.is_string:
+        # String <-> Categorical: same codes + dictionary, relabeled
+        # (our dictionaries are sorted, so they double as categories)
+        return Val(dst, v.data, v.validity, v.sdict, v.is_scalar, v.live)
     if src == Null:
         data = jnp.zeros(v.data.shape, dtype=_stor(dst))
         return Val(dst, data, jnp.zeros(v.data.shape, dtype=jnp.bool_),

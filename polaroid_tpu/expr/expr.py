@@ -376,6 +376,10 @@ class Expr:
         return ListNamespace(self)
 
     @property
+    def cat(self) -> "CatNamespace":
+        return CatNamespace(self)
+
+    @property
     def struct(self) -> "StructNamespace":
         return StructNamespace(self)
 
@@ -513,6 +517,24 @@ class ListNamespace:
     def join(self, separator: str = ""):
         return self._op("join", separator=separator)
     def explode(self): return Expr("explode_expr", (self._e,))
+
+
+class CatNamespace:
+    """Categorical functions. Our dictionaries are sorted-unique, so the
+    physical codes are already lexical ranks (reference:
+    `polars-dtype` categorical mappings)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def get_categories(self) -> Expr:
+        return Expr("cat_categories", (self._e,))
+
+    def to_local(self) -> Expr:
+        return self._e  # dictionaries are always per-column ("local")
+
+    def set_ordering(self, ordering: str) -> Expr:
+        return self._e  # sorted dicts: lexical == physical ordering
 
 
 class StructNamespace:

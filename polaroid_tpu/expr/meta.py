@@ -360,6 +360,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return StructT([(n, d) for n, (_, d)
                             in zip(e.attrs["names"], ct.fields)])
         raise SchemaError(f".struct.rename_fields on non-struct {ct!r}")
+    if k == "cat_categories":
+        return String
     if k == "concat_str":
         return String
     if k == "hash":

@@ -38,7 +38,8 @@ def dtype_from_arrow(t: pa.DataType) -> DataType:
             pa.types.is_string_view(t):
         return String
     if pa.types.is_dictionary(t):
-        return String
+        from ..dtypes import Categorical as _Cat
+        return _Cat()
     if pa.types.is_timestamp(t):
         unit = t.unit if t.unit in ("ms", "us", "ns") else "us"
         return Datetime(unit, t.tz)

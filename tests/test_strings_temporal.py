@@ -179,3 +179,31 @@ def test_hash_deterministic():
     df = pl.DataFrame({"a": [1, 2, 1]})
     h = df.select(pl.col("a").hash().alias("h")).to_dict()["h"]
     assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_categorical_dtype_roundtrip():
+    df = pl.DataFrame({"c": ["b", "a", "b", None]})
+    cc = df.select(pl.col("c").cast(pl.Categorical))
+    assert repr(cc.schema["c"]) == "Categorical"
+    assert cc.to_dict()["c"] == ["b", "a", "b", None]
+    back = cc.select(pl.col("c").cast(pl.String))
+    assert repr(back.schema["c"]) == "String"
+    assert back.to_dict()["c"] == ["b", "a", "b", None]
+
+
+def test_categorical_schema_and_categories():
+    d2 = pl.DataFrame({"c": ["x", "y", "x"]}, schema={"c": pl.Categorical})
+    assert repr(d2.schema["c"]) == "Categorical"
+    cats = d2.select(pl.col("c").cat.get_categories())
+    assert cats.to_dict()["c"] == ["x", "y"]
+    assert d2.get_column("c").cat.get_categories().to_list() == ["x", "y"]
+
+
+def test_categorical_groupby_join():
+    cc = pl.DataFrame({"c": ["b", "a", "b", None]}).select(
+        pl.col("c").cast(pl.Categorical))
+    g = cc.with_columns(v=pl.lit(1)).group_by("c").agg(
+        pl.len().alias("n")).sort("c")
+    assert g.to_dict()["n"] == [1, 1, 2]
+    j = cc.join(pl.DataFrame({"c": ["a", "b"], "w": [1, 2]}), on="c")
+    assert sorted(j.to_dict()["w"]) == [1, 2, 2]
