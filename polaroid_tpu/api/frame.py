@@ -299,6 +299,14 @@ class DataFrame:
     def rename(self, mapping: Dict[str, str], strict: bool = True) -> "DataFrame":
         return DataFrame._from_table(self._table.rename(mapping, strict))
 
+    def join_where(self, other: "DataFrame", *predicates,
+                   suffix: str = "_right") -> "DataFrame":
+        return self.lazy().join_where(other.lazy(), *predicates,
+                                      suffix=suffix).collect()
+
+    def merge_sorted(self, other: "DataFrame", key: str) -> "DataFrame":
+        return self.lazy().merge_sorted(other.lazy(), key).collect()
+
     def explode(self, *columns) -> "DataFrame":
         from ..ops.nested import explode_table
         flat = []

@@ -204,6 +204,31 @@ class LazyFrame:
             L.Join(self._plan, other._plan, left_on, right_on, how, suffix,
                    join_nulls, coalesce))
 
+    def join_where(self, other: "LazyFrame", *predicates,
+                   suffix: str = "_right") -> "LazyFrame":
+        """Inequality join (reference: iejoin,
+        `polars-ops/src/frame/join/iejoin/`): cross product filtered by
+        the predicates. Right-side name collisions take `suffix`, as in
+        polars — reference them suffixed in the predicates."""
+        if not predicates:
+            raise ComputeError("join_where requires at least one predicate")
+        preds = _to_exprs(predicates)
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        crossed = L.Join(self._plan, other._plan, [], [], "cross", suffix,
+                         False, None)
+        return LazyFrame._from_plan(L.Filter(crossed, pred))
+
+    def merge_sorted(self, other: "LazyFrame", key: str) -> "LazyFrame":
+        """Merge two key-sorted frames into one key-sorted frame
+        (reference: `polars-stream/src/nodes/merge_sorted.rs`). A stable
+        device sort over the concatenation — one fused XLA sort instead
+        of a sequential two-pointer merge."""
+        unioned = L.Union([self._plan, other._plan], "vertical_relaxed")
+        return LazyFrame._from_plan(
+            L.Sort(unioned, [_col(key)], [False], [False], True))
+
     def group_by_dynamic(self, index_column: str, *, every: str,
                          period: Optional[str] = None,
                          offset: Optional[str] = None, closed: str = "left",

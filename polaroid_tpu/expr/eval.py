@@ -643,7 +643,26 @@ def _eval_agg(e: Expr, v: Val, table: Table) -> Val:
     if agg == "n_unique":
         return _n_unique(v, live, mask, dt)
     if agg == "mode":
-        raise InvalidOperationError("mode() not yet supported")
+        # sort values, length of each equal-run, smallest most-frequent
+        from ..ops.keycode import encode_key_words
+        vw = encode_key_words(x, mask, False, True)
+        words = [(~mask).astype(jnp.uint32)] + list(vw)
+        out = jax.lax.sort(tuple(words) + (x, mask.astype(jnp.int32)),
+                           num_keys=len(words), is_stable=True)
+        sval, pres = out[-2], out[-1].astype(jnp.bool_)
+        cap = x.shape[0]
+        idx = jnp.arange(cap)
+        new_run = idx == 0
+        for w in out[:len(words)]:
+            new_run = new_run | (w != jnp.roll(w, 1))
+        run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        run_len = jax.ops.segment_sum(pres.astype(jnp.int32), run_id,
+                                      num_segments=cap)
+        rl = jnp.where(pres, run_len[run_id], 0)
+        best = jnp.max(rl)
+        pos = jnp.min(jnp.where(new_run & pres & (rl == best), idx, cap))
+        data = sval[jnp.clip(pos, 0, cap - 1)]
+        return _scalar(dt, data, best > 0, v.sdict)
     if agg == "implode":
         from ..ops.nested import implode_all
         packed, lengths, elem_valid, ldt = implode_all(
@@ -985,6 +1004,58 @@ def _eval_list(e: Expr, v: Val, table: Table) -> Val:
     return Val(res["dtype"], res["data"], res.get("validity"),
                res.get("sdict"), v.is_scalar, v.live,
                lengths=res.get("lengths"), elem_valid=res.get("elem_valid"))
+
+
+def _eval_cut(e: Expr, v: Val, table: Table) -> Val:
+    """cut/qcut -> Categorical bins (reference: `polars-ops`
+    series/cut.rs). Bin index = count of breaks below the value (a tiny
+    static comparison fan-out, vectorized); labels go through a sorted
+    dictionary LUT."""
+    from ..dtypes import Categorical as _Cat
+    if not v.dtype.is_numeric:
+        raise InvalidOperationError(f"cut on {v.dtype!r}")
+    left_closed = bool(e.attrs.get("left_closed", False))
+    x = v.data
+    if e.kind == "qcut":
+        qs = list(e.attrs["quantiles"])
+        mask = table.row_mask() if v.live is None else \
+            (table.row_mask() & v.live)
+        if v.validity is not None:
+            mask = mask & v.validity
+        xf = x.astype(jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+        lo_b, hi_b = _type_bounds(xf.dtype)
+        n = jnp.sum(mask)
+        packed = jnp.sort(jnp.where(mask, xf, hi_b))
+        posf = jnp.asarray(qs) * (n - 1).astype(xf.dtype)
+        lo_i = jnp.clip(jnp.floor(posf).astype(jnp.int32), 0,
+                        x.shape[0] - 1)
+        hi_i = jnp.clip(lo_i + 1, 0, jnp.maximum(n - 1, 0))  # stay in live
+        lo_i = jnp.minimum(lo_i, hi_i)
+        frac = posf - lo_i.astype(xf.dtype)
+        bk = packed[lo_i] * (1 - frac) + packed[hi_i] * frac
+        breaks = [float(b) for b in np.asarray(bk)]  # host sync
+    else:
+        breaks = [float(b) for b in e.attrs["breaks"]]
+    labels = e.attrs.get("labels")
+    if labels is None:
+        def _fmt_break(b: float) -> str:
+            return str(int(b)) if float(b).is_integer() else _fmt_float(b)
+        edges = ["-inf"] + [_fmt_break(b) for b in breaks] + ["inf"]
+        if left_closed:
+            labels = [f"[{a}, {b})" for a, b in zip(edges[:-1], edges[1:])]
+        else:
+            labels = [f"({a}, {b}]" for a, b in zip(edges[:-1], edges[1:])]
+    if len(labels) != len(breaks) + 1:
+        raise ShapeError(
+            f"cut needs {len(breaks) + 1} labels, got {len(labels)}")
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for b in breaks:
+        cond = (x >= b) if left_closed else (x > b)
+        idx = idx + cond.astype(jnp.int32)
+    codes_lut, sdict = StringDict.encode(np.asarray(labels, dtype=object))
+    data = jnp.asarray(codes_lut)[idx]
+    return Val(_Cat(), data, v.validity, sdict, v.is_scalar, v.live)
 
 
 def _eval_str(e: Expr, v: Val, table: Table) -> Val:
@@ -1456,6 +1527,25 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                    v.validity, None, v.is_scalar, v.live)
     if k == "is_duplicated" or k == "is_unique" or k == "is_first_distinct":
         return _eval_distinct_flags(e, table, ctx)
+    if k in ("cut", "qcut"):
+        return _eval_cut(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "search_sorted":
+        v = eval_expr(e.children[0], table, ctx)
+        elem = eval_expr(e.children[1], table, ctx)
+        mask = table.row_mask() if v.live is None else \
+            (table.row_mask() & v.live)
+        perm = jnp.argsort(~mask, stable=True)
+        packed = v.data[perm]
+        n = jnp.sum(mask)
+        # pad rows past the live prefix hold garbage; overwrite with +max
+        # so the binary search stays well-defined
+        _, hi_b = _type_bounds(packed.dtype)
+        packed = jnp.where(jnp.arange(packed.shape[0]) < n, packed, hi_b)
+        side = "left" if e.attrs.get("side") == "left" else "right"
+        pos = jnp.searchsorted(packed, elem.data, side=side)
+        pos = jnp.minimum(pos, n).astype(jnp.uint32)
+        return Val(UInt32, pos, elem.validity, None, elem.is_scalar,
+                   elem.live)
     if k == "sort_self":
         v = eval_expr(e.children[0], table, ctx)
         return _eval_sort_self(e, v, table)

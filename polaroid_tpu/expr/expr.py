@@ -354,6 +354,22 @@ class Expr:
     def explode(self) -> "Expr":
         return Expr("explode_expr", (self,))
 
+    def cut(self, breaks, labels=None, left_closed: bool = False) -> "Expr":
+        return Expr("cut", (self,), breaks=tuple(breaks),
+                    labels=tuple(labels) if labels is not None else None,
+                    left_closed=left_closed)
+
+    def qcut(self, quantiles, labels=None, left_closed: bool = False,
+             allow_duplicates: bool = False) -> "Expr":
+        if isinstance(quantiles, int):
+            quantiles = [i / quantiles for i in range(1, quantiles)]
+        return Expr("qcut", (self,), quantiles=tuple(quantiles),
+                    labels=tuple(labels) if labels is not None else None,
+                    left_closed=left_closed)
+
+    def search_sorted(self, element, side: str = "any") -> "Expr":
+        return Expr("search_sorted", (self, _wrap(element)), side=side)
+
     def replace(self, old, new) -> "Expr":
         return Expr("replace", (self,), old=tuple(old) if isinstance(old, (list, tuple)) else (old,),
                     new=tuple(new) if isinstance(new, (list, tuple)) else (new,))

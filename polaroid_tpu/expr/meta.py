@@ -362,6 +362,11 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         raise SchemaError(f".struct.rename_fields on non-struct {ct!r}")
     if k == "cat_categories":
         return String
+    if k in ("cut", "qcut"):
+        from ..dtypes import Categorical as _Cat
+        return _Cat()
+    if k == "search_sorted":
+        return UInt32
     if k == "concat_str":
         return String
     if k == "hash":
@@ -383,7 +388,8 @@ _NON_ELEMENTWISE = {"agg", "window", "over", "sort_self", "sort_by",
                     "table_len", "is_duplicated", "is_unique",
                     "is_first_distinct", "gather", "unique_counts",
                     "value_counts", "repeat_by", "explode_expr",
-                    "fill_null_strategy", "map_batches"}
+                    "fill_null_strategy", "map_batches", "qcut",
+                    "search_sorted", "cat_categories"}
 
 
 def is_elementwise(e: Expr) -> bool:

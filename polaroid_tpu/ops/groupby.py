@@ -449,10 +449,67 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         interp = "linear" if agg == "median" else attrs.get("interpolation", "nearest")
         return _group_quantile(v, ctx, q, interp)
     if agg in ("arg_min", "arg_max"):
-        raise InvalidOperationError(f"{agg} in group_by not yet supported")
+        return _group_arg_extreme(v, ctx, agg)
+    if agg == "mode":
+        return _group_mode(v, ctx)
     if agg in ("implode", "agg_groups"):
         return _group_implode(v, ctx, agg)
     raise ComputeError(f"unknown group aggregation {agg!r}")
+
+
+def _group_arg_extreme(v: Val, ctx: GroupContext, agg: str) -> Val:
+    """arg_min/arg_max: position (among the group's rows) of the extreme
+    valid value, first occurrence winning ties."""
+    cap, ncap = ctx.cap, ctx.out_cap
+    sx, spart = _sorted_val(v, ctx)
+    present = _group_present(v, ctx)
+    lo_b, hi_b = _type_bounds(sx.dtype)
+    fill = hi_b if agg == "arg_min" else lo_b
+    vals = jnp.where(spart, sx, fill)
+    m = (_seg_min if agg == "arg_min" else _seg_max)(
+        vals, ctx.gid, ncap, ctx.sorted_ids)
+    # rank of each row within its group (counting all member rows), via a
+    # (gid, slot) sort — works for both sorted and dense layouts
+    g = jnp.where(present, ctx.gid, ncap).astype(jnp.int32)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    sg, sslot = jax.lax.sort((g, slot), num_keys=1, is_stable=True)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    base = _seg_min(jnp.where(sg < ncap, idx, cap), sg, ncap, True)
+    rank = idx - base[jnp.clip(sg, 0, ncap - 1)]
+    hit = (sg < ncap) & spart[sslot] & \
+        (vals[sslot] == m[jnp.clip(sg, 0, ncap - 1)])
+    cand = jnp.where(hit, rank, cap)
+    pos = _seg_min(cand, sg, ncap, True)
+    has = pos < cap
+    return Val(UInt32, jnp.where(has, pos, 0).astype(jnp.uint32), has)
+
+
+def _group_mode(v: Val, ctx: GroupContext) -> Val:
+    """Most frequent valid value per group (smallest value wins ties;
+    polars returns an arbitrary tied mode — we pick deterministically)."""
+    cap, ncap = ctx.cap, ctx.out_cap
+    sx, spart = _sorted_val(v, ctx)
+    vw = encode_key_words(sx, spart, False, True)
+    gkey = jnp.where(spart, ctx.gid, ncap).astype(jnp.uint32)
+    words = [gkey] + vw
+    skeys, tails, _ = lex_sort_indices(words, (sx, spart.astype(jnp.int32)))
+    sval, pres2 = tails[0], tails[1].astype(jnp.bool_)
+    idx = jnp.arange(cap)
+    new_pair = idx == 0
+    for w in skeys:
+        new_pair = new_pair | (w != jnp.roll(w, 1))
+    pair_id = jnp.cumsum(new_pair.astype(jnp.int32)) - 1
+    run_len = _seg_sum(pres2.astype(jnp.int32), pair_id, cap, True)
+    rl = jnp.where(pres2, run_len[pair_id], 0)
+    gid2 = skeys[0].astype(jnp.int32)
+    best = _seg_max(rl, gid2, ncap, True)
+    is_best = pres2 & new_pair & (rl == best[jnp.clip(gid2, 0, ncap - 1)]) \
+        & (rl > 0)
+    cand = jnp.where(is_best, idx, cap).astype(jnp.int32)
+    pos = _seg_min(cand, gid2, ncap, True)
+    has = pos < cap
+    data = sval[jnp.clip(pos, 0, cap - 1)]
+    return Val(v.dtype, data, has, v.sdict, False)
 
 
 def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:

@@ -132,3 +132,34 @@ def test_series_aggs():
     assert s.mean() == 2.0
     assert s.null_count() == 1
     assert s.n_unique() == 4
+
+
+def test_mode_select_and_group():
+    md = pl.DataFrame({"x": [1, 2, 2, 3, 3, 3]})
+    assert md.select(pl.col("x").mode()).to_dict()["x"] == [3]
+    ms = pl.DataFrame({"s": ["a", "b", "b"]})
+    assert ms.select(pl.col("s").mode()).to_dict()["s"] == ["b"]
+    g = pl.DataFrame({"k": [1, 1, 1, 2, 2], "v": [5, 7, 7, 9, 3]})
+    r = g.group_by("k", maintain_order=True).agg(
+        pl.col("v").mode().alias("m"),
+        pl.col("v").arg_min().alias("am"),
+        pl.col("v").arg_max().alias("ax"))
+    assert r.to_dict()["m"] == [7, 3]
+    assert r.to_dict()["am"] == [0, 1]
+    assert r.to_dict()["ax"] == [1, 0]
+
+
+def test_cut_qcut_search_sorted():
+    df = pl.DataFrame({"x": [-2.0, 1.0, 3.0, 6.0]})
+    c = df.select(pl.col("x").cut([0, 2, 5]))
+    assert repr(c.schema["x"]) == "Categorical"
+    assert c.to_dict()["x"] == ["(-inf, 0]", "(0, 2]", "(2, 5]", "(5, inf]"]
+    c2 = df.select(pl.col("x").cut([0, 2], labels=["low", "mid", "high"]))
+    assert c2.to_dict()["x"] == ["low", "mid", "high", "high"]
+    q = df.select(pl.col("x").qcut(2).alias("q"))
+    assert q.to_dict()["q"] == ["(-inf, 2]", "(-inf, 2]", "(2, inf]",
+                                "(2, inf]"]
+    s = pl.DataFrame({"x": [1, 3, 5, 7]})
+    assert s.select(pl.col("x").search_sorted(5)).to_dict()["x"] == [3]
+    assert s.select(
+        pl.col("x").search_sorted(5, side="left")).to_dict()["x"] == [2]

@@ -148,3 +148,27 @@ def test_join_asof_strategies():
     a2 = pl.DataFrame({"t": [4, 7]})
     nr = a2.lazy().join_asof(b.lazy(), on="t", strategy="nearest").collect()
     assert nr.to_dict() == {"t": [4, 7], "y": [50, 80]}
+
+
+def test_join_where_inequality():
+    east = pl.DataFrame({"id": [100, 101, 102], "dur": [120, 140, 160]})
+    west = pl.DataFrame({"t_id": [404, 498, 676], "time": [90, 130, 150]})
+    out = east.join_where(west, pl.col("dur") < pl.col("time"))
+    pairs = sorted(zip(out.to_dict()["dur"], out.to_dict()["time"]))
+    assert pairs == [(120, 130), (120, 150), (140, 150)]
+
+
+def test_join_where_compound():
+    a = pl.DataFrame({"x": [1, 2, 3]})
+    b = pl.DataFrame({"y": [1, 2, 3]})
+    out = a.join_where(b, pl.col("x") < pl.col("y"),
+                       pl.col("x") + pl.col("y") > 3)
+    pairs = sorted(zip(out.to_dict()["x"], out.to_dict()["y"]))
+    assert pairs == [(1, 3), (2, 3)]
+
+
+def test_merge_sorted():
+    a = pl.DataFrame({"k": [1, 3, 5], "v": ["a", "c", "e"]})
+    b = pl.DataFrame({"k": [2, 3, 6], "v": ["b", "x", "f"]})
+    m = a.merge_sorted(b, "k")
+    assert m.to_dict()["k"] == [1, 2, 3, 3, 5, 6]
