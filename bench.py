@@ -10,15 +10,33 @@ table, i.e. ~83.3M rows/s). vs_baseline = ours / reference.
 Runs on the default JAX platform (the real TPU chip under the driver;
 CPU if forced). Data is generated on device; timings are steady-state
 medians with block_until_ready.
+
+Robustness: the axon tunnel can wedge mid-run (device->host readback
+hangs forever, typically after a jax process was killed mid-flight).
+All measurement runs in a daemon worker thread that records each phase
+into a shared dict; the main thread emits the JSON line from whatever
+completed within the time budget (PT_BENCH_BUDGET_S, default 540), so
+the driver always gets a result. A persistent compilation cache makes
+re-runs skip the multi-minute tunnel compiles.
 """
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+try:  # persistent compile cache: second run skips tunnel compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PT_JAX_CACHE", "/tmp/pt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 
 def _sync(out):
@@ -45,9 +63,7 @@ def _bench(fn, args, iters=10, warmup=2):
 
 
 def _device_selftest(timeout_s: float = 120.0) -> bool:
-    """The axon tunnel can wedge (device->host readback hangs forever);
-    probe it with a watchdog so bench always produces a result line."""
-    import threading
+    """Probe the device->host path with a watchdog."""
     ok = [False]
 
     def probe():
@@ -63,17 +79,13 @@ def _device_selftest(timeout_s: float = 120.0) -> bool:
     return ok[0]
 
 
-def main():
-    if jax.default_backend() != "cpu" and not _device_selftest():
-        import sys
-        print(json.dumps({
-            "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
-            "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
-            "details": {"error": "device readback wedged (axon tunnel); "
-                                 "no measurement possible",
-                        "platform": jax.default_backend()}}))
-        sys.exit(0)
-    n = 1 << 23  # 8.4M rows
+N_ROWS = 1 << 23  # 8.4M rows
+BASELINE_ROWS_S = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
+
+
+def _run_benches(d: dict) -> None:
+    """Fill `d` phase by phase; safe to snapshot at any time."""
+    n = N_ROWS
     rng = np.random.default_rng(0)
     price = jnp.asarray(rng.uniform(1, 200, n).astype(np.float32))
     volume = jnp.asarray(rng.integers(0, 5000, n).astype(np.int32))
@@ -92,6 +104,8 @@ def main():
         return gkey, s / jnp.maximum(c, 1), gv
 
     t_q1 = _bench(q1, (price, volume, sym, valid))
+    d["t_q1"] = t_q1
+    d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
 
     # --- operator microbenches ---
     @jax.jit
@@ -100,12 +114,16 @@ def main():
         return live, jnp.sum(jnp.where(live, price, 0.0))
 
     t_filter = _bench(op_filter, (price, volume, valid))
+    d["filter_ms"] = round(t_filter * 1e3, 3)
+    d["filter_rows_per_s"] = round(n / t_filter, 1)
 
     @jax.jit
     def op_sort(sym, price):
         return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
 
     t_sort = _bench(op_sort, (sym, price))
+    d["sort_8m_ms"] = round(t_sort * 1e3, 3)
+    d["sort_rows_per_s"] = round(n / t_sort, 1)
 
     @jax.jit
     def op_agg(sym, price, valid):
@@ -114,6 +132,8 @@ def main():
         return gkey, s, c
 
     t_agg = _bench(op_agg, (sym, price, valid))
+    d["groupby_agg_ms"] = round(t_agg * 1e3, 3)
+    d["agg_rows_per_s"] = round(n / t_agg, 1)
 
     # join: 4M probe x 1M build on one chip
     nb = 1 << 20
@@ -132,6 +152,8 @@ def main():
         return jnp.where(hit, sv[posc], 0.0), hit
 
     t_join = _bench(op_join, (bkey, bval, pkey))
+    d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
+    d["join_rows_per_s"] = round(npr / t_join, 1)
 
     # --- engine-level end-to-end (lazy pipeline through the fused
     # executor, host collect included) ---
@@ -150,9 +172,10 @@ def main():
         lf.collect()
         t_engine.append(time.perf_counter() - t0)
     t_eng = float(np.median(t_engine))
+    d["engine_q1_e2e_ms"] = round(t_eng * 1e3, 3)
+    d["engine_q1_rows_per_s"] = round(n / t_eng, 1)
 
     # --- parquet scan throughput (host decode + device upload) ---
-    import os
     import tempfile
     tmp = tempfile.mkdtemp()
     pq_path = os.path.join(tmp, "bench.parquet")
@@ -164,33 +187,52 @@ def main():
     t0 = time.perf_counter()
     pl.read_parquet(pq_path)
     t_read = min(t_read, time.perf_counter() - t0)
+    d["parquet_read_ms"] = round(t_read * 1e3, 3)
+    d["parquet_read_mb_per_s"] = round(pq_bytes / t_read / 1e6, 1)
 
-    rows_s = n / t_q1
-    baseline_rows_s = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
-    result = {
+
+def main():
+    if jax.default_backend() != "cpu" and not _device_selftest():
+        print(json.dumps({
+            "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
+            "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
+            "details": {"error": "device readback wedged (axon tunnel); "
+                                 "no measurement possible",
+                        "platform": jax.default_backend()}}))
+        return
+
+    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
+    shared: dict = {"platform": jax.default_backend(), "n_rows": N_ROWS}
+    done = threading.Event()
+
+    def work():
+        try:
+            _run_benches(shared)
+        except Exception as exc:  # record, still emit a line
+            shared["error"] = f"{type(exc).__name__}: {exc}"
+        done.set()
+
+    w = threading.Thread(target=work, daemon=True)
+    w.start()
+    w.join(budget)
+    if not done.is_set():
+        shared["error"] = (f"incomplete after {budget:.0f}s budget "
+                           "(tunnel stall or first-compile overrun); "
+                           "partial phases reported")
+
+    t_q1 = shared.pop("t_q1", None)
+    rows_s = N_ROWS / t_q1 if t_q1 else 0.0
+    print(json.dumps({
         "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
         "value": round(rows_s, 1),
         "unit": "rows/s",
-        "vs_baseline": round(rows_s / baseline_rows_s, 3),
-        "details": {
-            "platform": jax.default_backend(),
-            "n_rows": n,
-            "q1_filter_groupby_mean_ms": round(t_q1 * 1e3, 3),
-            "filter_ms": round(t_filter * 1e3, 3),
-            "sort_8m_ms": round(t_sort * 1e3, 3),
-            "groupby_agg_ms": round(t_agg * 1e3, 3),
-            "join_4m_x_1m_ms": round(t_join * 1e3, 3),
-            "filter_rows_per_s": round(n / t_filter, 1),
-            "sort_rows_per_s": round(n / t_sort, 1),
-            "agg_rows_per_s": round(n / t_agg, 1),
-            "join_rows_per_s": round(npr / t_join, 1),
-            "engine_q1_e2e_ms": round(t_eng * 1e3, 3),
-            "engine_q1_rows_per_s": round(n / t_eng, 1),
-            "parquet_read_ms": round(t_read * 1e3, 3),
-            "parquet_read_mb_per_s": round(pq_bytes / t_read / 1e6, 1),
-        },
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(rows_s / BASELINE_ROWS_S, 3),
+        "details": shared,
+    }), flush=True)
+    # skip interpreter/thread teardown: a worker thread blocked inside the
+    # tunnel runtime SIGABRTs the process on normal exit (and a killed jax
+    # process is exactly what wedges the tunnel for the NEXT run)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -119,22 +119,99 @@ def build_groups(key_vals: Sequence[Val], mask: jax.Array,
 
 # --- segment reduction helpers (dump-slot pattern: ids == ncap are dropped
 # by reducing into ncap+1 slots and slicing) -------------------------------
+#
+# sorted layout (gid non-decreasing, dump ids last): scatter-free — TPU
+# scatters serialize (~125ms per segment op at 8M rows), so the sorted
+# path uses a segmented associative scan plus a one-off boundary sort
+# (cached per gid array) and pure gathers instead.
+
+_BOUNDS_CACHE: dict = {}  # id(gid) -> (gid ref, (starts, ends, ngroups))
+
+
+def _sorted_bounds(gid, ncap):
+    hit = _BOUNDS_CACHE.get(id(gid))
+    if hit is not None and hit[0] is gid and hit[1] == ncap:
+        return hit[2]
+    cap = gid.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = gid < ncap
+    newg = live & ((idx == 0) | (gid != jnp.roll(gid, 1)))
+    ngroups = jnp.sum(newg.astype(jnp.int32))
+    nlive = jnp.sum(live.astype(jnp.int32))
+    # compact boundary slots to the front: starts[g] = first slot of
+    # group g (boundaries appear in increasing gid order)
+    border = (~newg).astype(jnp.uint32)
+    _, starts = jax.lax.sort((border, idx), num_keys=1, is_stable=True)
+    g_arange = jnp.arange(cap, dtype=jnp.int32)
+    next_start = jnp.concatenate([starts[1:],
+                                  jnp.full((1,), cap, jnp.int32)])
+    ends = jnp.where(g_arange < ngroups - 1, next_start, nlive)
+    res = (newg, starts, ends, ngroups)
+    if len(_BOUNDS_CACHE) >= 4:
+        _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
+    _BOUNDS_CACHE[id(gid)] = (gid, ncap, res)
+    return res
+
+
+def _segscan(v, flags, op):
+    """Segmented inclusive scan (log-depth, vectorized)."""
+    def comb(a, b):
+        va, ba = a
+        vb, bb = b
+        return jnp.where(bb, vb, op(va, vb)), ba | bb
+
+    sv, _ = jax.lax.associative_scan(comb, (v, flags))
+    return sv
+
+
+def _fit(arr, ncap, fill):
+    cap = arr.shape[0]
+    if ncap <= cap:
+        return jax.lax.slice_in_dim(arr, 0, ncap)
+    return jnp.concatenate([arr, jnp.full((ncap - cap,), fill, arr.dtype)])
+
+
+def _seg_sorted(data, gid, ncap, op, ident):
+    newg, starts, ends, ngroups = _sorted_bounds(gid, ncap)
+    cap = gid.shape[0]
+    live = gid < ncap
+    scanned = _segscan(jnp.where(live, data, jnp.asarray(ident, data.dtype)),
+                       newg, op)
+    e1 = jnp.clip(ends - 1, 0, cap - 1)
+    out = jnp.where(jnp.arange(cap) < ngroups, scanned[e1],
+                    jnp.asarray(ident, data.dtype))
+    return _fit(out, ncap, ident)
+
 
 def _seg_sum(data, gid, ncap, sorted_ids: bool = True):
+    if sorted_ids:
+        return _seg_sorted(data, gid, ncap, jnp.add, 0)
     out = jax.ops.segment_sum(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=sorted_ids)
+                              indices_are_sorted=False)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_min(data, gid, ncap, sorted_ids: bool = True):
+    if sorted_ids:
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            ident = jnp.inf
+        else:
+            ident = jnp.iinfo(data.dtype).max
+        return _seg_sorted(data, gid, ncap, jnp.minimum, ident)
     out = jax.ops.segment_min(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=sorted_ids)
+                              indices_are_sorted=False)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_max(data, gid, ncap, sorted_ids: bool = True):
+    if sorted_ids:
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            ident = -jnp.inf
+        else:
+            ident = jnp.iinfo(data.dtype).min
+        return _seg_sorted(data, gid, ncap, jnp.maximum, ident)
     out = jax.ops.segment_max(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=sorted_ids)
+                              indices_are_sorted=False)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
