@@ -31,6 +31,9 @@ def _expand_paths(source) -> List[str]:
             out.extend(_expand_paths(s))
         return out
     s = str(source)
+    if "://" in s:
+        from .remote import remote_glob
+        return remote_glob(s) if any(ch in s for ch in "*?[") else [s]
     if any(ch in s for ch in "*?["):
         paths = sorted(_glob.glob(s))
         if not paths:
@@ -39,20 +42,27 @@ def _expand_paths(source) -> List[str]:
     return [s]
 
 
+def _read_one(p: str, columns, filters) -> pa.Table:
+    cols = list(columns) if columns else None
+    if "://" in p:
+        from .remote import resolve_filesystem
+        fs, inner = resolve_filesystem(p)
+        return pq.read_table(inner, columns=cols, filters=filters,
+                             filesystem=fs)
+    return pq.read_table(p, columns=cols, filters=filters)
+
+
 def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
                        filters=None, n_rows: Optional[int] = None) -> pa.Table:
     paths = _expand_paths(source)
     if len(paths) == 1:
-        t = pq.read_table(paths[0], columns=list(columns) if columns else None,
-                          filters=filters)
+        t = _read_one(paths[0], columns, filters)
     else:
         # concurrent multi-file read (reference: batch read 4.1x speedup,
         # docs/ADVANCED_ASYNC.md:297-302) — thread pool over pyarrow C++.
         with _fut.ThreadPoolExecutor(max_workers=min(len(paths), 16)) as ex:
-            parts = list(ex.map(
-                lambda p: pq.read_table(
-                    p, columns=list(columns) if columns else None,
-                    filters=filters), paths))
+            parts = list(ex.map(lambda p: _read_one(p, columns, filters),
+                                paths))
         t = pa.concat_tables(parts, promote_options="permissive")
     if n_rows is not None:
         t = t.slice(0, n_rows)
@@ -72,7 +82,13 @@ def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
     (reference: async source prefetching in `polars-stream/src/nodes/
     io_sources/parquet/`)."""
     paths = _expand_paths(source)
-    ds = pads.dataset(paths, format="parquet")
+    if paths and "://" in str(paths[0]):
+        from .remote import resolve_filesystem
+        fs, _ = resolve_filesystem(paths[0])
+        inner = [str(p).split("://", 1)[1] for p in paths]
+        ds = pads.dataset(inner, format="parquet", filesystem=fs)
+    else:
+        ds = pads.dataset(paths, format="parquet")
     scanner = ds.scanner(columns=list(columns) if columns else None,
                          filter=filters, batch_size=batch_rows)
     it = scanner.to_batches()
@@ -118,13 +134,29 @@ def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
 
 def parquet_schema(source):
     paths = _expand_paths(source)
-    return pq.read_schema(paths[0])
+    p = paths[0]
+    if "://" in str(p):
+        from .remote import resolve_filesystem
+        fs, inner = resolve_filesystem(p)
+        return pq.read_schema(inner, filesystem=fs)
+    return pq.read_schema(p)
+
+
+def _parquet_file(p: str) -> pq.ParquetFile:
+    if "://" in str(p):
+        from .remote import resolve_filesystem
+        fs, inner = resolve_filesystem(p)
+        try:
+            return pq.ParquetFile(fs.open_input_file(inner))
+        except AttributeError:  # fsspec filesystem
+            return pq.ParquetFile(fs.open(inner, "rb"))
+    return pq.ParquetFile(p)
 
 
 def parquet_num_rows(source) -> int:
     total = 0
     for p in _expand_paths(source):
-        total += pq.ParquetFile(p).metadata.num_rows
+        total += _parquet_file(p).metadata.num_rows
     return total
 
 
@@ -132,7 +164,14 @@ def write_parquet(df, file, compression: str = "zstd",
                   compression_level: Optional[int] = None,
                   statistics: bool = True, row_group_size=None, **kw) -> None:
     at = table_to_arrow(df._table)
-    pq.write_table(at, str(file), compression=compression,
-                   compression_level=compression_level,
-                   write_statistics=statistics,
-                   row_group_size=row_group_size)
+    kwargs = dict(compression=compression,
+                  compression_level=compression_level,
+                  write_statistics=statistics,
+                  row_group_size=row_group_size)
+    s = str(file)
+    if "://" in s:
+        from .remote import resolve_filesystem
+        fs, inner = resolve_filesystem(s)
+        pq.write_table(at, inner, filesystem=fs, **kwargs)
+    else:
+        pq.write_table(at, s, **kwargs)

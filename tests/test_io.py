@@ -111,3 +111,26 @@ def test_sink_csv(tmp_path):
     out = tmp_path / "o.csv"
     lf.sort("a").sink_csv(str(out))
     assert pl.read_csv(str(out)).to_dict() == {"a": [1, 2, 3]}
+
+
+def test_remote_filesystem_parquet_memory():
+    # fsspec memory:// exercises the same resolution path as s3://
+    df = pl.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df.write_parquet("memory://bucket/t.parquet")
+    back = pl.read_parquet("memory://bucket/t.parquet")
+    assert back.to_dict() == df.to_dict()
+    lz = pl.scan_parquet("memory://bucket/t.parquet") \
+        .filter(pl.col("a") > 1).collect()
+    assert lz.to_dict()["a"] == [2, 3]
+    df.write_parquet("memory://bucket/t2.parquet")
+    assert pl.read_parquet("memory://bucket/*.parquet").height == 6
+
+
+def test_remote_filesystem_parquet_file_uri(tmp_path):
+    df = pl.DataFrame({"a": [1, 2]})
+    df.write_parquet(f"file://{tmp_path}/x.parquet")
+    assert pl.read_parquet(f"file://{tmp_path}/x.parquet").to_dict() == \
+        df.to_dict()
+    st = pl.scan_parquet(f"file://{tmp_path}/x.parquet") \
+        .collect(engine="streaming")
+    assert st.height == 2
