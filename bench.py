@@ -198,8 +198,8 @@ def main():
             "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
             "details": {"error": "device readback wedged (axon tunnel); "
                                  "no measurement possible",
-                        "platform": jax.default_backend()}}))
-        return
+                        "platform": jax.default_backend()}}), flush=True)
+        os._exit(0)  # probe thread may be hung in the tunnel runtime
 
     budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
     shared: dict = {"platform": jax.default_backend(), "n_rows": N_ROWS}
