@@ -12,6 +12,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..batch import Column, Table
@@ -205,6 +206,8 @@ class DataFrame:
                 cats = list(col.sdict.values[used]) \
                     if col.sdict is not None else []
                 return DataFrame({name0: cats})
+            if e0.kind == "rle":
+                return self._select_rle(e0, name0)
         es, _ = cse_rewrite(stripped)
         t = self._table
         results = []
@@ -223,6 +226,12 @@ class DataFrame:
         names, cols = [], {}
         if not results:
             return DataFrame._from_table(Table([], {}, capacity_for(0), 0, None))
+        # expr-level filters/drop_nulls/gather_every shrink the result:
+        # compact live-masked Vals to a prefix (polars: the column shortens;
+        # mixed lengths error)
+        if any_row and any(isinstance(v, Val) and v.live is not None
+                           for _, v in results):
+            return self._select_compacted(results)
         if any_row:
             cap = t.capacity
             for name, v in results:
@@ -242,6 +251,81 @@ class DataFrame:
             names.append(name)
             cols[name] = val_to_column(v, cap)
         return DataFrame._from_table(Table(names, cols, cap, 1, None))
+
+    def _select_rle(self, e0, name0: str) -> "DataFrame":
+        """Run-length encode a column into a Struct{len, value} frame
+        (reference: `polars-stream/src/nodes/rle` capability)."""
+        from ..dtypes import Struct as StructT, UInt32
+        t = self._table
+        cap = t.capacity
+        v = eval_expr(e0.children[0], t, "select")
+        mask = t.row_mask() if v.live is None else (t.row_mask() & v.live)
+        # live rows to the front, original order kept
+        perm = jnp.argsort(~mask, stable=True)
+        x = v.data[perm]
+        xv = v.valid_or_true()[perm]
+        n = int(jnp.sum(mask))
+        idx = jnp.arange(cap)
+        newrun = ((idx == 0) | (x != jnp.roll(x, 1)) |
+                  (xv != jnp.roll(xv, 1))) & (idx < n)
+        nruns = int(jnp.sum(newrun))
+        border = (~newrun).astype(jnp.uint32)
+        _, starts = jax.lax.sort(
+            (border, idx.astype(jnp.int32)), num_keys=1, is_stable=True)
+        next_start = jnp.concatenate(
+            [starts[1:], jnp.full((1,), cap, jnp.int32)])
+        ends = jnp.where(jnp.arange(cap) < nruns - 1, next_start, n)
+        lens = (ends - starts).astype(jnp.uint32)
+        sc = jnp.clip(starts, 0, cap - 1)
+        vals = x[sc]
+        vvalid = xv[sc] if v.validity is not None else None
+        fields = {
+            "len": Column(UInt32, lens),
+            "value": Column(v.dtype, vals, vvalid, v.sdict),
+        }
+        sdt = StructT([("len", UInt32), ("value", v.dtype)])
+        col = Column(sdt, None, None, fields=fields)
+        out = Table([name0], {name0: col}, cap, nruns, None)
+        from ..ops.compact import shrink_to
+        return DataFrame._from_table(shrink_to(out, nruns))
+
+    def _select_compacted(self, results) -> "DataFrame":
+        """Select with expr-level filters: compact each live-masked column
+        to a prefix; all shrunken columns must agree on length."""
+        t = self._table
+        cap = t.capacity
+        base = t.row_mask()
+        masks = []
+        for name, v in results:
+            if isinstance(v, Column):
+                masks.append(base)
+            elif v.is_scalar:
+                masks.append(None)
+            else:
+                masks.append(base & v.live if v.live is not None else base)
+        n_out = None
+        for m in masks:
+            if m is None:
+                continue
+            c = int(jnp.sum(m))
+            if n_out is None:
+                n_out = c
+            elif c != n_out:
+                raise ShapeError(
+                    f"select: filtered column lengths differ ({c} vs {n_out})")
+        n_out = 1 if n_out is None else n_out
+        names, cols = [], {}
+        for (name, v), m in zip(results, masks):
+            if name in cols:
+                raise DuplicateError(f"duplicate column name {name!r}")
+            names.append(name)
+            col = v if isinstance(v, Column) else val_to_column(v, cap)
+            if m is not None:
+                col = col.take(jnp.argsort(~m, stable=True))
+            cols[name] = col
+        out = Table(names, cols, cap, n_out, None)
+        from ..ops.compact import shrink_to
+        return DataFrame._from_table(shrink_to(out, n_out))
 
     def with_columns(self, *exprs, **named_exprs) -> "DataFrame":
         es = meta.expand_exprs(_to_exprs(exprs, named_exprs), self.schema)

@@ -642,6 +642,23 @@ def _eval_agg(e: Expr, v: Val, table: Table) -> Val:
         return _quantile(v, mask, q, interp, dt)
     if agg == "n_unique":
         return _n_unique(v, live, mask, dt)
+    if agg == "entropy":
+        import math
+        base = float(e.attrs.get("base", math.e))
+        normalize = bool(e.attrs.get("normalize", True))
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        xf = jnp.where(mask, x, 0).astype(fdt)
+        if normalize:
+            s = jnp.sum(xf)
+            p = xf / jnp.where(s == 0, 1, s)
+        else:
+            p = xf
+        term = jnp.where(mask & (p > 0), p * jnp.log(p), 0.0)
+        h = -jnp.sum(term) / math.log(base)
+        out_dt = _float_dt(dt)
+        return _scalar(out_dt,
+                       h.astype(jnp.dtype(storage_numpy_dtype(out_dt))),
+                       jnp.sum(mask) > 0)
     if agg == "mode":
         # sort values, length of each equal-run, smallest most-frequent
         from ..ops.keycode import encode_key_words
@@ -759,6 +776,28 @@ def _eval_window(e: Expr, v: Val, fillv: Val, table: Table) -> Val:
         # reverse live prefix
         src = jnp.where(idx < count, count - 1 - idx, idx)
         return back(x[src], (v.valid_or_true()[perm])[src])
+
+    if op == "rle_id":
+        # run index of consecutive equal values (reference:
+        # `polars-stream/src/nodes/rle_id` capability)
+        prev = jnp.roll(x, 1)
+        prev_v = jnp.roll(xv, 1)
+        change = (idx == 0) | (x != prev) | (xv != prev_v)
+        rid = jnp.cumsum(change.astype(jnp.uint32)) - 1
+        return back(rid, None, UInt32)
+
+    if op in ("peak_min", "peak_max"):
+        lo_b, hi_b = _type_bounds(x.dtype)
+        pad = hi_b if op == "peak_min" else lo_b
+        xa = jnp.where((idx < count) & xv, x, pad)
+        prev = jnp.where(idx > 0, jnp.roll(xa, 1), pad)
+        nxt = jnp.where(idx < count - 1, jnp.roll(xa, -1), pad)
+        if op == "peak_min":
+            out = (xa < prev) & (xa < nxt)
+        else:
+            out = (xa > prev) & (xa > nxt)
+        out = out & xv & (idx < count)
+        return back(out, None, Boolean)
 
     if op == "shift":
         n = e.attrs["n"]
@@ -1004,6 +1043,40 @@ def _eval_list(e: Expr, v: Val, table: Table) -> Val:
     return Val(res["dtype"], res["data"], res.get("validity"),
                res.get("sdict"), v.is_scalar, v.live,
                lengths=res.get("lengths"), elem_valid=res.get("elem_valid"))
+
+
+def _eval_shrink_dtype(v: Val, table: Table) -> Val:
+    """Cast to the narrowest dtype holding the values (reference:
+    `polars-ops` shrink_dtype). Host-syncs min/max once."""
+    from ..dtypes import (Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32,
+                          UInt64, Float32)
+    dt = v.dtype
+    if dt.is_float:
+        return cast_val(v, Float32)
+    if not dt.is_integer:
+        return v
+    mask = table.row_mask() if v.live is None else \
+        (table.row_mask() & v.live)
+    if v.validity is not None:
+        mask = mask & v.validity
+    if v.is_scalar:
+        mask = jnp.ones(v.data.shape, jnp.bool_)
+    lo_b, hi_b = _type_bounds(v.data.dtype)
+    mn = int(jnp.min(jnp.where(mask, v.data, hi_b)))
+    mx = int(jnp.max(jnp.where(mask, v.data, lo_b)))
+    if mx < mn:
+        mn = mx = 0
+    if dt.is_signed_integer:
+        for cand, target in ((Int8, (-128, 127)),
+                             (Int16, (-32768, 32767)),
+                             (Int32, (-2**31, 2**31 - 1))):
+            if target[0] <= mn and mx <= target[1]:
+                return cast_val(v, cand)
+        return cast_val(v, Int64)
+    for cand, hi in ((UInt8, 255), (UInt16, 65535), (UInt32, 2**32 - 1)):
+        if mx <= hi:
+            return cast_val(v, cand)
+    return cast_val(v, UInt64)
 
 
 def _eval_cut(e: Expr, v: Val, table: Table) -> Val:
@@ -1529,6 +1602,20 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return _eval_distinct_flags(e, table, ctx)
     if k in ("cut", "qcut"):
         return _eval_cut(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "gather_every":
+        v = eval_expr(e.children[0], table, ctx)
+        n = int(e.attrs["n"])
+        off = int(e.attrs.get("offset", 0))
+        live = table.row_mask() if v.live is None else \
+            (table.row_mask() & v.live)
+        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        keep = live & (rank >= off) & ((rank - off) % n == 0)
+        return Val(v.dtype, v.data, v.validity, v.sdict, v.is_scalar, keep,
+                   lengths=v.lengths, elem_valid=v.elem_valid,
+                   fields=v.fields)
+    if k == "shrink_dtype":
+        v = eval_expr(e.children[0], table, ctx)
+        return _eval_shrink_dtype(v, table)
     if k == "search_sorted":
         v = eval_expr(e.children[0], table, ctx)
         elem = eval_expr(e.children[1], table, ctx)

@@ -354,6 +354,28 @@ class Expr:
     def explode(self) -> "Expr":
         return Expr("explode_expr", (self,))
 
+    def rle(self) -> "Expr":
+        return Expr("rle", (self,))
+
+    def rle_id(self) -> "Expr":
+        return Expr("window", (self, _wrap(None)), op="rle_id")
+
+    def gather_every(self, n: int, offset: int = 0) -> "Expr":
+        return Expr("gather_every", (self,), n=n, offset=offset)
+
+    def peak_min(self) -> "Expr":
+        return Expr("window", (self, _wrap(None)), op="peak_min")
+
+    def peak_max(self) -> "Expr":
+        return Expr("window", (self, _wrap(None)), op="peak_max")
+
+    def shrink_dtype(self) -> "Expr":
+        return Expr("shrink_dtype", (self,))
+
+    def entropy(self, base: float = 2.718281828459045,
+                normalize: bool = True) -> "Expr":
+        return self._agg("entropy", base=base, normalize=normalize)
+
     def cut(self, breaks, labels=None, left_closed: bool = False) -> "Expr":
         return Expr("cut", (self,), breaks=tuple(breaks),
                     labels=tuple(labels) if labels is not None else None,

@@ -257,7 +257,7 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return UInt32
         if agg in ("any", "all"):
             return Boolean
-        if agg in ("mean", "median", "std", "var", "quantile"):
+        if agg in ("mean", "median", "std", "var", "quantile", "entropy"):
             if isinstance(ct, (Datetime, Duration)) or ct == Date:
                 return ct
             return Float32 if ct == Float32 else Float64
@@ -288,8 +288,10 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
     if k == "window":
         op = e.attrs["op"]
         ct = output_dtype(e.children[0], schema)
-        if op in ("cum_count",):
+        if op in ("cum_count", "rle_id"):
             return UInt32
+        if op in ("peak_min", "peak_max"):
+            return Boolean
         if op in ("pct_change", "rolling_mean", "rolling_std", "rolling_var",
                   "ewm_mean", "interpolate"):
             return Float32 if ct == Float32 else Float64
@@ -362,6 +364,12 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         raise SchemaError(f".struct.rename_fields on non-struct {ct!r}")
     if k == "cat_categories":
         return String
+    if k in ("gather_every", "shrink_dtype"):
+        return output_dtype(e.children[0], schema)
+    if k == "rle":
+        from ..dtypes import Struct as StructT
+        return StructT([("len", UInt32),
+                        ("value", output_dtype(e.children[0], schema))])
     if k in ("cut", "qcut"):
         from ..dtypes import Categorical as _Cat
         return _Cat()
@@ -389,7 +397,8 @@ _NON_ELEMENTWISE = {"agg", "window", "over", "sort_self", "sort_by",
                     "is_first_distinct", "gather", "unique_counts",
                     "value_counts", "repeat_by", "explode_expr",
                     "fill_null_strategy", "map_batches", "qcut",
-                    "search_sorted", "cat_categories"}
+                    "search_sorted", "cat_categories", "gather_every",
+                    "shrink_dtype", "rle"}
 
 
 def is_elementwise(e: Expr) -> bool:

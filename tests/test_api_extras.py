@@ -106,3 +106,37 @@ def test_series_null_ops():
     assert s.shift(1).to_list() == [None, 1, None] or \
         s.shift(1).to_list() == [None, 1, None]
     assert s.cum_sum().to_list() == [1, None, 4]
+
+
+def test_select_expr_filter_compacts():
+    df = pl.DataFrame({"a": [1, 1, 2, 2, 2, 3]})
+    out = df.select(pl.col("a").filter(pl.col("a") > 1))
+    assert out.to_dict()["a"] == [2, 2, 2, 3]
+    d2 = pl.DataFrame({"x": [1, None, 3]})
+    assert d2.select(pl.col("x").drop_nulls()).to_dict()["x"] == [1, 3]
+
+
+def test_gather_every_rle_peaks():
+    df = pl.DataFrame({"a": [1, 1, 2, 2, 2, 3]})
+    assert df.select(pl.col("a").gather_every(2)).to_dict()["a"] == [1, 2, 2]
+    assert df.select(
+        pl.col("a").gather_every(2, offset=1)).to_dict()["a"] == [1, 2, 3]
+    r = df.select(pl.col("a").rle())
+    assert r.to_dict()["a"] == [{"len": 2, "value": 1},
+                                {"len": 3, "value": 2},
+                                {"len": 1, "value": 3}]
+    assert df.select(pl.col("a").rle_id()).to_dict()["a"] == [0, 0, 1, 1, 1, 2]
+    p = pl.DataFrame({"v": [1, 3, 2, 5, 4]})
+    assert p.select(pl.col("v").peak_max()).to_dict()["v"] == \
+        [False, True, False, True, False]
+    assert p.select(pl.col("v").peak_min()).to_dict()["v"] == \
+        [True, False, True, False, True]
+
+
+def test_shrink_dtype_entropy():
+    s = pl.DataFrame({"v": [1, 2, 127]}).select(pl.col("v").shrink_dtype())
+    assert repr(s.schema["v"]) == "Int8"
+    s2 = pl.DataFrame({"v": [1, 300]}).select(pl.col("v").shrink_dtype())
+    assert repr(s2.schema["v"]) == "Int16"
+    e = pl.DataFrame({"v": [1.0, 1.0]}).select(pl.col("v").entropy(base=2))
+    assert abs(e.to_dict()["v"][0] - 1.0) < 1e-6
