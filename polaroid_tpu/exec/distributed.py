@@ -34,6 +34,7 @@ from ..errors import ComputeError, InvalidOperationError
 from ..expr import meta
 from ..expr.eval import Val, eval_expr
 from ..expr.expr import Expr, col as _col
+from ..ops.search import searchsorted
 from ..ops import compact as C
 from ..ops.keycode import column_bit_width, pack_keys_single_word
 from ..parallel.mesh import AXIS, make_mesh
@@ -338,7 +339,7 @@ class DistributedExecutor:
             npay = len(payloads)
             pls = list(rest[:npay])
             vls = list(rest[npay:])
-            dest = jnp.clip(jnp.searchsorted(splitters, packed_l), 0, S - 1) \
+            dest = jnp.clip(searchsorted(splitters, packed_l), 0, S - 1) \
                 .astype(jnp.uint32)
             # reuse exchange with dest override: encode dest in place of hash
             key2, pay2, valid2 = SH.exchange_records(

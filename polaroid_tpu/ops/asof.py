@@ -12,6 +12,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .search import searchsorted
+
 from ..batch import Column, Table
 from ..errors import ComputeError
 from ..expr.eval import Val, cast_val
@@ -39,14 +41,14 @@ def asof_join_tables(left: Table, right: Table, left_on: str, right_on: str,
     rsorted = rkey[order]
     lkey = lv.data
     if strategy == "backward":
-        pos = jnp.searchsorted(rsorted, lkey, side="right") - 1
+        pos = searchsorted(rsorted, lkey, side="right") - 1
         matched = pos >= 0
     elif strategy == "forward":
-        pos = jnp.searchsorted(rsorted, lkey, side="left")
+        pos = searchsorted(rsorted, lkey, side="left")
         matched = pos < nr
     else:  # nearest
-        p1 = jnp.searchsorted(rsorted, lkey, side="right") - 1
-        p2 = jnp.searchsorted(rsorted, lkey, side="left")
+        p1 = searchsorted(rsorted, lkey, side="right") - 1
+        p2 = searchsorted(rsorted, lkey, side="left")
         p1c = jnp.clip(p1, 0, max(R.capacity - 1, 0))
         p2c = jnp.clip(p2, 0, max(R.capacity - 1, 0))
         d1 = jnp.abs(lkey - rsorted[p1c])
@@ -124,8 +126,8 @@ def _asof_by(left, right, left_on, right_on, by_left, by_right, strategy,
 
     def search(side):
         # positions of left queries within their group's contiguous run
-        grp_start = jnp.searchsorted(sg, lgid.astype(jnp.int64), side="left")
-        grp_end = jnp.searchsorted(sg, lgid.astype(jnp.int64), side="right")
+        grp_start = searchsorted(sg, lgid.astype(jnp.int64), side="left")
+        grp_end = searchsorted(sg, lgid.astype(jnp.int64), side="right")
         # binary search within [grp_start, grp_end) on sk
         lo = grp_start
         hi = grp_end

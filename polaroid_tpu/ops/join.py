@@ -32,6 +32,7 @@ from ..expr.eval import Val, _align_strings, cast_val
 from ..strings import NULL_CODE
 from . import compact as Cp
 from .groupby import _seg_max, _seg_min, _seg_sum
+from .search import searchsorted
 from .keycode import encode_key_words, lex_sort_indices
 
 __all__ = ["join_tables", "cross_join"]
@@ -189,7 +190,7 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     offsets = jnp.cumsum(m)
     k = jnp.arange(capO, dtype=jnp.int64)
-    g = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+    g = searchsorted(offsets, k, side="right").astype(jnp.int32)
     gc = jnp.clip(g, 0, capT - 1)
     base = offsets[gc] - m[gc]
     r = (k - base).astype(jnp.int32)
@@ -340,7 +341,7 @@ def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
     capO = capacity_for(max(total, 1))
     moff = jnp.cumsum(m)
     k = jnp.arange(capO, dtype=jnp.int64)
-    p = jnp.searchsorted(moff, k, side="right").astype(jnp.int32)
+    p = searchsorted(moff, k, side="right").astype(jnp.int32)
     pc = jnp.clip(p, 0, capL - 1)
     j = (k - (moff[pc] - m[pc])).astype(jnp.int32)
     slot = offsets[jnp.clip(code_l[pc], 0, prod - 1)] + j

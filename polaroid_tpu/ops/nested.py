@@ -27,6 +27,7 @@ from ..dtypes import (Boolean, DataType, Float64, Int64, UInt32,
                       List as ListT)
 from ..errors import ComputeError, InvalidOperationError, ShapeError
 from . import compact as C
+from .search import searchsorted
 
 __all__ = ["explode_table", "implode_all", "list_namespace_op"]
 
@@ -60,7 +61,7 @@ def explode_table(table: Table, columns: Sequence[str]) -> Table:
 
     offs_d = jnp.asarray(offsets)
     j = jnp.arange(ocap, dtype=jnp.int64)
-    r = jnp.clip(jnp.searchsorted(offs_d, j, side="right") - 1, 0,
+    r = jnp.clip(searchsorted(offs_d, j, side="right") - 1, 0,
                  max(n - 1, 0)).astype(jnp.int32)
     e = (j - offs_d[r]).astype(jnp.int32)
     live = j < total
