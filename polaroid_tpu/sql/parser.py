@@ -34,7 +34,7 @@ KEYWORDS = {
     "inner", "left", "right", "full", "outer", "cross", "on", "using",
     "union", "all", "distinct", "with", "asc", "desc", "nulls", "first",
     "last", "true", "false", "exists", "anti", "semi", "show", "tables",
-    "create", "table", "drop", "describe", "interval",
+    "create", "table", "drop", "describe", "interval", "over", "partition",
 }
 
 
@@ -440,14 +440,44 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
                 self.expect("op", ")")
-                return {"type": "fn", "name": name.lower(), "args": args,
+                fn_e = {"type": "fn", "name": name.lower(), "args": args,
                         "distinct": distinct}
+                if self.peek().kind == "kw" and self.peek().val == "over":
+                    fn_e["over"] = self.parse_over_clause()
+                return fn_e
             if self.accept("op", "."):
                 col = self.expect("ident").val if self.peek().kind == "ident" \
                     else self.expect("op", "*").val
                 return {"type": "col", "table": name, "name": col}
             return {"type": "col", "table": None, "name": name}
         raise SQLSyntaxError(f"unexpected token {t.val!r}")
+
+    def parse_over_clause(self) -> Dict:
+        """OVER (PARTITION BY e[, ...] [ORDER BY e [ASC|DESC][, ...]])"""
+        self.expect("kw", "over")
+        self.expect("op", "(")
+        partition: List[Dict] = []
+        order: List[Dict] = []
+        descs: List[bool] = []
+        if self.kw("partition"):
+            self.expect("kw", "by")
+            partition.append(self.parse_expr())
+            while self.accept("op", ","):
+                partition.append(self.parse_expr())
+        if self.kw("order"):
+            self.expect("kw", "by")
+            while True:
+                order.append(self.parse_expr())
+                d = False
+                if self.kw("desc"):
+                    d = True
+                else:
+                    self.kw("asc")
+                descs.append(d)
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return {"partition": partition, "order": order, "desc": descs}
 
     def parse_case(self) -> Dict:
         self.expect("kw", "case")

@@ -69,6 +69,45 @@ def _like_to_regex(pat: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def _translate_window_fn(e: Dict, scope, alias_env) -> Expr:
+    """fn(...) OVER (PARTITION BY ... [ORDER BY ...]) -> Expr.over()
+    (reference: polars-sql window support; engine: `ops/window_over.py`)."""
+    over = e["over"]
+    name = e["name"]
+    args = e["args"]
+    parts = [translate_expr(p, scope, alias_env) for p in over["partition"]]
+    if not parts:
+        parts = [lit(1)]  # global window: one partition
+    order = over.get("order") or []
+    descs = over.get("desc") or []
+
+    def okey(i=0):
+        return translate_expr(order[i], scope, alias_env)
+
+    if name in ("row_number", "rank", "dense_rank"):
+        if not order:
+            raise SQLInterfaceError(f"{name}() OVER requires ORDER BY")
+        if len(order) > 1:
+            raise SQLInterfaceError(
+                f"{name}() OVER supports one ORDER BY key")
+        method = {"row_number": "ordinal", "rank": "min",
+                  "dense_rank": "dense"}[name]
+        base = okey().rank(method=method, descending=bool(descs[0]))
+        return base.over(*parts).alias(name)
+    if name in ("lag", "lead"):
+        n = 1
+        if len(args) > 1 and args[1]["type"] == "lit":
+            n = int(args[1]["val"])
+        if name == "lead":
+            n = -n
+        base = translate_expr(args[0], scope, alias_env).shift(n)
+        return base.over(*parts)
+    inner = {"type": "fn", "name": name, "args": args,
+             "distinct": e.get("distinct")}
+    base = _translate_fn(inner, scope, alias_env)
+    return base.over(*parts)
+
+
 def translate_expr(e: Dict, scope: Optional[Scope],
                    alias_env: Optional[Dict[str, Expr]] = None) -> Expr:
     t = e["type"]
@@ -145,6 +184,8 @@ def translate_expr(e: Dict, scope: Optional[Scope],
 def _translate_fn(e: Dict, scope, alias_env) -> Expr:
     name = e["name"]
     args = e["args"]
+    if e.get("over") is not None:
+        return _translate_window_fn(e, scope, alias_env)
 
     def a(i=0):
         return translate_expr(args[i], scope, alias_env)
@@ -256,6 +297,8 @@ def _translate_fn(e: Dict, scope, alias_env) -> Expr:
 
 
 def _has_agg_ast(e: Dict) -> bool:
+    if e["type"] == "fn" and e.get("over") is not None:
+        return False  # window fn keeps row length
     if e["type"] == "fn" and (e["name"] in _AGG_FNS or
                               (e["name"] == "count")):
         return True

@@ -203,3 +203,29 @@ def test_lazy_execution(ctx):
     lf = ctx.execute("SELECT region FROM sales LIMIT 2")
     assert isinstance(lf, pl.LazyFrame)
     assert lf.collect().height == 2
+
+
+def test_sql_window_functions():
+    df = pl.DataFrame({"g": ["a", "a", "b", "b", "b"], "v": [3, 1, 5, 2, 4]})
+    ctx = pl.SQLContext(t=df)
+    out = ctx.execute(
+        "SELECT g, v, SUM(v) OVER (PARTITION BY g) AS total, "
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn, "
+        "RANK() OVER (PARTITION BY g ORDER BY v DESC) AS rk, "
+        "LAG(v) OVER (PARTITION BY g) AS prev "
+        "FROM t ORDER BY g, v")
+    d = out.collect().to_dict() if hasattr(out, "collect") else out.to_dict()
+    assert d["total"] == [4, 4, 11, 11, 11]
+    assert d["rn"] == [1, 2, 1, 2, 3]
+    assert d["rk"] == [2, 1, 3, 2, 1]
+    # LAG without ORDER BY in the window is order-unspecified in SQL; the
+    # engine evaluates windows over the (sorted) frame deterministically
+    assert d["prev"] == [None, 1, None, 2, 4]
+
+
+def test_sql_global_window():
+    df = pl.DataFrame({"v": [1, 2, 3]})
+    ctx = pl.SQLContext(t=df)
+    out = ctx.execute("SELECT v, SUM(v) OVER () AS s FROM t")
+    d = out.collect().to_dict() if hasattr(out, "collect") else out.to_dict()
+    assert d["s"] == [6, 6, 6]
