@@ -41,11 +41,15 @@ from .api.series import Series  # noqa: E402
 from .api.lazyframe import LazyFrame, scan_parquet, scan_csv, scan_ipc, \
     scan_ndjson  # noqa: E402
 from .api.functions import (  # noqa: E402
-    all, any, arange, coalesce, concat, concat_str, corr, count, cov,
-    date_range, exclude, from_arrow, from_dict, from_numpy, from_pandas,
-    from_records, int_range, max, max_horizontal, mean, mean_horizontal, min,
-    min_horizontal, read_csv, read_ipc, read_json, read_ndjson, read_parquet,
-    repeat, select, std, struct, sum, sum_horizontal, var,
+    all, all_horizontal, any, any_horizontal, approx_n_unique, arange,
+    arctan2, coalesce, concat, concat_str, corr, count, cov, cum_fold,
+    date, date_range, datetime, duration, exclude, fold, format,
+    from_arrow, from_dict, from_epoch, from_numpy, from_pandas,
+    from_records, head, implode, int_range, linear_space, map_batches,
+    max, max_horizontal, mean, mean_horizontal, min, min_horizontal,
+    ones, read_csv, read_ipc, read_json, read_ndjson, read_parquet,
+    reduce, repeat, select, sql_expr, std, struct, sum, sum_horizontal,
+    tail, var, zeros,
 )
 from .sql.context import SQLContext  # noqa: E402
 

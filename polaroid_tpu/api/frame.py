@@ -722,6 +722,167 @@ class DataFrame:
     def median(self): return self._agg_all("median")
     def std(self, ddof: int = 1): return self._agg_all("std", ddof=ddof)
     def var(self, ddof: int = 1): return self._agg_all("var", ddof=ddof)
+    def product(self): return self._agg_all("product")
+
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        return self._agg_all("quantile", q=q, interpolation=interpolation)
+
+    def approx_n_unique(self) -> "DataFrame":
+        return self.select([_col(n).n_unique().alias(n)
+                            for n in self.columns])
+
+    def fold(self, operation):
+        """Horizontal fold across columns (reference:
+        `py-polars` DataFrame.fold)."""
+        cols = [self.get_column(n) for n in self.columns]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = operation(acc, c)
+        return acc
+
+    def max_horizontal(self) -> "Series":
+        from .functions import max_horizontal
+        return self.select(max_horizontal(*self.columns).alias("max")) \
+            .get_column("max")
+
+    def min_horizontal(self) -> "Series":
+        from .functions import min_horizontal
+        return self.select(min_horizontal(*self.columns).alias("min")) \
+            .get_column("min")
+
+    def sum_horizontal(self) -> "Series":
+        from .functions import sum_horizontal
+        return self.select(sum_horizontal(*self.columns).alias("sum")) \
+            .get_column("sum")
+
+    def mean_horizontal(self) -> "Series":
+        from .functions import mean_horizontal
+        return self.select(mean_horizontal(*self.columns).alias("mean")) \
+            .get_column("mean")
+
+    def shift(self, n: int = 1, *, fill_value=None) -> "DataFrame":
+        return self.with_columns([_col(c).shift(n, fill_value=fill_value)
+                                  for c in self.columns])
+
+    def interpolate(self) -> "DataFrame":
+        return self.with_columns([_col(c).interpolate()
+                                  for c in self.columns
+                                  if self.schema[c].is_numeric])
+
+    def is_duplicated(self) -> "Series":
+        from ..expr.expr import struct as _struct
+        e = _struct(*self.columns).is_duplicated().alias("dup") \
+            if self.width > 1 else _col(self.columns[0]) \
+            .is_duplicated().alias("dup")
+        if self.width > 1:
+            # row-wise: duplicated when the whole row repeats; use the
+            # distinct machinery over all columns
+            from ..ops.groupby import build_groups
+            from ..expr.eval import Val as _V
+            t = self._table
+            kv = [_V(t.cols[n].dtype, t.cols[n].data, t.cols[n].validity,
+                     t.cols[n].sdict, False) for n in t.names]
+            gctx = build_groups(kv, t.row_mask())
+            inv = jnp.argsort(gctx.perm, stable=True)
+            cnt_row = gctx.group_count[
+                jnp.clip(gctx.gid, 0, gctx.out_cap - 1)][inv]
+            n = self.height
+            col = Column(Boolean, cnt_row > 1)
+            return Series._from_column("dup", col, n)
+        return self.select(e).get_column("dup")
+
+    def is_unique(self) -> "Series":
+        dup = self.is_duplicated()
+        from ..expr.expr import col as _c
+        return dup.to_frame().select(
+            (~_c(dup.name or "dup")).alias("uniq")).get_column("uniq")
+
+    def glimpse(self) -> str:
+        lines = [f"Rows: {self.height}", f"Columns: {self.width}"]
+        d = self.to_dict()
+        for n in self.columns:
+            vals = ", ".join(str(v) for v in d[n][:5])
+            lines.append(f"$ {n} <{self.schema[n]!r}> {vals}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    def estimated_size(self, unit: str = "b"):
+        total = 0
+        for n in self.columns:
+            c = self._table.cols[n]
+            if c.data is not None:
+                total += c.data.size * c.data.dtype.itemsize
+        div = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}[unit]
+        return total / div if div > 1 else int(total)
+
+    def rechunk(self) -> "DataFrame":
+        return self  # single fixed-capacity chunk by construction
+
+    def clear(self, n: int = 0) -> "DataFrame":
+        from ..batch import Table as _T
+        empty = _T.empty(list(self.schema.items()))
+        return DataFrame._from_table(empty)
+
+    def clone(self) -> "DataFrame":
+        return DataFrame._from_table(self._table)
+
+    def transpose(self, include_header: bool = False,
+                  header_name: str = "column",
+                  column_names=None) -> "DataFrame":
+        import numpy as np
+        d = self.to_dict()
+        rows = list(zip(*[d[n] for n in self.columns])) if self.columns \
+            else []
+        names = list(column_names) if column_names is not None else \
+            [f"column_{i}" for i in range(self.height)]
+        out = {}
+        if include_header:
+            out[header_name] = list(self.columns)
+        for i, r in enumerate(rows):
+            out[names[i]] = list(r)
+        return DataFrame(out)
+
+    def get_columns(self):
+        return [self.get_column(n) for n in self.columns]
+
+    def insert_column(self, index: int, series) -> "DataFrame":
+        names = list(self.columns)
+        names.insert(index, series.name)
+        t = self.hstack(series.to_frame())._table.select_columns(names)
+        return DataFrame._from_table(t)
+
+    def replace_column(self, index: int, series) -> "DataFrame":
+        names = list(self.columns)
+        old = names[index]
+        out = self.drop(old).hstack(series.to_frame())
+        names[index] = series.name
+        return DataFrame._from_table(out._table.select_columns(names))
+
+    def iter_rows(self, named: bool = False):
+        d = self.to_dict()
+        cols = self.columns
+        for i in range(self.height):
+            if named:
+                yield {n: d[n][i] for n in cols}
+            else:
+                yield tuple(d[n][i] for n in cols)
+
+    def write_json(self, file=None):
+        import json as _json
+        rows = [r for r in self.iter_rows(named=True)]
+        s = _json.dumps(rows, default=str)
+        if file is None:
+            return s
+        with open(file, "w") as f:
+            f.write(s)
+
+    def join_asof(self, other: "DataFrame", **kw) -> "DataFrame":
+        return self.lazy().join_asof(other.lazy(), **kw).collect()
+
+    def with_row_count(self, name: str = "row_nr",
+                       offset: int = 0) -> "DataFrame":
+        return self.with_row_index(name, offset)
 
     def null_count(self) -> "DataFrame":
         return self.select([_col(n).null_count().alias(n) for n in self.columns])

@@ -7,7 +7,7 @@ from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 
-from ..dtypes import DataType, Int64
+from ..dtypes import DataType, Int64, String
 from ..errors import ComputeError
 from ..expr.expr import Expr, col as _col, lit as _lit, _wrap, _wrap_col
 
@@ -327,3 +327,175 @@ def _flatten(items):
             yield from _flatten(it)
         else:
             yield it
+
+
+def any_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[0]
+    for e in es[1:]:
+        acc = acc | e
+    return acc.alias("any")
+
+
+def all_horizontal(*exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = es[0]
+    for e in es[1:]:
+        acc = acc & e
+    return acc.alias("all")
+
+
+def fold(acc, function, exprs) -> Expr:
+    """Horizontal fold with an accumulator expression (reference:
+    `polars-plan` fold_exprs)."""
+    out = _wrap_col(acc) if isinstance(acc, (Expr, str)) else \
+        Expr("lit", value=acc, dtype=None)
+    for e in _flatten([exprs]):
+        out = function(out, _wrap_col(e))
+    return out.alias("fold")
+
+
+def reduce(function, exprs) -> Expr:
+    es = [_wrap_col(e) for e in _flatten([exprs])]
+    out = es[0]
+    for e in es[1:]:
+        out = function(out, e)
+    return out.alias("reduce")
+
+
+def cum_fold(acc, function, exprs) -> Expr:
+    """Like fold but keeps intermediate results as struct fields."""
+    from ..expr import meta as _meta
+    out = _wrap_col(acc) if isinstance(acc, (Expr, str)) else \
+        Expr("lit", value=acc, dtype=None)
+    fields, names = [], []
+    for e in _flatten([exprs]):
+        e = _wrap_col(e)
+        out = function(out, e)
+        names.append(_meta.output_name(e))
+        fields.append(out.alias(names[-1]))
+    from ..expr.expr import struct as _struct
+    return _struct(*fields).alias("cum_fold")
+
+
+def head(column, n: int = 10) -> Expr:
+    return _wrap_col(column).head(n)
+
+
+def tail(column, n: int = 10) -> Expr:
+    return _wrap_col(column).tail(n)
+
+
+def implode(name) -> Expr:
+    return _wrap_col(name).implode()
+
+
+def approx_n_unique(column) -> Expr:
+    return _wrap_col(column).n_unique()
+
+
+def map_batches(exprs, function, return_dtype=None) -> Expr:
+    es = [_wrap_col(e) for e in _flatten([exprs])]
+    if len(es) != 1:
+        raise ComputeError("map_batches over multiple columns: pass one")
+    return es[0].map_batches(function, return_dtype)
+
+
+def arctan2(y, x) -> Expr:
+    return Expr("binary", (_wrap_col(y), _wrap_col(x)), op="arctan2")
+
+
+def format(fmt: str, *args) -> Expr:
+    """String interpolation: pl.format("a={}", col) -> concat_str."""
+    parts = fmt.split("{}")
+    if len(parts) - 1 != len(args):
+        raise ComputeError("format placeder count != number of args")
+    from ..expr.expr import lit as _lit
+    es = []
+    for i, p in enumerate(parts):
+        if p:
+            es.append(_lit(p))
+        if i < len(args):
+            es.append(_wrap_col(args[i]).cast(String))
+    return Expr("concat_str", tuple(es), separator="")
+
+
+def datetime(year, month, day, hour=0, minute=0, second=0,
+             microsecond=0, *, time_unit: str = "us", eager=False):
+    """Build a Datetime from components (exprs or ints)."""
+    from ..ops import temporal as T
+
+    def days_expr(y, m, d):
+        y = _wrap_col(y) if not isinstance(y, int) else Expr("lit", value=y, dtype=None)
+        m = _wrap_col(m) if not isinstance(m, int) else Expr("lit", value=m, dtype=None)
+        d = _wrap_col(d) if not isinstance(d, int) else Expr("lit", value=d, dtype=None)
+        return Expr("datetime_components", (y, m, d),
+                    hour=hour, minute=minute, second=second,
+                    microsecond=microsecond, time_unit=time_unit)
+    return days_expr(year, month, day)
+
+
+def duration(*, weeks=0, days=0, hours=0, minutes=0, seconds=0,
+             milliseconds=0, microseconds=0, time_unit: str = "us"):
+    from ..dtypes import Duration as _Dur
+    import datetime as _dt
+    if all(isinstance(v, (int, float))
+           for v in (weeks, days, hours, minutes, seconds, milliseconds,
+                     microseconds)):
+        td = _dt.timedelta(weeks=weeks, days=days, hours=hours,
+                           minutes=minutes, seconds=seconds,
+                           milliseconds=milliseconds,
+                           microseconds=microseconds)
+        return Expr("lit", value=td, dtype=_Dur(time_unit))
+    raise ComputeError("pl.duration with expression parts not supported yet")
+
+
+def date(year, month, day):
+    import datetime as _dt
+    if all(isinstance(v, int) for v in (year, month, day)):
+        return Expr("lit", value=_dt.date(year, month, day), dtype=None)
+    dtexpr = datetime(year, month, day)
+    return Expr("dt", (dtexpr,), op="date")
+
+
+def from_epoch(column, time_unit: str = "us"):
+    from ..dtypes import Datetime as _Dt
+    e = _wrap_col(column)
+    if time_unit == "s":
+        e = e * 1_000_000
+        time_unit = "us"
+    return e.cast(_Dt(time_unit))
+
+
+def int_ranges(start, end, step: int = 1) -> Expr:
+    raise ComputeError("int_ranges (list of ranges) not supported yet")
+
+
+def linear_space(start: float, end: float, num_samples: int,
+                 *, eager: bool = True):
+    import numpy as np
+    from .series import Series
+    vals = np.linspace(start, end, num_samples)
+    s = Series("literal", list(vals))
+    return s if eager else Expr("lit", value=list(vals), dtype=None)
+
+
+def ones(n: int, dtype=None, *, eager: bool = True):
+    from .series import Series
+    s = Series("ones", [1] * n, dtype=dtype)
+    return s
+
+
+def zeros(n: int, dtype=None, *, eager: bool = True):
+    from .series import Series
+    s = Series("zeros", [0] * n, dtype=dtype)
+    return s
+
+
+def sql_expr(sql: str) -> Expr:
+    """Parse one SQL expression to an Expr."""
+    from ..sql.parser import Parser, tokenize
+    from ..sql.translate import translate_expr
+    p = Parser(tokenize(sql))
+    ast = p.parse_expr()
+    return translate_expr(ast, None, None)

@@ -377,6 +377,67 @@ class LazyFrame:
     def cache(self) -> "LazyFrame":
         return LazyFrame._from_plan(L.Cache(self._plan))
 
+    # --- frame-level aggregation shortcuts -------------------------------
+    def _agg_all(self, agg: str, **kw) -> "LazyFrame":
+        cols = [n for n, dt in self._plan.schema().items()
+                if agg in ("count", "null_count", "first", "last")
+                or dt.is_numeric or dt.is_bool or dt.is_temporal
+                or (agg in ("min", "max") and dt.is_string)]
+        from ..expr.expr import Expr
+        return self.select([Expr("agg", (_col(n),), agg=agg, **kw).alias(n)
+                            for n in cols])
+
+    def sum(self): return self._agg_all("sum")
+    def mean(self): return self._agg_all("mean")
+    def min(self): return self._agg_all("min")
+    def max(self): return self._agg_all("max")
+    def median(self): return self._agg_all("median")
+    def std(self, ddof: int = 1): return self._agg_all("std", ddof=ddof)
+    def var(self, ddof: int = 1): return self._agg_all("var", ddof=ddof)
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        return self._agg_all("quantile", q=q, interpolation=interpolation)
+    def null_count(self): return self._agg_all("null_count")
+    def count(self): return self._agg_all("count")
+
+    def shift(self, n: int = 1, *, fill_value=None) -> "LazyFrame":
+        return self.with_columns([_col(c).shift(n, fill_value=fill_value)
+                                  for c in self.columns])
+
+    def interpolate(self) -> "LazyFrame":
+        return self.with_columns([_col(c).interpolate()
+                                  for c, dt in self._plan.schema().items()
+                                  if dt.is_numeric])
+
+    def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
+        return self.select([_col(c).gather_every(n, offset)
+                            for c in self.columns])
+
+    def reverse(self) -> "LazyFrame":
+        return self.select([_col(c).reverse() for c in self.columns])
+
+    def inspect(self, fmt: str = "{}") -> "LazyFrame":
+        def fn(t):
+            from .frame import DataFrame
+            print(fmt.format(DataFrame._from_table(t)))
+            return t
+        return LazyFrame._from_plan(
+            L.MapFunction(self._plan, fn, streamable=False, label="inspect"))
+
+    def set_sorted(self, column, *, descending: bool = False) -> "LazyFrame":
+        return self  # sortedness hints: the optimizer derives order itself
+
+    def serialize(self) -> str:
+        from ..plan.serde import plan_to_dict
+        import json as _json
+        return _json.dumps(plan_to_dict(self._plan))
+
+    @staticmethod
+    def deserialize(source) -> "LazyFrame":
+        from ..plan.serde import plan_from_dict
+        import json as _json
+        data = _json.loads(source) if isinstance(source, str) else source
+        return LazyFrame._from_plan(plan_from_dict(data))
+
     def pipe(self, fn, *args, **kwargs):
         return fn(self, *args, **kwargs)
 

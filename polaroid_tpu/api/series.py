@@ -139,6 +139,177 @@ class Series:
     def shift(self, n=1): return self._apply(lambda c: c.shift(n))
     def cum_sum(self): return self._apply(lambda c: c.cum_sum())
 
+    def arg_min(self): return self._agg("arg_min")
+    def arg_max(self): return self._agg("arg_max")
+    def entropy(self, base: float = 2.718281828459045, normalize=True):
+        return self._agg("entropy", base=base, normalize=normalize)
+
+    def mode(self) -> "Series":
+        return self._apply(lambda c: Series._mode_expr(c))
+
+    @staticmethod
+    def _mode_expr(c):
+        from ..expr.expr import Expr
+        return Expr("agg", (c,), agg="mode")
+
+    def rank(self, method: str = "average", descending: bool = False):
+        return self._apply(lambda c: c.rank(method, descending))
+
+    def clip(self, lower_bound=None, upper_bound=None):
+        return self._apply(lambda c: c.clip(lower_bound, upper_bound))
+
+    def exp(self): return self._apply(lambda c: c.exp())
+    def log(self, base: float = 2.718281828459045):
+        return self._apply(lambda c: c.log(base))
+    def sqrt(self): return self._apply(lambda c: c.sqrt())
+    def reverse(self): return self._apply(lambda c: c.reverse())
+    def explode(self): return self._apply(lambda c: c.explode())
+    def drop_nulls(self): return self._apply(lambda c: c.drop_nulls())
+    def drop_nans(self):
+        return self._apply(lambda c: c.filter(c.is_not_nan()))
+    def gather_every(self, n: int, offset: int = 0):
+        return self._apply(lambda c: c.gather_every(n, offset))
+    def search_sorted(self, element, side: str = "any"):
+        out = self._apply(lambda c: c.search_sorted(element, side))
+        return out.item() if not hasattr(element, "__len__") else out
+
+    def dot(self, other: "Series"):
+        from ..expr.expr import Expr, col
+        df = self.to_frame().hstack(other.rename("__rhs").to_frame())
+        prod = (col(self.name or "") * col("__rhs")).sum().alias("v")
+        return df.select(prod).item()
+
+    def zip_with(self, mask: "Series", other: "Series") -> "Series":
+        from ..expr.expr import col, when
+        df = self.to_frame().hstack(mask.rename("__m").to_frame()) \
+            .hstack(other.rename("__o").to_frame())
+        e = when(col("__m")).then(col(self.name or "")) \
+            .otherwise(col("__o")).alias(self.name or "")
+        return df.select(e).get_column(self.name or "")
+
+    def map_elements(self, fn, return_dtype=None) -> "Series":
+        vals = [None if v is None else fn(v) for v in self.to_list()]
+        return Series(self.name, vals, dtype=return_dtype)
+
+    def hist(self, bins=None, bin_count: Optional[int] = None):
+        """Histogram frame (breakpoint, count)."""
+        import numpy as np
+        from .frame import DataFrame
+        vals = np.asarray([v for v in self.to_list() if v is not None],
+                          dtype=float)
+        if bins is None:
+            bin_count = bin_count or 10
+            counts, edges = np.histogram(vals, bins=bin_count)
+        else:
+            counts, edges = np.histogram(vals, bins=np.asarray(bins))
+        return DataFrame({"breakpoint": list(edges[1:]),
+                          "count": [int(c) for c in counts]})
+
+    def gather(self, indices) -> "Series":
+        import numpy as np
+        lst = self.to_list()
+        return Series(self.name, [lst[int(i)] for i in np.asarray(indices)])
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Series":
+        return self.to_frame().slice(offset, length) \
+            .get_column(self.name or "")
+
+    def limit(self, n: int = 10) -> "Series":
+        return self.head(n)
+
+    def sample(self, n: Optional[int] = None, fraction=None,
+               with_replacement: bool = False, seed=None) -> "Series":
+        return self.to_frame().sample(n, fraction=fraction,
+                                      with_replacement=with_replacement,
+                                      seed=seed).get_column(self.name or "")
+
+    def shuffle(self, seed=None) -> "Series":
+        return self.sample(n=len(self), seed=seed)
+
+    def extend_constant(self, value, n: int) -> "Series":
+        return Series(self.name, self.to_list() + [value] * n)
+
+    def new_from_index(self, index: int, length: int) -> "Series":
+        return Series(self.name, [self.to_list()[index]] * length)
+
+    def append(self, other: "Series") -> "Series":
+        return Series(self.name, self.to_list() + other.to_list())
+
+    def set(self, filter_mask: "Series", value) -> "Series":
+        return Series(self.name,
+                      [value if m else v
+                       for v, m in zip(self.to_list(),
+                                       filter_mask.to_list())])
+
+    def scatter(self, indices, values) -> "Series":
+        import numpy as np
+        lst = self.to_list()
+        vals = values.to_list() if isinstance(values, Series) else (
+            list(values) if hasattr(values, "__len__") else
+            [values] * len(np.asarray(indices)))
+        for i, v in zip(np.asarray(indices), vals):
+            lst[int(i)] = v
+        return Series(self.name, lst)
+
+    # --- namespaces (delegate through single-column frames) -------------
+    @property
+    def str(self):
+        return _SeriesNamespace(self, "str")
+
+    @property
+    def dt(self):
+        return _SeriesNamespace(self, "dt")
+
+    @property
+    def list(self):
+        return _SeriesNamespace(self, "list")
+
+    @property
+    def struct(self):
+        return _SeriesNamespace(self, "struct")
+
+    # --- introspection ---------------------------------------------------
+    def len(self) -> int:
+        return len(self)
+
+    def chunk_lengths(self):
+        return [len(self)]
+
+    def n_chunks(self) -> int:
+        return 1
+
+    def estimated_size(self, unit: str = "b"):
+        import numpy as np
+        nbytes = self._col.data.size * self._col.data.dtype.itemsize \
+            if self._col.data is not None else 0
+        div = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}[unit]
+        return nbytes / div if div > 1 else int(nbytes)
+
+    def has_nulls(self) -> bool:
+        return self.null_count() > 0
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def is_sorted(self, descending: bool = False) -> bool:
+        lst = [v for v in self.to_list() if v is not None]
+        ordered = all(a >= b for a, b in zip(lst, lst[1:])) if descending \
+            else all(a <= b for a, b in zip(lst, lst[1:]))
+        return ordered
+
+    def to_pandas(self):
+        import pandas as pd
+        return pd.Series(self.to_list(), name=self.name or "")
+
+    def to_arrow(self):
+        import pyarrow as pa
+        return pa.array(self.to_list())
+
+    def equals(self, other: "Series") -> bool:
+        return self.to_list() == other.to_list()
+
+    series_equal = equals
+
     def rename(self, name: str) -> "Series":
         return Series._from_column(name, self._col, len(self))
 
@@ -216,3 +387,23 @@ def _used_categories(col: Column, nrows: int):
     if col.sdict is None:
         return []
     return list(col.sdict.values[used])
+
+
+class _SeriesNamespace:
+    """Delegates `.str/.dt/.list/.struct` calls through the expression
+    engine on a single-column frame."""
+
+    def __init__(self, s: Series, ns: str):
+        self._s = s
+        self._ns = ns
+
+    def __getattr__(self, op):
+        s = self._s
+        ns = self._ns
+
+        def call(*args, **kw):
+            from ..expr.expr import col
+            name = s.name or ""
+            e = getattr(getattr(col(name), ns), op)(*args, **kw)
+            return s.to_frame().select(e.alias(name)).get_column(name)
+        return call

@@ -292,6 +292,9 @@ def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
     out_dt = st
     if op in _CMP_OPS:
         out_dt = Boolean
+    elif op == "arctan2":
+        out_dt = Float32 if st == Float32 else Float64
+        st = out_dt
     elif op == "truediv":
         if isinstance(st, Duration):
             out_dt = Float64
@@ -342,6 +345,8 @@ def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
             data = jnp.power(x, y)
         else:
             data = jnp.power(x, y)
+    elif op == "arctan2":
+        data = jnp.arctan2(x, y)
     elif op in _CMP_OPS:
         data = _cmp(op, x, y)
     elif op in _BOOL_OPS:  # bitwise on ints
@@ -1616,6 +1621,27 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "shrink_dtype":
         v = eval_expr(e.children[0], table, ctx)
         return _eval_shrink_dtype(v, table)
+    if k == "datetime_components":
+        # pl.datetime(year, month, day, ...) — on-device civil calendar
+        y = eval_expr(e.children[0], table, ctx)
+        mo = eval_expr(e.children[1], table, ctx)
+        d = eval_expr(e.children[2], table, ctx)
+        cap = table.capacity
+        ys = jnp.broadcast_to(y.data.astype(jnp.int64), (cap,)) \
+            if not (y.is_scalar and mo.is_scalar and d.is_scalar) \
+            else y.data.astype(jnp.int64)
+        ms = jnp.broadcast_to(mo.data.astype(jnp.int64), ys.shape)
+        ds_ = jnp.broadcast_to(d.data.astype(jnp.int64), ys.shape)
+        days = T.civil_to_days(ys, ms, ds_).astype(jnp.int64)
+        tu = e.attrs.get("time_unit", "us")
+        per_s = T.UNIT_PER_SECOND[tu]
+        sec = (e.attrs.get("hour", 0) * 3600 + e.attrs.get("minute", 0) * 60
+               + e.attrs.get("second", 0))
+        sub = e.attrs.get("microsecond", 0) * (per_s // 1_000_000)
+        epoch = days * (86_400 * per_s) + sec * per_s + sub
+        validity = _and_valid(_and_valid(y.validity, mo.validity), d.validity)
+        return Val(Datetime(tu), epoch, validity, None,
+                   y.is_scalar and mo.is_scalar and d.is_scalar)
     if k == "search_sorted":
         v = eval_expr(e.children[0], table, ctx)
         elem = eval_expr(e.children[1], table, ctx)

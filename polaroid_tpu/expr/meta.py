@@ -220,7 +220,7 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             if lt_.is_bool and rt.is_bool:
                 return Boolean
             return supertype(lt_, rt)  # bitwise on ints
-        if op == "truediv":
+        if op in ("truediv", "arctan2"):
             st = supertype(lt_, rt)
             return Float32 if st == Float32 else Float64
         if op == "pow":
@@ -366,6 +366,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return String
     if k in ("gather_every", "shrink_dtype"):
         return output_dtype(e.children[0], schema)
+    if k == "datetime_components":
+        return Datetime(e.attrs.get("time_unit", "us"))
     if k == "rle":
         from ..dtypes import Struct as StructT
         return StructT([("len", UInt32),

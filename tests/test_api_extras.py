@@ -140,3 +140,77 @@ def test_shrink_dtype_entropy():
     assert repr(s2.schema["v"]) == "Int16"
     e = pl.DataFrame({"v": [1.0, 1.0]}).select(pl.col("v").entropy(base=2))
     assert abs(e.to_dict()["v"][0] - 1.0) < 1e-6
+
+
+def test_series_api_surface():
+    s = pl.Series("x", [3, 1, 2, None])
+    assert s.arg_min() == 1 and s.arg_max() == 0
+    assert s.rank().to_list()[:3] == [3.0, 1.0, 2.0]
+    assert s.clip(1, 2).to_list() == [2, 1, 2, None]
+    assert s.drop_nulls().to_list() == [3, 1, 2]
+    assert s.reverse().to_list() == [None, 2, 1, 3]
+    assert s.gather([0, 2]).to_list() == [3, 2]
+    assert pl.Series("a", [1.0, 2.0]).dot(pl.Series("b", [3.0, 4.0])) == 11.0
+    z = pl.Series("x", [1, 2]).zip_with(pl.Series("m", [True, False]),
+                                        pl.Series("o", [9, 9]))
+    assert z.to_list() == [1, 9]
+    assert pl.Series("t", ["ab", "c"]).str.len_chars().to_list() == [2, 1]
+    assert pl.Series("l", [[1, 2], [3]]).list.sum().to_list() == [3, 3]
+    assert s.set(pl.Series("m", [True, False, False, False]),
+                 99).to_list() == [99, 1, 2, None]
+    assert s.scatter([1], [42]).to_list() == [3, 42, 2, None]
+    assert s.map_elements(lambda v: v * 10).to_list() == [30, 10, 20, None]
+    assert pl.Series("x", [1, 2, 3]).is_sorted()
+
+
+def test_frame_api_surface():
+    df = pl.DataFrame({"a": [1, 2, 2], "b": [4.0, 5.0, 5.0]})
+    assert df.product().to_dict() == {"a": [4], "b": [100.0]}
+    assert df.sum_horizontal().to_list() == [5.0, 7.0, 7.0]
+    assert df.shift(1).to_dict()["a"] == [None, 1, 2]
+    assert df.is_duplicated().to_list() == [False, True, True]
+    assert df.is_unique().to_list() == [True, False, False]
+    assert df.transpose().to_dict()["column_0"] == [1, 4.0]
+    assert list(df.iter_rows()) == [(1, 4.0), (2, 5.0), (2, 5.0)]
+    assert df.fold(lambda a, b: a + b).to_list() == [5.0, 7.0, 7.0]
+    assert df.clear().height == 0 and df.clear().columns == ["a", "b"]
+    assert df.insert_column(1, pl.Series("c", [7, 8, 9])).columns == \
+        ["a", "c", "b"]
+
+
+def test_pl_functions_surface():
+    import math
+    import numpy as np
+    df = pl.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0],
+                       "p": [True, False], "q": [True, True]})
+    assert df.select(pl.any_horizontal("p", "q")).to_dict()["any"] == \
+        [True, True]
+    assert df.select(pl.all_horizontal("p", "q")).to_dict()["all"] == \
+        [True, False]
+    assert df.select(
+        pl.fold(0, lambda a, b: a + b, ["a", "b"])).to_dict()["fold"] == \
+        [4.0, 6.0]
+    at = df.select(pl.arctan2("a", "b").alias("t")).to_dict()["t"]
+    assert abs(at[0] - math.atan2(1, 3)) < 1e-6
+    assert df.select(pl.format("v={}", pl.col("a")).alias("s")) \
+        .to_dict()["s"] == ["v=1.0", "v=2.0"]
+    d = pl.DataFrame({"y": [2024], "m": [1], "d": [15]})
+    out = d.select(pl.datetime("y", "m", "d").alias("ts")).to_dict()["ts"]
+    assert out[0] == np.datetime64("2024-01-15T00:00:00", "us")
+    fe = pl.DataFrame({"t": [86400]}).select(
+        pl.from_epoch(pl.col("t"), "s").alias("x")).to_dict()["x"]
+    assert fe[0] == np.datetime64("1970-01-02T00:00:00", "us")
+    e = pl.sql_expr("a + 1")
+    assert df.select(e.alias("x")).to_dict()["x"] == [2.0, 3.0]
+
+
+def test_lazyframe_api_surface():
+    df = pl.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    lf = df.lazy()
+    assert lf.sum().collect().to_dict()["a"] == [3.0]
+    assert lf.null_count().collect().to_dict()["a"] == [0]
+    assert lf.shift(1).collect().to_dict()["a"] == [None, 1.0]
+    assert lf.reverse().collect().to_dict()["a"] == [2.0, 1.0]
+    s = lf.filter(pl.col("a") > 1).serialize()
+    back = pl.LazyFrame.deserialize(s)
+    assert back.collect().to_dict()["a"] == [2.0]
