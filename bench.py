@@ -22,13 +22,44 @@ re-runs skip the multi-minute tunnel compiles.
 
 import json
 import os
+import sys
 import threading
 import time
 
-import numpy as np
+_WEDGE_JSON = json.dumps({
+    "metric": "groupby_agg_pipeline_rows_per_s_per_chip",
+    "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
+    "details": {"error": "device backend init or readback wedged "
+                         "(axon tunnel); no measurement possible"}})
 
-import jax
-import jax.numpy as jnp
+
+def _supervise() -> None:
+    """Run the real bench in a child process with a hard deadline. Even
+    backend *init* can hang when the tunnel grant is stuck, so the
+    supervisor itself must not touch jax."""
+    import subprocess
+    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
+    env = dict(os.environ, PT_BENCH_CHILD="1")
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         env=env, stdout=subprocess.PIPE, text=True)
+    try:
+        out, _ = p.communicate(timeout=budget + 30)
+        lines = [ln for ln in (out or "").splitlines()
+                 if ln.strip().startswith("{")]
+        print(lines[-1] if lines else _WEDGE_JSON, flush=True)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        print(_WEDGE_JSON, flush=True)
+    raise SystemExit(0)
+
+
+if __name__ == "__main__" and os.environ.get("PT_BENCH_CHILD") != "1":
+    _supervise()
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 try:  # persistent compile cache: second run skips tunnel compiles
     jax.config.update("jax_compilation_cache_dir",
