@@ -33,8 +33,9 @@ from .errors import (  # noqa: E402
     SQLInterfaceError, SQLSyntaxError,
 )
 from . import exceptions  # noqa: E402  (pl.exceptions parity namespace)
+from . import testing  # noqa: E402  (pl.testing assertion helpers)
 from .expr.expr import (  # noqa: E402
-    Expr, col, first, last, len_ as len, lit, nth, when,
+    Expr, col, element, first, last, len_ as len, lit, nth, when,
 )
 from .api.frame import DataFrame  # noqa: E402
 from .api.series import Series  # noqa: E402

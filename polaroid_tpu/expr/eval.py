@@ -1014,6 +1014,35 @@ def _neg_key(x):
 # str / dt namespaces
 # ---------------------------------------------------------------------------
 
+def _eval_list_eval(e: Expr, v: Val, table: Table, ctx: str) -> Val:
+    """`.list.eval(expr)`: evaluate an elementwise expr over the flattened
+    (capacity*width) element array and reshape back — the padded layout
+    makes per-element eval one vectorized pass, no per-list loops."""
+    from ..dtypes import List as ListT
+    if v.lengths is None:
+        raise InvalidOperationError(f".list.eval on non-list {v.dtype!r}")
+    inner_e = e.children[1]
+    if not meta.is_elementwise(inner_e):
+        raise InvalidOperationError(
+            ".list.eval supports elementwise expressions only")
+    cap, W = v.data.shape
+    flat = v.data.reshape(cap * W)
+    in_len = jnp.arange(W)[None, :] < v.lengths[:, None]
+    evalid = v.elem_valid if v.elem_valid is not None else in_len
+    fcol = Column(v.dtype.inner, flat,
+                  (evalid & in_len).reshape(cap * W), v.sdict)
+    ft = Table(["__pt_element__"], {"__pt_element__": fcol}, cap * W,
+               None, in_len.reshape(cap * W))
+    rv = eval_expr(inner_e, ft, "select")
+    data2 = jnp.broadcast_to(rv.data, (cap * W,)).reshape(cap, W)
+    ev2 = None
+    if rv.validity is not None:
+        ev2 = (jnp.broadcast_to(rv.validity, (cap * W,)).reshape(cap, W)
+               & in_len)
+    return Val(ListT(rv.dtype), data2, v.validity, rv.sdict, v.is_scalar,
+               v.live, lengths=v.lengths, elem_valid=ev2)
+
+
 def _eval_list(e: Expr, v: Val, table: Table) -> Val:
     """`.list.<op>` — masked axis-1 kernels (`ops/nested.py`); `join` is a
     host-side dictionary transform like the `.str` ops."""
@@ -1563,6 +1592,9 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return _eval_dt(e, eval_expr(e.children[0], table, ctx), table)
     if k == "list":
         return _eval_list(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "list_eval":
+        return _eval_list_eval(e, eval_expr(e.children[0], table, ctx),
+                               table, ctx)
     if k == "struct":
         from ..dtypes import Struct as StructT
         names = e.attrs["names"]

@@ -556,6 +556,16 @@ class ListNamespace:
         return self._op("join", separator=separator)
     def explode(self): return Expr("explode_expr", (self._e,))
 
+    def eval(self, expr: "Expr") -> "Expr":
+        """Run an elementwise expression over each list's elements
+        (use `pl.element()` inside `expr`)."""
+        return Expr("list_eval", (self._e, expr))
+
+
+def element() -> "Expr":
+    """The current list element inside `.list.eval`."""
+    return Expr("col", name="__pt_element__")
+
 
 class CatNamespace:
     """Categorical functions. Our dictionaries are sorted-unique, so the

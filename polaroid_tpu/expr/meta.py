@@ -372,6 +372,11 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         from ..dtypes import Struct as StructT
         return StructT([("len", UInt32),
                         ("value", output_dtype(e.children[0], schema))])
+    if k == "list_eval":
+        from ..dtypes import List as ListT
+        ct = output_dtype(e.children[0], schema)
+        inner = ct.inner if isinstance(ct, ListT) else ct
+        return ListT(output_dtype(e.children[1], {"__pt_element__": inner}))
     if k in ("cut", "qcut"):
         from ..dtypes import Categorical as _Cat
         return _Cat()

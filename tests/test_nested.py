@@ -217,3 +217,27 @@ def test_nested_survives_fused_sort_chain():
     d3 = pl.DataFrame({"k": [2, 1, 3], "s": [{"x": 1}, {"x": 2}, {"x": 3}]})
     r = d3.lazy().sort("k").collect().to_dict()
     assert r["s"] == [{"x": 2}, {"x": 1}, {"x": 3}]
+
+
+def test_list_eval_element():
+    df = pl.DataFrame({"a": [[1, 2, 3], [4, None], []]})
+    out = df.select(pl.col("a").list.eval(pl.element() * 10))
+    assert out.to_dict()["a"] == [[10, 20, 30], [40, None], []]
+    out2 = df.select(pl.col("a").list.eval(pl.element() > 2))
+    assert out2.to_dict()["a"] == [[False, False, True], [True, None], []]
+    sf = pl.DataFrame({"s": [["ab", "c"], ["d"]]})
+    o3 = sf.select(pl.col("s").list.eval(pl.element().str.to_uppercase()))
+    assert o3.to_dict()["s"] == [["AB", "C"], ["D"]]
+
+
+def test_testing_module():
+    from polaroid_tpu.testing import (assert_frame_equal,
+                                      assert_frame_not_equal,
+                                      assert_series_equal)
+    df = pl.DataFrame({"a": [1.0, 2.0]})
+    assert_frame_equal(df, df)
+    assert_series_equal(pl.Series("x", [1.0]), pl.Series("x", [1.0 + 1e-9]))
+    assert_frame_not_equal(df, pl.DataFrame({"a": [1.0, 3.0]}))
+    import pytest
+    with pytest.raises(AssertionError):
+        assert_frame_equal(df, pl.DataFrame({"a": [1.0, 3.0]}))
