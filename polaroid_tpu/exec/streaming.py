@@ -105,6 +105,25 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         yield _materialize(plan)
         return
 
+    if k == "join" and plan.how in ("inner", "left", "semi", "anti") \
+            and not plan.join_nulls:
+        # streaming equi-join (reference: equi_join.rs Build->Probe):
+        # materialize the build (right) side once, stream probe batches
+        # through it — each output batch joins one probe batch
+        from ..ops.join import join_tables
+        from ..metrics import current
+        qm = current()
+        build = _materialize(plan.right)
+        for t in _stream(plan.left):
+            if qm is not None:
+                with qm.timed("join") as m:
+                    m.batches += 1
+            out = join_tables(t, build, plan.left_on, plan.right_on,
+                              plan.how, plan.suffix, plan.join_nulls,
+                              plan.coalesce)
+            yield out
+        return
+
     if k == "union":
         for p in plan.inputs:
             yield from _stream(p)

@@ -236,3 +236,22 @@ def test_cache_node_memoizes():
     out = c.join(c, on="k").collect()
     assert calls["n"] == 1
     assert out.height == 2
+
+
+def test_streaming_join_differential():
+    import numpy as np
+    rng = np.random.default_rng(5)
+    n = 20000
+    left = pl.DataFrame({"k": rng.integers(0, 500, n),
+                         "v": rng.uniform(0, 1, n)})
+    right = pl.DataFrame({"k": np.arange(500), "w": np.arange(500) * 2})
+    lf = (left.lazy().join(right.lazy(), on="k", how="inner")
+          .group_by("k").agg(pl.col("w").first().alias("w"),
+                             pl.len().alias("n")).sort("k"))
+    assert lf.collect(engine="streaming").to_dict() == \
+        lf.collect(engine="in-memory").to_dict()
+    for how in ("left", "semi", "anti"):
+        l3 = left.lazy().join(right.lazy().filter(pl.col("k") < 50),
+                              on="k", how=how).sort("k", "v")
+        assert l3.collect(engine="streaming").to_dict() == \
+            l3.collect(engine="in-memory").to_dict()
