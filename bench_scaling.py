@@ -1,0 +1,91 @@
+"""Scaling-efficiency report for the distributed kernels.
+
+SURVEY §7 step 7 artifact: weak-scaling of the sharded group-by kernel
+across mesh sizes 1/2/4/8. Each mesh size runs in its own subprocess
+with `--xla_force_host_platform_device_count=K` (virtual CPU mesh — the
+sharding/collective program is identical to a pod run; only the
+interconnect differs), which validates the SPMD path end-to-end and
+reports relative weak-scaling efficiency.
+
+Usage:  python bench_scaling.py
+Prints one JSON line per mesh size plus a summary line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROWS_PER_SHARD = 1 << 18
+NGROUPS = 1024
+
+
+def child(k: int) -> None:
+    import numpy as np
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from polaroid_tpu.parallel.mesh import AXIS
+    from polaroid_tpu.parallel.shuffle import make_sharded_groupby
+
+    devs = jax.devices()[:k]
+    mesh = Mesh(np.array(devs), (AXIS,))
+    n = ROWS_PER_SHARD * k
+    rng = np.random.default_rng(0)
+    sh = NamedSharding(mesh, P(AXIS))
+    key = jax.device_put(rng.integers(0, NGROUPS, n).astype(np.uint64), sh)
+    val = jax.device_put(rng.uniform(0, 1, n).astype(np.float32), sh)
+    valid = jax.device_put(np.ones(n, bool), sh)
+    fn = make_sharded_groupby(mesh, ["sum", "count"],
+                              per_dest_cap=ROWS_PER_SHARD)
+
+    def sync(out):
+        return np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+
+    sync(fn(key, valid, val, val))  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = fn(key, valid, val, val)
+    sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({"mesh": k, "rows": n,
+                      "groupby_rows_per_s": round(n / dt, 1),
+                      "platform": jax.default_backend()}), flush=True)
+
+
+def main() -> None:
+    results = []
+    for k in (1, 2, 4, 8):
+        env = dict(os.environ, PT_SCALING_MESH=str(k), JAX_PLATFORMS="cpu")
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={k}")
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=600)
+        lines = [ln for ln in p.stdout.splitlines()
+                 if ln.strip().startswith("{")]
+        if not lines:
+            print(json.dumps({"mesh": k, "error": p.stderr[-300:]}),
+                  flush=True)
+            continue
+        rec = json.loads(lines[-1])
+        results.append(rec)
+        print(lines[-1], flush=True)
+    base = results[0]["groupby_rows_per_s"] if results else 1.0
+    for r in results:
+        r["weak_scaling_efficiency"] = round(
+            r["groupby_rows_per_s"] / (base * r["mesh"]), 3)
+    print(json.dumps({"metric": "distributed_groupby_weak_scaling",
+                      "per_shard_rows": ROWS_PER_SHARD,
+                      "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("PT_SCALING_MESH"):
+        child(int(os.environ["PT_SCALING_MESH"]))
+    else:
+        main()
