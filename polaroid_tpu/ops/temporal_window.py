@@ -70,6 +70,32 @@ def bucket_expr(index_column: str, index_dtype, every: str,
     return ((e - off) // step) * step + off
 
 
+def _add_months_units(vals, delta_months, dt):
+    """Add months to index-unit values (Datetime epochs or Date days) via
+    the civil calendar; days saturate at month end (polars semantics)."""
+    if isinstance(dt, Datetime):
+        per_day = T.UNIT_PER_SECOND[dt.time_unit] * 86_400
+        days = T.epoch_to_days(vals, dt.time_unit)
+        rem = vals - days.astype(vals.dtype) * per_day
+    else:
+        days, rem, per_day = vals, 0, None
+    y, m, d = T.days_to_civil(days)
+    total = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1) \
+        + delta_months
+    ny = jnp.floor_divide(total, 12).astype(jnp.int32)
+    nm = (total - ny.astype(jnp.int64) * 12 + 1).astype(jnp.int32)
+    # saturate the day-of-month (Jan 31 + 1mo -> Feb 28/29)
+    m_next = jnp.where(nm == 12, 1, nm + 1)
+    y_next = jnp.where(nm == 12, ny + 1, ny)
+    month_len = T.civil_to_days(y_next, m_next, jnp.ones_like(nm)) - \
+        T.civil_to_days(ny, nm, jnp.ones_like(nm))
+    nd = jnp.minimum(d, month_len).astype(jnp.int32)
+    out_days = T.civil_to_days(ny, nm, nd)
+    if isinstance(dt, Datetime):
+        return out_days.astype(vals.dtype) * per_day + rem
+    return out_days.astype(vals.dtype)
+
+
 def _span_units(dt, ns: int, what: str) -> int:
     """Duration in index units (epoch counts for temporal, raw for int)."""
     if isinstance(dt, Datetime):
@@ -121,13 +147,23 @@ def _dynamic_overlap(table: Table, index_column: str, every: str,
     (group keys, window start)."""
     ekind, en = T.parse_every(every)
     pkind, pn = T.parse_every(period)
-    if ekind != "fixed" or pkind != "fixed":
-        raise InvalidOperationError(
-            "month-based overlapping windows not supported yet")
     dt = table.column(index_column).dtype
-    e_units = _span_units(dt, en, "every")
-    p_units = _span_units(dt, pn, "period")
-    K = max(-(-p_units // e_units), 1) + 1  # +1 covers closed-edge shifts
+    if ekind == "months":
+        if not (isinstance(dt, Datetime) or dt == Date):
+            raise InvalidOperationError("month buckets need a temporal index")
+        if pkind == "months":
+            K = max(-(-pn // en), 1) + 1
+        else:
+            # months are >= 28 days: bound candidates from above
+            p_days = max(pn // 86_400_000_000_000, 1)
+            K = p_days // (28 * en) + 2
+    else:
+        if pkind == "months":
+            raise InvalidOperationError(
+                "month-based period with fixed every not supported")
+        e_units = _span_units(dt, en, "every")
+        p_units = _span_units(dt, pn, "period")
+        K = max(-(-p_units // e_units), 1) + 1  # +1 covers closed edges
 
     cap = table.capacity
     ecap = capacity_for_rows(cap * K)
@@ -148,15 +184,25 @@ def _dynamic_overlap(table: Table, index_column: str, every: str,
                    "select")
     t = exp.column(index_column).data
     stor = t.dtype
-    s = s0.data.astype(stor) - j.astype(stor) * jnp.asarray(e_units, stor)
+    if ekind == "months":
+        s = _add_months_units(s0.data.astype(stor),
+                              -(j.astype(jnp.int64) * en), dt)
+        if pkind == "months":
+            end = _add_months_units(s, jnp.asarray(pn, jnp.int64), dt)
+        else:
+            end = s + jnp.asarray(_span_units(dt, pn, "period"), stor)
+    else:
+        s = s0.data.astype(stor) - j.astype(stor) * jnp.asarray(e_units,
+                                                                stor)
+        end = s + jnp.asarray(p_units, stor)
     if closed == "left":
-        ok = (s <= t) & (t < s + p_units)
+        ok = (s <= t) & (t < end)
     elif closed == "right":
-        ok = (s < t) & (t <= s + p_units)
+        ok = (s < t) & (t <= end)
     elif closed == "both":
-        ok = (s <= t) & (t <= s + p_units)
+        ok = (s <= t) & (t <= end)
     else:  # "none"
-        ok = (s < t) & (t < s + p_units)
+        ok = (s < t) & (t < end)
     if s0.validity is not None:
         ok = ok & s0.validity
     exp = exp.with_column("__ws", Column(dt, s, None, None))

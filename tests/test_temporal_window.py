@@ -190,3 +190,30 @@ def test_dynamic_overlap_integer_index():
         pl.col("v").sum().alias("s"))
     assert out.to_dict()["i"] == [-2, 0, 2, 4, 6, 8]
     assert out.to_dict()["s"] == [2, 4, 4, 4, 4, 2]
+
+
+def test_dynamic_overlap_month_windows():
+    times = [dt.datetime(2024, m, 15) for m in range(1, 7)]
+    df = pl.DataFrame({"t": times, "v": [1, 2, 3, 4, 5, 6]})
+    out = df.group_by_dynamic("t", every="1mo", period="3mo").agg(
+        pl.col("v").sum().alias("s"))
+    d = out.to_dict()
+    assert d["s"] == [1, 3, 6, 9, 12, 15, 11, 6]
+    assert d["t"][0] == dt.datetime(2023, 11, 1)
+
+
+def test_dynamic_overlap_month_date_index():
+    days = np.array(["2024-01-15", "2024-02-15", "2024-03-15"],
+                    dtype="datetime64[D]")
+    dd = pl.DataFrame({"t": days, "v": [1, 2, 3]})
+    o2 = dd.group_by_dynamic("t", every="1mo", period="2mo").agg(
+        pl.col("v").sum().alias("s"))
+    assert o2.to_dict()["s"] == [1, 3, 5, 3]
+
+
+def test_dynamic_month_every_fixed_period():
+    times = [dt.datetime(2024, m, 15) for m in range(1, 7)]
+    df = pl.DataFrame({"t": times, "v": [1, 2, 3, 4, 5, 6]})
+    o3 = df.group_by_dynamic("t", every="1mo", period="45d").agg(
+        pl.col("v").sum().alias("s"))
+    assert o3.to_dict()["s"] == [1, 5, 3, 9, 5, 6]
