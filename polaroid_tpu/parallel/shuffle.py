@@ -40,19 +40,6 @@ def _hash_u64(k):
     return combine_hashes(_fmix32(hi), _fmix32(lo))
 
 
-def _seg(data, gid, cap, kind):
-    if kind == "sum":
-        out = jax.ops.segment_sum(data, gid, num_segments=cap + 1,
-                                  indices_are_sorted=True)
-    elif kind == "min":
-        out = jax.ops.segment_min(data, gid, num_segments=cap + 1,
-                                  indices_are_sorted=True)
-    else:
-        out = jax.ops.segment_max(data, gid, num_segments=cap + 1,
-                                  indices_are_sorted=True)
-    return jax.lax.slice_in_dim(out, 0, cap)
-
-
 def _segscan(v, flags, op):
     """Segmented inclusive scan: at slot i, the reduction of v over
     [segment_start(i), i]. Log-depth, fully vectorized — TPU scatters
@@ -64,6 +51,22 @@ def _segscan(v, flags, op):
 
     sv, _ = jax.lax.associative_scan(comb, (v, flags))
     return sv
+
+
+def _group_bounds(newg, live):
+    """(starts, ends, ngroups): group g's sorted-slot range [start, end),
+    computed with one boundary-compaction sort (no scatters)."""
+    cap = newg.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    ngroups = jnp.sum(newg.astype(jnp.int32))
+    nlive = jnp.sum(live.astype(jnp.int32))
+    border = (~newg).astype(jnp.uint32)
+    _, starts = jax.lax.sort((border, idx), num_keys=1, is_stable=True)
+    g_arange = jnp.arange(cap, dtype=jnp.int32)
+    next_start = jnp.concatenate([starts[1:],
+                                  jnp.full((1,), cap, jnp.int32)])
+    ends = jnp.where(g_arange < ngroups - 1, next_start, nlive)
+    return starts, ends, ngroups
 
 
 def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
@@ -105,15 +108,8 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     for w in kwords:
         newg = newg | (w != jnp.roll(w, 1))
     newg = newg & live
-    ngroups = jnp.sum(newg.astype(jnp.int32))
-    nlive = jnp.sum(live.astype(jnp.int32))
-    # compact boundary slots to the front: starts[g] = sorted slot where
-    # group g begins (boundaries are already in increasing gid order)
-    border = (~newg).astype(jnp.uint32)
-    _, starts = jax.lax.sort((border, idx), num_keys=1, is_stable=True)
+    starts, ends, ngroups = _group_bounds(newg, live)
     g_arange = jnp.arange(cap, dtype=jnp.int32)
-    next_start = jnp.concatenate([starts[1:], jnp.full((1,), cap, jnp.int32)])
-    ends = jnp.where(g_arange < ngroups - 1, next_start, nlive)
     e1 = jnp.clip(ends - 1, 0, cap - 1)
     gcount = jnp.where(g_arange < ngroups, ends - starts, 0)
     outs = []
@@ -166,21 +162,22 @@ def exchange_records(dest, key, payloads: Sequence, valid, num_shards: int,
     cap = key.shape[0]
     dest = jnp.where(valid, dest.astype(jnp.uint32),
                      jnp.uint32(num_shards)).astype(jnp.int32)
-    # sort records by destination; position within destination = rank
+    # sort records by destination; position within destination = rank.
+    # The send buffer is built with an INVERSE GATHER (slot -> record),
+    # not a scatter — TPU scatters serialize.
     order = jnp.argsort(dest, stable=True)
     dsort = dest[order]
-    idx = jnp.arange(cap)
     starts = jnp.searchsorted(dsort, jnp.arange(num_shards + 1))
-    within = idx - starts[jnp.clip(dsort, 0, num_shards)]
-    ok = (dsort < num_shards) & (within < per_dest_cap)
-    slot = jnp.where(ok, dsort * per_dest_cap + within,
-                     num_shards * per_dest_cap)
+    counts = starts[1:] - starts[:-1]
+    p = jnp.arange(num_shards * per_dest_cap)
+    d = (p // per_dest_cap).astype(jnp.int32)
+    w = (p % per_dest_cap).astype(jnp.int32)
+    src = order[jnp.clip(starts[d] + w, 0, cap - 1)]
+    ok_slot = w < counts[d]
 
     def scatter(arr, fill):
-        out = jnp.full((num_shards * per_dest_cap + 1,), fill, arr.dtype)
-        out = out.at[slot].set(arr[order], mode="drop")
-        return jax.lax.slice_in_dim(out, 0, num_shards * per_dest_cap) \
-            .reshape(num_shards, per_dest_cap)
+        out = jnp.where(ok_slot, arr[src], jnp.asarray(fill, arr.dtype))
+        return out.reshape(num_shards, per_dest_cap)
 
     skey = scatter(key, jnp.uint64(0))
     svalid = scatter(valid.astype(jnp.int32), 0)
@@ -257,14 +254,21 @@ def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
     idx = jnp.arange(capT)
     newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
             (slo != jnp.roll(slo, 1))) & live
-    gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, capT)
-    cl = _seg(jnp.where(live & (stag == 0), 1, 0), gid, capT, "sum")
-    cr = _seg(jnp.where(live & (stag == 1), 1, 0), gid, capT, "sum")
-    gstart = _seg(jnp.where(live, idx, capT).astype(jnp.int32), gid, capT, "min")
+    # per-group left/right counts via segmented scans (scatter-free)
+    starts, ends, ngroups = _group_bounds(newg, live)
+    e1 = jnp.clip(ends - 1, 0, capT - 1)
+    cl_scan = _segscan(jnp.where(live & (stag == 0), 1, 0), newg, jnp.add)
+    cr_scan = _segscan(jnp.where(live & (stag == 1), 1, 0), newg, jnp.add)
+    g_arange = jnp.arange(capT, dtype=jnp.int32)
+    gv = g_arange < ngroups
+    cl = jnp.where(gv, cl_scan[e1], 0)
+    cr = jnp.where(gv, cr_scan[e1], 0)
+    gstart = starts
     m = cl * cr
     offs = jnp.cumsum(m)
+    from ..ops.search import searchsorted as _ss
     k = jnp.arange(out_cap, dtype=jnp.int64)
-    g = jnp.searchsorted(offs, k, side="right").astype(jnp.int32)
+    g = _ss(offs, k, side="right").astype(jnp.int32)
     gc = jnp.clip(g, 0, capT - 1)
     base = offs[gc] - m[gc]
     r = (k - base).astype(jnp.int32)
