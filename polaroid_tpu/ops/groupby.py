@@ -183,35 +183,41 @@ def _seg_sorted(data, gid, ncap, op, ident):
     return _fit(out, ncap, ident)
 
 
+def _use_segscan() -> bool:
+    # CPU scatters are fast and the associative scan is not; the
+    # scatter-free path pays off on accelerators only
+    return jax.default_backend() != "cpu"
+
+
 def _seg_sum(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids:
+    if sorted_ids and _use_segscan():
         return _seg_sorted(data, gid, ncap, jnp.add, 0)
     out = jax.ops.segment_sum(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=False)
+                              indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_min(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids:
+    if sorted_ids and _use_segscan():
         if jnp.issubdtype(data.dtype, jnp.floating):
             ident = jnp.inf
         else:
             ident = jnp.iinfo(data.dtype).max
         return _seg_sorted(data, gid, ncap, jnp.minimum, ident)
     out = jax.ops.segment_min(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=False)
+                              indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_max(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids:
+    if sorted_ids and _use_segscan():
         if jnp.issubdtype(data.dtype, jnp.floating):
             ident = -jnp.inf
         else:
             ident = jnp.iinfo(data.dtype).min
         return _seg_sorted(data, gid, ncap, jnp.maximum, ident)
     out = jax.ops.segment_max(data, gid, num_segments=ncap + 1,
-                              indices_are_sorted=False)
+                              indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 

@@ -108,6 +108,35 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     for w in kwords:
         newg = newg | (w != jnp.roll(w, 1))
     newg = newg & live
+    if jax.default_backend() == "cpu":
+        # CPU: sorted scatters beat the associative scan
+        gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
+
+        def seg(v, kind):
+            fn = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+                  "max": jax.ops.segment_max}[kind]
+            out = fn(v, gid, num_segments=cap + 1, indices_are_sorted=True)
+            return jax.lax.slice_in_dim(out, 0, cap)
+
+        outs = []
+        for sv, agg in zip(svals, aggs):
+            if agg == "count":
+                outs.append(seg(live.astype(jnp.int32), "sum"))
+            elif agg == "sum":
+                outs.append(seg(jnp.where(live, sv, 0), "sum"))
+            elif agg == "min":
+                outs.append(seg(jnp.where(live, sv, _ident(sv.dtype, "min")),
+                                "min"))
+            elif agg == "max":
+                outs.append(seg(jnp.where(live, sv, _ident(sv.dtype, "max")),
+                                "max"))
+            else:
+                raise ValueError(f"agg {agg}")
+        start = seg(jnp.where(live, idx, cap).astype(jnp.int32), "min")
+        gcount = seg(live.astype(jnp.int32), "sum")
+        gvalid = gcount > 0
+        gkey = skey[jnp.clip(start, 0, cap - 1)]
+        return gkey, outs, gvalid
     starts, ends, ngroups = _group_bounds(newg, live)
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     e1 = jnp.clip(ends - 1, 0, cap - 1)
