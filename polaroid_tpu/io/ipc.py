@@ -1,16 +1,19 @@
-"""Arrow IPC (Feather) IO. Reference analogue: `polars-io/src/ipc/`."""
+"""Arrow IPC (Feather V2) IO. Reference analogue: `polars-io/src/ipc/`."""
 
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.feather as paf
+import pyarrow.ipc as paipc
 
 from ..batch import Table
 from .arrow_interop import table_from_arrow, table_to_arrow
 
 
 def read_ipc_table(source, columns=None, n_rows=None) -> Table:
-    t = paf.read_table(str(source), columns=list(columns) if columns else None)
+    with pa.memory_map(str(source), "r") as f:
+        t = paipc.open_file(f).read_all()
+    if columns:
+        t = t.select(list(columns))
     if n_rows is not None:
         t = t.slice(0, n_rows)
     return table_from_arrow(t)
@@ -18,5 +21,8 @@ def read_ipc_table(source, columns=None, n_rows=None) -> Table:
 
 def write_ipc(df, file, compression: str = "zstd") -> None:
     at = table_to_arrow(df._table)
-    paf.write_feather(at, str(file),
-                      compression=compression if compression else "uncompressed")
+    opts = paipc.IpcWriteOptions(
+        compression=compression if compression else None)
+    with pa.OSFile(str(file), "wb") as f:
+        with paipc.new_file(f, at.schema, options=opts) as w:
+            w.write_table(at)
