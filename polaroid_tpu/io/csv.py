@@ -18,14 +18,23 @@ from .arrow_interop import table_from_arrow, table_to_arrow
 def read_csv_table(source, has_header: bool = True, separator: str = ",",
                    columns=None, n_rows: Optional[int] = None,
                    schema_overrides=None, try_parse_dates: bool = False,
-                   null_values=None, comment_prefix=None) -> Table:
-    read_opts = pacsv.ReadOptions(autogenerate_column_names=not has_header)
+                   null_values=None, comment_prefix=None,
+                   skip_rows: int = 0) -> Table:
+    read_opts = pacsv.ReadOptions(autogenerate_column_names=not has_header,
+                                  skip_rows=skip_rows)
     parse_opts = pacsv.ParseOptions(delimiter=separator)
     conv = {}
     if null_values is not None:
         conv["null_values"] = ([null_values] if isinstance(null_values, str)
                                else list(null_values))
         conv["strings_can_be_null"] = True
+    if schema_overrides:
+        from ..dtypes import DataType
+        from .arrow_interop import dtype_to_arrow
+        conv["column_types"] = {
+            k: dtype_to_arrow(v() if isinstance(v, type)
+                              and issubclass(v, DataType) else v)
+            for k, v in dict(schema_overrides).items()}
     convert_opts = pacsv.ConvertOptions(**conv)
     if isinstance(source, (str, bytes)) and isinstance(source, str) and \
             "\n" in source:
