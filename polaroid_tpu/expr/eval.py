@@ -1390,6 +1390,50 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
         if op == "month":
             return out(m, Int32)
         return out(d, Int32)
+    if op in ("is_leap_year", "iso_year", "month_start", "month_end"):
+        y, m, d = T.days_to_civil(days)
+        if op == "is_leap_year":
+            leap = ((jnp.remainder(y, 4) == 0) &
+                    ((jnp.remainder(y, 100) != 0) |
+                     (jnp.remainder(y, 400) == 0)))
+            return out(leap, Boolean)
+        if op == "iso_year":
+            # year that owns the ISO week (week 1 can pull Dec/Jan across)
+            doy = days - T.civil_to_days(y, jnp.ones_like(y),
+                                         jnp.ones_like(y)) + 1
+            wd = T.weekday(days)
+            raw = jnp.floor_divide(doy - wd + 10, 7)
+            iso_y = jnp.where(raw < 1, y - 1,
+                              jnp.where(raw > 52, jnp.where(
+                                  T.iso_week(days) == 1, y + 1, y), y))
+            return out(iso_y.astype(jnp.int32), Int32)
+        ones = jnp.ones_like(m)
+        first = T.civil_to_days(y, m, ones)
+        if op == "month_start":
+            new_days = first
+        else:
+            ny = jnp.where(m == 12, y + 1, y)
+            nm = jnp.where(m == 12, 1, m + 1)
+            new_days = T.civil_to_days(ny, nm, ones) - 1
+        if dt == Date:
+            return out(new_days.astype(jnp.int32), Date)
+        per_day = T.UNIT_PER_SECOND[tu] * 86_400
+        return out(new_days.astype(x.dtype) * per_day +
+                   (frac if frac is not None else 0), dt)
+    if op in ("strftime", "to_string"):
+        fmt = e.attrs.get("format") or "%Y-%m-%d %H:%M:%S"
+        import datetime as _pydt
+        vals = np.asarray(x)
+        if dt == Date:
+            objs = vals.astype("datetime64[D]").astype(_pydt.date)
+        else:
+            objs = vals.astype(f"datetime64[{tu}]").astype(_pydt.datetime)
+        txt = np.array([o.strftime(fmt) if o is not None else ""
+                        for o in objs], dtype=object)
+        mask = np.asarray(v.valid_or_true())
+        codes, sdict = StringDict.encode(txt, mask)
+        return Val(String, jnp.asarray(codes), v.validity, sdict,
+                   v.is_scalar, v.live)
     if op == "ordinal_day":
         return out(T.ordinal_day(days), Int32)
     if op == "weekday":

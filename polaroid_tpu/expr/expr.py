@@ -519,6 +519,13 @@ class DtNamespace:
         return self._op("cast_time_unit", time_unit=time_unit)
     def replace_time_zone(self, tz): return self._op("replace_time_zone", tz=tz)
     def convert_time_zone(self, tz): return self._op("convert_time_zone", tz=tz)
+    def is_leap_year(self): return self._op("is_leap_year")
+    def iso_year(self): return self._op("iso_year")
+    def month_start(self): return self._op("month_start")
+    def month_end(self): return self._op("month_end")
+    def strftime(self, format: str): return self._op("strftime", format=format)
+    def to_string(self, format: Optional[str] = None):
+        return self._op("to_string", format=format)
 
 
 class ListNamespace:

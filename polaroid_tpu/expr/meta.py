@@ -319,6 +319,12 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         ct = output_dtype(e.children[0], schema)
         if op in _DT_INT_OPS:
             return _DT_INT_OPS[op]
+        if op == "is_leap_year":
+            return Boolean
+        if op == "iso_year":
+            return Int32
+        if op in ("strftime", "to_string"):
+            return String
         if op == "date":
             return Date
         if op == "cast_time_unit":

@@ -207,3 +207,28 @@ def test_categorical_groupby_join():
     assert g.to_dict()["n"] == [1, 1, 2]
     j = cc.join(pl.DataFrame({"c": ["a", "b"], "w": [1, 2]}), on="c")
     assert sorted(j.to_dict()["w"]) == [1, 2, 2]
+
+
+def test_dt_extensions():
+    from datetime import datetime, date
+    df = pl.DataFrame({"t": [datetime(2024, 2, 15, 10, 30),
+                             datetime(2023, 12, 31, 5, 0)]})
+    d = df.select(
+        leap=pl.col("t").dt.is_leap_year(),
+        isoy=pl.col("t").dt.iso_year(),
+        s=pl.col("t").dt.strftime("%Y/%m/%d"),
+    ).to_dict()
+    assert d["leap"] == [True, False]
+    assert d["isoy"] == [2024, 2023]
+    assert d["s"] == ["2024/02/15", "2023/12/31"]
+    dd = pl.DataFrame({"d": [date(2024, 1, 15)]})
+    d2 = dd.select(ms=pl.col("d").dt.month_start(),
+                   me=pl.col("d").dt.month_end()).to_dict()
+    assert d2["ms"] == [date(2024, 1, 1)]
+    assert d2["me"] == [date(2024, 1, 31)]
+    # ISO-year edges: Jan 1 2021 belongs to 2020; Dec 30 2019 to 2020
+    a = pl.DataFrame({"t": [datetime(2021, 1, 1)]}).select(
+        pl.col("t").dt.iso_year()).to_dict()["t"]
+    b = pl.DataFrame({"t": [datetime(2019, 12, 30)]}).select(
+        pl.col("t").dt.iso_year()).to_dict()["t"]
+    assert a == [2020] and b == [2020]
