@@ -1240,6 +1240,32 @@ def _eval_str(e: Expr, v: Val, table: Table) -> Val:
         lens = jnp.asarray(lut_len)[cidx]
         return Val(ListT(String), data2, v.validity, nd, v.is_scalar,
                    v.live, lengths=lens)
+    if op == "json_decode":
+        # host-side parse into list/struct columns (reference:
+        # polars-json str.json_decode)
+        import json as _json
+        from ..batch import Column as _C
+        cap = code.shape[0]
+        obj = sd.decode(np.asarray(code))
+        parsed = []
+        for s in obj:
+            if s is None or s == "":
+                parsed.append(None)
+                continue
+            try:
+                parsed.append(_json.loads(s))
+            except ValueError:
+                parsed.append(None)
+        col = _C.from_numpy(parsed, capacity=cap)
+        validity = _and_valid(col.validity, v.validity)
+        fields = None
+        if col.fields is not None:
+            fields = {fn: Val(f.dtype, f.data, f.validity, f.sdict, False,
+                              lengths=f.lengths, elem_valid=f.elem_valid)
+                      for fn, f in col.fields.items()}
+        return Val(col.dtype, col.data, validity, col.sdict, v.is_scalar,
+                   v.live, lengths=col.lengths, elem_valid=col.elem_valid,
+                   fields=fields)
     if op == "extract":
         rx = _re.compile(e.attrs["pat"])
         gi = e.attrs.get("group_index", 1)

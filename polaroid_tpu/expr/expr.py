@@ -463,7 +463,8 @@ class StrNamespace:
     def to_integer(self, base: int = 10, strict: bool = True):
         return self._op("to_integer", base=base, strict=strict)
     def to_decimal(self): return self._op("to_decimal")
-    def json_decode(self): return self._op("json_decode")
+    def json_decode(self, dtype=None):
+        return self._op("json_decode", dtype=dtype)
     def zfill(self, length: int): return self._op("zfill", length=length)
     def pad_start(self, length: int, fill_char: str = " "):
         return self._op("pad_start", length=length, fill_char=fill_char)

@@ -313,6 +313,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if op == "split":
             from ..dtypes import List as ListT
             return ListT(String)
+        if op == "json_decode" and e.attrs.get("dtype") is not None:
+            return e.attrs["dtype"]
         return String
     if k == "dt":
         op = e.attrs["op"]

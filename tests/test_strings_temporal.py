@@ -232,3 +232,14 @@ def test_dt_extensions():
     b = pl.DataFrame({"t": [datetime(2019, 12, 30)]}).select(
         pl.col("t").dt.iso_year()).to_dict()["t"]
     assert a == [2020] and b == [2020]
+
+
+def test_str_json_decode():
+    df = pl.DataFrame({"s": ['{"a": 1, "b": "x"}', '{"a": 2, "b": "y"}',
+                             None]})
+    out = df.select(pl.col("s").str.json_decode())
+    assert out.to_dict()["s"] == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+                                  None]
+    l = pl.DataFrame({"s": ["[1,2]", "[3]"]}).select(
+        pl.col("s").str.json_decode())
+    assert l.to_dict()["s"] == [[1, 2], [3]]
