@@ -22,11 +22,31 @@ class GroupBy:
         from .frame import DataFrame, _to_exprs
         exprs = _to_exprs(aggs, named_aggs)
         exprs = meta.expand_exprs(exprs, self._df.schema)
-        # bare column refs aggregate implicitly? polars implodes; we require
-        # explicit aggs except bare cols become implode -> not supported yet.
         t = group_by_agg(self._df._table, self._keys, exprs,
                          self._maintain_order)
         return DataFrame._from_table(t)
+
+    def __iter__(self):
+        """Iterate (key, sub-frame) pairs (reference:
+        `py-polars` GroupBy.__iter__). Keys follow first-occurrence order
+        when maintain_order else sorted partition order."""
+        parts = self._df.partition_by(
+            [meta.output_name(k) for k in self._keys], as_dict=True,
+            maintain_order=True)
+        for k, sub in parts.items():
+            yield k, sub
+
+    def map_groups(self, function):
+        """Apply a DataFrame -> DataFrame function per group and vstack
+        the results (reference: GroupBy.map_groups / apply)."""
+        from .functions import concat
+        outs = [function(sub) for _, sub in self]
+        if not outs:
+            from .frame import DataFrame
+            return DataFrame()
+        return concat(outs, how="vertical_relaxed")
+
+    apply = map_groups
 
     def _all_non_key(self):
         key_names = {meta.output_name(k) for k in self._keys}

@@ -168,3 +168,11 @@ def test_groupby_numeric_random_oracle(rng):
         assert d["mn"][i] == int(sel.min())
         assert d["mx"][i] == int(sel.max())
         assert d["n"][i] == len(sel)
+
+
+def test_groupby_iteration_and_map_groups():
+    df = pl.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    got = {name: g.to_dict()["v"] for name, g in df.group_by("k")}
+    assert got == {"a": [1, 3], "b": [2]}
+    m = df.group_by("k").map_groups(lambda g: g.head(1))
+    assert m.height == 2
