@@ -51,8 +51,12 @@ def compact(table: Table) -> Table:
     if table.valid is None:
         return table
     mask = table.valid
-    perm = compact_perm(mask)
     n = int(jnp.sum(mask))
+    # prefix fast path: group-by/sort/scan outputs are already compact —
+    # one extra scalar sync beats re-sorting every column
+    if bool(jnp.all(mask == (jnp.arange(table.capacity) < n))):
+        return table.with_valid(None, n)
+    perm = compact_perm(mask)
     out = gather_table(table, perm, n, None)
     return out
 
