@@ -274,6 +274,15 @@ def _list_column_from_host(values, dtype: Optional[DataType],
         base = i * W
         for j, e in enumerate(row):
             flat[base + j] = e
+    for e in flat:
+        if isinstance(e, (list, tuple, dict)) or (
+                isinstance(e, np.ndarray) and e.ndim > 0):
+            from .errors import InvalidOperationError
+            raise InvalidOperationError(
+                "nested lists deeper than one level (List(List)/"
+                "List(Struct)) are not supported yet")
+        if e is not None:
+            break
     vals, emask, dt, sdict = _coerce_host_values(flat, inner_dt)
     if repr(dt) == "Null":
         dt = Boolean
