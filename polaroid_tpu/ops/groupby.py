@@ -602,6 +602,10 @@ def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:
     (host sync — the fused-jit path marks this chain nofuse and re-runs
     eagerly)."""
     from ..dtypes import List as ListT, UInt32 as U32
+    if agg == "implode" and (v.lengths is not None or v.fields is not None):
+        raise InvalidOperationError(
+            "imploding nested columns (List(List)/List(Struct)) is not "
+            "supported yet; explode first or aggregate the elements")
     cap, ncap = ctx.cap, ctx.out_cap
     sx, spart = _sorted_val(v, ctx)
     present = _group_present(v, ctx)

@@ -173,3 +173,86 @@ def test_fuzz_join(seed):
         got = out.sort(["k", "va"]).to_dict()["k"]
         want = ref.sort_values(["k", "va"])["k"].tolist()
         assert got == want
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_nested_roundtrip_and_ops(seed):
+    """Random list columns: construction/explode/list-agg vs a python
+    oracle, through both engines."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(20, 200))
+    lists = []
+    for _ in range(n):
+        if rng.uniform() < 0.1:
+            lists.append(None)
+        else:
+            ln = int(rng.integers(0, 6))
+            row = [int(v) if rng.uniform() > 0.15 else None
+                   for v in rng.integers(-50, 50, ln)]
+            lists.append(row)
+    k = [int(v) for v in rng.integers(0, 5, n)]
+    df = pl.DataFrame({"a": lists, "k": k})
+    assert df.to_dict()["a"] == lists  # lossless roundtrip
+
+    # explode oracle
+    got = df.explode("a").to_dict()
+    exp_a, exp_k = [], []
+    for row, kk in zip(lists, k):
+        if row is None or len(row) == 0:
+            exp_a.append(None)
+            exp_k.append(kk)
+        else:
+            exp_a.extend(row)
+            exp_k.extend([kk] * len(row))
+    assert got["a"] == exp_a and got["k"] == exp_k
+
+    # list reductions oracle
+    d = df.select(
+        s=pl.col("a").list.sum(),
+        n=pl.col("a").list.len(),
+        mx=pl.col("a").list.max(),
+    ).to_dict()
+    for i, row in enumerate(lists):
+        if row is None:
+            assert d["s"][i] is None and d["n"][i] is None
+            continue
+        vals = [v for v in row if v is not None]
+        assert d["n"][i] == len(row)
+        assert d["s"][i] == sum(vals)
+        assert d["mx"][i] == (max(vals) if vals else None)
+
+    # explode -> group implode round-trips the flattened elements per key
+    ex = df.explode("a")
+    g = ex.group_by("k", maintain_order=True).agg(pl.col("a"))
+    for kk, rows in zip(g.to_dict()["k"], g.to_dict()["a"]):
+        expect = [v for r, kv in zip(lists, k) if kv == kk
+                  for v in ((r if r else [None]) if r is not None
+                            else [None])]
+        assert rows == expect, (kk, rows, expect)
+    # imploding a list column is a clean error (List(List) unsupported)
+    import pytest as _pytest
+    with _pytest.raises(pl.InvalidOperationError):
+        df.group_by("k").agg(pl.col("a"))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_window_over_oracle(seed):
+    """Random grouped windows vs a pandas oracle."""
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(50, 400))
+    g = [f"k{i}" for i in rng.integers(0, 8, n)]
+    x = [float(v) for v in np.round(rng.normal(0, 10, n), 3)]
+    df = pl.DataFrame({"g": g, "x": x})
+    out = df.select(
+        cs=pl.col("x").cum_sum().over("g"),
+        sh=pl.col("x").shift(1).over("g"),
+        mean=pl.col("x").mean().over("g"),
+    ).to_dict()
+    p = pd.DataFrame({"g": g, "x": x})
+    gb = p.groupby("g", sort=False)["x"]
+    assert np.allclose(out["cs"], gb.cumsum().to_numpy(), atol=1e-6)
+    sh = gb.shift(1).to_numpy()
+    for a, b in zip(out["sh"], sh):
+        assert (a is None and np.isnan(b)) or abs(a - b) < 1e-9
+    assert np.allclose(out["mean"], gb.transform("mean").to_numpy(),
+                       atol=1e-6)
