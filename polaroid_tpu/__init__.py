@@ -46,7 +46,8 @@ from .api.functions import (  # noqa: E402
     arctan2, coalesce, concat, concat_str, corr, count, cov, cum_fold,
     date, date_range, datetime, duration, exclude, fold, format,
     from_arrow, from_dict, from_epoch, from_numpy, from_pandas,
-    from_records, head, implode, int_range, linear_space, map_batches,
+    from_records, head, implode, int_range, int_ranges, linear_space,
+    map_batches,
     max, max_horizontal, mean, mean_horizontal, min, min_horizontal,
     ones, read_csv, read_ipc, read_json, read_ndjson, read_parquet,
     reduce, repeat, select, sql_expr, std, struct, sum, sum_horizontal,

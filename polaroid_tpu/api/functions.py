@@ -468,7 +468,8 @@ def from_epoch(column, time_unit: str = "us"):
 
 
 def int_ranges(start, end, step: int = 1) -> Expr:
-    raise ComputeError("int_ranges (list of ranges) not supported yet")
+    """Per-row integer ranges as a List column."""
+    return Expr("int_ranges", (_wrap_col(start), _wrap_col(end)), step=step)
 
 
 def linear_space(start: float, end: float, num_samples: int,

@@ -1665,6 +1665,45 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "list_eval":
         return _eval_list_eval(e, eval_expr(e.children[0], table, ctx),
                                table, ctx)
+    if k == "repeat_by":
+        from ..dtypes import List as ListT
+        from ..batch import width_for
+        v = eval_expr(e.children[0], table, ctx)
+        nv = eval_expr(e.children[1], table, ctx)
+        cap = table.capacity
+        v = _bcast(v, cap)
+        counts = jnp.broadcast_to(nv.data, (cap,)).astype(jnp.int32)
+        mask = table.row_mask()
+        counts = jnp.where(mask, jnp.maximum(counts, 0), 0)
+        W = width_for(int(jnp.max(counts)))  # host sync -> nofuse in jit
+        data2 = jnp.broadcast_to(v.data[:, None], (cap, W))
+        validity = _and_valid(v.validity, nv.validity)
+        ev = None
+        if v.validity is not None:
+            ev = jnp.broadcast_to(v.validity[:, None], (cap, W)) & \
+                (jnp.arange(W)[None, :] < counts[:, None])
+        return Val(ListT(v.dtype), data2, nv.validity, v.sdict, False,
+                   v.live, lengths=counts, elem_valid=ev)
+    if k == "int_ranges":
+        from ..dtypes import List as ListT
+        from ..batch import width_for
+        s = eval_expr(e.children[0], table, ctx)
+        en = eval_expr(e.children[1], table, ctx)
+        step = int(e.attrs.get("step", 1))
+        cap = table.capacity
+        lo = jnp.broadcast_to(s.data, (cap,)).astype(jnp.int64)
+        hi = jnp.broadcast_to(en.data, (cap,)).astype(jnp.int64)
+        mask = table.row_mask()
+        if step > 0:
+            counts = jnp.maximum(-((lo - hi) // step), 0)
+        else:
+            counts = jnp.maximum(-((hi - lo) // (-step)), 0)
+        counts = jnp.where(mask, counts, 0).astype(jnp.int32)
+        W = width_for(int(jnp.max(counts)))
+        data2 = lo[:, None] + jnp.arange(W, dtype=jnp.int64)[None, :] * step
+        validity = _and_valid(s.validity, en.validity)
+        return Val(ListT(Int64), data2, validity, None, False, None,
+                   lengths=counts)
     if k == "struct":
         from ..dtypes import Struct as StructT
         names = e.attrs["names"]

@@ -201,13 +201,19 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return _lit_dtype(e.attrs["value"], e.attrs["dtype"])
     if k in ("alias", "name_map", "name_keep", "sort_self", "sort_by",
              "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
-             "gather", "over", "repeat_by", "fill_null_strategy",
+             "gather", "over", "fill_null_strategy",
              "cse_cached"):
         return output_dtype(e.children[0], schema)
     if k == "explode_expr":
         from ..dtypes import List as ListT
         ct = output_dtype(e.children[0], schema)
         return ct.inner if isinstance(ct, ListT) else ct
+    if k == "repeat_by":
+        from ..dtypes import List as ListT
+        return ListT(output_dtype(e.children[0], schema))
+    if k == "int_ranges":
+        from ..dtypes import List as ListT
+        return ListT(Int64)
     if k == "cast":
         return e.attrs["dtype"]
     if k == "binary":

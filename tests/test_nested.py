@@ -241,3 +241,13 @@ def test_testing_module():
     import pytest
     with pytest.raises(AssertionError):
         assert_frame_equal(df, pl.DataFrame({"a": [1.0, 3.0]}))
+
+
+def test_repeat_by_and_int_ranges():
+    df = pl.DataFrame({"a": [1, 2], "n": [2, 3]})
+    r = df.select(pl.col("a").repeat_by(pl.col("n")))
+    assert r.to_dict()["a"] == [[1, 1], [2, 2, 2]]
+    ir = df.select(pl.int_ranges(pl.lit(0), pl.col("n")).alias("r"))
+    assert ir.to_dict()["r"] == [[0, 1], [0, 1, 2]]
+    ex = df.select(pl.col("a").repeat_by("n").explode())
+    assert ex.to_dict()["a"] == [1, 1, 2, 2, 2]
