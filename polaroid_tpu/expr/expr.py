@@ -349,7 +349,7 @@ class Expr:
         return Expr("map_batches", (self,), fn=fn, return_dtype=return_dtype)
 
     def repeat_by(self, by) -> "Expr":
-        return Expr("repeat_by", (self, _wrap(by)))
+        return Expr("repeat_by", (self, _wrap_col(by)))
 
     def explode(self) -> "Expr":
         return Expr("explode_expr", (self,))
