@@ -54,6 +54,18 @@ def _read_one(p: str, columns, filters) -> pa.Table:
 
 def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
                        filters=None, n_rows: Optional[int] = None) -> pa.Table:
+    import os as _os
+    if isinstance(source, (str, Path)) and "://" not in str(source) \
+            and _os.path.isdir(str(source)):
+        # hive-partitioned dataset directory: partition keys become columns
+        ds = pads.dataset(str(source), format="parquet",
+                          partitioning="hive")
+        t = ds.to_table(columns=list(columns) if columns else None,
+                        filter=filters if not isinstance(filters, list)
+                        else None)
+        if n_rows is not None:
+            t = t.slice(0, n_rows)
+        return t
     paths = _expand_paths(source)
     if len(paths) == 1:
         t = _read_one(paths[0], columns, filters)
@@ -133,6 +145,12 @@ def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
 
 
 def parquet_schema(source):
+    import os as _os
+    if isinstance(source, (str, Path)) and "://" not in str(source) \
+            and _os.path.isdir(str(source)):
+        ds = pads.dataset(str(source), format="parquet",
+                          partitioning="hive")
+        return ds.schema
     paths = _expand_paths(source)
     p = paths[0]
     if "://" in str(p):
@@ -162,8 +180,22 @@ def parquet_num_rows(source) -> int:
 
 def write_parquet(df, file, compression: str = "zstd",
                   compression_level: Optional[int] = None,
-                  statistics: bool = True, row_group_size=None, **kw) -> None:
+                  statistics: bool = True, row_group_size=None,
+                  partition_by=None, **kw) -> None:
     at = table_to_arrow(df._table)
+    if partition_by:
+        # hive-style partitioned dataset (reference: partitioned sinks,
+        # `polars-stream/src/nodes/io_sinks/partition/by_key.rs`)
+        cols = [partition_by] if isinstance(partition_by, str) \
+            else list(partition_by)
+        pads.write_dataset(
+            at, str(file), format="parquet",
+            partitioning=pads.partitioning(
+                at.select(cols).schema, flavor="hive"),
+            existing_data_behavior="overwrite_or_ignore",
+            file_options=pads.ParquetFileFormat().make_write_options(
+                compression=compression))
+        return
     kwargs = dict(compression=compression,
                   compression_level=compression_level,
                   write_statistics=statistics,

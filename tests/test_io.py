@@ -134,3 +134,15 @@ def test_remote_filesystem_parquet_file_uri(tmp_path):
     st = pl.scan_parquet(f"file://{tmp_path}/x.parquet") \
         .collect(engine="streaming")
     assert st.height == 2
+
+
+def test_partitioned_parquet_roundtrip(tmp_path):
+    d = str(tmp_path / "part")
+    df = pl.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+    df.write_parquet(d, partition_by="g")
+    import os
+    assert sorted(os.listdir(d)) == ["g=a", "g=b"]
+    back = pl.read_parquet(d)
+    assert back.sort("v").to_dict()["v"] == [1, 2, 3]
+    sc = pl.scan_parquet(d).filter(pl.col("g") == "b").collect()
+    assert sc.to_dict()["v"] == [3]
