@@ -43,7 +43,8 @@ from .api.lazyframe import LazyFrame, scan_parquet, scan_csv, scan_ipc, \
     scan_ndjson  # noqa: E402
 from .api.functions import (  # noqa: E402
     all, all_horizontal, any, any_horizontal, approx_n_unique, arange,
-    arctan2, coalesce, concat, concat_str, corr, count, cov, cum_fold,
+    arctan2, coalesce, concat, concat_list, concat_str, corr, count,
+    cov, cum_fold,
     date, date_range, datetime, duration, exclude, fold, format,
     from_arrow, from_dict, from_epoch, from_numpy, from_pandas,
     from_records, head, implode, int_range, int_ranges, linear_space,

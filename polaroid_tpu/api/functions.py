@@ -500,3 +500,9 @@ def sql_expr(sql: str) -> Expr:
     p = Parser(tokenize(sql))
     ast = p.parse_expr()
     return translate_expr(ast, None, None)
+
+
+def concat_list(*exprs) -> Expr:
+    """Combine columns (flat or list) into one list per row."""
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    return Expr("concat_list", tuple(es))

@@ -1665,6 +1665,62 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "list_eval":
         return _eval_list_eval(e, eval_expr(e.children[0], table, ctx),
                                table, ctx)
+    if k == "concat_list":
+        from ..dtypes import List as ListT
+        vals = [_bcast(eval_expr(c, table, ctx), table.capacity)
+                for c in e.children]
+        cap = table.capacity
+        inner = None
+        for v in vals:
+            d = v.dtype.inner if isinstance(v.dtype, ListT) else v.dtype
+            inner = d if inner is None else supertype(inner, d)
+        parts, lens_parts, ev_parts = [], [], []
+        any_valid = any(v.validity is not None for v in vals) or \
+            any(isinstance(v.dtype, ListT) for v in vals)
+        for v in vals:
+            if isinstance(v.dtype, ListT):
+                d2 = v.data
+                if repr(v.dtype.inner) != repr(inner):
+                    cv = cast_val(Val(v.dtype.inner,
+                                      d2.reshape(-1), None, v.sdict), inner)
+                    d2 = cv.data.reshape(d2.shape)
+                W = d2.shape[1]
+                parts.append(d2)
+                lens_parts.append(v.lengths)
+                inlen = jnp.arange(W)[None, :] < v.lengths[:, None]
+                ev_parts.append(v.elem_valid & inlen
+                                if v.elem_valid is not None else inlen)
+            else:
+                cv = cast_val(v, inner)
+                parts.append(cv.data[:, None])
+                lens_parts.append(jnp.ones(cap, jnp.int32))
+                ev_parts.append((cv.validity if cv.validity is not None
+                                 else jnp.ones(cap, jnp.bool_))[:, None])
+        data2 = jnp.concatenate(parts, axis=1)
+        # compact each row's elements to the front (list parts are padded)
+        Wt = data2.shape[1]
+        evc = jnp.concatenate(ev_parts, axis=1)
+        inlen_all = jnp.concatenate(
+            [jnp.arange(p.shape[1])[None, :] <
+             ln[:, None] for p, ln in zip(parts, lens_parts)], axis=1)
+        order = jax.lax.sort(
+            ((~inlen_all).astype(jnp.int32),
+             jnp.broadcast_to(jnp.arange(Wt, dtype=jnp.int32)[None, :],
+                              (cap, Wt))), num_keys=1, is_stable=True,
+            dimension=1)[1]
+        data2 = jnp.take_along_axis(data2, order, axis=1)
+        evc = jnp.take_along_axis(evc & inlen_all, order, axis=1)
+        lengths = sum(lens_parts[i] if not isinstance(
+            vals[i].dtype, ListT) else vals[i].lengths
+            for i in range(len(vals))).astype(jnp.int32)
+        sdict = next((v.sdict for v in vals if v.sdict is not None), None)
+        row_valid = None
+        for v in vals:
+            if isinstance(v.dtype, ListT) and v.validity is not None:
+                row_valid = _and_valid(row_valid, v.validity)
+        ev_out = evc if any_valid else None
+        return Val(ListT(inner), data2, row_valid, sdict, False, None,
+                   lengths=lengths, elem_valid=ev_out)
     if k == "repeat_by":
         from ..dtypes import List as ListT
         from ..batch import width_for

@@ -214,6 +214,14 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
     if k == "int_ranges":
         from ..dtypes import List as ListT
         return ListT(Int64)
+    if k == "concat_list":
+        from ..dtypes import List as ListT
+        inner = None
+        for c in e.children:
+            d = output_dtype(c, schema)
+            d = d.inner if isinstance(d, ListT) else d
+            inner = d if inner is None else supertype(inner, d)
+        return ListT(inner)
     if k == "cast":
         return e.attrs["dtype"]
     if k == "binary":

@@ -251,3 +251,15 @@ def test_repeat_by_and_int_ranges():
     assert ir.to_dict()["r"] == [[0, 1], [0, 1, 2]]
     ex = df.select(pl.col("a").repeat_by("n").explode())
     assert ex.to_dict()["a"] == [1, 1, 2, 2, 2]
+
+
+def test_concat_list():
+    df = pl.DataFrame({"a": [1, 2], "b": [3, 4]})
+    out = df.select(pl.concat_list("a", "b").alias("l"))
+    assert out.to_dict()["l"] == [[1, 3], [2, 4]]
+    d2 = pl.DataFrame({"l": [[1, 2], [5]], "c": [9, 9]})
+    o2 = d2.select(pl.concat_list("l", "c").alias("x"))
+    assert o2.to_dict()["x"] == [[1, 2, 9], [5, 9]]
+    d3 = pl.DataFrame({"a": [1, None], "b": [2, 3]})
+    o3 = d3.select(pl.concat_list("a", "b").alias("x"))
+    assert o3.to_dict()["x"] == [[1, 2], [None, 3]]
