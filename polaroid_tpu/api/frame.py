@@ -229,6 +229,11 @@ class DataFrame:
         # expr-level filters/drop_nulls/gather_every shrink the result:
         # compact live-masked Vals to a prefix (polars: the column shortens;
         # mixed lengths error)
+        if any_row and any(isinstance(v, Val) and not v.is_scalar
+                           and v.data is not None
+                           and v.data.shape[0] > t.capacity
+                           for _, v in results):
+            return self._select_grown(results)
         if any_row and any(isinstance(v, Val) and v.live is not None
                            for _, v in results):
             return self._select_compacted(results)
@@ -288,6 +293,67 @@ class DataFrame:
         out = Table([name0], {name0: col}, cap, nruns, None)
         from ..ops.compact import shrink_to
         return DataFrame._from_table(shrink_to(out, nruns))
+
+    def _select_grown(self, results) -> "DataFrame":
+        """Select where an expr grew past the table capacity
+        (extend_constant/append): compact every column to a live prefix and
+        rebuild at the grown length; lengths must agree (polars errors on
+        mismatched select lengths too)."""
+        t = self._table
+        comp = []
+        length = None
+        for name, v in results:
+            if isinstance(v, Column):
+                v = Val(v.dtype, v.data, v.validity, v.sdict, False, None,
+                        lengths=v.lengths, elem_valid=v.elem_valid,
+                        fields=v.fields)
+                live = t.row_mask()
+            elif v.is_scalar:
+                comp.append((name, v, None))
+                continue
+            else:
+                if v.fields is not None or v.lengths is not None:
+                    raise InvalidOperationError(
+                        "extend/append on nested dtypes not supported")
+                phys = v.data.shape[0]
+                if phys == t.capacity:
+                    live = t.row_mask() if v.live is None \
+                        else (t.row_mask() & v.live)
+                else:
+                    live = v.live if v.live is not None \
+                        else jnp.ones(phys, jnp.bool_)
+            n = int(jnp.sum(live))
+            if length is None:
+                length = n
+            elif n != length:
+                raise ShapeError(
+                    f"select outputs have different lengths: {length} vs {n}")
+            comp.append((name, v, live))
+        length = length or 0
+        cap = capacity_for(length)
+        names, cols = [], {}
+        for name, v, live in comp:
+            if name in cols:
+                raise DuplicateError(f"duplicate column name {name!r}")
+            names.append(name)
+            if live is None:  # scalar broadcast
+                cols[name] = val_to_column(v, cap)
+                continue
+            perm = jnp.argsort(~live, stable=True)
+            data = v.data[perm]
+            validity = v.validity[perm] if v.validity is not None else None
+            phys = data.shape[0]
+            if phys >= cap:
+                data = data[:cap]
+                validity = validity[:cap] if validity is not None else None
+            else:
+                data = jnp.concatenate(
+                    [data, jnp.zeros((cap - phys,), data.dtype)])
+                if validity is not None:
+                    validity = jnp.concatenate(
+                        [validity, jnp.zeros((cap - phys,), jnp.bool_)])
+            cols[name] = Column(v.dtype, data, validity, v.sdict)
+        return DataFrame._from_table(Table(names, cols, cap, length, None))
 
     def _select_compacted(self, results) -> "DataFrame":
         """Select with expr-level filters: compact each live-masked column

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 
 from ..batch import Column, Table, storage_numpy_dtype
 from ..dtypes import (
-    Boolean, DataType, Date, Datetime, Duration, Float32, Float64, Int32,
-    Int64, Null, String, UInt32, supertype,
+    Boolean, DataType, Date, Datetime, Duration, Float32, Float64, Int8,
+    Int16, Int32, Int64, Null, String, UInt8, UInt16, UInt32, UInt64,
+    supertype,
 )
 from ..errors import ComputeError, InvalidOperationError, ShapeError
 from ..strings import NULL_CODE, StringDict
@@ -515,6 +516,30 @@ def _eval_unary(op: str, v: Val, attrs) -> Val:
         d = attrs.get("decimals", 0)
         m = 10.0 ** d
         return Val(dt, jnp.round(x * m) / m, v.validity, None, v.is_scalar, v.live)
+    if op == "round_sig_figs":
+        digits = int(attrs.get("digits", 1))
+        if digits < 1:
+            raise InvalidOperationError("round_sig_figs digits must be >= 1")
+        xf = x.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        mag = jnp.floor(jnp.log10(jnp.where(xf == 0, 1.0, jnp.abs(xf))))
+        m = 10.0 ** (digits - 1 - mag)
+        out = jnp.where(xf == 0, 0.0, jnp.round(xf * m) / m)
+        return Val(dt, out.astype(x.dtype) if dt.is_integer else out,
+                   v.validity, None, v.is_scalar, v.live)
+    if op == "reinterpret":
+        if not dt.is_integer:
+            raise InvalidOperationError(f"reinterpret on {dt!r}")
+        signed = attrs.get("signed", True)
+        nbits = x.dtype.itemsize * 8
+        tgt = jnp.dtype(f"int{nbits}") if signed else jnp.dtype(f"uint{nbits}")
+        out_dt = {jnp.dtype("int8"): Int8, jnp.dtype("int16"): Int16,
+                  jnp.dtype("int32"): Int32, jnp.dtype("int64"): Int64,
+                  jnp.dtype("uint8"): UInt8, jnp.dtype("uint16"): UInt16,
+                  jnp.dtype("uint32"): UInt32, jnp.dtype("uint64"): UInt64}[tgt]
+        return Val(out_dt, jax.lax.bitcast_convert_type(x, tgt), v.validity,
+                   None, v.is_scalar, v.live)
+    if op.startswith("bit_"):
+        return _eval_bit_unary(op, v)
     # float math
     out_dt = Float32 if dt == Float32 else Float64
     xf = x.astype(_stor(out_dt))
@@ -523,6 +548,9 @@ def _eval_unary(op: str, v: Val, attrs) -> Val:
         "log1p": jnp.log1p, "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
         "arcsin": jnp.arcsin, "arccos": jnp.arccos, "arctan": jnp.arctan,
         "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+        "arcsinh": jnp.arcsinh, "arccosh": jnp.arccosh,
+        "arctanh": jnp.arctanh, "cot": lambda a: 1.0 / jnp.tan(a),
+        "degrees": jnp.degrees, "radians": jnp.radians,
     }
     if op == "log":
         base = attrs.get("base", float(np.e))
@@ -532,6 +560,55 @@ def _eval_unary(op: str, v: Val, attrs) -> Val:
     else:
         raise ComputeError(f"unknown unary op {op!r}")
     return Val(out_dt, data, v.validity, None, v.is_scalar, v.live)
+
+
+def _eval_bit_unary(op: str, v: Val) -> Val:
+    """Bit introspection kernels (reference: polars-compute/src/bitwise/).
+    popcount/clz via lax; trailing counts via clz of the bit-reversed
+    isolate-lowest-set-bit trick."""
+    x = v.data
+    dt = v.dtype
+    if dt.is_bool:
+        x = x.astype(jnp.uint8)  # count within 1 logical bit
+        nbits = 1
+    elif dt.is_integer:
+        nbits = x.dtype.itemsize * 8
+    else:
+        raise InvalidOperationError(f"{op} on {dt!r}")
+    ux = x.astype(jnp.dtype(f"uint{max(x.dtype.itemsize * 8, 8)}"))
+    width = ux.dtype.itemsize * 8
+
+    def pop(a):
+        return jax.lax.population_count(a)
+
+    def clz(a):
+        return jax.lax.clz(a)
+
+    if op == "bit_count_ones":
+        out = pop(ux)
+        if dt.is_bool:
+            out = jnp.minimum(out, 1)
+    elif op == "bit_count_zeros":
+        out = nbits - jnp.minimum(pop(ux), nbits)
+    elif op == "bit_leading_zeros":
+        out = jnp.minimum(clz(ux) - (width - nbits), nbits)
+    elif op == "bit_leading_ones":
+        inv = (~ux) & ((jnp.array(1, ux.dtype) << nbits) - 1) \
+            if nbits < width else ~ux
+        out = jnp.minimum(clz(inv) - (width - nbits), nbits)
+    elif op == "bit_trailing_zeros":
+        low = ux & (-ux.astype(jnp.dtype(f"int{width}"))).astype(ux.dtype)
+        out = jnp.where(ux == 0, nbits, width - 1 - clz(low))
+    elif op == "bit_trailing_ones":
+        inc = ux + 1
+        low = inc & (-inc.astype(jnp.dtype(f"int{width}"))).astype(ux.dtype)
+        all1 = ux == ((jnp.array(1, ux.dtype) << nbits) - 1) if nbits < width \
+            else ux == jnp.array(-1, jnp.dtype(f"int{width}")).astype(ux.dtype)
+        out = jnp.where(all1, nbits, width - 1 - clz(low))
+    else:
+        raise ComputeError(f"unknown bit op {op!r}")
+    return Val(UInt32, out.astype(jnp.uint32), v.validity, None,
+               v.is_scalar, v.live)
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +770,66 @@ def _eval_agg(e: Expr, v: Val, table: Table) -> Val:
                    lengths=lengths, elem_valid=elem_valid)
     if agg == "agg_groups":
         raise InvalidOperationError("agg_groups() outside group_by")
+    if agg in ("skew", "kurtosis"):
+        # central-moment reductions (reference: polars-compute/src/moment.rs)
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        n = jnp.sum(mask).astype(fdt)
+        xf = jnp.where(mask, x, 0).astype(fdt)
+        m = jnp.sum(xf) / jnp.maximum(n, 1)
+        d = jnp.where(mask, x.astype(fdt) - m, 0.0)
+        m2 = jnp.sum(d * d) / jnp.maximum(n, 1)
+        out_dt = Float64
+        if agg == "skew":
+            m3 = jnp.sum(d ** 3) / jnp.maximum(n, 1)
+            g1 = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            if not e.attrs.get("bias", True):
+                g1 = g1 * jnp.sqrt(n * (n - 1)) / jnp.maximum(n - 2, 1)
+            return _scalar(out_dt, g1.astype(_stor(out_dt)),
+                           (n > (2 if not e.attrs.get("bias", True) else 0))
+                           & (m2 > 0))
+        m4 = jnp.sum(d ** 4) / jnp.maximum(n, 1)
+        g2 = m4 / jnp.maximum(m2 * m2, 1e-300)
+        if not e.attrs.get("bias", True):
+            g2 = ((n + 1) * g2 - 3 * (n - 1)) * (n - 1) / \
+                jnp.maximum((n - 2) * (n - 3), 1) + 3
+        if e.attrs.get("fisher", True):
+            g2 = g2 - 3.0
+        return _scalar(out_dt, g2.astype(_stor(out_dt)),
+                       (n > (3 if not e.attrs.get("bias", True) else 0))
+                       & (m2 > 0))
+    if agg in ("nan_min", "nan_max"):
+        n = jnp.sum(mask)
+        lo, hi = _type_bounds(x.dtype)
+        if agg == "nan_min":
+            r = jnp.min(jnp.where(mask, x, hi))
+        else:
+            r = jnp.max(jnp.where(mask, x, lo))
+        if dt.is_float:
+            has_nan = jnp.any(mask & jnp.isnan(x))
+            r = jnp.where(has_nan, jnp.nan, r)
+        return _scalar(dt, r, n > 0)
+    if agg in ("bitwise_and", "bitwise_or", "bitwise_xor"):
+        if dt.is_bool:
+            if agg == "bitwise_and":
+                r = jnp.all(jnp.where(mask, x, True))
+            elif agg == "bitwise_or":
+                r = jnp.any(jnp.where(mask, x, False))
+            else:
+                r = (jnp.sum(jnp.where(mask, x, False).astype(jnp.int32))
+                     % 2).astype(jnp.bool_)
+            return _scalar(Boolean, r, jnp.sum(mask) > 0)
+        if not dt.is_integer:
+            raise InvalidOperationError(f"{agg} on {dt!r}")
+        ones = jnp.array(-1, x.dtype) if dt.is_signed_integer else \
+            jnp.array(np.iinfo(np.dtype(str(x.dtype))).max, x.dtype)
+        if agg == "bitwise_and":
+            fn, ident = jax.lax.bitwise_and, ones
+        elif agg == "bitwise_or":
+            fn, ident = jax.lax.bitwise_or, jnp.array(0, x.dtype)
+        else:
+            fn, ident = jax.lax.bitwise_xor, jnp.array(0, x.dtype)
+        r = jax.lax.reduce(jnp.where(mask, x, ident), ident, fn, (0,))
+        return _scalar(dt, r, jnp.sum(mask) > 0)
     raise ComputeError(f"unknown aggregation {agg!r}")
 
 
@@ -761,7 +898,8 @@ def _n_unique(v: Val, live, mask, dt) -> Val:
 # window (order-dependent) ops
 # ---------------------------------------------------------------------------
 
-def _eval_window(e: Expr, v: Val, fillv: Val, table: Table) -> Val:
+def _eval_window(e: Expr, v: Val, fillv: Val, table: Table,
+                 byv: Optional[Val] = None) -> Val:
     op = e.attrs["op"]
     if v.is_scalar:
         raise InvalidOperationError(f"window op {op} on scalar")
@@ -878,22 +1016,318 @@ def _eval_window(e: Expr, v: Val, fillv: Val, table: Table) -> Val:
             data, validity = data[::-1], validity[::-1]
         return back(data, validity)
 
-    if op == "interpolate":
+    if op in ("interpolate", "interpolate_by"):
         prev_i = jax.lax.cummax(jnp.where(xv, idx, -1))
         nxt_rev = jax.lax.cummax(jnp.where(xv[::-1], idx, -1))
         next_i = jnp.where(nxt_rev[::-1] >= 0, cap - 1 - nxt_rev[::-1], -1)
         out_dt = _float_dt(dt)
         f = x.astype(_stor(out_dt))
         p, nx = jnp.maximum(prev_i, 0), jnp.maximum(next_i, 0)
-        span = jnp.maximum(nx - p, 1)
-        frac = (idx - p) / span
+        if op == "interpolate_by":
+            b = byv.data[perm].astype(_stor(out_dt))
+            span = b[nx] - b[p]
+            frac = (b - b[p]) / jnp.where(span == 0, 1, span)
+        else:
+            span = jnp.maximum(nx - p, 1)
+            frac = (idx - p) / span
         data = f[p] * (1 - frac) + f[nx] * frac
         validity = (prev_i >= 0) & (next_i >= 0)
         data = jnp.where(xv, f, data)
         validity = validity | xv
         return back(data, validity, out_dt)
 
+    if op == "arg_sort":
+        from ..ops.keycode import encode_key_words
+        desc = e.attrs.get("descending", False)
+        nl = e.attrs.get("nulls_last", False)
+        live = idx < count
+        dead = (~live).astype(jnp.uint32)
+        words = [dead] + encode_key_words(x, xv, desc, nl)
+        out = jax.lax.sort(tuple(words) + (idx.astype(jnp.uint32),),
+                           num_keys=len(words), is_stable=True)
+        return back(out[-1], None, UInt32)
+
+    if op == "rolling_quantile":
+        return _rolling_quantile(e, v, x, xv, count, back)
+
+    if op in ("rolling_skew", "rolling_kurtosis"):
+        return _rolling_moments(e, v, x, xv, count, back)
+
+    if op == "rolling_map":
+        return _rolling_map_host(e, v, x, xv, count, back)
+
+    if op in ("ewm_std", "ewm_var"):
+        return _ewm_var_std(e, v, x, xv, back)
+
+    if op == "ewm_mean_by":
+        half_life = e.attrs["half_life"]
+        if isinstance(half_life, str):
+            from ..ops.temporal import parse_every, UNIT_PER_SECOND
+            kind, ns = parse_every(half_life)
+            if kind != "fixed":
+                raise InvalidOperationError(
+                    "ewm_mean_by: month-based half_life unsupported")
+            bdt = byv.dtype
+            per_s = UNIT_PER_SECOND[bdt.time_unit] \
+                if isinstance(bdt, (Datetime, Duration)) else None
+            if per_s is not None:
+                hl = ns * per_s / 1_000_000_000
+            elif bdt == Date:
+                hl = ns / (86_400 * 1_000_000_000)
+            else:
+                hl = float(ns)
+        else:
+            hl = float(half_life)
+        out_dt = _float_dt(dt)
+        stor = _stor(out_dt)
+        b = byv.data[perm].astype(jnp.float64 if jax.config.jax_enable_x64
+                                  else jnp.float32)
+        prev_b = jnp.where(idx > 0, jnp.roll(b, 1), b)
+        dtv = jnp.maximum(b - prev_b, 0.0)
+        alpha_t = 1.0 - jnp.exp2(-dtv / hl)
+        f = x.astype(stor)
+        # y_t = (1-a_t) y_{t-1} + a_t x_t ; nulls hold the previous state
+        A = jnp.where(xv, (1.0 - alpha_t).astype(stor), 1.0)
+        first = jnp.cumsum(xv.astype(jnp.int32)) == 1
+        A = jnp.where(first & xv, 0.0, A)
+        B = jnp.where(xv, jnp.where(first, f,
+                                    (alpha_t.astype(stor)) * f), 0.0)
+
+        def comb(p, q):
+            (Ap, Bp) = p
+            (Aq, Bq) = q
+            return (Ap * Aq, Bp * Aq + Bq)
+
+        _, y = jax.lax.associative_scan(comb, (A, B))
+        seen = jnp.cumsum(xv.astype(jnp.int32)) > 0
+        return back(y, xv & seen, out_dt)
+
+    if op in ("rolling_sum_by", "rolling_mean_by", "rolling_min_by",
+              "rolling_max_by", "rolling_std_by", "rolling_var_by"):
+        return _rolling_by(e, v, x, xv, count, back, byv, perm)
+
     raise ComputeError(f"unknown window op {op!r}")
+
+
+def _win_stack(x, xv, w, pad):
+    """(cap, w) matrix: row i = trailing window x[i-w+1 .. i], invalid or
+    out-of-range slots = pad. Static w shifts — XLA fuses to w rolls."""
+    cap = x.shape[0]
+    idx = jnp.arange(cap)
+    cols, colsv = [], []
+    for k in range(w):
+        src = idx - k
+        inb = src >= 0
+        xs = x[jnp.clip(src, 0, cap - 1)]
+        vs = xv[jnp.clip(src, 0, cap - 1)] & inb
+        cols.append(jnp.where(vs, xs, pad))
+        colsv.append(vs)
+    return jnp.stack(cols, axis=1), jnp.stack(colsv, axis=1)
+
+
+def _rolling_quantile(e: Expr, v: Val, x, xv, count, back) -> Val:
+    w = e.attrs["window_size"]
+    min_p = e.attrs.get("min_samples") or w
+    q = float(e.attrs["q"])
+    interp = e.attrs.get("interpolation", "nearest")
+    dt = v.dtype
+    cap = x.shape[0]
+    out_dt = _float_dt(dt)
+    stor = _stor(out_dt)
+    _, hi_b = _type_bounds(x.dtype)
+    m, mv = _win_stack(x, xv, w, hi_b)
+    s = jnp.sort(m.astype(stor), axis=1)
+    cnt = jnp.sum(mv, axis=1)
+    pos = q * (cnt.astype(stor) - 1)
+    validity = (cnt >= min_p) & (jnp.arange(cap) < count)
+
+    def at(p):
+        return jnp.take_along_axis(
+            s, jnp.clip(p, 0, w - 1)[:, None], axis=1)[:, 0]
+
+    if interp == "linear":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        frac = pos - i0
+        data = at(i0) * (1 - frac) + at(i1) * frac
+    elif interp == "lower":
+        data = at(jnp.floor(pos).astype(jnp.int32))
+    elif interp == "higher":
+        data = at(jnp.ceil(pos).astype(jnp.int32))
+    elif interp == "midpoint":
+        data = (at(jnp.floor(pos).astype(jnp.int32))
+                + at(jnp.ceil(pos).astype(jnp.int32))) / 2
+    else:  # nearest
+        data = at(jnp.round(pos).astype(jnp.int32))
+    return back(data, validity, out_dt)
+
+
+def _rolling_moments(e: Expr, v: Val, x, xv, count, back) -> Val:
+    op = e.attrs["op"]
+    w = e.attrs["window_size"]
+    min_p = e.attrs.get("min_samples") or w
+    cap = x.shape[0]
+    out_dt = Float64
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    f = jnp.where(xv, x, 0).astype(fdt)
+    n = _roll_win(xv.astype(fdt), w, "add")
+    s1 = _roll_win(f, w, "add")
+    s2 = _roll_win(f * f, w, "add")
+    s3 = _roll_win(f * f * f, w, "add")
+    nn = jnp.maximum(n, 1)
+    m = s1 / nn
+    m2 = jnp.maximum(s2 / nn - m * m, 0.0)
+    validity = (n >= min_p) & (jnp.arange(cap) < count) & (m2 > 0)
+    if op == "rolling_skew":
+        m3 = s3 / nn - 3 * m * s2 / nn + 2 * m ** 3
+        g = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+        if not e.attrs.get("bias", True):
+            g = g * jnp.sqrt(nn * (nn - 1)) / jnp.maximum(nn - 2, 1)
+            validity = validity & (n > 2)
+        return back(g.astype(_stor(out_dt)), validity, out_dt)
+    s4 = _roll_win(f ** 4, w, "add")
+    m4 = s4 / nn - 4 * m * s3 / nn + 6 * m * m * s2 / nn - 3 * m ** 4
+    g = m4 / jnp.maximum(m2 * m2, 1e-300)
+    if not e.attrs.get("bias", True):
+        g = ((nn + 1) * g - 3 * (nn - 1)) * (nn - 1) / \
+            jnp.maximum((nn - 2) * (nn - 3), 1) + 3
+        validity = validity & (n > 3)
+    if e.attrs.get("fisher", True):
+        g = g - 3.0
+    return back(g.astype(_stor(out_dt)), validity, out_dt)
+
+
+def _rolling_map_host(e: Expr, v: Val, x, xv, count, back) -> Val:
+    """Host UDF over each window (reference: Expr.rolling_map — documented
+    slow path there too). Unfusable; runs eagerly."""
+    w = e.attrs["window_size"]
+    min_p = e.attrs.get("min_samples") or w
+    fn = e.attrs["fn"]
+    from ..api.series import Series
+    xs = np.asarray(x)
+    vs = np.asarray(xv)
+    cnt = int(np.asarray(count))
+    data = np.zeros(xs.shape[0], dtype=np.float64)
+    valid = np.zeros(xs.shape[0], dtype=bool)
+    for i in range(cnt):
+        lo = max(0, i - w + 1)
+        vals = [xs[j].item() if vs[j] else None for j in range(lo, i + 1)]
+        n_ok = sum(1 for u in vals if u is not None)
+        if n_ok < min_p:
+            continue
+        r = fn(Series("", vals))
+        if r is not None:
+            data[i] = float(r)
+            valid[i] = True
+    return back(jnp.asarray(data), jnp.asarray(valid), Float64)
+
+
+def _ewm_var_std(e: Expr, v: Val, x, xv, back) -> Val:
+    """EW variance via weighted-moment associative scans (reference:
+    polars-compute/src/ewm/variance.rs semantics)."""
+    op = e.attrs["op"]
+    alpha = float(e.attrs["alpha"])
+    adjust = e.attrs.get("adjust", True)
+    bias = e.attrs.get("bias", False)
+    min_p = e.attrs.get("min_samples", 1)
+    out_dt = _float_dt(v.dtype)
+    stor = _stor(out_dt)
+    f = x.astype(stor)
+    d = jnp.where(xv, 1.0 - alpha, 1.0).astype(stor)
+    d2 = d * d
+
+    # scans: sum w, sum w^2, sum w x, sum w x^2 with decay d (w) / d2 (w^2)
+    def scan(decay, contrib):
+        def c2(p, q):
+            (Ap, Sp) = p
+            (Aq, Sq) = q
+            return (Ap * Aq, Sp * Aq + Sq)
+        _, s = jax.lax.associative_scan(
+            c2, (decay, jnp.where(xv, contrib, 0.0)))
+        return s
+
+    one = jnp.ones_like(f)
+    sw = scan(d, one)
+    sw2 = scan(d2, one)
+    swx = scan(d, f)
+    swx2 = scan(d, f * f)
+    mean = swx / jnp.maximum(sw, 1e-300)
+    var = swx2 / jnp.maximum(sw, 1e-300) - mean * mean
+    var = jnp.maximum(var, 0.0)
+    if not bias:
+        denom = sw * sw - sw2
+        var = var * (sw * sw) / jnp.where(denom <= 0, 1.0, denom)
+        var = jnp.where(denom <= 0, 0.0, var)
+    cnt = jnp.cumsum(xv.astype(jnp.int32))
+    validity = xv & (cnt >= min_p)
+    data = jnp.sqrt(var) if op == "ewm_std" else var
+    return back(data.astype(stor), validity, out_dt)
+
+
+def _rolling_by(e: Expr, v: Val, x, xv, count, back, byv, perm) -> Val:
+    """Range-windowed rolling over a sorted `by` column: window for row i =
+    rows j with by_j in (by_i - period, by_i]. Prefix sums / sparse-table
+    range queries — no per-window loops (reference:
+    polars-time/src/group_by/rolling semantics)."""
+    from ..ops.range_agg import build_sparse, range_query, prefix_range_sum
+    from ..ops.temporal import parse_every, UNIT_PER_SECOND
+    op = e.attrs["op"]
+    period = e.attrs["period"]
+    min_p = e.attrs.get("min_samples") or 1
+    dt = v.dtype
+    cap = x.shape[0]
+    idx = jnp.arange(cap)
+    b = byv.data[perm]
+    bdt = byv.dtype
+    if isinstance(period, str):
+        kind, ns = parse_every(period)
+        if kind != "fixed":
+            raise InvalidOperationError(
+                f"rolling_*_by: month-based period {period!r} unsupported")
+        if isinstance(bdt, (Datetime, Duration)):
+            span = ns // (1_000_000_000 // UNIT_PER_SECOND[bdt.time_unit]) \
+                if bdt.time_unit != "ns" else ns
+        elif bdt == Date:
+            span = ns // (86_400 * 1_000_000_000)
+        else:
+            span = ns
+    else:
+        span = int(period)
+    bi = b.astype(jnp.int64) if not jnp.issubdtype(b.dtype, jnp.floating) \
+        else b
+    # by must be sorted ascending over live rows; dead rows sit at the end
+    live = idx < count
+    _, hi_bnd = _type_bounds(bi.dtype)
+    bs = jnp.where(live, bi, hi_bnd)
+    target = bs - span
+    lo = jnp.searchsorted(bs, target, side="right")
+    hi = idx + 1  # inclusive of self
+    cnt = prefix_range_sum(xv.astype(jnp.int32), lo, hi)
+    validity = (cnt >= min_p) & live
+    if op in ("rolling_min_by", "rolling_max_by"):
+        knd = "min" if op == "rolling_min_by" else "max"
+        lo_b, hi_b = _type_bounds(x.dtype)
+        pad = hi_b if knd == "min" else lo_b
+        levels = build_sparse(jnp.where(xv, x, pad), knd)
+        data = range_query(levels, lo, hi, knd, pad)
+        return back(data, validity)
+    acc = _acc_dtype(_float_dt(dt)) if dt.is_float else _acc_dtype(dt)
+    s = prefix_range_sum(jnp.where(xv, x, 0).astype(acc), lo, hi)
+    if op == "rolling_sum_by":
+        return back(s.astype(x.dtype), validity)
+    out_dt = _float_dt(dt)
+    stor = _stor(out_dt)
+    n = jnp.maximum(cnt, 1)
+    if op == "rolling_mean_by":
+        return back((s / n).astype(stor), validity, out_dt)
+    s2 = prefix_range_sum(jnp.where(xv, x.astype(acc) ** 2, 0), lo, hi)
+    ddof = e.attrs.get("ddof", 1)
+    var = (s2 - s * s / n) / jnp.maximum(n - ddof, 1)
+    var = jnp.maximum(var, 0)
+    validity = validity & (cnt > ddof)
+    if op == "rolling_var_by":
+        return back(var.astype(stor), validity, out_dt)
+    return back(jnp.sqrt(var).astype(stor), validity, out_dt)
 
 
 def _rolling(e: Expr, v: Val, x, xv, count, back) -> Val:
@@ -1531,7 +1965,7 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                    lengths=c.lengths, elem_valid=c.elem_valid, fields=fields)
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
-    if k in ("alias", "name_map", "name_keep"):
+    if k in ("alias", "name_map", "name_keep", "exclude"):
         return eval_expr(e.children[0], table, ctx)
     if k == "cast":
         return cast_val(eval_expr(e.children[0], table, ctx),
@@ -1655,7 +2089,9 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "window":
         v = eval_expr(e.children[0], table, ctx)
         fillv = eval_expr(e.children[1], table, ctx)
-        return _eval_window(e, v, fillv, table)
+        byv = eval_expr(e.children[2], table, ctx) \
+            if len(e.children) > 2 else None
+        return _eval_window(e, v, fillv, table, byv)
     if k == "str":
         return _eval_str(e, eval_expr(e.children[0], table, ctx), table)
     if k == "dt":
@@ -1795,13 +2231,159 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             return v
         live = v.validity if v.live is None else (v.live & v.validity)
         return Val(v.dtype, v.data, v.validity, v.sdict, v.is_scalar, live)
+    if k == "expr_slice":
+        v = eval_expr(e.children[0], table, ctx)
+        if v.is_scalar:
+            return v
+        mask = table.row_mask() if v.live is None else \
+            (table.row_mask() & v.live)
+        off = int(e.attrs["offset"])
+        length = e.attrs.get("length")
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        n_live = jnp.sum(mask.astype(jnp.int32))
+        start = jnp.where(jnp.int32(off) >= 0, jnp.int32(off),
+                          jnp.maximum(n_live + off, 0))
+        keep = mask & (rank >= start)
+        if length is not None:
+            keep = keep & (rank < start + int(length))
+        return Val(v.dtype, v.data, v.validity, v.sdict, False, keep,
+                   lengths=v.lengths, elem_valid=v.elem_valid,
+                   fields=v.fields)
     if k == "hash":
         v = eval_expr(e.children[0], table, ctx)
         from ..ops.hashing import hash_array
         return Val(UInt32, hash_array(v.data, e.attrs.get("seed", 0)),
                    v.validity, None, v.is_scalar, v.live)
-    if k == "is_duplicated" or k == "is_unique" or k == "is_first_distinct":
+    if k in ("is_duplicated", "is_unique", "is_first_distinct",
+             "is_last_distinct"):
         return _eval_distinct_flags(e, table, ctx)
+    if k == "arg_true":
+        v = eval_expr(e.children[0], table, ctx)
+        if not v.dtype.is_bool:
+            raise InvalidOperationError(f"arg_true on {v.dtype!r}")
+        mask = table.row_mask() if v.live is None else \
+            (table.row_mask() & v.live)
+        # index among live rows; keep only rows where the predicate holds
+        pos = (jnp.cumsum(mask.astype(jnp.uint32)) - 1).astype(jnp.uint32)
+        keep = mask & v.data & v.valid_or_true()
+        return Val(UInt32, pos, None, None, False, keep)
+    if k == "bounds":
+        v = eval_expr(e.children[0], table, ctx)
+        lo, hi = _type_bounds(v.data.dtype)
+        val = lo if e.attrs["side"] == "lower" else hi
+        return _scalar(v.dtype, val)
+    if k == "to_physical":
+        v = eval_expr(e.children[0], table, ctx)
+        from ..dtypes import Categorical, Time
+        dt = v.dtype
+        if dt.is_string or isinstance(dt, Categorical):
+            return Val(UInt32, v.data.astype(jnp.uint32), v.validity, None,
+                       v.is_scalar, v.live)
+        phys = {repr(Date): Int32, repr(Boolean): Boolean}.get(repr(dt))
+        if isinstance(dt, Datetime) or isinstance(dt, Duration) or dt == Time:
+            phys = Int64
+        if phys is None:
+            return v
+        return Val(phys, v.data, v.validity, None, v.is_scalar, v.live)
+    if k == "sample":
+        return _eval_sample(e, table, ctx)
+    if k == "extend_constant":
+        v = eval_expr(e.children[0], table, ctx)
+        f = eval_expr(e.children[1], table, ctx)
+        n = int(e.attrs["n"])
+        if v.is_scalar:
+            raise InvalidOperationError("extend_constant on scalar")
+        fv = cast_val(f, v.dtype) if f.dtype != Null else f
+        tailv = jnp.broadcast_to(fv.data if f.dtype != Null
+                                 else jnp.zeros(1, v.data.dtype), (n,))
+        data = jnp.concatenate([v.data, tailv.astype(v.data.dtype)])
+        validity = None
+        if v.validity is not None or f.dtype == Null:
+            validity = jnp.concatenate([
+                v.valid_or_true(),
+                jnp.full((n,), f.dtype != Null, jnp.bool_)])
+        base_live = table.row_mask() if v.live is None \
+            else (table.row_mask() & v.live)
+        live = jnp.concatenate([base_live, jnp.ones(n, jnp.bool_)])
+        return Val(v.dtype, data, validity, v.sdict, False, live)
+    if k == "append":
+        l = eval_expr(e.children[0], table, ctx)
+        r = eval_expr(e.children[1], table, ctx)
+        st = supertype(l.dtype, r.dtype)
+        if l.dtype.is_string and r.dtype.is_string:
+            a, b = _align_strings(l, r)
+        else:
+            a, b = cast_val(l, st), cast_val(r, st)
+        data = jnp.concatenate([a.data, jnp.atleast_1d(b.data)])
+        validity = None
+        if a.validity is not None or b.validity is not None:
+            validity = jnp.concatenate([a.valid_or_true(),
+                                        jnp.atleast_1d(b.valid_or_true())])
+        mask = table.row_mask()
+        al = mask if a.live is None else (mask & a.live)
+        if b.is_scalar:
+            bl = jnp.ones(jnp.atleast_1d(b.data).shape[0], jnp.bool_)
+        else:
+            bl = mask if b.live is None else (mask & b.live)
+        live = jnp.concatenate([al, bl])
+        return Val(a.dtype if not l.dtype.is_string else String, data,
+                   validity, a.sdict, False, live)
+    if k == "map_elements":
+        return _eval_map_elements(e, table, ctx)
+    if k == "cumulative_eval":
+        return _eval_cumulative(e, table, ctx)
+    if k == "replace_strict":
+        v = eval_expr(e.children[0], table, ctx)
+        old, new = e.attrs["old"], e.attrs["new"]
+        default = e.attrs.get("default")
+        if v.dtype.is_string:
+            sd = v.sdict or EMPTY_SDICT
+            mapping = {o: n for o, n in zip(old, new)}
+            if default is None:
+                mask = np.asarray(table.row_mask() if v.live is None
+                                  else (table.row_mask() & v.live))
+                codes = np.asarray(v.data)
+                ok = mask & np.asarray(v.valid_or_true()) & (codes >= 0)
+                used = np.unique(codes[ok])
+                missing = [s for s in (sd.values[used] if len(used) else [])
+                           if s not in mapping]
+                if missing:
+                    raise InvalidOperationError(
+                        f"replace_strict: value {missing[0]!r} not in "
+                        "mapping and no default given")
+            nd, remap = sd.map_to_strings(
+                lambda s: mapping.get(s, default))
+            rm = jnp.asarray(remap) if len(remap) else jnp.zeros(1, jnp.int32)
+            data = jnp.where(v.data >= 0,
+                             rm[jnp.clip(v.data, 0, max(len(remap) - 1, 0))],
+                             NULL_CODE)
+            return Val(String, data, v.validity, nd, v.is_scalar, v.live)
+        matched = jnp.zeros(v.data.shape, jnp.bool_)
+        tgt = None
+        for n2 in new:
+            t2 = _lit_val(n2, None).dtype
+            tgt = t2 if tgt is None else supertype(tgt, t2)
+        if default is not None:
+            tgt = supertype(tgt, _lit_val(default, None).dtype)
+        stor = _stor(tgt)
+        data = jnp.zeros(v.data.shape, stor)
+        for o, n2 in zip(old, new):
+            hit = v.data == o
+            matched = matched | hit
+            data = jnp.where(hit, jnp.asarray(n2, stor), data)
+        validity = v.validity
+        if default is not None:
+            data = jnp.where(matched, data, jnp.asarray(default, stor))
+        else:
+            live2 = table.row_mask() if v.live is None \
+                else (table.row_mask() & v.live)
+            bad = np.asarray(live2 & v.valid_or_true() & ~matched)
+            if bad.any():
+                badv = np.asarray(v.data)[bad][0]
+                raise InvalidOperationError(
+                    f"replace_strict: value {badv!r} not in mapping "
+                    "and no default given")
+        return Val(tgt, data, validity, None, v.is_scalar, v.live)
     if k in ("cut", "qcut"):
         return _eval_cut(e, eval_expr(e.children[0], table, ctx), table)
     if k == "gather_every":
@@ -1859,6 +2441,8 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "sort_self":
         v = eval_expr(e.children[0], table, ctx)
         return _eval_sort_self(e, v, table)
+    if k == "sort_by":
+        return _eval_sort_by(e, table, ctx)
     if k == "map_batches":
         v = eval_expr(e.children[0], table, ctx)
         fn = e.attrs["fn"]
@@ -2015,6 +2599,102 @@ def _eval_when_then(e: Expr, table: Table, ctx: str) -> Val:
     return Val(out_dt, data, validity, sdict, False)
 
 
+def _eval_sample(e: Expr, table: Table, ctx: str) -> Val:
+    """Bernoulli-free exact sampling: permute live rows with jax.random,
+    keep the first n (shuffle = keep all, permuted)."""
+    v = eval_expr(e.children[0], table, ctx)
+    mask = table.row_mask() if v.live is None else (table.row_mask() & v.live)
+    cap = v.data.shape[0]
+    seed = e.attrs.get("seed")
+    key = jax.random.PRNGKey(0 if seed is None else int(seed))
+    u = jax.random.uniform(key, (cap,))
+    # dead rows last, random order among live
+    order = jnp.argsort(jnp.where(mask, u, 2.0))
+    n_live = jnp.sum(mask)
+    n = e.attrs.get("n")
+    frac = e.attrs.get("fraction")
+    if n is None:
+        n_take = (n_live * (1.0 if frac is None else float(frac))
+                  ).astype(jnp.int32)
+    else:
+        n_take = jnp.minimum(jnp.int32(int(n)), n_live)
+    if e.attrs.get("with_replacement"):
+        key2 = jax.random.split(key)[0]
+        live_idx = order  # live rows at the front
+        pick = jax.random.randint(key2, (cap,), 0,
+                                  jnp.maximum(n_live, 1))
+        src = live_idx[pick]
+        keep = jnp.arange(cap) < n_take
+        data = v.data[src]
+        validity = None if v.validity is None else v.validity[src]
+        return Val(v.dtype, data, validity, v.sdict, False, keep)
+    data = v.data[order]
+    validity = None if v.validity is None else v.validity[order]
+    keep = jnp.arange(cap) < n_take
+    return Val(v.dtype, data, validity, v.sdict, False, keep)
+
+
+def _eval_map_elements(e: Expr, table: Table, ctx: str) -> Val:
+    """Host-side per-element UDF (reference: py-polars Expr.map_elements).
+    Pulls the column to host, applies, re-encodes; unfusable by design."""
+    v = eval_expr(e.children[0], table, ctx)
+    fn = e.attrs["fn"]
+    skip_nulls = e.attrs.get("skip_nulls", True)
+    mask = np.asarray(table.row_mask() if v.live is None
+                      else (table.row_mask() & v.live))
+    vals = np.asarray(v.data)
+    valid = np.asarray(v.valid_or_true())
+    if v.dtype.is_string:
+        sd = v.sdict or EMPTY_SDICT
+        dec = sd.decode(vals.astype(np.int32))
+        src = [None if (not va) else s for s, va in zip(dec, valid)]
+    else:
+        src = [x.item() if va else None for x, va in zip(vals, valid)]
+    out = [fn(s) if (s is not None or not skip_nulls) else None
+           for s in src]
+    rd = e.attrs.get("return_dtype")
+    from ..api.series import Series
+    res = Series("", [o if m else None for o, m in zip(out, mask)],
+                 dtype=rd)._col
+    return Val(res.dtype, res.data, res.validity, res.sdict, False, v.live)
+
+
+def _eval_cumulative(e: Expr, table: Table, ctx: str) -> Val:
+    """cumulative_eval: run an aggregation expr over every prefix. Host
+    loop, O(n * eval) — matches the reference's documented slowness
+    (py-polars Expr.cumulative_eval warning)."""
+    from ..batch import Table as _Table, Column as _Column
+    v = eval_expr(e.children[0], table, ctx)
+    inner = e.children[1]
+    min_samples = int(e.attrs.get("min_samples", 1))
+    mask = np.asarray(table.row_mask() if v.live is None
+                      else (table.row_mask() & v.live))
+    idxs = np.nonzero(mask)[0]
+    col = _Column(v.dtype, v.data, v.validity, v.sdict)
+    outs, valids = [], []
+    sub = inner  # uses pl.element() == col("__pt_element__") refs
+    for k2 in range(1, len(idxs) + 1):
+        take = idxs[:k2]
+        pref = _Column(v.dtype, v.data[jnp.asarray(take)],
+                       None if v.validity is None
+                       else v.validity[jnp.asarray(take)], v.sdict)
+        t2 = _Table(["__pt_element__"], {"__pt_element__": pref},
+                    len(take), len(take), None)
+        if k2 < min_samples:
+            outs.append(None)
+            continue
+        r = eval_expr(sub, t2, "select")
+        rv = np.asarray(r.data)[:1]
+        ok = True if r.validity is None else bool(np.asarray(r.validity)[0])
+        outs.append(rv[0].item() if ok else None)
+    from ..api.series import Series
+    full = [None] * int(mask.shape[0])
+    for i, o in zip(idxs, outs):
+        full[int(i)] = o
+    res = Series("", full)._col
+    return Val(res.dtype, res.data, res.validity, res.sdict, False, v.live)
+
+
 def _eval_distinct_flags(e: Expr, table: Table, ctx: str) -> Val:
     v = eval_expr(e.children[0], table, ctx)
     mask = table.row_mask()
@@ -2036,10 +2716,44 @@ def _eval_distinct_flags(e: Expr, table: Table, ctx: str) -> Val:
         flag = gcount > 1
     elif e.kind == "is_unique":
         flag = gcount == 1
+    elif e.kind == "is_last_distinct":
+        flag = jnp.concatenate([newg[1:], jnp.ones(1, jnp.bool_)])
     else:  # is_first_distinct
         flag = newg
     out = jnp.zeros(cap, jnp.bool_).at[si].set(flag)
     return Val(Boolean, out, None, None, False, v.live)
+
+
+def _eval_sort_by(e: Expr, table: Table, ctx: str) -> Val:
+    """`expr.sort_by(*keys)`: reorder self by the key columns (reference:
+    polars-plan SortBy expr)."""
+    from ..ops.keycode import encode_key_words
+    v = eval_expr(e.children[0], table, ctx)
+    n_by = e.attrs.get("n_by", len(e.children) - 1)
+    desc = e.attrs.get("descending", False)
+    descs = desc if isinstance(desc, (list, tuple)) else [desc] * n_by
+    nulls_last = e.attrs.get("nulls_last", False)
+    mask, perm, inv, count = _live_order(table)
+    cap = table.capacity
+    idx = jnp.arange(cap)
+    live = idx < count
+    dead = (~live).astype(jnp.uint32)
+    words = [dead]
+    for i in range(n_by):
+        bv = eval_expr(e.children[1 + i], table, ctx)
+        b = jnp.broadcast_to(bv.data, (cap,))[perm]
+        bvv = jnp.broadcast_to(bv.valid_or_true(), (cap,))[perm]
+        words.extend(encode_key_words(b, bvv, bool(descs[i]), nulls_last))
+    x = v.data[perm]
+    xv = v.valid_or_true()[perm]
+    out = jax.lax.sort(tuple(words) + (x, xv.astype(jnp.int32)),
+                       num_keys=len(words), is_stable=True)
+    sx, sv = out[-2], out[-1].astype(jnp.bool_)
+    data = jnp.where(live, sx, x)
+    validity = jnp.where(live, sv, xv)
+    return Val(v.dtype, data[inv],
+               validity[inv] if v.validity is not None else None,
+               v.sdict, False, v.live)
 
 
 def _eval_sort_self(e: Expr, v: Val, table: Table) -> Val:

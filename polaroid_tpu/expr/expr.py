@@ -144,6 +144,39 @@ class Expr:
     def ge(self, o): return self._bin("ge", o)
     def not_(self): return Expr("unary", (self,), op="not")
 
+    # method-form arithmetic (py-polars `Expr.add/sub/...` parity)
+    def add(self, o): return self._bin("add", o)
+    def sub(self, o): return self._bin("sub", o)
+    def mul(self, o): return self._bin("mul", o)
+    def truediv(self, o): return self._bin("truediv", o)
+    def floordiv(self, o): return self._bin("floordiv", o)
+    def mod(self, o): return self._bin("mod", o)
+    def pow(self, o): return self._bin("pow", o)
+    def xor(self, o): return self._bin("xor", o)
+    def neg(self): return Expr("unary", (self,), op="neg")
+
+    def and_(self, *others) -> "Expr":
+        acc = self
+        for o in _flatten(others):
+            acc = acc._bin("and", _wrap_col(o) if isinstance(o, str) else o)
+        return acc
+
+    def or_(self, *others) -> "Expr":
+        acc = self
+        for o in _flatten(others):
+            acc = acc._bin("or", _wrap_col(o) if isinstance(o, str) else o)
+        return acc
+
+    def eq_missing(self, o) -> "Expr":
+        """Equality where null == null is true (reference:
+        `polars-plan/src/dsl/mod.rs` eq_missing)."""
+        o = _wrap(o)
+        return (self.is_null() & o.is_null()) | \
+            self._bin("eq", o).fill_null(False)
+
+    def ne_missing(self, o) -> "Expr":
+        return self.eq_missing(o).not_()
+
     # --- math -----------------------------------------------------------
     def _un(self, op: str, **kw) -> "Expr":
         return Expr("unary", (self,), op=op, **kw)
@@ -165,6 +198,12 @@ class Expr:
     def sinh(self): return self._un("sinh")
     def cosh(self): return self._un("cosh")
     def tanh(self): return self._un("tanh")
+    def arcsinh(self): return self._un("arcsinh")
+    def arccosh(self): return self._un("arccosh")
+    def arctanh(self): return self._un("arctanh")
+    def cot(self): return self._un("cot")
+    def degrees(self): return self._un("degrees")
+    def radians(self): return self._un("radians")
     def floor(self): return self._un("floor")
     def ceil(self): return self._un("ceil")
     def round(self, decimals: int = 0): return self._un("round", decimals=decimals)
@@ -216,6 +255,32 @@ class Expr:
     def implode(self): return self._agg("implode")
     def agg_groups(self): return self._agg("agg_groups")
     def mode(self): return self._agg("mode")
+    def skew(self, bias: bool = True): return self._agg("skew", bias=bias)
+    def kurtosis(self, fisher: bool = True, bias: bool = True):
+        return self._agg("kurtosis", fisher=fisher, bias=bias)
+    def nan_min(self): return self._agg("nan_min")
+    def nan_max(self): return self._agg("nan_max")
+    def bitwise_and(self): return self._agg("bitwise_and")
+    def bitwise_or(self): return self._agg("bitwise_or")
+    def bitwise_xor(self): return self._agg("bitwise_xor")
+    def has_nulls(self): return self.null_count() > 0
+    def approx_n_unique(self): return self._agg("n_unique")
+
+    # elementwise bit introspection (reference: polars-compute/src/bitwise/)
+    def bitwise_count_ones(self): return self._un("bit_count_ones")
+    def bitwise_count_zeros(self): return self._un("bit_count_zeros")
+    def bitwise_leading_ones(self): return self._un("bit_leading_ones")
+    def bitwise_leading_zeros(self): return self._un("bit_leading_zeros")
+    def bitwise_trailing_ones(self): return self._un("bit_trailing_ones")
+    def bitwise_trailing_zeros(self): return self._un("bit_trailing_zeros")
+
+    def dot(self, other) -> "Expr":
+        return (self * _wrap_col(other)).sum()
+
+    def index_of(self, element) -> "Expr":
+        if element is None:
+            return self.is_null().arg_true().first()
+        return self._bin("eq", element).fill_null(False).arg_true().first()
 
     # --- order-dependent (window) ops -----------------------------------
     def shift(self, n: int = 1, fill_value=None) -> "Expr":
@@ -268,18 +333,97 @@ class Expr:
         return Expr("window", (self, _wrap(None)), op="rolling_var",
                     window_size=window_size, min_samples=min_samples, ddof=ddof)
 
+    def rolling_median(self, window_size: int,
+                       min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_quantile",
+                    window_size=window_size, min_samples=min_samples,
+                    q=0.5, interpolation="linear")
+
+    def rolling_quantile(self, quantile: float,
+                         interpolation: str = "nearest",
+                         window_size: int = 2,
+                         min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_quantile",
+                    window_size=window_size, min_samples=min_samples,
+                    q=quantile, interpolation=interpolation)
+
+    def rolling_skew(self, window_size: int, bias: bool = True,
+                     min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_skew",
+                    window_size=window_size, min_samples=min_samples,
+                    bias=bias)
+
+    def rolling_kurtosis(self, window_size: int, fisher: bool = True,
+                         bias: bool = True,
+                         min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_kurtosis",
+                    window_size=window_size, min_samples=min_samples,
+                    fisher=fisher, bias=bias)
+
+    def rolling_map(self, function, window_size: int,
+                    min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_map",
+                    window_size=window_size, min_samples=min_samples,
+                    fn=function)
+
+    # range-windowed (by a sorted companion column, e.g. time)
+    def _rolling_by(self, op: str, by, window_size, min_samples, **kw):
+        return Expr("window", (self, _wrap(None), _wrap_col(by)),
+                    op=op, period=window_size,
+                    min_samples=min_samples, **kw)
+
+    def rolling_sum_by(self, by, window_size, min_samples: int = 1):
+        return self._rolling_by("rolling_sum_by", by, window_size, min_samples)
+
+    def rolling_mean_by(self, by, window_size, min_samples: int = 1):
+        return self._rolling_by("rolling_mean_by", by, window_size, min_samples)
+
+    def rolling_min_by(self, by, window_size, min_samples: int = 1):
+        return self._rolling_by("rolling_min_by", by, window_size, min_samples)
+
+    def rolling_max_by(self, by, window_size, min_samples: int = 1):
+        return self._rolling_by("rolling_max_by", by, window_size, min_samples)
+
+    def rolling_std_by(self, by, window_size, min_samples: int = 1,
+                       ddof: int = 1):
+        return self._rolling_by("rolling_std_by", by, window_size,
+                                min_samples, ddof=ddof)
+
+    def rolling_var_by(self, by, window_size, min_samples: int = 1,
+                       ddof: int = 1):
+        return self._rolling_by("rolling_var_by", by, window_size,
+                                min_samples, ddof=ddof)
+
+    def interpolate_by(self, by) -> "Expr":
+        return Expr("window", (self, _wrap(None), _wrap_col(by)),
+                    op="interpolate_by")
+
+    def ewm_mean_by(self, by, half_life) -> "Expr":
+        return Expr("window", (self, _wrap(None), _wrap_col(by)),
+                    op="ewm_mean_by", half_life=half_life)
+
+    def ewm_std(self, alpha: Optional[float] = None,
+                span: Optional[float] = None,
+                half_life: Optional[float] = None, com: Optional[float] = None,
+                adjust: bool = True, bias: bool = False,
+                min_samples: int = 1):
+        alpha = _resolve_alpha(alpha, span, half_life, com)
+        return Expr("window", (self, _wrap(None)), op="ewm_std", alpha=alpha,
+                    adjust=adjust, bias=bias, min_samples=min_samples)
+
+    def ewm_var(self, alpha: Optional[float] = None,
+                span: Optional[float] = None,
+                half_life: Optional[float] = None, com: Optional[float] = None,
+                adjust: bool = True, bias: bool = False,
+                min_samples: int = 1):
+        alpha = _resolve_alpha(alpha, span, half_life, com)
+        return Expr("window", (self, _wrap(None)), op="ewm_var", alpha=alpha,
+                    adjust=adjust, bias=bias, min_samples=min_samples)
+
     def ewm_mean(self, alpha: Optional[float] = None, span: Optional[float] = None,
                  half_life: Optional[float] = None, com: Optional[float] = None,
                  adjust: bool = True, min_samples: int = 1):
-        if alpha is None:
-            if span is not None:
-                alpha = 2.0 / (span + 1.0)
-            elif com is not None:
-                alpha = 1.0 / (1.0 + com)
-            elif half_life is not None:
-                alpha = 1.0 - 0.5 ** (1.0 / half_life)
-            else:
-                raise ValueError("one of alpha/span/half_life/com required")
+        alpha = _resolve_alpha(alpha, span, half_life, com)
         return Expr("window", (self, _wrap(None)), op="ewm_mean", alpha=alpha,
                     adjust=adjust, min_samples=min_samples)
 
@@ -306,16 +450,46 @@ class Expr:
         return Expr("sort_self", (self,), descending=descending,
                     nulls_last=nulls_last)
 
-    def sort_by(self, *by, descending=False):
+    def sort_by(self, *by, descending=False, nulls_last: bool = False):
         by_exprs = tuple(_wrap_col(b) for b in _flatten(by))
         return Expr("sort_by", (self,) + by_exprs, descending=descending,
-                    n_by=len(by_exprs))
+                    nulls_last=nulls_last, n_by=len(by_exprs))
 
     def reverse(self):
         return Expr("window", (self, _wrap(None)), op="reverse")
 
+    def arg_sort(self, descending: bool = False, nulls_last: bool = False):
+        return Expr("window", (self, _wrap(None)), op="arg_sort",
+                    descending=descending, nulls_last=nulls_last)
+
+    def arg_true(self) -> "Expr":
+        return Expr("arg_true", (self,))
+
+    def arg_unique(self) -> "Expr":
+        return self.is_first_distinct().arg_true()
+
+    def is_last_distinct(self) -> "Expr":
+        return Expr("is_last_distinct", (self,))
+
+    def top_k(self, k: int = 5) -> "Expr":
+        return Expr("sort_self", (self,), descending=True,
+                    nulls_last=True).head(k)
+
+    def bottom_k(self, k: int = 5) -> "Expr":
+        return Expr("sort_self", (self,), descending=False,
+                    nulls_last=True).head(k)
+
+    def top_k_by(self, by, k: int = 5) -> "Expr":
+        return self.sort_by(by, descending=True, nulls_last=True).head(k)
+
+    def bottom_k_by(self, by, k: int = 5) -> "Expr":
+        return self.sort_by(by, descending=False, nulls_last=True).head(k)
+
     def filter(self, predicate: "Expr") -> "Expr":
         return Expr("expr_filter", (self, predicate))
+
+    def where(self, predicate: "Expr") -> "Expr":
+        return self.filter(predicate)
 
     def slice(self, offset: int, length: Optional[int] = None) -> "Expr":
         return Expr("expr_slice", (self,), offset=offset, length=length)
@@ -392,9 +566,113 @@ class Expr:
     def search_sorted(self, element, side: str = "any") -> "Expr":
         return Expr("search_sorted", (self, _wrap(element)), side=side)
 
-    def replace(self, old, new) -> "Expr":
+    def replace(self, old, new=None) -> "Expr":
+        if isinstance(old, dict):
+            old, new = tuple(old.keys()), tuple(old.values())
         return Expr("replace", (self,), old=tuple(old) if isinstance(old, (list, tuple)) else (old,),
                     new=tuple(new) if isinstance(new, (list, tuple)) else (new,))
+
+    def replace_strict(self, old, new=None, default=None,
+                       return_dtype=None) -> "Expr":
+        """Like replace, but unmatched values map to `default` (reference:
+        `py-polars` Expr.replace_strict)."""
+        if isinstance(old, dict):
+            old, new = tuple(old.keys()), tuple(old.values())
+        return Expr("replace_strict", (self,),
+                    old=tuple(old) if isinstance(old, (list, tuple)) else (old,),
+                    new=tuple(new) if isinstance(new, (list, tuple)) else (new,),
+                    default=default, return_dtype=return_dtype)
+
+    def extend_constant(self, value, n: int) -> "Expr":
+        return Expr("extend_constant", (self, _wrap(value)), n=n)
+
+    def append(self, other) -> "Expr":
+        return Expr("append", (self, _wrap(other)))
+
+    def is_close(self, other, abs_tol: float = 1e-12, rel_tol: float = 1e-9,
+                 nans_equal: bool = False) -> "Expr":
+        """|a-b| <= max(rel_tol*max(|a|,|b|), abs_tol); infinities are close
+        iff identical (reference: py-polars Expr.is_close)."""
+        o = _wrap(other)
+        la, lb = self.abs(), o.abs()
+        scale = when(la >= lb).then(la).otherwise(lb)
+        tol = when(scale * rel_tol >= abs_tol).then(scale * rel_tol) \
+            .otherwise(lit(abs_tol))
+        close = ((self - o).abs() <= tol) & self.is_finite() & o.is_finite()
+        close = close | (self.is_infinite() & o.is_infinite()
+                         & (self._bin("eq", o)))
+        if nans_equal:
+            close = close | (self.is_nan() & o.is_nan())
+        return close
+
+    def lower_bound(self) -> "Expr":
+        return Expr("bounds", (self,), side="lower")
+
+    def upper_bound(self) -> "Expr":
+        return Expr("bounds", (self,), side="upper")
+
+    def reinterpret(self, signed: bool = True) -> "Expr":
+        return self._un("reinterpret", signed=signed)
+
+    def round_sig_figs(self, digits: int) -> "Expr":
+        return self._un("round_sig_figs", digits=digits)
+
+    def to_physical(self) -> "Expr":
+        return Expr("to_physical", (self,))
+
+    def sample(self, n=None, fraction=None, with_replacement: bool = False,
+               shuffle: bool = False, seed=None) -> "Expr":
+        return Expr("sample", (self,), n=n, fraction=fraction,
+                    with_replacement=with_replacement, seed=seed)
+
+    def shuffle(self, seed=None) -> "Expr":
+        return Expr("sample", (self,), n=None, fraction=1.0,
+                    with_replacement=False, seed=seed)
+
+    def set_sorted(self, descending: bool = False) -> "Expr":
+        return self  # sortedness flags are recomputed, not trusted
+
+    def rechunk(self) -> "Expr":
+        return self  # single fixed-capacity buffer: always one chunk
+
+    def limit(self, n: int = 10) -> "Expr":
+        return self.head(n)
+
+    def flatten(self) -> "Expr":
+        return Expr("explode_expr", (self,))
+
+    def pipe(self, function, *args, **kwargs):
+        return function(self, *args, **kwargs)
+
+    def inspect(self, fmt: str = "{}") -> "Expr":
+        return self
+
+    def exclude(self, *columns) -> "Expr":
+        names = tuple(str(c) for c in _flatten(columns))
+        return Expr("exclude", (self,), names=names)
+
+    def map_elements(self, function, return_dtype=None,
+                     skip_nulls: bool = True) -> "Expr":
+        return Expr("map_elements", (self,), fn=function,
+                    return_dtype=return_dtype, skip_nulls=skip_nulls)
+
+    def cumulative_eval(self, expr: "Expr", min_samples: int = 1) -> "Expr":
+        return Expr("cumulative_eval", (self, expr), min_samples=min_samples)
+
+    def serialize(self, format: str = "json"):
+        from . import serde
+        import json as _json
+        return _json.dumps(serde.expr_to_dict(self))
+
+    @classmethod
+    def deserialize(cls, source, format: str = "json") -> "Expr":
+        from . import serde
+        import json as _json
+        if hasattr(source, "read"):
+            source = source.read()
+        return serde.expr_from_dict(_json.loads(source))
+
+    from_json = deserialize
 
     # --- namespaces -----------------------------------------------------
     @property
@@ -420,6 +698,15 @@ class Expr:
     @property
     def struct(self) -> "StructNamespace":
         return StructNamespace(self)
+
+    @property
+    def arr(self) -> "ListNamespace":
+        # fixed-size arrays share the padded-list layout; same kernels
+        return ListNamespace(self)
+
+    @property
+    def meta(self) -> "MetaNamespace":
+        return MetaNamespace(self)
 
 
 class StrNamespace:
@@ -621,6 +908,89 @@ def struct(*exprs, **named) -> Expr:
     return Expr("struct", tuple(children), names=tuple(names))
 
 
+class MetaNamespace:
+    """Expression-tree introspection (reference: py-polars Expr.meta)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def output_name(self) -> str:
+        from . import meta as _meta
+        return _meta.output_name(self._e)
+
+    def root_names(self):
+        from . import meta as _meta
+        return sorted(_meta.root_names(self._e))
+
+    def eq(self, other: "Expr") -> bool:
+        o = other._e if isinstance(other, MetaNamespace) else other
+        return self._e.fingerprint() == o.fingerprint()
+
+    def ne(self, other: "Expr") -> bool:
+        return not self.eq(other)
+
+    def has_multiple_outputs(self) -> bool:
+        def walk(e):
+            if e.kind in ("wildcard", "cols", "dtype_cols"):
+                return True
+            return any(walk(c) for c in e.children)
+        return walk(self._e)
+
+    def is_column(self) -> bool:
+        return self._e.kind == "col"
+
+    def is_column_selection(self, allow_aliasing: bool = False) -> bool:
+        e = self._e
+        if e.kind == "alias" and allow_aliasing:
+            e = e.children[0]
+        return e.kind in ("col", "cols", "wildcard", "dtype_cols", "nth")
+
+    def is_literal(self, allow_aliasing: bool = False) -> bool:
+        e = self._e
+        if e.kind == "alias" and allow_aliasing:
+            e = e.children[0]
+        return e.kind == "lit"
+
+    def is_regex_projection(self) -> bool:
+        return self._e.kind == "col" and \
+            str(self._e.attrs.get("name", "")).startswith("^")
+
+    def pop(self):
+        return list(self._e.children)
+
+    def undo_aliases(self) -> Expr:
+        def strip(e: Expr) -> Expr:
+            if e.kind == "alias":
+                return strip(e.children[0])
+            if not e.children:
+                return e
+            return Expr(e.kind, tuple(strip(c) for c in e.children),
+                        **e.attrs)
+        return strip(self._e)
+
+    def tree_format(self, return_as_string: bool = True):
+        lines = []
+
+        def walk(e: Expr, depth: int):
+            label = e.kind
+            if e.kind == "col":
+                label = f'col("{e.attrs["name"]}")'
+            elif e.kind == "lit":
+                label = f'lit({e.attrs["value"]!r})'
+            elif "op" in e.attrs:
+                label = f'{e.kind}[{e.attrs["op"]}]'
+            elif "agg" in e.attrs:
+                label = f'agg[{e.attrs["agg"]}]'
+            lines.append("  " * depth + label)
+            for c in e.children:
+                walk(c, depth + 1)
+        walk(self._e, 0)
+        out = "\n".join(lines)
+        if return_as_string:
+            return out
+        print(out)
+
+
 class NameNamespace:
     def __init__(self, e: Expr):
         self._e = e
@@ -723,6 +1093,18 @@ def when(condition) -> When:
 
 
 # --- helpers ------------------------------------------------------------
+
+def _resolve_alpha(alpha, span, half_life, com) -> float:
+    if alpha is not None:
+        return alpha
+    if span is not None:
+        return 2.0 / (span + 1.0)
+    if com is not None:
+        return 1.0 / (1.0 + com)
+    if half_life is not None:
+        return 1.0 - 0.5 ** (1.0 / half_life)
+    raise ValueError("one of alpha/span/half_life/com required")
+
 
 def _wrap(v) -> Expr:
     if isinstance(v, Expr):

@@ -57,6 +57,7 @@ def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
             e = e._as_expr()
         if isinstance(e, str):
             e = Expr("col", name=e)
+        e, excluded = _strip_excludes(e)
         node = _find_expansion(e)
         if node is None:
             out.append(e)
@@ -76,8 +77,28 @@ def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
                 want.append(d)
             names = [n for n, dt in schema.items() if any(dt == w for w in want)]
         for name in names:
+            if name in excluded:
+                continue
             out.append(_substitute(e, node, Expr("col", name=name)))
     return out
+
+
+def _strip_excludes(e: Expr):
+    """Remove `.exclude(...)` wrappers, returning (expr, excluded-names) —
+    the names are dropped from wildcard/cols expansion (reference:
+    expr_expansion.rs exclude handling)."""
+    excluded: Set[str] = set()
+
+    def walk(node: Expr) -> Expr:
+        if node.kind == "exclude":
+            excluded.update(node.attrs["names"])
+            return walk(node.children[0])
+        if not node.children:
+            return node
+        return Expr(node.kind, tuple(walk(c) for c in node.children),
+                    **node.attrs)
+
+    return walk(e), excluded
 
 
 def output_name(e: Expr) -> str:
@@ -256,7 +277,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return Float32 if ct == Float32 else Float64
     if k in ("is_null", "is_not_null", "is_nan", "is_not_nan", "is_finite",
              "is_infinite", "is_in", "is_in_expr", "is_between",
-             "is_duplicated", "is_unique", "is_first_distinct"):
+             "is_duplicated", "is_unique", "is_first_distinct",
+             "is_last_distinct"):
         return Boolean
     if k in ("fill_null", "fill_nan"):
         ct = output_dtype(e.children[0], schema)
@@ -289,7 +311,9 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if agg == "agg_groups":
             from ..dtypes import List as ListT
             return ListT(UInt32)
-        return ct  # min/max/first/last/product/mode
+        if agg in ("skew", "kurtosis"):
+            return Float64
+        return ct  # min/max/first/last/product/mode/nan_*/bitwise_*
     if k == "when_then":
         nb = e.attrs["n_branches"]
         vals = e.children[nb:]
@@ -307,8 +331,14 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if op in ("peak_min", "peak_max"):
             return Boolean
         if op in ("pct_change", "rolling_mean", "rolling_std", "rolling_var",
-                  "ewm_mean", "interpolate"):
+                  "ewm_mean", "interpolate", "interpolate_by",
+                  "rolling_quantile", "ewm_std", "ewm_var", "ewm_mean_by",
+                  "rolling_mean_by", "rolling_std_by", "rolling_var_by"):
             return Float32 if ct == Float32 else Float64
+        if op in ("rolling_skew", "rolling_kurtosis", "rolling_map"):
+            return Float64
+        if op == "arg_sort":
+            return UInt32
         if op == "rank":
             return Float64 if e.attrs.get("method") == "average" else UInt32
         if op == "diff" and ct == Date:
@@ -417,17 +447,54 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return rd if rd is not None else output_dtype(e.children[0], schema)
     if k == "replace":
         return output_dtype(e.children[0], schema)
+    if k == "arg_true":
+        return UInt32
+    if k in ("bounds", "sample", "extend_constant", "exclude"):
+        return output_dtype(e.children[0], schema)
+    if k == "append":
+        return supertype(output_dtype(e.children[0], schema),
+                         output_dtype(e.children[1], schema))
+    if k == "to_physical":
+        from ..dtypes import Categorical, Time
+        ct = output_dtype(e.children[0], schema)
+        if ct.is_string or isinstance(ct, Categorical):
+            return UInt32
+        if ct == Date:
+            return Int32
+        if isinstance(ct, (Datetime, Duration)) or ct == Time:
+            return Int64
+        return ct
+    if k == "map_elements":
+        rd = e.attrs.get("return_dtype")
+        return rd if rd is not None else output_dtype(e.children[0], schema)
+    if k == "cumulative_eval":
+        inner = output_dtype(e.children[0], schema)
+        return output_dtype(e.children[1], {"__pt_element__": inner})
+    if k == "replace_strict":
+        rd = e.attrs.get("return_dtype")
+        if rd is not None:
+            return rd
+        dt = None
+        for n in e.attrs["new"]:
+            t = _lit_dtype(n, None)
+            dt = t if dt is None else supertype(dt, t)
+        if e.attrs.get("default") is not None:
+            dt = supertype(dt, _lit_dtype(e.attrs["default"], None))
+        return dt
     raise SchemaError(f"cannot infer output dtype of expr kind {k!r}")
 
 
 _NON_ELEMENTWISE = {"agg", "window", "over", "sort_self", "sort_by",
                     "expr_filter", "expr_slice", "drop_nulls", "expr_unique",
                     "table_len", "is_duplicated", "is_unique",
-                    "is_first_distinct", "gather", "unique_counts",
+                    "is_first_distinct", "is_last_distinct", "gather",
+                    "unique_counts",
                     "value_counts", "repeat_by", "explode_expr",
                     "fill_null_strategy", "map_batches", "qcut",
                     "search_sorted", "cat_categories", "gather_every",
-                    "shrink_dtype", "rle"}
+                    "shrink_dtype", "rle", "arg_true", "sample",
+                    "extend_constant", "append", "cumulative_eval",
+                    "map_elements"}
 
 
 def is_elementwise(e: Expr) -> bool:
