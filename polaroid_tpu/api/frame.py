@@ -23,7 +23,7 @@ from ..errors import (ColumnNotFoundError, ComputeError, DuplicateError,
 from ..expr import meta
 from ..expr.eval import (Val, cse_rewrite, cse_scope, eval_expr,
                          val_to_column)
-from ..expr.expr import Expr, WhenThen, col as _col
+from ..expr.expr import Expr, WhenThen, col as _col, when as _when
 from ..ops import compact as C
 from ..ops import sort as S
 from .series import Series
@@ -979,7 +979,7 @@ class DataFrame:
         for n in names:
             if not self.schema[n].is_float:
                 continue
-            p = _col(n).is_not_nan()
+            p = _col(n).is_not_nan().fill_null(True)  # nulls are kept
             pred = p if pred is None else (pred & p)
         return self.filter(pred) if pred is not None else self
 
@@ -1053,6 +1053,347 @@ class DataFrame:
     def write_ndjson(self, file=None, **kw):
         from ..io.json_io import write_ndjson
         return write_ndjson(self, file, **kw)
+
+    def write_ipc_stream(self, file, **kw) -> None:
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+        at = self.to_arrow()
+        sink = file if hasattr(file, "write") else pa.OSFile(str(file), "wb")
+        with paipc.new_stream(sink, at.schema) as w:
+            w.write_table(at)
+        if not hasattr(file, "write"):
+            sink.close()
+
+    def write_delta(self, target, *, mode: str = "error",
+                    table: str = "data") -> None:
+        """Write into the versioned lakehouse store (reference:
+        py-polars DataFrame.write_delta -> our `lakehouse.LakeStore`)."""
+        from ..lakehouse import LakeStore
+        store = LakeStore(str(target))
+        if mode == "append":
+            store.append(table, self)
+        elif mode in ("overwrite", "error", "ignore"):
+            if mode == "error" and table in store.tables():
+                raise InvalidOperationError(
+                    f"delta table {table!r} already exists")
+            if mode == "ignore" and table in store.tables():
+                return
+            store.overwrite(table, self)
+        else:
+            raise InvalidOperationError(f"unknown write_delta mode {mode!r}")
+
+    def write_avro(self, file, **kw) -> None:
+        raise ModuleNotFoundError(
+            "write_avro requires fastavro, which is not bundled")
+
+    def write_excel(self, workbook=None, **kw) -> None:
+        raise ModuleNotFoundError(
+            "write_excel requires xlsxwriter, which is not bundled")
+
+    def write_database(self, table_name: str, connection, **kw) -> None:
+        raise ModuleNotFoundError(
+            "write_database requires sqlalchemy, which is not bundled")
+
+    def write_iceberg(self, target, **kw) -> None:
+        raise ModuleNotFoundError(
+            "write_iceberg requires pyiceberg, which is not bundled")
+
+    def write_clipboard(self, **kw) -> None:
+        raise OSError("no clipboard available in a headless environment")
+
+    # --- misc parity -------------------------------------------------------
+    def collect_schema(self) -> Dict[str, DataType]:
+        return dict(self.schema)
+
+    def pipe(self, function, *args, **kwargs):
+        return function(self, *args, **kwargs)
+
+    def get_column_index(self, name: str) -> int:
+        if name not in self.columns:
+            raise ColumnNotFoundError(name)
+        return self.columns.index(name)
+
+    def iter_columns(self):
+        for n in self.columns:
+            yield self.get_column(n)
+
+    def iter_slices(self, n_rows: int = 10000):
+        off = 0
+        while off < self.height:
+            yield self.slice(off, n_rows)
+            off += n_rows
+
+    def map_rows(self, function, return_dtype=None) -> "DataFrame":
+        outs = [function(r) for r in self.iter_rows()]
+        if outs and isinstance(outs[0], tuple):
+            cols = {f"column_{i}": [o[i] for o in outs]
+                    for i in range(len(outs[0]))}
+        else:
+            cols = {"map": outs}
+        return DataFrame(cols)
+
+    def map_columns(self, names, function) -> "DataFrame":
+        names = [names] if isinstance(names, str) else list(names)
+        out = self
+        for n in names:
+            s = function(out.get_column(n))
+            out = out.replace_column(out.columns.index(n), s.rename(n))
+        return out
+
+    def n_chunks(self, strategy: str = "first"):
+        return 1 if strategy == "first" else [1] * self.width
+
+    def flags(self) -> Dict[str, dict]:
+        return {n: {"SORTED_ASC": False, "SORTED_DESC": False}
+                for n in self.columns}
+
+    def set_sorted(self, column, *, descending: bool = False) -> "DataFrame":
+        return self  # sortedness is recomputed, not trusted
+
+    def shrink_to_fit(self, in_place: bool = False) -> "DataFrame":
+        return self if in_place else self.clone()
+
+    def remove(self, *predicates, **constraints) -> "DataFrame":
+        """Drop matching rows (negated filter; py-polars `remove`)."""
+        preds = [p for p in predicates]
+        for k, v in constraints.items():
+            preds.append(_col(k) == v)
+        keep = None
+        for p in preds:
+            pe = p if isinstance(p, Expr) else _col(str(p))
+            keep = pe if keep is None else (keep & pe)
+        if keep is None:
+            return self
+        return self.filter(~keep.fill_null(False))
+
+    def drop_in_place(self, name: str) -> Series:
+        s = self.get_column(name)
+        self._table = self.drop(name)._table
+        return s
+
+    def rows_by_key(self, key, *, named: bool = False, unique: bool = False):
+        keys = [key] if isinstance(key, str) else list(key)
+        out: Dict[Any, Any] = {}
+        kidx = [self.columns.index(k) for k in keys]
+        vidx = [i for i in range(self.width) if i not in kidx]
+        vnames = [self.columns[i] for i in vidx]
+        for r in self.iter_rows():
+            kv = r[kidx[0]] if len(kidx) == 1 else tuple(r[i] for i in kidx)
+            val = {vnames[j]: r[i] for j, i in enumerate(vidx)} if named \
+                else tuple(r[i] for i in vidx)
+            if unique:
+                out[kv] = val
+            else:
+                out.setdefault(kv, []).append(val)
+        return out
+
+    def hash_rows(self, seed: int = 0) -> Series:
+        from ..ops.hashing import combine_hashes
+        import jax.numpy as _jnp
+        acc = None
+        t = C.compact(self._table)
+        n = t.nrows or 0
+        for nme in self.columns:
+            from ..ops.hashing import hash_array
+            h = hash_array(t.column(nme).data, seed)
+            acc = h if acc is None else combine_hashes(acc, h)
+        from ..dtypes import UInt32 as _U32
+        return Series._from_column(
+            "", Column(_U32, acc[:t.capacity]), n)
+
+    def select_seq(self, *exprs, **named) -> "DataFrame":
+        return self.select(*exprs, **named)
+
+    def with_columns_seq(self, *exprs, **named) -> "DataFrame":
+        return self.with_columns(*exprs, **named)
+
+    def match_to_schema(self, schema, *, missing_columns: str = "raise",
+                        extra_columns: str = "raise") -> "DataFrame":
+        tgt = dict(schema)
+        out = self
+        extra = [n for n in out.columns if n not in tgt]
+        if extra:
+            if extra_columns == "ignore":
+                out = out.drop(*extra)
+            else:
+                raise SchemaError(f"extra columns {extra}")
+        exprs = []
+        for n, dt in tgt.items():
+            if isinstance(dt, type):
+                dt = dt()
+            if n in out.columns:
+                exprs.append(_col(n).cast(dt) if out.schema[n] != dt
+                             else _col(n))
+            elif missing_columns == "insert":
+                from ..expr.expr import lit as _lit
+                exprs.append(_lit(None, dtype=dt).alias(n))
+            else:
+                raise SchemaError(f"missing column {n!r}")
+        return out.select(exprs)
+
+    def update(self, other: "DataFrame", on=None, how: str = "left",
+               include_nulls: bool = False) -> "DataFrame":
+        """Overwrite values with other's (non-null) values, matched by
+        position or key (py-polars DataFrame.update)."""
+        shared = [c for c in other.columns if c in self.columns]
+        if on is None:
+            left = self.with_row_index("__pt_upd")
+            right = other.with_row_index("__pt_upd")
+            on = "__pt_upd"
+            drop_key = True
+        else:
+            left, right = self, other
+            on = [on] if isinstance(on, str) else list(on)
+            drop_key = False
+        keys = [on] if isinstance(on, str) else list(on)
+        upd = [c for c in shared if c not in keys]
+        right = right.select([_col(k) for k in keys] +
+                             [_col(c).alias(f"__pt_new_{c}") for c in upd])
+        j = left.join(right, on=keys, how="left")
+        exprs = []
+        for c in j.columns:
+            if c.startswith("__pt_new_"):
+                continue
+            if c in upd:
+                new = _col(f"__pt_new_{c}")
+                if include_nulls:
+                    exprs.append(new.alias(c))
+                else:
+                    exprs.append(
+                        _when(new.is_not_null()).then(new)
+                        .otherwise(_col(c)).alias(c))
+            else:
+                exprs.append(_col(c))
+        out = j.select(exprs)
+        if drop_key:
+            out = out.drop("__pt_upd")
+        return out
+
+    def sql(self, query: str, *, table_name: str = "self") -> "DataFrame":
+        from ..sql.context import SQLContext
+        ctx = SQLContext()
+        ctx.register(table_name, self.lazy())
+        return ctx.execute(query).collect()
+
+    def show(self, n: int = 10) -> None:
+        print(self.head(n))
+
+    @property
+    def style(self):
+        raise ModuleNotFoundError(
+            "DataFrame.style requires great_tables, which is not bundled")
+
+    @property
+    def plot(self):
+        raise ModuleNotFoundError(
+            "plotting requires altair, which is not bundled")
+
+    def to_dicts(self) -> List[Dict[str, Any]]:
+        return list(self.iter_rows(named=True))
+
+    def to_dummies(self, columns=None, *, separator: str = "_",
+                   drop_first: bool = False) -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else \
+            (list(columns) if columns is not None else list(self.columns))
+        out = {}
+        d = self.to_dict()
+        for n in self.columns:
+            if n not in cols:
+                out[n] = d[n]
+                continue
+            vals = d[n]
+            cats = sorted({v for v in vals if v is not None}, key=str)
+            if drop_first:
+                cats = cats[1:]
+            for c in cats:
+                out[f"{n}{separator}{c}"] = [
+                    1 if v == c else 0 for v in vals]
+        res = DataFrame(out)
+        return res.cast({c: UInt8 for c in res.columns
+                         if c not in self.columns})
+
+    def to_init_repr(self, n: int = 1000) -> str:
+        body = ",\n    ".join(
+            f'pl.Series("{c}", {self.to_dict()[c][:n]!r}, '
+            f"dtype=pl.{self.schema[c]!r})" for c in self.columns)
+        return f"pl.DataFrame([\n    {body}\n])"
+
+    def to_struct(self, name: str = "") -> Series:
+        from ..expr.expr import struct as _struct
+        out = self.select(_struct(*[_col(c) for c in self.columns])
+                          .alias(name or "struct"))
+        return out.get_column(name or "struct")
+
+    def to_jax(self, return_type: str = "array"):
+        import jax.numpy as _jnp
+        if return_type == "dict":
+            t = C.compact(self._table)
+            n = t.nrows or 0
+            return {c: t.column(c).data[:n] for c in self.columns}
+        return _jnp.asarray(self.to_numpy().astype(np.float32))
+
+    def to_torch(self, return_type: str = "tensor"):
+        import torch
+        if return_type == "dict":
+            return {c: torch.from_numpy(
+                np.ascontiguousarray(self.get_column(c).to_numpy()).copy())
+                for c in self.columns}
+        return torch.from_numpy(
+            np.ascontiguousarray(self.to_numpy().astype(np.float32)).copy())
+
+    def corr(self, **kw) -> "DataFrame":
+        num = [c for c in self.columns if self.schema[c].is_numeric]
+        d = self.to_dict()
+        mat = np.corrcoef(
+            np.asarray([[float(v) for v in d[c]] for c in num]))
+        mat = np.atleast_2d(mat)
+        return DataFrame({c: mat[i].tolist() for i, c in enumerate(num)})
+
+    def unstack(self, *, step: int, how: str = "vertical",
+                columns=None, fill_values=None) -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else \
+            (list(columns) if columns is not None else list(self.columns))
+        d = self.to_dict()
+        out = {}
+        n = self.height
+        n_out = -(-n // step) if how == "horizontal" else step
+        for c in cols:
+            vals = d[c]
+            if how == "vertical":
+                k = -(-n // step)
+                for i in range(step):
+                    chunk = vals[i * k:(i + 1) * k]
+                    chunk = chunk + [fill_values] * (k - len(chunk))
+                    out[f"{c}_{i}"] = chunk
+            else:
+                for i in range(step):
+                    chunk = vals[i::step]
+                    out[f"{c}_{i}"] = chunk + [fill_values] * \
+                        (n_out - len(chunk))
+        return DataFrame(out)
+
+    def serialize(self, file=None, *, format: str = "binary"):
+        """Self-contained snapshot as Arrow IPC bytes (the reference
+        serializes frames the same way for its cloud plans)."""
+        import io as _io
+        buf = _io.BytesIO()
+        self.write_ipc(buf)
+        data = buf.getvalue()
+        if file is None:
+            return data
+        if hasattr(file, "write"):
+            file.write(data)
+        else:
+            with open(file, "wb") as f:
+                f.write(data)
+
+    @classmethod
+    def deserialize(cls, source, *, format: str = "binary") -> "DataFrame":
+        import io as _io
+        from .functions import read_ipc
+        if isinstance(source, (bytes, bytearray)):
+            source = _io.BytesIO(source)
+        return read_ipc(source)
 
 
 def _py(v):

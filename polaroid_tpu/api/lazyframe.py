@@ -442,6 +442,120 @@ class LazyFrame:
         return fn(self, *args, **kwargs)
 
     # --- sinks ----------------------------------------------------------
+    def approx_n_unique(self) -> "LazyFrame":
+        return self._agg_all("n_unique")
+
+    def bottom_k(self, k: int, by, descending=False) -> "LazyFrame":
+        desc = [not d for d in descending] \
+            if isinstance(descending, (list, tuple)) else not descending
+        return self.top_k(k, by, descending=desc)
+
+    def clear(self, n: int = 0) -> "LazyFrame":
+        from .frame import DataFrame
+        sch = self.collect_schema()
+        return DataFrame({k: [None] * n for k in sch}, schema=sch).lazy()
+
+    def clone(self) -> "LazyFrame":
+        return LazyFrame._from_plan(self._plan)
+
+    def collect_async(self, **kw):
+        """Collect on a worker thread; returns a concurrent Future
+        (reference: py-polars collect_async returns an awaitable)."""
+        import concurrent.futures as _fut
+        ex = _fut.ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self.collect, **kw)
+        ex.shutdown(wait=False)
+        return fut
+
+    def collect_batches(self, *, batch_size: int = 65536, engine="auto"):
+        """Iterator of DataFrame batches (reference: sink_batches /
+        collect_batches streaming surface)."""
+        out = self.collect(engine=engine)
+        off = 0
+        while off < out.height:
+            yield out.slice(off, batch_size)
+            off += batch_size
+
+    def sink_batches(self, callback, *, batch_size: int = 65536,
+                     engine="auto") -> None:
+        for b in self.collect_batches(batch_size=batch_size, engine=engine):
+            if callback(b):
+                break  # truthy return requests early stop (polars contract)
+
+    def describe(self):
+        return self.collect().describe()
+
+    def drop_nans(self, subset=None) -> "LazyFrame":
+        names = [subset] if isinstance(subset, str) else subset
+        sch = self.collect_schema()
+        cols = names or [n for n, d in sch.items()
+                         if getattr(d, "is_float", False)]
+        pred = None
+        for n in cols:
+            if not getattr(sch[n], "is_float", False):
+                continue
+            p = _col(n).is_not_nan().fill_null(True)  # nulls are kept
+            pred = p if pred is None else (pred & p)
+        return self.filter(pred) if pred is not None else self
+
+    def match_to_schema(self, schema, **kw) -> "LazyFrame":
+        def fn(df):
+            return df.match_to_schema(schema, **kw)
+        sch = {n: (d() if isinstance(d, type) else d)
+               for n, d in dict(schema).items()}
+        return self.map_batches(fn, schema=sch)
+
+    def remove(self, *predicates, **constraints) -> "LazyFrame":
+        preds = list(predicates)
+        for k, v in constraints.items():
+            preds.append(_col(k) == v)
+        keep = None
+        for p in preds:
+            pe = p if isinstance(p, Expr) else _col(str(p))
+            keep = pe if keep is None else (keep & pe)
+        if keep is None:
+            return self
+        return self.filter(~keep.fill_null(False))
+
+    def select_seq(self, *exprs, **named) -> "LazyFrame":
+        return self.select(*exprs, **named)
+
+    def with_columns_seq(self, *exprs, **named) -> "LazyFrame":
+        return self.with_columns(*exprs, **named)
+
+    def with_row_count(self, name: str = "row_nr",
+                       offset: int = 0) -> "LazyFrame":
+        return self.with_row_index(name, offset)
+
+    def show(self, n: int = 10) -> None:
+        print(self.head(n).collect())
+
+    def sql(self, query: str, *, table_name: str = "self") -> "LazyFrame":
+        from ..sql.context import SQLContext
+        ctx = SQLContext()
+        ctx.register(table_name, self)
+        return ctx.execute(query)
+
+    def update(self, other: "LazyFrame", on=None, how: str = "left",
+               include_nulls: bool = False) -> "LazyFrame":
+        def fn(df):
+            o = other.collect() if isinstance(other, LazyFrame) else other
+            return df.update(o, on=on, how=how, include_nulls=include_nulls)
+        return self.map_batches(fn)
+
+    def with_context(self, other) -> "LazyFrame":
+        """Make other frames' columns available (reference: with_context).
+        Implemented as an hstack of the context frames at collect time."""
+        others = other if isinstance(other, (list, tuple)) else [other]
+
+        def fn(df):
+            out = df
+            for o in others:
+                od = o.collect() if isinstance(o, LazyFrame) else o
+                out = out.hstack(od)
+            return out
+        return self.map_batches(fn)
+
     def sink_parquet(self, path, **kw) -> None:
         from ..exec.executor import execute
         execute(optimize(L.Sink(self._plan, "parquet", path, kw)))

@@ -235,6 +235,8 @@ class Series:
     def append(self, other: "Series") -> "Series":
         return Series(self.name, self.to_list() + other.to_list())
 
+    extend = append
+
     def set(self, filter_mask: "Series", value) -> "Series":
         return Series(self.name,
                       [value if m else v
@@ -357,6 +359,129 @@ class Series:
 
     def __iter__(self):
         return iter(self.to_list())
+
+    # --- generic delegation through the expression engine ----------------
+    # Any Expr method not explicitly defined on Series runs on a
+    # single-column frame; aggregations come back as python scalars
+    # (py-polars Series mirrors Expr the same way).
+    _EXPR_KEEP_SERIES = {"implode", "mode", "agg_groups"}
+
+    def __getattr__(self, attr):
+        if attr.startswith("_"):
+            raise AttributeError(attr)
+        from ..expr.expr import Expr
+        target = getattr(Expr, attr, None)
+        if target is None or not callable(target):
+            raise AttributeError(
+                f"'Series' object has no attribute {attr!r}")
+
+        def method(*args, **kwargs):
+            from ..expr import meta as _meta
+            from ..expr.expr import col
+            name = self.name or ""
+            frame = self.to_frame()
+            n_extra = [0]
+
+            def wrap(a):
+                if isinstance(a, Series):
+                    n_extra[0] += 1
+                    cn = f"__pt_arg{n_extra[0]}"
+                    nonlocal frame
+                    frame = frame.hstack(a.rename(cn).to_frame())
+                    return col(cn)
+                return a
+
+            eargs = [wrap(a) for a in args]
+            ekw = {k: wrap(v) for k, v in kwargs.items()}
+            e = target(col(name), *eargs, **ekw)
+            if isinstance(e, Expr):
+                out = frame.select(e.alias(name))
+                s = out.get_column(name)
+                if _meta.is_scalar_expr(e) and \
+                        attr not in Series._EXPR_KEEP_SERIES:
+                    return s.item() if len(s) else None
+                return s
+            return e  # meta-style non-expr results
+        method.__name__ = attr
+        return method
+
+    @property
+    def arr(self):
+        return _SeriesNamespace(self, "list")
+
+    @property
+    def bin(self):
+        from ..errors import InvalidOperationError
+        raise InvalidOperationError("Binary dtype not supported")
+
+    @property
+    def plot(self):
+        raise ModuleNotFoundError(
+            "plotting requires altair, which is not bundled")
+
+    @property
+    def flags(self) -> dict:
+        return {"SORTED_ASC": False, "SORTED_DESC": False}
+
+    def clear(self, n: int = 0) -> "Series":
+        return Series(self.name, [None] * n, dtype=self.dtype)
+
+    def clone(self) -> "Series":
+        return Series._from_column(self.name, self._col, len(self))
+
+    def rechunk(self, in_place: bool = False) -> "Series":
+        return self if in_place else self.clone()
+
+    def get_chunks(self):
+        return [self]
+
+    def shrink_to_fit(self, in_place: bool = False) -> "Series":
+        return self if in_place else self.clone()
+
+    def has_validity(self) -> bool:
+        return self._col.validity is not None
+
+    def to_physical(self) -> "Series":
+        return self._apply(lambda c: c.to_physical())
+
+    def to_jax(self):
+        return self._col.data[:len(self)]
+
+    def to_torch(self):
+        import torch
+        return torch.from_numpy(np.ascontiguousarray(self.to_numpy()).copy())
+
+    def to_dummies(self, separator: str = "_"):
+        return self.to_frame().to_dummies(separator=separator)
+
+    def to_init_repr(self, n: int = 1000) -> str:
+        vals = self.to_list()[:n]
+        return (f'pl.Series("{self.name}", {vals!r}, '
+                f'dtype=pl.{self.dtype!r})')
+
+    def describe(self):
+        return self.to_frame().describe()
+
+    def reshape(self, dimensions) -> "Series":
+        dims = tuple(dimensions)
+        if len(dims) != 2:
+            from ..errors import InvalidOperationError
+            raise InvalidOperationError("reshape supports 2 dimensions")
+        lst = self.to_list()
+        k = int(dims[1])
+        rows = [lst[i:i + k] for i in range(0, len(lst), k)]
+        return Series(self.name, rows)
+
+    def unique_counts(self) -> "Series":
+        return self._apply(lambda c: c.unique_counts())
+
+    def __ne__(self, other):  # type: ignore[override]
+        if isinstance(other, Series):
+            return self.to_list() != other.to_list()
+        return NotImplemented
+
+    def __hash__(self):
+        return id(self)
 
 
 def _pyify(v):

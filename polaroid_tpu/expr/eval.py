@@ -1056,6 +1056,32 @@ def _eval_window(e: Expr, v: Val, fillv: Val, table: Table,
     if op == "rolling_map":
         return _rolling_map_host(e, v, x, xv, count, back)
 
+    if op == "rolling_rank":
+        w = e.attrs["window_size"]
+        min_p = e.attrs.get("min_samples") or w
+        desc = e.attrs.get("descending", False)
+        method = e.attrs.get("method", "average")
+        lo_b, hi_b = _type_bounds(x.dtype)
+        m, mv = _win_stack(x, xv, w, hi_b)
+        cur = x[:, None]
+        if desc:
+            lt = (m > cur) & mv
+            eq = (m == cur) & mv
+        else:
+            lt = (m < cur) & mv
+            eq = (m == cur) & mv
+        n_lt = jnp.sum(lt, axis=1)
+        n_eq = jnp.sum(eq, axis=1)  # includes self
+        cnt = jnp.sum(mv, axis=1)
+        validity = (cnt >= min_p) & (idx < count) & xv
+        if method == "min":
+            r = (n_lt + 1).astype(jnp.float64)
+        elif method == "max":
+            r = (n_lt + n_eq).astype(jnp.float64)
+        else:  # average
+            r = n_lt + (n_eq + 1) / 2.0
+        return back(r.astype(_stor(Float64)), validity, Float64)
+
     if op in ("ewm_std", "ewm_var"):
         return _ewm_var_std(e, v, x, xv, back)
 

@@ -99,6 +99,12 @@ class Expr:
     def drop_nulls(self) -> "Expr":
         return Expr("drop_nulls", (self,))
 
+    def drop_nans(self) -> "Expr":
+        return Expr("expr_filter", (self, self.is_not_nan()))
+
+    def item(self) -> "Expr":
+        return self._agg("first")
+
     # --- arithmetic / comparison operators ------------------------------
     def _bin(self, op: str, other, reflect: bool = False) -> "Expr":
         other = _wrap(other)
@@ -365,6 +371,13 @@ class Expr:
         return Expr("window", (self, _wrap(None)), op="rolling_map",
                     window_size=window_size, min_samples=min_samples,
                     fn=function)
+
+    def rolling_rank(self, window_size: int, method: str = "average",
+                     descending: bool = False,
+                     min_samples: Optional[int] = None):
+        return Expr("window", (self, _wrap(None)), op="rolling_rank",
+                    window_size=window_size, min_samples=min_samples,
+                    method=method, descending=descending)
 
     # range-windowed (by a sorted companion column, e.g. time)
     def _rolling_by(self, op: str, by, window_size, min_samples, **kw):

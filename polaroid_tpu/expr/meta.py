@@ -335,7 +335,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
                   "rolling_quantile", "ewm_std", "ewm_var", "ewm_mean_by",
                   "rolling_mean_by", "rolling_std_by", "rolling_var_by"):
             return Float32 if ct == Float32 else Float64
-        if op in ("rolling_skew", "rolling_kurtosis", "rolling_map"):
+        if op in ("rolling_skew", "rolling_kurtosis", "rolling_map",
+                  "rolling_rank"):
             return Float64
         if op == "arg_sort":
             return UInt32

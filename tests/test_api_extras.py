@@ -214,3 +214,98 @@ def test_lazyframe_api_surface():
     s = lf.filter(pl.col("a") > 1).serialize()
     back = pl.LazyFrame.deserialize(s)
     assert back.collect().to_dict()["a"] == [2.0]
+
+
+# --- Series delegation + DataFrame/LazyFrame parity batch -----------------
+
+def test_series_delegation_scalars():
+    import polaroid_tpu as pl
+    b = pl.Series("b", [1, 2, 3, 4, 5])
+    assert b.skew() == 0.0
+    assert b.product() == 120
+    assert pl.Series("t", [True, False]).any() is True
+    assert pl.Series("t", [True, True]).all() is True
+    assert b.rolling_mean(2).to_list() == [None, 1.5, 2.5, 3.5, 4.5]
+    assert b.is_between(2, 4).to_list() == [False, True, True, True, False]
+    assert b.is_in([2, 4]).to_list() == [False, True, False, True, False]
+    assert b.top_k(2).to_list() == [5, 4]
+    assert b.diff().to_list() == [None, 1, 1, 1, 1]
+    assert b.eq(pl.Series("c", [1, 0, 3, 0, 5])).to_list() == \
+        [True, False, True, False, True]
+
+
+def test_series_utility_methods():
+    import numpy as np
+    import polaroid_tpu as pl
+    s = pl.Series("x", [3.0, 1.0, None])
+    assert s.clear(2).to_list() == [None, None]
+    assert s.clone().to_list() == s.to_list()
+    assert s.has_validity() is True
+    assert s.flags == {"SORTED_ASC": False, "SORTED_DESC": False}
+    assert np.asarray(pl.Series("b", [1, 2]).to_jax()).tolist() == [1, 2]
+    assert pl.Series("b", [1, 2]).to_torch().shape[0] == 2
+    assert pl.Series("b", [1, 2, 3, 4]).reshape((-1, 2)).to_list() == \
+        [[1, 2], [3, 4]]
+    assert "pl.Series" in s.to_init_repr()
+    assert s.extend(pl.Series("y", [9.0])).to_list() == [3.0, 1.0, None, 9.0]
+
+
+def test_frame_parity_batch():
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0],
+                       "s": ["a", "b", "a"]})
+    assert df.get_column_index("v") == 1
+    assert [s.name for s in df.iter_columns()] == ["k", "v", "s"]
+    assert [d.height for d in df.iter_slices(2)] == [2, 1]
+    assert df.remove(pl.col("k") == 2).to_dict()["k"] == [1, 3]
+    assert df.rows_by_key("s")["a"] == [(1, 10.0), (3, 30.0)]
+    assert df.to_dicts()[0] == {"k": 1, "v": 10.0, "s": "a"}
+    dm = df.to_dummies("s")
+    assert dm.to_dict()["s_a"] == [1, 0, 1]
+    assert df.to_struct("r").to_list()[0] == {"k": 1, "v": 10.0, "s": "a"}
+    m = df.match_to_schema({"k": pl.Int64, "v": pl.Float64, "s": pl.String,
+                            "z": pl.Int32}, missing_columns="insert")
+    assert m.to_dict()["z"] == [None, None, None]
+    other = pl.DataFrame({"k": [2, 3], "v": [99.0, None]})
+    assert df.update(other, on="k").to_dict()["v"] == [10.0, 99.0, 30.0]
+    assert df.sql("SELECT k FROM self WHERE k > 1").to_dict()["k"] == [2, 3]
+    assert pl.DataFrame.deserialize(df.serialize()).to_dict() == df.to_dict()
+    assert len(df.hash_rows().to_list()) == 3
+    d2 = df.clone()
+    s = d2.drop_in_place("s")
+    assert s.to_list() == ["a", "b", "a"] and d2.columns == ["k", "v"]
+
+
+def test_frame_write_delta_roundtrip(tmp_path):
+    import polaroid_tpu as pl
+    from polaroid_tpu.lakehouse import LakeStore
+    df = pl.DataFrame({"k": [1, 2]})
+    df.write_delta(str(tmp_path), mode="overwrite")
+    assert LakeStore(str(tmp_path)).read("data").to_dict()["k"] == [1, 2]
+    df.write_delta(str(tmp_path), mode="append")
+    assert LakeStore(str(tmp_path)).read("data").height == 4
+
+
+def test_lazyframe_parity_batch():
+    import polaroid_tpu as pl
+    lf = pl.DataFrame({"k": [1, 2, 3], "v": [10.0, None, 30.0]}).lazy()
+    assert lf.bottom_k(2, "k").collect().to_dict()["k"] == [1, 2]
+    assert lf.clear().collect().shape == (0, 2)
+    assert lf.clone().collect().height == 3
+    assert lf.collect_async().result().height == 3
+    assert [d.height for d in lf.collect_batches(batch_size=2)] == [2, 1]
+    acc = []
+    lf.sink_batches(lambda b: acc.append(b.height) and False, batch_size=2)
+    assert acc == [2, 1]
+    assert lf.drop_nans().collect().height == 3  # nulls stay, nans drop
+    nanf = pl.DataFrame({"v": [1.0, float("nan"), 3.0]}).lazy()
+    assert nanf.drop_nans().collect().height == 2
+    assert lf.remove(pl.col("k") == 2).collect().to_dict()["k"] == [1, 3]
+    assert lf.with_row_count().collect().columns[0] == "row_nr"
+    assert lf.sql("SELECT k FROM self WHERE k >= 2") \
+        .collect().to_dict()["k"] == [2, 3]
+    other = pl.DataFrame({"k": [2], "v": [99.0]}).lazy()
+    assert lf.update(other, on="k").collect().to_dict()["v"] == \
+        [10.0, 99.0, 30.0]
+    ctx = pl.DataFrame({"extra": [7, 8, 9]}).lazy()
+    assert lf.with_context(ctx).collect().columns == ["k", "v", "extra"]
