@@ -208,6 +208,10 @@ class DataFrame:
                 return DataFrame({name0: cats})
             if e0.kind == "rle":
                 return self._select_rle(e0, name0)
+            if e0.kind == "struct_unnest":
+                # expand the struct's fields into separate columns
+                inner = self.select(e0.children[0])
+                return inner.unnest(inner.columns[0])
         es, _ = cse_rewrite(stripped)
         t = self._table
         results = []

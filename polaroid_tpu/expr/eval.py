@@ -1503,12 +1503,154 @@ def _eval_list_eval(e: Expr, v: Val, table: Table, ctx: str) -> Val:
                v.live, lengths=v.lengths, elem_valid=ev2)
 
 
+def _eval_list_filter(e: Expr, table: Table, ctx: str) -> Val:
+    """`.list.filter(pred)`: evaluate the element predicate via list_eval,
+    then compact kept elements to the row front (one axis-1 sort)."""
+    v = eval_expr(e.children[0], table, ctx)
+    if v.lengths is None:
+        raise InvalidOperationError(f".list.filter on {v.dtype!r}")
+    pv = _eval_list_eval(e, v, table, ctx)
+    cap, W = v.data.shape
+    jidx = jnp.arange(W)[None, :]
+    in_len = jidx < v.lengths[:, None]
+    keep = in_len & pv.data.astype(jnp.bool_)
+    if pv.elem_valid is not None:
+        keep = keep & pv.elem_valid
+    order = jax.lax.sort((jnp.where(keep, 0, 1).astype(jnp.int32),
+                          jnp.broadcast_to(
+                              jnp.arange(W, dtype=jnp.int32)[None, :],
+                              (cap, W))),
+                         num_keys=1, dimension=1, is_stable=True)[1]
+    data2 = jnp.take_along_axis(v.data, order, axis=1)
+    ln2 = jnp.sum(keep, axis=1).astype(jnp.int32)
+    ev2 = jidx < ln2[:, None]
+    if v.elem_valid is not None:
+        ev2 = ev2 & jnp.take_along_axis(v.elem_valid, order, axis=1)
+    return Val(v.dtype, data2, v.validity, v.sdict, v.is_scalar, v.live,
+               lengths=ln2, elem_valid=ev2)
+
+
+def _eval_list_set(e: Expr, table: Table, ctx: str) -> Val:
+    """Per-row set algebra between two list columns (reference:
+    polars-ops list set operations): align dictionaries, mark membership
+    of each element in self/other via sorted search, filter + dedupe."""
+    from ..dtypes import List as ListT
+    from ..ops import nested as N
+    how = e.attrs["how"]
+    a = eval_expr(e.children[0], table, ctx)
+    b = eval_expr(e.children[1], table, ctx)
+    if a.lengths is None or b.lengths is None:
+        raise InvalidOperationError("list.set_* requires two list columns")
+
+    def clean(v2):
+        # null elements are dropped before set algebra (membership tests
+        # are value-based)
+        if v2.elem_valid is None:
+            return v2
+        res2 = N.list_namespace_op("drop_nulls", v2, {})
+        return Val(res2["dtype"], res2["data"], res2.get("validity"),
+                   v2.sdict, v2.is_scalar, v2.live,
+                   lengths=res2.get("lengths"),
+                   elem_valid=None)
+    a = clean(a)
+    b = clean(b)
+    inner_a = a.dtype.inner
+    if inner_a.is_string:
+        # align the two dictionaries to shared codes
+        fa = Val(inner_a, a.data.reshape(-1), None, a.sdict)
+        fb = Val(b.dtype.inner, b.data.reshape(-1), None, b.sdict)
+        ra, rb = _align_strings(fa, fb)
+        a = Val(a.dtype, ra.data.reshape(a.data.shape), a.validity,
+                ra.sdict, a.is_scalar, a.live, lengths=a.lengths,
+                elem_valid=a.elem_valid)
+        b = Val(b.dtype, rb.data.reshape(b.data.shape), b.validity,
+                ra.sdict, b.is_scalar, b.live, lengths=b.lengths,
+                elem_valid=b.elem_valid)
+    cap, Wa = a.data.shape
+    Wb = b.data.shape[1]
+    b = Val(b.dtype, b.data.astype(a.data.dtype), b.validity, b.sdict,
+            b.is_scalar, b.live, lengths=b.lengths, elem_valid=b.elem_valid)
+    jida = jnp.arange(Wa)[None, :]
+    in_a = jida < a.lengths[:, None]
+    in_b = jnp.arange(Wb)[None, :] < b.lengths[:, None]
+    # sort b's rows to enable per-row membership binary search
+    _, hib = _type_bounds(b.data.dtype)
+    bs = jnp.sort(jnp.where(in_b, b.data, hib), axis=1)
+
+    def member(vals):
+        pos = jax.vmap(jnp.searchsorted)(bs, vals)
+        posc = jnp.clip(pos, 0, Wb - 1)
+        return jnp.take_along_axis(bs, posc, axis=1) == vals
+    a_in_b = member(a.data)
+    if how == "union":
+        # self elements, then b elements not in a
+        _, hia = _type_bounds(a.data.dtype)
+        as_ = jnp.sort(jnp.where(in_a, a.data, hia), axis=1)
+        posb = jax.vmap(jnp.searchsorted)(as_, b.data)
+        b_in_a = jnp.take_along_axis(
+            as_, jnp.clip(posb, 0, Wa - 1), axis=1) == b.data
+        data = jnp.concatenate([a.data, b.data], axis=1)
+        keep = jnp.concatenate([in_a, in_b & ~b_in_a], axis=1)
+    elif how == "intersection":
+        data = a.data
+        keep = in_a & a_in_b
+    elif how == "difference":
+        data = a.data
+        keep = in_a & ~a_in_b
+    else:  # symmetric_difference
+        _, hia = _type_bounds(a.data.dtype)
+        as_ = jnp.sort(jnp.where(in_a, a.data, hia), axis=1)
+        posb = jax.vmap(jnp.searchsorted)(as_, b.data)
+        b_in_a = jnp.take_along_axis(
+            as_, jnp.clip(posb, 0, Wa - 1), axis=1) == b.data
+        data = jnp.concatenate([a.data, b.data], axis=1)
+        keep = jnp.concatenate([in_a & ~a_in_b, in_b & ~b_in_a], axis=1)
+    Wt = data.shape[1]
+    order = jax.lax.sort((jnp.where(keep, 0, 1).astype(jnp.int32),
+                          jnp.broadcast_to(
+                              jnp.arange(Wt, dtype=jnp.int32)[None, :],
+                              (cap, Wt))),
+                         num_keys=1, dimension=1, is_stable=True)[1]
+    data2 = jnp.take_along_axis(data, order, axis=1)
+    ln2 = jnp.sum(keep, axis=1).astype(jnp.int32)
+    pre = Val(ListT(inner_a), data2, _and_valid(a.validity, b.validity),
+              a.sdict, a.is_scalar, a.live, lengths=ln2,
+              elem_valid=jnp.arange(Wt)[None, :] < ln2[:, None])
+    # dedupe within each row (set semantics)
+    from ..ops import nested as N
+    res = N.list_namespace_op("unique", pre, {})
+    return Val(res["dtype"], res["data"], res.get("validity"),
+               res.get("sdict") or a.sdict, a.is_scalar, a.live,
+               lengths=res.get("lengths"), elem_valid=res.get("elem_valid"))
+
+
 def _eval_list(e: Expr, v: Val, table: Table) -> Val:
     """`.list.<op>` — masked axis-1 kernels (`ops/nested.py`); `join` is a
     host-side dictionary transform like the `.str` ops."""
     from ..ops import nested as N
 
     op = e.attrs["op"]
+    if op == "to_struct":
+        from ..dtypes import Struct as StructT
+        if v.lengths is None:
+            raise InvalidOperationError(f".list.to_struct on {v.dtype!r}")
+        names = e.attrs.get("fields")
+        W = v.data.shape[1]
+        nf = int(jnp.max(v.lengths)) if names is None else len(names)
+        nf = max(nf, 1)
+        names = list(names) if names is not None else \
+            [f"field_{i}" for i in range(nf)]
+        inner = v.dtype.inner
+        jidx = jnp.arange(W)[None, :]
+        m = jidx < v.lengths[:, None]
+        if v.elem_valid is not None:
+            m = m & v.elem_valid
+        fields = {}
+        for i, nm in enumerate(names):
+            i2 = min(i, W - 1)
+            fields[nm] = Val(inner, v.data[:, i2], m[:, i2], v.sdict)
+        return Val(StructT([(nm, inner) for nm in names]), None,
+                   v.validity, None, v.is_scalar, v.live, fields=fields)
     if op == "join":
         if v.lengths is None or not v.dtype.inner.is_string:
             raise InvalidOperationError(".list.join requires List(String)")
@@ -1625,10 +1767,18 @@ def _eval_cut(e: Expr, v: Val, table: Table) -> Val:
     return Val(_Cat(), data, v.validity, sdict, v.is_scalar, v.live)
 
 
+def _try_or_none(fn):
+    try:
+        return fn()
+    except Exception:
+        return None
+
+
 def _eval_str(e: Expr, v: Val, table: Table) -> Val:
     import re as _re
+    from ..dtypes import Categorical as _Cat
     op = e.attrs["op"]
-    if not v.dtype.is_string:
+    if not (v.dtype.is_string or isinstance(v.dtype, _Cat)):
         raise InvalidOperationError(f".str.{op} on {v.dtype!r}")
     sd = v.sdict or EMPTY_SDICT
     code = v.data
@@ -1640,6 +1790,59 @@ def _eval_str(e: Expr, v: Val, table: Table) -> Val:
             lt = jnp.asarray(lut)
             data = lt[jnp.clip(code, 0, len(lut) - 1)]
         return Val(out_dt, data, v.validity, sdict, v.is_scalar, v.live)
+
+    def opt_strings(fn):
+        """str -> Optional[str] per dictionary entry; None -> null rows."""
+        mapped = [fn(s) for s in sd.values]
+        keep = [m for m in mapped if m is not None]
+        uniq, inv = np.unique(np.asarray(keep, dtype=object).astype(str),
+                              return_inverse=True) if keep else \
+            (np.array([], dtype=object), np.array([], dtype=np.int64))
+        remap = np.full(max(len(mapped), 1), NULL_CODE, dtype=np.int32)
+        j = 0
+        for i, m in enumerate(mapped):
+            if m is not None:
+                remap[i] = inv[j]
+                j += 1
+        rm = jnp.asarray(remap)
+        data = jnp.where(code >= 0, rm[jnp.clip(code, 0, len(remap) - 1)],
+                         NULL_CODE)
+        validity = _and_valid(v.validity, data != NULL_CODE)
+        return Val(String, data, validity, StringDict(uniq), v.is_scalar,
+                   v.live)
+
+    def list_of_strings(parts_fn):
+        """str -> list[str] per dictionary entry -> List(String) column."""
+        from ..dtypes import List as ListT
+        from ..batch import width_for
+        words = sd.values
+        parts = [parts_fn(str(w)) for w in words]
+        W = width_for(max((len(p) for p in parts), default=1))
+        flat = [s for p in parts for s in p]
+        codes_flat, nd = StringDict.encode(
+            np.array(flat, dtype=object) if flat
+            else np.array([], dtype=object))
+        lut = np.zeros((max(len(words), 1), W), dtype=np.int32)
+        lut_len = np.zeros(max(len(words), 1), dtype=np.int32)
+        pos = 0
+        for i, p in enumerate(parts):
+            lut[i, :len(p)] = codes_flat[pos:pos + len(p)]
+            lut_len[i] = len(p)
+            pos += len(p)
+        cidx = jnp.clip(code, 0, lut.shape[0] - 1)
+        data2 = jnp.asarray(lut)[cidx]
+        lens = jnp.asarray(lut_len)[cidx]
+        return Val(ListT(String), data2, v.validity, nd, v.is_scalar,
+                   v.live, lengths=lens)
+
+    def struct_of_strings(fields_fn, names):
+        """str -> tuple[Optional[str], ...] -> Struct of String fields."""
+        from ..dtypes import Struct as StructT
+        fields = {}
+        for gi, nm in enumerate(names):
+            fields[nm] = opt_strings(lambda s, gi=gi: fields_fn(s)[gi])
+        return Val(StructT([(nm, String) for nm in names]), None,
+                   v.validity, None, v.is_scalar, v.live, fields=fields)
 
     if op == "len_chars":
         return lut_gather(sd.map_to_array(len, np.uint32), UInt32)
@@ -1700,6 +1903,214 @@ def _eval_str(e: Expr, v: Val, table: Table) -> Val:
         lens = jnp.asarray(lut_len)[cidx]
         return Val(ListT(String), data2, v.validity, nd, v.is_scalar,
                    v.live, lengths=lens)
+    if op in ("strip_prefix", "strip_suffix", "normalize", "escape_regex",
+              "replace_many", "encode"):
+        if op == "strip_prefix":
+            pat = e.attrs["pat"]
+            fn = lambda s: s[len(pat):] if s.startswith(pat) else s
+        elif op == "strip_suffix":
+            pat = e.attrs["pat"]
+            fn = lambda s: s[:-len(pat)] if pat and s.endswith(pat) else s
+        elif op == "normalize":
+            import unicodedata
+            form = e.attrs.get("form", "NFC")
+            fn = lambda s: unicodedata.normalize(form, s)
+        elif op == "escape_regex":
+            fn = _re.escape
+        elif op == "replace_many":
+            pats = e.attrs["patterns"]
+            vals = e.attrs["values"]
+
+            def fn(s):
+                for p2, v2 in zip(pats, vals):
+                    s = s.replace(p2, v2)
+                return s
+        else:  # encode
+            enc = e.attrs["encoding"]
+            if enc == "hex":
+                fn = lambda s: s.encode().hex()
+            elif enc == "base64":
+                import base64
+                fn = lambda s: base64.b64encode(s.encode()).decode()
+            else:
+                raise InvalidOperationError(f"unknown encoding {enc!r}")
+        nd, remap = sd.map_to_strings(fn)
+        rm = jnp.asarray(remap) if len(remap) else jnp.zeros(1, jnp.int32)
+        data = jnp.where(code >= 0,
+                         rm[jnp.clip(code, 0, max(len(remap) - 1, 0))],
+                         NULL_CODE)
+        return Val(String, data, v.validity, nd, v.is_scalar, v.live)
+    if op == "decode":
+        enc = e.attrs["encoding"]
+        if enc == "hex":
+            fn = lambda s: _try_or_none(lambda: bytes.fromhex(s).decode())
+        elif enc == "base64":
+            import base64
+            fn = lambda s: _try_or_none(
+                lambda: base64.b64decode(s).decode())
+        else:
+            raise InvalidOperationError(f"unknown encoding {enc!r}")
+        return opt_strings(fn)
+    if op == "json_path_match":
+        import json as _json
+        path = e.attrs["path"]
+        parts = [p for p in path.lstrip("$").lstrip(".").split(".") if p]
+
+        def fn(s):
+            try:
+                obj = _json.loads(s)
+            except ValueError:
+                return None
+            for p2 in parts:
+                nm, idxs = p2, []
+                while nm.endswith("]"):
+                    nm, _, tail = nm.rpartition("[")
+                    idxs.insert(0, int(tail[:-1]))
+                if nm:
+                    if not isinstance(obj, dict) or nm not in obj:
+                        return None
+                    obj = obj[nm]
+                for ix in idxs:
+                    if not isinstance(obj, list) or ix >= len(obj):
+                        return None
+                    obj = obj[ix]
+            if obj is None or isinstance(obj, (dict, list)):
+                return None if obj is None else _json.dumps(obj)
+            return obj if isinstance(obj, str) else _json.dumps(obj)
+        return opt_strings(fn)
+    if op == "contains_any":
+        pats = e.attrs["patterns"]
+        if e.attrs.get("nocase"):
+            lp = [p.lower() for p in pats]
+            f = lambda s: any(p in s.lower() for p in lp)
+        else:
+            f = lambda s: any(p in s for p in pats)
+        return lut_gather(sd.map_to_array(f, np.bool_), Boolean)
+    if op == "find":
+        pat = e.attrs["pat"]
+        if e.attrs.get("literal"):
+            f = lambda s: s.find(pat)
+        else:
+            rx = _re.compile(pat)
+            f = lambda s: (lambda m: -1 if m is None else m.start())(
+                rx.search(s))
+        lut = sd.map_to_array(f, np.int64)
+        out = lut_gather(np.maximum(lut, 0).astype(np.uint32), UInt32)
+        found = lut_gather(1 * (lut >= 0), UInt32)
+        validity = _and_valid(out.validity, found.data > 0)
+        return Val(UInt32, out.data, validity, None, v.is_scalar, v.live)
+    if op == "find_many":
+        from ..dtypes import List as ListT
+        pats = e.attrs["patterns"]
+
+        def findall(s):
+            hits = []
+            for p2 in pats:
+                st = 0
+                while True:
+                    i2 = s.find(p2, st)
+                    if i2 < 0:
+                        break
+                    hits.append(i2)
+                    st = i2 + 1
+            return [str(h) for h in sorted(hits)]
+        lv = list_of_strings(findall)
+        # numeric indices, not strings: re-map the inner dict to ints
+        inner_sd = lv.sdict or EMPTY_SDICT
+        as_int = np.asarray([int(s2) if s2 != "" else 0
+                             for s2 in inner_sd.values], dtype=np.uint32) \
+            if len(inner_sd.values) else np.zeros(1, np.uint32)
+        data = jnp.asarray(as_int)[jnp.clip(lv.data, 0, len(as_int) - 1)]
+        return Val(ListT(UInt32), data, lv.validity, None, v.is_scalar,
+                   v.live, lengths=lv.lengths)
+    if op == "extract_all":
+        rx = _re.compile(e.attrs["pat"])
+        return list_of_strings(lambda s: [m if isinstance(m, str) else m[0]
+                                          for m in rx.findall(s)])
+    if op == "extract_many":
+        pats = e.attrs["patterns"]
+
+        def matches(s):
+            hits = []
+            for p2 in pats:
+                st = 0
+                while True:
+                    i2 = s.find(p2, st)
+                    if i2 < 0:
+                        break
+                    hits.append((i2, p2))
+                    st = i2 + 1
+            return [p2 for _, p2 in sorted(hits)]
+        return list_of_strings(matches)
+    if op == "chars":
+        return list_of_strings(list)
+    if op == "extract_groups":
+        rx = _re.compile(e.attrs["pat"])
+        ng = rx.groups
+        names = []
+        by_idx = {i2: nm for nm, i2 in rx.groupindex.items()}
+        for gi in range(1, ng + 1):
+            names.append(by_idx.get(gi, str(gi)))
+
+        def groups_of(s):
+            m = rx.search(s)
+            if m is None:
+                return (None,) * ng
+            return m.groups()
+        return struct_of_strings(groups_of, names)
+    if op == "split_exact":
+        by = e.attrs["by"]
+        n2 = int(e.attrs["n"])
+
+        def fields_of(s):
+            p2 = s.split(by)
+            return tuple(p2[i2] if i2 < len(p2) else None
+                         for i2 in range(n2 + 1))
+        return struct_of_strings(fields_of,
+                                 [f"field_{i2}" for i2 in range(n2 + 1)])
+    if op == "splitn":
+        by = e.attrs["by"]
+        n2 = int(e.attrs["n"])
+
+        def fields_of(s):
+            p2 = s.split(by, n2 - 1)
+            return tuple(p2[i2] if i2 < len(p2) else None
+                         for i2 in range(n2))
+        return struct_of_strings(fields_of,
+                                 [f"field_{i2}" for i2 in range(n2)])
+    if op == "str_concat":
+        delim = e.attrs.get("delimiter", "")
+        ignore_nulls = e.attrs.get("ignore_nulls", True)
+        mask = np.asarray(table.row_mask() if v.live is None
+                          else (table.row_mask() & v.live))
+        codes = np.asarray(code)
+        valid = np.asarray(v.valid_or_true())
+        dec = sd.decode(codes.astype(np.int32))
+        vals = [dec[i2] if valid[i2] else None
+                for i2 in range(len(dec)) if mask[i2]]
+        if not ignore_nulls and any(x2 is None for x2 in vals):
+            return _scalar(String, jnp.asarray(NULL_CODE, jnp.int32),
+                           jnp.zeros((), jnp.bool_), EMPTY_SDICT)
+        joined = delim.join([x2 for x2 in vals if x2 is not None])
+        codes2, nd = StringDict.encode(np.array([joined], dtype=object))
+        return _scalar(String, jnp.asarray(codes2[0], jnp.int32), None, nd)
+    if op == "to_time":
+        from ..dtypes import Time as _Time
+        import datetime as _dtm
+        fmt = e.attrs.get("format")
+
+        def parse(s):
+            try:
+                t2 = _dtm.datetime.strptime(s, fmt).time() if fmt \
+                    else _dtm.time.fromisoformat(s)
+            except ValueError:
+                return -1
+            return ((t2.hour * 3600 + t2.minute * 60 + t2.second)
+                    * 1_000_000_000 + t2.microsecond * 1000)
+        lut = sd.map_to_array(parse, np.int64)
+        out = lut_gather(lut, _Time)
+        validity = _and_valid(out.validity, out.data >= 0)
+        return Val(_Time, out.data, validity, None, v.is_scalar, v.live)
     if op == "json_decode":
         # host-side parse into list/struct columns (reference:
         # polars-json str.json_decode)
@@ -1854,6 +2265,11 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
             return out(jnp.floor_divide(x.astype(jnp.int64), scales[op]), Int64)
         if op == "cast_time_unit":
             return cast_val(v, Duration(e.attrs["time_unit"]))
+        if op == "total_nanoseconds":
+            return out((x.astype(jnp.int64)
+                        * (1_000_000_000 // per_s)), Int64)
+        if op == "with_time_unit":
+            return out(x, Duration(e.attrs["time_unit"]))
         raise InvalidOperationError(f".dt.{op} on Duration")
 
     if dt == Date:
@@ -1906,6 +2322,94 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
         per_day = T.UNIT_PER_SECOND[tu] * 86_400
         return out(new_days.astype(x.dtype) * per_day +
                    (frac if frac is not None else 0), dt)
+    if op in ("century", "millennium"):
+        y, _, _ = T.days_to_civil(days)
+        span = 100 if op == "century" else 1000
+        c = jnp.floor_divide(y - 1, span) + 1
+        return out(c.astype(jnp.int32), Int32)
+    if op == "days_in_month":
+        y, m, _ = T.days_to_civil(days)
+        ones = jnp.ones_like(m)
+        ny = jnp.where(m == 12, y + 1, y)
+        nm = jnp.where(m == 12, 1, m + 1)
+        n_days = T.civil_to_days(ny, nm, ones) - T.civil_to_days(y, m, ones)
+        return out(n_days.astype(jnp.int32), Int32)
+    if op == "time":
+        from ..dtypes import Time as _Time
+        if frac is None:
+            return out(jnp.zeros_like(days, dtype=jnp.int64), _Time)
+        per_s = T.UNIT_PER_SECOND[tu]
+        return out(frac.astype(jnp.int64) * (1_000_000_000 // per_s), _Time)
+    if op == "with_time_unit":
+        return out(x, Datetime(e.attrs["time_unit"]))
+    if op == "datetime":
+        if dt == Date:
+            return cast_val(v, Datetime("us"))
+        return v
+    if op in ("base_utc_offset", "dst_offset"):
+        # the engine stores UTC instants; offsets are zero by construction
+        return out(jnp.zeros_like(days, dtype=jnp.int64), Duration("ms"))
+    if op == "is_business_day":
+        wd = T.weekday(days)  # ISO: 1=Mon .. 7=Sun
+        return out(wd <= 5, Boolean)
+    if op == "add_business_days":
+        n2 = int(e.attrs["n"])
+        wd0 = T.weekday(days) - 1  # 0=Mon
+        if n2 >= 0:
+            full, rem = divmod(n2, 5)
+            pos = wd0 + rem
+            shift = full * 7 + rem + jnp.where(pos > 4, 2, 0)
+        else:
+            full, rem = divmod(-n2, 5)
+            pos = wd0 - rem
+            shift = -(full * 7 + rem + jnp.where(pos < 0, 2, 0))
+        new_days = days + shift
+        if dt == Date:
+            return out(new_days.astype(jnp.int32), Date)
+        per_day = T.UNIT_PER_SECOND[tu] * 86_400
+        return out(new_days.astype(x.dtype) * per_day +
+                   (frac if frac is not None else 0), dt)
+    if op == "replace":
+        y, m, d = T.days_to_civil(days)
+        if e.attrs.get("year") is not None:
+            y = jnp.full_like(y, int(e.attrs["year"]))
+        if e.attrs.get("month") is not None:
+            m = jnp.full_like(m, int(e.attrs["month"]))
+        if e.attrs.get("day") is not None:
+            d = jnp.full_like(d, int(e.attrs["day"]))
+        new_days = T.civil_to_days(y, m, d)
+        if dt == Date:
+            return out(new_days.astype(jnp.int32), Date)
+        per_s = T.UNIT_PER_SECOND[tu]
+        per_day = per_s * 86_400
+        f2 = frac if frac is not None else jnp.zeros_like(x)
+        sec = jnp.floor_divide(f2, per_s)
+        sub = f2 - sec * per_s
+        h = jnp.floor_divide(sec, 3600)
+        mi = jnp.floor_divide(sec - h * 3600, 60)
+        s2 = sec - h * 3600 - mi * 60
+        if e.attrs.get("hour") is not None:
+            h = jnp.full_like(h, int(e.attrs["hour"]))
+        if e.attrs.get("minute") is not None:
+            mi = jnp.full_like(mi, int(e.attrs["minute"]))
+        if e.attrs.get("second") is not None:
+            s2 = jnp.full_like(s2, int(e.attrs["second"]))
+        if e.attrs.get("microsecond") is not None:
+            sub = jnp.full_like(
+                sub, int(e.attrs["microsecond"]) * (per_s // 1_000_000))
+        f3 = (h * 3600 + mi * 60 + s2) * per_s + sub
+        return out(new_days.astype(x.dtype) * per_day + f3, dt)
+    if op == "combine":
+        tu2 = e.attrs.get("time_unit", "us")
+        per_s = T.UNIT_PER_SECOND[tu2]
+        per_day = per_s * 86_400
+        tv = e.attrs["__time_val"]
+        tns = jnp.broadcast_to(tv.data.astype(jnp.int64), days.shape)
+        tfrac = jnp.floor_divide(tns, 1_000_000_000 // per_s) \
+            if per_s <= 1_000_000_000 else tns * (per_s // 1_000_000_000)
+        data = days.astype(jnp.int64) * per_day + tfrac
+        validity = _and_valid(v.validity, tv.validity)
+        return Val(Datetime(tu2), data, validity, None, v.is_scalar, v.live)
     if op in ("strftime", "to_string"):
         fmt = e.attrs.get("format") or "%Y-%m-%d %H:%M:%S"
         import datetime as _pydt
@@ -2121,12 +2625,20 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "str":
         return _eval_str(e, eval_expr(e.children[0], table, ctx), table)
     if k == "dt":
-        return _eval_dt(e, eval_expr(e.children[0], table, ctx), table)
+        v = eval_expr(e.children[0], table, ctx)
+        if e.attrs.get("op") == "combine":
+            tv = eval_expr(e.children[1], table, ctx)
+            e = Expr("dt", e.children, **{**e.attrs, "__time_val": tv})
+        return _eval_dt(e, v, table)
     if k == "list":
         return _eval_list(e, eval_expr(e.children[0], table, ctx), table)
     if k == "list_eval":
         return _eval_list_eval(e, eval_expr(e.children[0], table, ctx),
                                table, ctx)
+    if k == "list_filter":
+        return _eval_list_filter(e, table, ctx)
+    if k == "list_set":
+        return _eval_list_set(e, table, ctx)
     if k == "concat_list":
         from ..dtypes import List as ListT
         vals = [_bcast(eval_expr(c, table, ctx), table.capacity)
@@ -2232,6 +2744,44 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             fields[name] = v
             fdts.append((name, v.dtype))
         return Val(StructT(fdts), None, None, None, False, fields=fields)
+    if k == "struct_with_fields":
+        from ..dtypes import Struct as StructT
+        v = eval_expr(e.children[0], table, ctx)
+        if v.fields is None:
+            raise InvalidOperationError(
+                f".struct.with_fields on non-struct {v.dtype!r}")
+        fields = dict(v.fields)
+        for name, ch in zip(e.attrs["names"], e.children[1:]):
+            fields[name] = _bcast(eval_expr(ch, table, ctx), table.capacity)
+        return Val(StructT([(n2, f.dtype) for n2, f in fields.items()]),
+                   None, v.validity, None, v.is_scalar, v.live,
+                   fields=fields)
+    if k == "struct_json_encode":
+        import json as _json
+        v = eval_expr(e.children[0], table, ctx)
+        if v.fields is None:
+            raise InvalidOperationError(
+                f".struct.json_encode on non-struct {v.dtype!r}")
+        cap = table.capacity
+        cols = {}
+        for n2, f in v.fields.items():
+            vals = np.asarray(jnp.broadcast_to(f.data, (cap,)))
+            fv = np.asarray(jnp.broadcast_to(f.valid_or_true(), (cap,)))
+            if f.dtype.is_string:
+                dec = (f.sdict or EMPTY_SDICT).decode(vals.astype(np.int32))
+                cols[n2] = [dec[i2] if fv[i2] else None for i2 in range(cap)]
+            else:
+                cols[n2] = [vals[i2].item() if fv[i2] else None
+                            for i2 in range(cap)]
+        txt = np.array([_json.dumps({n2: cols[n2][i2] for n2 in cols})
+                        for i2 in range(cap)], dtype=object)
+        codes2, nd = StringDict.encode(txt)
+        return Val(String, jnp.asarray(codes2), v.validity, nd,
+                   v.is_scalar, v.live)
+    if k == "struct_unnest":
+        # handled by DataFrame.select expansion; evaluating the bare expr
+        # yields the struct itself
+        return eval_expr(e.children[0], table, ctx)
     if k == "struct_field":
         v = eval_expr(e.children[0], table, ctx)
         if v.fields is None:

@@ -777,6 +777,57 @@ class StrNamespace:
         return self._op("to_date", format=format)
     def strptime(self, dtype, format: Optional[str] = None):
         return self._op("strptime", dtype=dtype, format=format)
+    def to_time(self, format: Optional[str] = None):
+        return self._op("to_time", format=format)
+    def strip_prefix(self, prefix: str):
+        return self._op("strip_prefix", pat=prefix)
+    def strip_suffix(self, suffix: str):
+        return self._op("strip_suffix", pat=suffix)
+    def normalize(self, form: str = "NFC"):
+        return self._op("normalize", form=form)
+    def escape_regex(self):
+        return self._op("escape_regex")
+    def replace_many(self, patterns, replace_with=None):
+        if isinstance(patterns, dict):
+            patterns, replace_with = list(patterns.keys()), \
+                list(patterns.values())
+        if isinstance(replace_with, str):
+            replace_with = [replace_with] * len(list(patterns))
+        return self._op("replace_many", patterns=tuple(patterns),
+                        values=tuple(replace_with))
+    def contains_any(self, patterns, ascii_case_insensitive: bool = False):
+        return self._op("contains_any", patterns=tuple(patterns),
+                        nocase=ascii_case_insensitive)
+    def find(self, pattern: str, literal: bool = False, strict: bool = True):
+        return self._op("find", pat=pattern, literal=literal)
+    def find_many(self, patterns, ascii_case_insensitive: bool = False):
+        return self._op("find_many", patterns=tuple(patterns),
+                        nocase=ascii_case_insensitive)
+    def extract_all(self, pattern: str):
+        return self._op("extract_all", pat=pattern)
+    def extract_many(self, patterns, ascii_case_insensitive: bool = False):
+        return self._op("extract_many", patterns=tuple(patterns),
+                        nocase=ascii_case_insensitive)
+    def extract_groups(self, pattern: str):
+        return self._op("extract_groups", pat=pattern)
+    def split_exact(self, by: str, n: int):
+        return self._op("split_exact", by=by, n=n)
+    def splitn(self, by: str, n: int):
+        return self._op("splitn", by=by, n=n)
+    def json_path_match(self, json_path: str):
+        return self._op("json_path_match", path=json_path)
+    def concat(self, delimiter: str = "-", ignore_nulls: bool = True):
+        return self._op("str_concat", delimiter=delimiter,
+                        ignore_nulls=ignore_nulls)
+    def join(self, delimiter: str = "", ignore_nulls: bool = True):
+        return self._op("str_concat", delimiter=delimiter,
+                        ignore_nulls=ignore_nulls)
+    def encode(self, encoding: str):
+        return self._op("encode", encoding=encoding)
+    def decode(self, encoding: str, strict: bool = True):
+        return self._op("decode", encoding=encoding)
+    def explode(self):
+        return Expr("explode_expr", (self._op("chars"),))
 
 
 class DtNamespace:
@@ -822,6 +873,27 @@ class DtNamespace:
     def convert_time_zone(self, tz): return self._op("convert_time_zone", tz=tz)
     def is_leap_year(self): return self._op("is_leap_year")
     def iso_year(self): return self._op("iso_year")
+    def century(self): return self._op("century")
+    def millennium(self): return self._op("millennium")
+    def days_in_month(self): return self._op("days_in_month")
+    def time(self): return self._op("time")
+    def total_nanoseconds(self): return self._op("total_nanoseconds")
+    def with_time_unit(self, time_unit: str):
+        return self._op("with_time_unit", time_unit=time_unit)
+    def base_utc_offset(self): return self._op("base_utc_offset")
+    def dst_offset(self): return self._op("dst_offset")
+    def is_business_day(self): return self._op("is_business_day")
+    def add_business_days(self, n: int, roll: str = "raise"):
+        return self._op("add_business_days", n=n, roll=roll)
+    def datetime(self): return self._op("datetime")
+    def replace(self, *, year=None, month=None, day=None, hour=None,
+                minute=None, second=None, microsecond=None):
+        return self._op("replace", year=year, month=month, day=day,
+                        hour=hour, minute=minute, second=second,
+                        microsecond=microsecond)
+    def combine(self, time, time_unit: str = "us"):
+        return Expr("dt", (self._e, _wrap_col(time)), op="combine",
+                    time_unit=time_unit)
     def month_start(self): return self._op("month_start")
     def month_end(self): return self._op("month_end")
     def strftime(self, format: str): return self._op("strftime", format=format)
@@ -863,6 +935,48 @@ class ListNamespace:
     def join(self, separator: str = ""):
         return self._op("join", separator=separator)
     def explode(self): return Expr("explode_expr", (self._e,))
+    def median(self): return self._op("median")
+    def std(self, ddof: int = 1): return self._op("std", ddof=ddof)
+    def var(self, ddof: int = 1): return self._op("var", ddof=ddof)
+    def n_unique(self): return self._op("n_unique")
+    def count_matches(self, element): return self._op("count_matches",
+                                                      element=element)
+    def diff(self, n: int = 1, null_behavior: str = "ignore"):
+        return self._op("diff", n=n, null_behavior=null_behavior)
+    def shift(self, n: int = 1): return self._op("shift", n=n)
+    def drop_nulls(self): return self._op("drop_nulls")
+    def gather(self, indices, null_on_oob: bool = False):
+        return self._op("gather", indices=tuple(indices),
+                        null_on_oob=null_on_oob)
+    def gather_every(self, n: int, offset: int = 0):
+        return self._op("gather_every", n=n, offset=offset)
+    def sample(self, n: int = 1, seed=None):
+        return self._op("sample", n=n, seed=seed)
+    def to_array(self, width: int):
+        return self._e  # padded lists already are fixed-width arrays
+    def to_struct(self, n_field_strategy: str = "first_non_null",
+                  fields=None, upper_bound: int = 0):
+        return self._op("to_struct", fields=tuple(fields)
+                        if fields is not None else None)
+    def concat(self, other) -> "Expr":
+        others = other if isinstance(other, (list, tuple)) else [other]
+        return Expr("concat_list",
+                    (self._e,) + tuple(_wrap_col(o) for o in others))
+    def set_union(self, other):
+        return Expr("list_set", (self._e, _wrap_col(other)), how="union")
+    def set_intersection(self, other):
+        return Expr("list_set", (self._e, _wrap_col(other)),
+                    how="intersection")
+    def set_difference(self, other):
+        return Expr("list_set", (self._e, _wrap_col(other)),
+                    how="difference")
+    def set_symmetric_difference(self, other):
+        return Expr("list_set", (self._e, _wrap_col(other)),
+                    how="symmetric_difference")
+    def filter(self, predicate: "Expr") -> "Expr":
+        return Expr("list_filter", (self._e, predicate))
+    def agg(self, expr: "Expr") -> "Expr":
+        return Expr("list_eval", (self._e, expr))
 
     def eval(self, expr: "Expr") -> "Expr":
         """Run an elementwise expression over each list's elements
@@ -892,6 +1006,23 @@ class CatNamespace:
     def set_ordering(self, ordering: str) -> Expr:
         return self._e  # sorted dicts: lexical == physical ordering
 
+    # string ops on the category values (same dictionary machinery)
+    def starts_with(self, prefix: str) -> Expr:
+        return Expr("str", (self._e,), op="starts_with", pat=prefix)
+
+    def ends_with(self, suffix: str) -> Expr:
+        return Expr("str", (self._e,), op="ends_with", pat=suffix)
+
+    def len_chars(self) -> Expr:
+        return Expr("str", (self._e,), op="len_chars")
+
+    def len_bytes(self) -> Expr:
+        return Expr("str", (self._e,), op="len_bytes")
+
+    def slice(self, offset: int, length: Optional[int] = None) -> Expr:
+        return Expr("str", (self._e,), op="slice", offset=offset,
+                    length=length)
+
 
 class StructNamespace:
     def __init__(self, e: Expr):
@@ -902,6 +1033,28 @@ class StructNamespace:
 
     def rename_fields(self, names) -> Expr:
         return Expr("struct_rename", (self._e,), names=tuple(names))
+
+    def with_fields(self, *fields, **named) -> Expr:
+        from . import meta as _meta
+        flat = list(_flatten(fields))
+        children = [self._e]
+        names = []
+        for f in flat:
+            e = _wrap_col(f)
+            children.append(e)
+            names.append(_meta.output_name(e))
+        for k, v in named.items():
+            children.append(_wrap(v))
+            names.append(k)
+        return Expr("struct_with_fields", tuple(children),
+                    names=tuple(names))
+
+    def json_encode(self) -> Expr:
+        return Expr("struct_json_encode", (self._e,))
+
+    def unnest(self) -> Expr:
+        return Expr("struct_unnest", (self._e,))
+
 
 
 def struct(*exprs, **named) -> Expr:

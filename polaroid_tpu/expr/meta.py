@@ -198,6 +198,7 @@ _STR_DTYPES = {
     "len_chars": UInt32, "len_bytes": UInt32, "count_matches": UInt32,
     "to_integer": Int64, "to_decimal": Float64, "starts_with": Boolean,
     "ends_with": Boolean, "contains": Boolean, "to_date": Date,
+    "contains_any": Boolean, "find": UInt32,
 }
 
 _DT_INT_OPS = {
@@ -355,9 +356,26 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             return Datetime(e.attrs.get("time_unit", "us"))
         if op == "strptime":
             return e.attrs["dtype"]
-        if op == "split":
+        if op in ("split", "extract_all", "extract_many", "chars"):
             from ..dtypes import List as ListT
             return ListT(String)
+        if op == "find_many":
+            from ..dtypes import List as ListT
+            return ListT(UInt32)
+        if op == "to_time":
+            from ..dtypes import Time as _Time
+            return _Time
+        if op == "extract_groups":
+            import re as _re
+            from ..dtypes import Struct as StructT
+            rx = _re.compile(e.attrs["pat"])
+            by_idx = {i: nm for nm, i in rx.groupindex.items()}
+            return StructT([(by_idx.get(g, str(g)), String)
+                            for g in range(1, rx.groups + 1)])
+        if op in ("split_exact", "splitn"):
+            from ..dtypes import Struct as StructT
+            n = int(e.attrs["n"]) + (1 if op == "split_exact" else 0)
+            return StructT([(f"field_{i}", String) for i in range(n)])
         if op == "json_decode" and e.attrs.get("dtype") is not None:
             return e.attrs["dtype"]
         return String
@@ -366,10 +384,26 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         ct = output_dtype(e.children[0], schema)
         if op in _DT_INT_OPS:
             return _DT_INT_OPS[op]
-        if op == "is_leap_year":
+        if op in ("is_leap_year", "is_business_day"):
             return Boolean
-        if op == "iso_year":
+        if op in ("iso_year", "century", "millennium", "days_in_month"):
             return Int32
+        if op == "total_nanoseconds":
+            return Int64
+        if op == "time":
+            from ..dtypes import Time as _Time
+            return _Time
+        if op in ("base_utc_offset", "dst_offset"):
+            return Duration("ms")
+        if op == "combine":
+            return Datetime(e.attrs.get("time_unit", "us"))
+        if op == "datetime":
+            return Datetime("us") if ct == Date else ct
+        if op == "with_time_unit":
+            return Duration(e.attrs["time_unit"]) \
+                if isinstance(ct, Duration) else Datetime(e.attrs["time_unit"])
+        if op in ("replace", "add_business_days"):
+            return ct
         if op in ("strftime", "to_string"):
             return String
         if op == "date":
@@ -383,8 +417,18 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         op = e.attrs["op"]
         ct = output_dtype(e.children[0], schema)
         inner = ct.inner if isinstance(ct, ListT) else ct
-        if op in ("len", "n_elements", "arg_min", "arg_max"):
+        if op in ("len", "n_elements", "arg_min", "arg_max", "n_unique",
+                  "count_matches"):
             return UInt32
+        if op in ("median", "std", "var"):
+            return Float64
+        if op == "to_struct":
+            from ..dtypes import Struct as StructT
+            names = e.attrs.get("fields")
+            if names is None:
+                raise SchemaError(
+                    "list.to_struct in a lazy schema needs fields=[...]")
+            return StructT([(n, inner) for n in names])
         if op == "sum":
             if inner.is_bool:
                 return UInt32
@@ -402,6 +446,19 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         from ..dtypes import Struct as StructT
         return StructT([(n, output_dtype(c, schema))
                         for n, c in zip(e.attrs["names"], e.children)])
+    if k == "struct_with_fields":
+        from ..dtypes import Struct as StructT
+        ct = output_dtype(e.children[0], schema)
+        if not isinstance(ct, StructT):
+            raise SchemaError(f".struct.with_fields on non-struct {ct!r}")
+        fields = dict(ct.fields)
+        for n, c in zip(e.attrs["names"], e.children[1:]):
+            fields[n] = output_dtype(c, schema)
+        return StructT(list(fields.items()))
+    if k == "struct_json_encode":
+        return String
+    if k == "struct_unnest":
+        return output_dtype(e.children[0], schema)
     if k == "struct_field":
         from ..dtypes import Struct as StructT
         ct = output_dtype(e.children[0], schema)
@@ -430,6 +487,8 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         ct = output_dtype(e.children[0], schema)
         inner = ct.inner if isinstance(ct, ListT) else ct
         return ListT(output_dtype(e.children[1], {"__pt_element__": inner}))
+    if k in ("list_filter", "list_set"):
+        return output_dtype(e.children[0], schema)
     if k in ("cut", "qcut"):
         from ..dtypes import Categorical as _Cat
         return _Cat()

@@ -10,8 +10,14 @@ from .arrow_interop import table_from_arrow, table_to_arrow
 
 
 def read_ipc_table(source, columns=None, n_rows=None) -> Table:
-    with pa.memory_map(str(source), "r") as f:
-        t = paipc.open_file(f).read_all()
+    if hasattr(source, "read") or isinstance(source, (bytes, bytearray)):
+        if isinstance(source, (bytes, bytearray)):
+            import io as _io
+            source = _io.BytesIO(source)
+        t = paipc.open_file(source).read_all()
+    else:
+        with pa.memory_map(str(source), "r") as f:
+            t = paipc.open_file(f).read_all()
     if columns:
         t = t.select(list(columns))
     if n_rows is not None:
@@ -23,6 +29,10 @@ def write_ipc(df, file, compression: str = "zstd") -> None:
     at = table_to_arrow(df._table)
     opts = paipc.IpcWriteOptions(
         compression=compression if compression else None)
+    if hasattr(file, "write"):
+        with paipc.new_file(file, at.schema, options=opts) as w:
+            w.write_table(at)
+        return
     with pa.OSFile(str(file), "wb") as f:
         with paipc.new_file(f, at.schema, options=opts) as w:
             w.write_table(at)

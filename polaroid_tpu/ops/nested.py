@@ -313,6 +313,118 @@ def list_namespace_op(op: str, v, attrs: dict):
     if op == "join":
         raise InvalidOperationError(
             ".list.join is evaluated host-side (see eval.py)")
+    if op in ("std", "var"):
+        ddof = attrs.get("ddof", 1)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        cnt = jnp.sum(m, axis=1)
+        s = jnp.sum(jnp.where(m, data, 0).astype(acc), axis=1)
+        s2 = jnp.sum(jnp.where(m, data.astype(acc) ** 2, 0), axis=1)
+        n = jnp.maximum(cnt, 1)
+        var = (s2 - s * s / n) / jnp.maximum(n - ddof, 1)
+        var = jnp.maximum(var, 0)
+        outv = jnp.sqrt(var) if op == "std" else var
+        stor = jnp.dtype(storage_numpy_dtype(Float64))
+        return flat(Float64, outv.astype(stor), cnt > ddof)
+    if op == "median":
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        res = list_namespace_op("sort", v, {})
+        sd = res["data"].astype(acc)
+        cnt = jnp.sum(m, axis=1)
+        pos = (cnt.astype(acc) - 1) * 0.5
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, W - 1)
+        i1 = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, W - 1)
+        lo = jnp.take_along_axis(sd, i0[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(sd, i1[:, None], axis=1)[:, 0]
+        stor = jnp.dtype(storage_numpy_dtype(Float64))
+        return flat(Float64, ((lo + hi) / 2).astype(stor), cnt > 0)
+    if op == "n_unique":
+        res = list_namespace_op("unique", v, {})
+        return flat(UInt32, res["lengths"].astype(jnp.uint32))
+    if op == "count_matches":
+        elem = attrs["element"]
+        if inner.is_string:
+            c = v.sdict.find(str(elem)) if v.sdict is not None else None
+            tgt = jnp.int32(c if c is not None else -2)
+        else:
+            tgt = jnp.asarray(elem, data.dtype)
+        out = jnp.sum(m & (data == tgt), axis=1)
+        return flat(UInt32, out.astype(jnp.uint32))
+    if op == "diff":
+        n = int(attrs.get("n", 1))
+        behavior = attrs.get("null_behavior", "ignore")
+        jidx = jnp.arange(W)[None, :]
+        src = jnp.clip(jidx - n, 0, W - 1)
+        prev = jnp.take_along_axis(data, src, axis=1)
+        prev_ok = (jidx - n >= 0) & jnp.take_along_axis(m, src, axis=1)
+        out = data - prev
+        ev2 = m & prev_ok
+        if behavior == "drop":
+            # shift left by n: element j of output = diff at j+n
+            src2 = jnp.clip(jidx + n, 0, W - 1)
+            out = jnp.take_along_axis(out, src2, axis=1)
+            ev2 = jnp.take_along_axis(ev2, src2, axis=1) & \
+                (jidx < jnp.maximum(lens - n, 0)[:, None])
+            return listy(out, jnp.maximum(lens - n, 0).astype(jnp.int32),
+                         ev2)
+        return listy(out, lens, ev2)
+    if op == "shift":
+        n = int(attrs.get("n", 1))
+        jidx = jnp.arange(W)[None, :]
+        src = jnp.clip(jidx - n, 0, W - 1)
+        inb = (jidx - n >= 0) & (jidx - n < lens[:, None])
+        out = jnp.take_along_axis(data, src, axis=1)
+        ev2 = inb & jnp.take_along_axis(m, src, axis=1) & \
+            (jidx < lens[:, None])
+        return listy(out, lens, ev2)
+    if op == "drop_nulls":
+        jidx = jnp.arange(W)[None, :]
+        keep = m  # valid elements only
+        order = jax.lax.sort((jnp.where(keep, 0, 1).astype(jnp.int32),
+                              jnp.broadcast_to(
+                                  jnp.arange(W, dtype=jnp.int32)[None, :],
+                                  (cap, W))),
+                             num_keys=1, dimension=1, is_stable=True)[1]
+        data2 = jnp.take_along_axis(data, order, axis=1)
+        ln2 = jnp.sum(keep, axis=1).astype(jnp.int32)
+        ev2 = jidx < ln2[:, None]
+        return listy(data2, ln2, ev2)
+    if op == "gather":
+        idxs = attrs["indices"]
+        null_on_oob = attrs.get("null_on_oob", False)
+        take = np.asarray(idxs, dtype=np.int32)
+        W2 = max(len(take), 1)
+        src_pos = jnp.asarray(take)[None, :] + jnp.zeros((cap, 1), jnp.int32)
+        src_pos = jnp.where(src_pos < 0, lens[:, None] + src_pos, src_pos)
+        inb = (src_pos >= 0) & (src_pos < lens[:, None])
+        srcc = jnp.clip(src_pos, 0, W - 1)
+        data2 = jnp.take_along_axis(data, srcc, axis=1)
+        ev2 = inb & jnp.take_along_axis(m, srcc, axis=1)
+        ln2 = jnp.full((cap,), W2, jnp.int32)
+        return listy(data2, ln2, ev2)
+    if op == "gather_every":
+        n = int(attrs.get("n", 1))
+        off = int(attrs.get("offset", 0))
+        jidx = jnp.arange(W)[None, :]
+        src_pos = off + jidx * n
+        inb = src_pos < lens[:, None]
+        srcc = jnp.clip(src_pos, 0, W - 1)
+        data2 = jnp.take_along_axis(data, srcc, axis=1)
+        ev2 = inb & jnp.take_along_axis(m, srcc, axis=1)
+        ln2 = jnp.maximum(-(-(lens - off) // n), 0).astype(jnp.int32)
+        return listy(data2, ln2, ev2)
+    if op == "sample":
+        n = int(attrs.get("n", 1))
+        seed = attrs.get("seed")
+        key = jax.random.PRNGKey(0 if seed is None else int(seed))
+        u = jax.random.uniform(key, (cap, W))
+        in_len = jnp.arange(W)[None, :] < lens[:, None]
+        ku = jnp.where(in_len, u, 2.0)
+        _, shuf, mv2 = jax.lax.sort((ku, data, m.astype(jnp.int32)),
+                                    num_keys=1, dimension=1, is_stable=True)
+        ln2 = jnp.minimum(lens, n).astype(jnp.int32)
+        ev2 = mv2.astype(jnp.bool_) & \
+            (jnp.arange(W)[None, :] < ln2[:, None])
+        return listy(shuf, ln2, ev2)
     raise InvalidOperationError(f"unsupported .list op {op!r}")
 
 
