@@ -35,23 +35,31 @@ from .errors import (  # noqa: E402
 from . import exceptions  # noqa: E402  (pl.exceptions parity namespace)
 from . import testing  # noqa: E402  (pl.testing assertion helpers)
 from .expr.expr import (  # noqa: E402
-    Expr, col, element, first, last, len_ as len, lit, nth, when,
+    Expr, col, element, len_ as len, lit, nth, when,
 )
 from .api.frame import DataFrame  # noqa: E402
 from .api.series import Series  # noqa: E402
 from .api.lazyframe import LazyFrame, scan_parquet, scan_csv, scan_ipc, \
     scan_ndjson  # noqa: E402
 from .api.functions import (  # noqa: E402
-    all, all_horizontal, any, any_horizontal, approx_n_unique, arange,
-    arctan2, coalesce, concat, concat_list, concat_str, corr, count,
-    cov, cum_fold,
-    date, date_range, datetime, duration, exclude, fold, format,
+    align_frames, all, all_horizontal, any, any_horizontal,
+    approx_n_unique, arange,
+    arctan2, arctan2d, arg_sort_by, arg_where, business_day_count,
+    coalesce, collect_all, collect_all_async, concat, concat_arr,
+    concat_list, concat_str, corr, count,
+    cov, cum_count, cum_fold, cum_reduce,
+    date, date_range, datetime, duration, escape_regex, exclude,
+    explain_all, field, first, fold, format,
     from_arrow, from_dict, from_epoch, from_numpy, from_pandas,
-    from_records, head, implode, int_range, int_ranges, linear_space,
+    from_records, head, implode, int_range, int_ranges, last,
+    linear_space,
     map_batches,
-    max, max_horizontal, mean, mean_horizontal, min, min_horizontal,
-    ones, read_csv, read_ipc, read_json, read_ndjson, read_parquet,
-    reduce, repeat, select, sql_expr, std, struct, sum, sum_horizontal,
+    max, max_horizontal, mean, mean_horizontal, median, min,
+    min_horizontal, n_unique,
+    ones, quantile, read_csv, read_ipc, read_json, read_ndjson,
+    read_parquet,
+    reduce, repeat, rolling_corr, rolling_cov, row_index, select,
+    set_random_seed, sql_expr, std, struct, sum, sum_horizontal,
     tail, var, zeros,
 )
 from .sql.context import SQLContext  # noqa: E402

@@ -506,3 +506,153 @@ def concat_list(*exprs) -> Expr:
     """Combine columns (flat or list) into one list per row."""
     es = [_wrap_col(e) for e in _flatten(exprs)]
     return Expr("concat_list", tuple(es))
+
+
+def concat_arr(*exprs) -> Expr:
+    """Array variant of concat_list (padded lists serve both roles)."""
+    return concat_list(*exprs)
+
+
+def arctan2d(y, x) -> Expr:
+    """arctan2 in degrees (reference: py-polars arctan2d)."""
+    return arctan2(y, x).degrees()
+
+
+def arg_where(condition, *, eager: bool = False):
+    e = _wrap_col(condition).arg_true()
+    if eager:
+        from .frame import DataFrame
+        raise TypeError("eager arg_where needs a Series input; use "
+                        "Series.arg_true()")
+    return e
+
+
+def arg_sort_by(*exprs, descending=False) -> Expr:
+    """Row indices that sort the table by the given columns (reference:
+    py-polars arg_sort_by)."""
+    keys = [_wrap_col(e) for e in _flatten(exprs)]
+    return Expr("row_index").sort_by(*keys, descending=descending)
+
+
+def row_index() -> Expr:
+    return Expr("row_index")
+
+
+def cum_count(*columns, reverse: bool = False) -> Expr:
+    cols = [_wrap_col(c) for c in _flatten(columns)]
+    return cols[0].cum_count(reverse=reverse)
+
+
+def cum_reduce(function, exprs) -> Expr:
+    """Cumulative horizontal reduce kept per step as struct fields."""
+    from ..expr import meta as _meta
+    from ..expr.expr import struct as _struct
+    es = [_wrap_col(e) for e in _flatten([exprs])]
+    out = es[0]
+    fields = [out.alias(_meta.output_name(es[0]))]
+    for e in es[1:]:
+        out = function(out, e)
+        fields.append(out.alias(_meta.output_name(e)))
+    return _struct(*fields).alias("cum_reduce")
+
+
+def median(*columns) -> Expr:
+    cols = [_wrap_col(c) for c in _flatten(columns)]
+    return cols[0].median()
+
+
+def n_unique(*columns) -> Expr:
+    cols = [_wrap_col(c) for c in _flatten(columns)]
+    return cols[0].n_unique()
+
+
+def quantile(column, q: float, interpolation: str = "nearest") -> Expr:
+    return _wrap_col(column).quantile(q, interpolation)
+
+
+def first(column=None) -> Expr:
+    from ..expr.expr import first as _first
+    if column is None:
+        return _first()
+    return _wrap_col(column).first()
+
+
+def last(column=None) -> Expr:
+    from ..expr.expr import last as _last
+    if column is None:
+        return _last()
+    return _wrap_col(column).last()
+
+
+def escape_regex(value: str) -> str:
+    import re
+    return re.escape(value)
+
+
+def set_random_seed(seed: int) -> None:
+    """Global seed for sample/shuffle defaults (reference:
+    py-polars set_random_seed)."""
+    from .. import config as _config
+    _config.RANDOM_SEED = int(seed)
+
+
+def collect_all(lazy_frames, **kw):
+    return [lf.collect(**kw) for lf in lazy_frames]
+
+
+def collect_all_async(lazy_frames, **kw):
+    import concurrent.futures as _fut
+    ex = _fut.ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(lambda: [lf.collect(**kw) for lf in lazy_frames])
+    ex.shutdown(wait=False)
+    return fut
+
+
+def explain_all(lazy_frames, **kw) -> str:
+    return "\n".join(lf.explain() for lf in lazy_frames)
+
+
+def align_frames(*frames, on, how: str = "outer", select=None):
+    """Align frames on key columns so each has the same key rows in the
+    same order (reference: py-polars align_frames)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    keys = None
+    for f in frames:
+        k = f.select([Expr("col", name=c) for c in on_cols]).unique()
+        keys = k if keys is None else concat([keys, k]).unique()
+    keys = keys.sort(on_cols)
+    out = []
+    for f in frames:
+        a = keys.join(f, on=on_cols, how="left").sort(on_cols)
+        if select is not None:
+            a = a.select(select)
+        out.append(a)
+    return out
+
+
+def field(name) -> Expr:
+    """Reference a sibling struct field inside struct.with_fields
+    (reference: py-polars pl.field)."""
+    names = [name] if isinstance(name, str) else list(name)
+    if len(names) == 1:
+        return Expr("field", name=names[0])
+    from ..errors import InvalidOperationError
+    raise InvalidOperationError("pl.field supports one name")
+
+
+def business_day_count(start, end) -> Expr:
+    """Business days (Mon-Fri) in [start, end) between two date columns."""
+    return Expr("business_day_count",
+                (_wrap_col(start), _wrap_col(end)))
+
+
+def rolling_cov(a, b, *, window_size: int, min_samples=None,
+                ddof: int = 1) -> Expr:
+    return Expr("rolling_pair", (_wrap_col(a), _wrap_col(b)), stat="cov",
+                window_size=window_size, min_samples=min_samples, ddof=ddof)
+
+
+def rolling_corr(a, b, *, window_size: int, min_samples=None,
+                 ddof: int = 1) -> Expr:
+    return Expr("rolling_pair", (_wrap_col(a), _wrap_col(b)), stat="corr",
+                window_size=window_size, min_samples=min_samples, ddof=ddof)

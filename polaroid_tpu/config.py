@@ -94,3 +94,4 @@ def capacity_for(n: int) -> int:
     while b < c:
         b <<= 1
     return b
+RANDOM_SEED = None  # pl.set_random_seed

@@ -2616,6 +2616,10 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "table_len":
         mask = table.row_mask()
         return _scalar(UInt32, jnp.sum(mask).astype(jnp.uint32))
+    if k == "row_index":
+        mask = table.row_mask()
+        pos = (jnp.cumsum(mask.astype(jnp.uint32)) - 1).astype(jnp.uint32)
+        return Val(UInt32, pos, None, None, False, None)
     if k == "window":
         v = eval_expr(e.children[0], table, ctx)
         fillv = eval_expr(e.children[1], table, ctx)
@@ -2751,8 +2755,22 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             raise InvalidOperationError(
                 f".struct.with_fields on non-struct {v.dtype!r}")
         fields = dict(v.fields)
+        # pl.field(...) refs resolve against the struct's own fields:
+        # expose them as mangled columns on an augmented table
+        t2 = table
+        if any(_has_field_ref(c) for c in e.children[1:]):
+            cols2 = dict(table.cols)
+            names2 = list(table.names)
+            for fn2, fv2 in fields.items():
+                mn = f"__pt_field_{fn2}"
+                cols2[mn] = val_to_column(
+                    _bcast(fv2, table.capacity), table.capacity)
+                names2.append(mn)
+            t2 = Table(names2, cols2, table.capacity, table.nrows,
+                       table.valid)
         for name, ch in zip(e.attrs["names"], e.children[1:]):
-            fields[name] = _bcast(eval_expr(ch, table, ctx), table.capacity)
+            ch = _bind_field_refs(ch)
+            fields[name] = _bcast(eval_expr(ch, t2, ctx), table.capacity)
         return Val(StructT([(n2, f.dtype) for n2, f in fields.items()]),
                    None, v.validity, None, v.is_scalar, v.live,
                    fields=fields)
@@ -2904,6 +2922,26 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         live = jnp.concatenate([al, bl])
         return Val(a.dtype if not l.dtype.is_string else String, data,
                    validity, a.sdict, False, live)
+    if k == "field":
+        raise InvalidOperationError(
+            "pl.field(...) is only valid inside struct.with_fields")
+    if k == "business_day_count":
+        s = eval_expr(e.children[0], table, ctx)
+        en = eval_expr(e.children[1], table, ctx)
+        if s.dtype != Date or en.dtype != Date:
+            s = cast_val(s, Date)
+            en = cast_val(en, Date)
+
+        def W(d):
+            dm = d.astype(jnp.int64) + 3  # epoch day 0 is a Thursday
+            return 5 * jnp.floor_divide(dm, 7) + \
+                jnp.minimum(jnp.remainder(dm, 7), 5)
+        out2 = (W(en.data) - W(s.data)).astype(jnp.int32)
+        return Val(Int32, out2, _and_valid(s.validity, en.validity), None,
+                   s.is_scalar and en.is_scalar,
+                   s.live if s.live is not None else en.live)
+    if k == "rolling_pair":
+        return _eval_rolling_pair(e, table, ctx)
     if k == "map_elements":
         return _eval_map_elements(e, table, ctx)
     if k == "cumulative_eval":
@@ -3269,6 +3307,61 @@ def _eval_cumulative(e: Expr, table: Table, ctx: str) -> Val:
         full[int(i)] = o
     res = Series("", full)._col
     return Val(res.dtype, res.data, res.validity, res.sdict, False, v.live)
+
+
+def _has_field_ref(e: Expr) -> bool:
+    if e.kind == "field":
+        return True
+    return any(_has_field_ref(c) for c in e.children)
+
+
+def _bind_field_refs(e: Expr) -> Expr:
+    if e.kind == "field":
+        return Expr("col", name=f"__pt_field_{e.attrs['name']}")
+    if not e.children:
+        return e
+    return Expr(e.kind, tuple(_bind_field_refs(c) for c in e.children),
+                **e.attrs)
+
+
+def _eval_rolling_pair(e: Expr, table: Table, ctx: str) -> Val:
+    """rolling_cov / rolling_corr over two columns (reference:
+    polars-compute rolling pairwise moments)."""
+    a = eval_expr(e.children[0], table, ctx)
+    b = eval_expr(e.children[1], table, ctx)
+    mask, perm, inv, count = _live_order(table)
+    cap = table.capacity
+    x = jnp.broadcast_to(a.data, (cap,))[perm]
+    y = jnp.broadcast_to(b.data, (cap,))[perm]
+    xv = (jnp.broadcast_to(a.valid_or_true(), (cap,)) &
+          jnp.broadcast_to(b.valid_or_true(), (cap,)))[perm] & \
+        (jnp.arange(cap) < count)
+    w = int(e.attrs["window_size"])
+    min_p = e.attrs.get("min_samples") or w
+    ddof = e.attrs.get("ddof", 1)
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    xf = jnp.where(xv, x, 0).astype(acc)
+    yf = jnp.where(xv, y, 0).astype(acc)
+    n = _roll_win(xv.astype(acc), w, "add")
+    sx = _roll_win(xf, w, "add")
+    sy = _roll_win(yf, w, "add")
+    sxy = _roll_win(xf * yf, w, "add")
+    nn = jnp.maximum(n, 1)
+    cov = (sxy - sx * sy / nn) / jnp.maximum(nn - ddof, 1)
+    validity = (n >= min_p) & (n > ddof) & (jnp.arange(cap) < count)
+    if e.attrs["stat"] == "cov":
+        data = cov
+    else:
+        sx2 = _roll_win(xf * xf, w, "add")
+        sy2 = _roll_win(yf * yf, w, "add")
+        vx = jnp.maximum((sx2 - sx * sx / nn) / jnp.maximum(nn - ddof, 1), 0)
+        vy = jnp.maximum((sy2 - sy * sy / nn) / jnp.maximum(nn - ddof, 1), 0)
+        den = jnp.sqrt(vx * vy)
+        data = cov / jnp.where(den == 0, 1, den)
+        validity = validity & (den > 0)
+    stor = _stor(Float64)
+    return Val(Float64, data.astype(stor)[inv], validity[inv], None,
+               False, a.live if a.live is not None else b.live)
 
 
 def _eval_distinct_flags(e: Expr, table: Table, ctx: str) -> Val:

@@ -83,6 +83,15 @@ def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
     return out
 
 
+def _bind_fields(e: Expr) -> Expr:
+    if e.kind == "field":
+        return Expr("col", name=f"__pt_field_{e.attrs['name']}")
+    if not e.children:
+        return e
+    return Expr(e.kind, tuple(_bind_fields(c) for c in e.children),
+                **e.attrs)
+
+
 def _strip_excludes(e: Expr):
     """Remove `.exclude(...)` wrappers, returning (expr, excluded-names) —
     the names are dropped from wildcard/cols expansion (reference:
@@ -112,6 +121,8 @@ def output_name(e: Expr) -> str:
         return "literal"
     if e.kind == "table_len":
         return "len"
+    if e.kind == "row_index":
+        return "index"
     if e.kind == "name_map":
         base = output_name(e.children[0])
         how, arg = e.attrs["how"], e.attrs["arg"]
@@ -452,9 +463,23 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if not isinstance(ct, StructT):
             raise SchemaError(f".struct.with_fields on non-struct {ct!r}")
         fields = dict(ct.fields)
+        schema2 = dict(schema)
+        for fn, fd in fields.items():
+            schema2[f"__pt_field_{fn}"] = fd
         for n, c in zip(e.attrs["names"], e.children[1:]):
-            fields[n] = output_dtype(c, schema)
+            fields[n] = output_dtype(_bind_fields(c), schema2)
         return StructT(list(fields.items()))
+    if k == "field":
+        mn = f"__pt_field_{e.attrs['name']}"
+        if mn in schema:
+            return schema[mn]
+        raise SchemaError("pl.field(...) outside struct.with_fields")
+    if k == "business_day_count":
+        return Int32
+    if k == "row_index":
+        return UInt32
+    if k == "rolling_pair":
+        return Float64
     if k == "struct_json_encode":
         return String
     if k == "struct_unnest":

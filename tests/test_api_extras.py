@@ -309,3 +309,51 @@ def test_lazyframe_parity_batch():
         [10.0, 99.0, 30.0]
     ctx = pl.DataFrame({"extra": [7, 8, 9]}).lazy()
     assert lf.with_context(ctx).collect().columns == ["k", "v", "extra"]
+
+
+def test_free_functions_batch():
+    import datetime as dtm
+    import numpy as np
+    import pandas as pd
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"a": [3.0, 1.0, 2.0], "b": [1, 2, 3]})
+    assert df.select(pl.arg_where(pl.col("b") > 1).alias("v")) \
+        .to_dict()["v"] == [1, 2]
+    assert df.select(pl.arg_sort_by("a").alias("v")).to_dict()["v"] == \
+        [1, 2, 0]
+    assert df.select(pl.row_index().alias("v")).to_dict()["v"] == [0, 1, 2]
+    assert df.select(pl.median("a").alias("v")).item() == 2.0
+    assert df.select(pl.first("a").alias("v")).item() == 3.0
+    assert pl.escape_regex("a.b") == "a\\.b"
+    lf1, lf2 = df.lazy(), df.lazy().select(pl.col("a") * 2)
+    assert [d.height for d in pl.collect_all([lf1, lf2])] == [3, 3]
+    assert [d.height for d in pl.collect_all_async([lf1, lf2]).result()] \
+        == [3, 3]
+    d1 = pl.DataFrame({"k": [1, 2], "x": [10, 20]})
+    d2 = pl.DataFrame({"k": [2, 3], "y": [5, 6]})
+    a1, a2 = pl.align_frames(d1, d2, on="k")
+    assert a1.to_dict()["k"] == [1, 2, 3] and a2.to_dict()["y"] == \
+        [None, 5, 6]
+    dd = pl.DataFrame({"s": [dtm.date(2024, 8, 12)],
+                       "e": [dtm.date(2024, 8, 19)]})
+    assert dd.select(pl.business_day_count("s", "e").alias("v")).item() == 5
+    t = pl.DataFrame({"x": [1.0, 2.0, 4.0, 3.0, 5.0],
+                      "y": [2.0, 4.0, 7.0, 7.0, 9.0]})
+    got = t.select(pl.rolling_cov("x", "y", window_size=3).alias("v")) \
+        .to_dict()["v"]
+    ref = pd.Series([1, 2, 4, 3, 5.]).rolling(3).cov(
+        pd.Series([2, 4, 7, 7, 9.])).tolist()
+    assert got[2:] == pytest.approx(ref[2:]) and got[:2] == [None, None]
+    got = t.select(pl.rolling_corr("x", "y", window_size=3).alias("v")) \
+        .to_dict()["v"]
+    ref = pd.Series([1, 2, 4, 3, 5.]).rolling(3).corr(
+        pd.Series([2, 4, 7, 7, 9.])).tolist()
+    assert got[2:] == pytest.approx(ref[2:])
+    sf = pl.DataFrame({"a": [1, 2], "b": [3, 4]}).select(
+        pl.struct("a", "b").alias("s"))
+    out = sf.select(pl.col("s").struct.with_fields(
+        c=pl.field("a") + pl.field("b")).struct.field("c").alias("v"))
+    assert out.to_dict()["v"] == [4, 6]
+    assert df.select(pl.cum_reduce(lambda x, y: x + y,
+                                   [pl.col("a"), pl.col("b")])
+                     .alias("v")).to_dict()["v"][0] == {"a": 3.0, "b": 4.0}
