@@ -183,6 +183,28 @@ def _seg_sorted(data, gid, ncap, op, ident):
     return _fit(out, ncap, ident)
 
 
+def _seg_reduce_op(data, gid, ncap, op, ident):
+    """Segmented reduce with an arbitrary associative op (no segment_*
+    primitive): sort rows by gid, segmented scan, scatter each segment's
+    last scanned value into its group slot. gid values are slot indices
+    (need not be dense); gid >= ncap rows are dead."""
+    cap = gid.shape[0]
+    order = jnp.argsort(gid, stable=True)
+    g2 = gid[order]
+    d2 = data[order]
+    live = g2 < ncap
+    idx = jnp.arange(cap)
+    newg = (idx == 0) | (g2 != jnp.roll(g2, 1))
+    scanned = _segscan(jnp.where(live, d2, jnp.asarray(ident, d2.dtype)),
+                       newg, op)
+    is_last = jnp.concatenate([newg[1:], jnp.ones(1, jnp.bool_)])
+    tgt = jnp.where(is_last & live, g2, ncap).astype(jnp.int32)
+    out = jnp.full((ncap + 1,), ident, d2.dtype).at[tgt].set(
+        jnp.where(is_last & live, scanned,
+                  jnp.asarray(ident, d2.dtype)))
+    return out[:ncap]
+
+
 def _use_segscan() -> bool:
     # CPU scatters are fast and the associative scan is not; the
     # scatter-free path pays off on accelerators only
@@ -537,6 +559,94 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         return _group_mode(v, ctx)
     if agg in ("implode", "agg_groups"):
         return _group_implode(v, ctx, agg)
+    if agg in ("skew", "kurtosis"):
+        # two-pass central moments per group (reference:
+        # polars-compute/src/moment.rs under group_by)
+        acc = _acc_dtype(_float_dt(dt))
+        n = _seg_sum(spart.astype(acc), gid, ncap, sids)
+        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
+        m = s / jnp.maximum(n, 1)
+        mrow = m[jnp.clip(gid, 0, ncap - 1)]
+        dev = jnp.where(spart, sx.astype(acc) - mrow, 0)
+        m2 = _seg_sum(dev * dev, gid, ncap, sids) / jnp.maximum(n, 1)
+        out_dt = Float64
+        stor = jnp.dtype(storage_numpy_dtype(out_dt))
+        if agg == "skew":
+            m3 = _seg_sum(dev ** 3, gid, ncap, sids) / jnp.maximum(n, 1)
+            g = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            if not attrs.get("bias", True):
+                g = g * jnp.sqrt(n * (n - 1)) / jnp.maximum(n - 2, 1)
+                return asval(out_dt, g.astype(stor), (n > 2) & (m2 > 0))
+            return asval(out_dt, g.astype(stor), (n > 0) & (m2 > 0))
+        m4 = _seg_sum(dev ** 4, gid, ncap, sids) / jnp.maximum(n, 1)
+        g = m4 / jnp.maximum(m2 * m2, 1e-300)
+        valid = (n > 0) & (m2 > 0)
+        if not attrs.get("bias", True):
+            g = ((n + 1) * g - 3 * (n - 1)) * (n - 1) / \
+                jnp.maximum((n - 2) * (n - 3), 1) + 3
+            valid = (n > 3) & (m2 > 0)
+        if attrs.get("fisher", True):
+            g = g - 3.0
+        return asval(out_dt, g.astype(stor), valid)
+    if agg in ("nan_min", "nan_max"):
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
+        lo, hi = _type_bounds(sx.dtype)
+        if agg == "nan_min":
+            r = _seg_min(jnp.where(spart, sx, hi), gid, ncap, sids)
+        else:
+            r = _seg_max(jnp.where(spart, sx, lo), gid, ncap, sids)
+        if dt.is_float:
+            has_nan = _seg_max(
+                jnp.where(spart & jnp.isnan(sx), 1, 0), gid, ncap, sids)
+            r = jnp.where(has_nan > 0, jnp.nan, r)
+        return asval(dt, r, n > 0)
+    if agg in ("bitwise_and", "bitwise_or", "bitwise_xor"):
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
+        if dt.is_bool:
+            if agg == "bitwise_and":
+                r = _seg_min(jnp.where(spart, sx.astype(jnp.int32), 1),
+                             gid, ncap, sids) == 1
+            elif agg == "bitwise_or":
+                r = _seg_max(jnp.where(spart, sx.astype(jnp.int32), 0),
+                             gid, ncap, sids) == 1
+            else:
+                r = (_seg_sum(jnp.where(spart & sx, 1, 0), gid, ncap,
+                              sids) % 2) == 1
+            return asval(Boolean, r, n > 0)
+        if not dt.is_integer:
+            raise InvalidOperationError(f"{agg} on {dt!r}")
+        if dt.is_signed_integer:
+            ones = jnp.array(-1, sx.dtype)
+        else:
+            ones = jnp.array(np.iinfo(np.dtype(str(sx.dtype))).max, sx.dtype)
+        if agg == "bitwise_and":
+            fn2, ident = jnp.bitwise_and, ones
+        elif agg == "bitwise_or":
+            fn2, ident = jnp.bitwise_or, jnp.array(0, sx.dtype)
+        else:
+            fn2, ident = jnp.bitwise_xor, jnp.array(0, sx.dtype)
+        r = _seg_reduce_op(jnp.where(spart, sx, ident), gid, ncap, fn2,
+                           ident)
+        return asval(dt, r, n > 0)
+    if agg == "entropy":
+        import math
+        base = float(attrs.get("base", math.e))
+        normalize = bool(attrs.get("normalize", True))
+        acc = _acc_dtype(_float_dt(dt))
+        xf = jnp.where(spart, sx, 0).astype(acc)
+        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
+        if normalize:
+            tot = _seg_sum(xf, gid, ncap, sids)
+            trow = tot[jnp.clip(gid, 0, ncap - 1)]
+            p = xf / jnp.where(trow == 0, 1, trow)
+        else:
+            p = xf
+        term = jnp.where(spart & (p > 0), p * jnp.log(p), 0.0)
+        h = -_seg_sum(term, gid, ncap, sids) / math.log(base)
+        out_dt = _float_dt(dt)
+        return asval(out_dt,
+                     h.astype(jnp.dtype(storage_numpy_dtype(out_dt))),
+                     n > 0)
     raise ComputeError(f"unknown group aggregation {agg!r}")
 
 

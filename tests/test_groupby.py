@@ -176,3 +176,37 @@ def test_groupby_iteration_and_map_groups():
     assert got == {"a": [1, 3], "b": [2]}
     m = df.group_by("k").map_groups(lambda g: g.head(1))
     assert m.height == 2
+
+
+def test_group_moment_bitwise_entropy_aggs():
+    import numpy as np
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "v": [1.0, 3.0, 5.0, 2.0, 2.0],
+                       "i": [3, 6, 4, 1, 5]})
+    out = df.group_by("k").agg(
+        pl.col("i").bitwise_and().alias("ba"),
+        pl.col("i").bitwise_or().alias("bo"),
+        pl.col("i").bitwise_xor().alias("bx"),
+        pl.col("v").entropy(base=2).alias("en"),
+        pl.col("v").skew().alias("sk"),
+        pl.col("v").kurtosis().alias("ku"),
+        pl.col("v").nan_min().alias("nmn"),
+        pl.col("v").nan_max().alias("nmx"),
+    ).sort("k").to_dict()
+    assert out["ba"] == [0, 1] and out["bo"] == [7, 5] and \
+        out["bx"] == [1, 4]
+    x = np.array([1, 3, 5.0])
+    p = x / x.sum()
+    assert abs(out["en"][0] - (-(p * np.log2(p)).sum())) < 1e-9
+    d = x - x.mean()
+    assert abs(out["sk"][0] - (d**3).mean() / (d**2).mean()**1.5) < 1e-9
+    assert out["nmn"] == [1.0, 2.0] and out["nmx"] == [5.0, 2.0]
+    # NaN propagation in nan_max
+    d2 = pl.DataFrame({"k": ["a", "a"], "v": [1.0, float("nan")]})
+    got = d2.group_by("k").agg(pl.col("v").nan_max().alias("m")) \
+        .to_dict()["m"]
+    assert np.isnan(got[0])
+    # over() context reuses the same reductions
+    assert df.select(pl.col("i").bitwise_and().over("k").alias("v")) \
+        .to_dict()["v"] == [0, 0, 0, 1, 1]
