@@ -13,18 +13,56 @@ from ..ops.groupby import group_by_agg
 
 
 class GroupBy:
-    def __init__(self, df, keys: List[Expr], maintain_order: bool = False):
+    def __init__(self, df, keys: List[Expr], maintain_order: bool = False,
+                 having=None):
         self._df = df
         self._keys = keys
         self._maintain_order = maintain_order
+        self._having = list(having) if having else []
 
     def agg(self, *aggs, **named_aggs):
         from .frame import DataFrame, _to_exprs
         exprs = _to_exprs(aggs, named_aggs)
         exprs = meta.expand_exprs(exprs, self._df.schema)
-        t = group_by_agg(self._df._table, self._keys, exprs,
+        hav = [h.alias(f"__pt_having_{i}")
+               for i, h in enumerate(self._having)]
+        t = group_by_agg(self._df._table, self._keys, exprs + hav,
                          self._maintain_order)
-        return DataFrame._from_table(t)
+        out = DataFrame._from_table(t)
+        if hav:
+            pred = None
+            for i in range(len(hav)):
+                p = _col(f"__pt_having_{i}").fill_null(False)
+                pred = p if pred is None else (pred & p)
+            out = out.filter(pred).drop(
+                *[f"__pt_having_{i}" for i in range(len(hav))])
+        return out
+
+    def having(self, *predicates) -> "GroupBy":
+        """Keep only groups whose aggregate predicates hold (applied after
+        agg; reference: py-polars GroupBy.having)."""
+        return GroupBy(self._df, self._keys, self._maintain_order,
+                       having=self._having + list(predicates))
+
+    def head(self, n: int = 5):
+        """First n rows of every group, original row order (reference:
+        GroupBy.head)."""
+        from ..expr.expr import lit as _lit
+        keys = self._keys
+        ordinal = _lit(True).cum_count().over(*keys)
+        return self._df.filter(ordinal <= n)
+
+    def tail(self, n: int = 5):
+        from ..expr.expr import Expr as _E, lit as _lit
+        keys = self._keys
+        ordinal = _lit(True).cum_count().over(*keys)
+        glen = _E("table_len").over(*keys)
+        return self._df.filter(ordinal > glen - n)
+
+    def all(self):
+        """Implode every non-key column per group."""
+        return self.agg([_col(n).implode().alias(n)
+                         for n in self._all_non_key()])
 
     def __iter__(self):
         """Iterate (key, sub-frame) pairs (reference:

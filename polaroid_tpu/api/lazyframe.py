@@ -574,15 +574,61 @@ class LazyFrame:
 
 
 class LazyGroupBy:
-    def __init__(self, lf: LazyFrame, keys: List[Expr], maintain_order: bool):
+    def __init__(self, lf: LazyFrame, keys: List[Expr], maintain_order: bool,
+                 having=None):
         self._lf = lf
         self._keys = keys
         self._maintain_order = maintain_order
+        self._having = list(having) if having else []
 
     def agg(self, *aggs, **named) -> LazyFrame:
         exprs = _to_exprs(aggs, named)
-        return LazyFrame._from_plan(
-            L.GroupBy(self._lf._plan, self._keys, exprs, self._maintain_order))
+        hav = [h.alias(f"__pt_having_{i}")
+               for i, h in enumerate(self._having)]
+        out = LazyFrame._from_plan(
+            L.GroupBy(self._lf._plan, self._keys, exprs + hav,
+                      self._maintain_order))
+        if hav:
+            pred = None
+            for i in range(len(hav)):
+                p = _col(f"__pt_having_{i}").fill_null(False)
+                pred = p if pred is None else (pred & p)
+            out = out.filter(pred).drop(
+                *[f"__pt_having_{i}" for i in range(len(hav))])
+        return out
+
+    def having(self, *predicates) -> "LazyGroupBy":
+        return LazyGroupBy(self._lf, self._keys, self._maintain_order,
+                           having=self._having + list(predicates))
+
+    def head(self, n: int = 5) -> LazyFrame:
+        from ..expr.expr import lit as _lit
+        ordinal = _lit(True).cum_count().over(*self._keys)
+        return self._lf.filter(ordinal <= n)
+
+    def tail(self, n: int = 5) -> LazyFrame:
+        from ..expr.expr import lit as _lit
+        ordinal = _lit(True).cum_count().over(*self._keys)
+        glen = Expr("table_len").over(*self._keys)
+        return self._lf.filter(ordinal > glen - n)
+
+    def all(self) -> LazyFrame:
+        return self.agg([_col(n).implode() for n in self._all_non_key()])
+
+    def quantile(self, q: float, interpolation: str = "nearest") -> LazyFrame:
+        return self.agg([_col(n).quantile(q, interpolation)
+                         for n in self._all_non_key()])
+
+    def map_groups(self, function, schema=None) -> LazyFrame:
+        keys = self._keys
+
+        def fn(df):
+            from .groupby import GroupBy
+            return GroupBy(df, keys, self._maintain_order) \
+                .map_groups(function)
+        return self._lf.map_batches(fn, schema=schema)
+
+    apply = map_groups
 
     def _all_non_key(self):
         key_names = set()

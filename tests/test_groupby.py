@@ -210,3 +210,25 @@ def test_group_moment_bitwise_entropy_aggs():
     # over() context reuses the same reductions
     assert df.select(pl.col("i").bitwise_and().over("k").alias("v")) \
         .to_dict()["v"] == [0, 0, 0, 1, 1]
+
+
+def test_group_head_tail_all_having():
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"k": ["a", "a", "a", "b", "b"], "v": [1, 2, 3, 4, 5]})
+    assert df.group_by("k").head(2).to_dict() == \
+        {"k": ["a", "a", "b", "b"], "v": [1, 2, 4, 5]}
+    assert df.group_by("k").tail(1).to_dict() == \
+        {"k": ["a", "b"], "v": [3, 5]}
+    assert df.group_by("k").all().sort("k").to_dict() == \
+        {"k": ["a", "b"], "v": [[1, 2, 3], [4, 5]]}
+    assert df.group_by("k").having(pl.col("v").sum() > 6).agg(
+        pl.col("v").sum().alias("s")).to_dict() == {"k": ["b"], "s": [9]}
+    lf = df.lazy()
+    assert lf.group_by("k").head(2).collect().height == 4
+    assert lf.group_by("k").tail(1).collect().height == 2
+    assert lf.group_by("k").quantile(0.5).collect().sort("k") \
+        .to_dict()["v"] == [2.0, 4.0]
+    assert lf.group_by("k").having(pl.col("v").sum() > 6).agg(
+        pl.col("v").sum().alias("s")).collect().to_dict()["k"] == ["b"]
+    assert lf.group_by("k").map_groups(lambda d: d.head(1)) \
+        .collect().to_dict()["v"] == [1, 4]
