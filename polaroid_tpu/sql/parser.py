@@ -106,6 +106,10 @@ class Parser:
                 f"expected {val or kind}, got {self.peek().val!r}")
         return t
 
+    def _next_is_lparen(self) -> bool:
+        nxt = self.peek(1)
+        return nxt.kind == "op" and nxt.val == "("
+
     def kw(self, *vals) -> Optional[str]:
         t = self.peek()
         if t.kind == "kw" and t.val in vals:
@@ -426,7 +430,10 @@ class Parser:
             e = self.parse_expr()
             self.expect("op", ")")
             return e
-        if t.kind == "ident":
+        if t.kind == "ident" or (
+                t.kind == "kw" and t.val in ("left", "right", "if")
+                and self._next_is_lparen()):
+            # LEFT/RIGHT/IF are keywords AND function names
             name = self.next().val
             if self.peek().val == "(" and self.peek().kind == "op":
                 self.next()

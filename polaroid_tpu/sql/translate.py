@@ -27,7 +27,10 @@ _DTYPES = {
 
 _AGG_FNS = {"sum", "avg", "mean", "min", "max", "count", "stddev", "stdev",
             "std", "variance", "var", "median", "first", "last",
-            "count_distinct", "approx_count_distinct", "array_agg"}
+            "count_distinct", "approx_count_distinct", "array_agg",
+            "quantile", "quantile_cont", "quantile_disc",
+            "bit_and", "bit_or", "bit_xor",
+            "corr", "covar", "covar_samp", "covar_pop"}
 
 
 class Scope:
@@ -102,6 +105,10 @@ def _translate_window_fn(e: Dict, scope, alias_env) -> Expr:
             n = -n
         base = translate_expr(args[0], scope, alias_env).shift(n)
         return base.over(*parts)
+    if name in ("first_value", "last_value"):
+        base = translate_expr(args[0], scope, alias_env)
+        base = base.first() if name == "first_value" else base.last()
+        return base.over(*parts)
     inner = {"type": "fn", "name": name, "args": args,
              "distinct": e.get("distinct")}
     base = _translate_fn(inner, scope, alias_env)
@@ -127,7 +134,8 @@ def translate_expr(e: Dict, scope: Optional[Scope],
         l = translate_expr(e["l"], scope, alias_env)
         r = translate_expr(e["r"], scope, alias_env)
         if op == "concat":
-            raise SQLInterfaceError("|| string concat not yet supported")
+            from ..api.functions import concat_str
+            return concat_str(l, r)
         return Expr("binary", (l, r), op=op)
     if t == "not":
         return ~translate_expr(e["e"], scope, alias_env)
@@ -291,8 +299,137 @@ def _translate_fn(e: Dict, scope, alias_env) -> Expr:
                  "week": "1w", "day": "1d", "hour": "1h",
                  "minute": "1m", "second": "1s"}[args[0]["val"].lower()]
         return translate_expr(args[1], scope, alias_env).dt.truncate(every)
-    if name == "strftime" or name == "to_date":
-        raise SQLInterfaceError(f"function {name} not yet supported")
+    if name == "strftime":
+        return a().dt.to_string(args[1]["val"])
+    if name == "strptime":
+        return a().str.to_datetime(format=args[1]["val"]
+                                   if len(args) > 1 else None)
+    if name == "to_date":
+        return a().str.to_date(format=args[1]["val"]
+                               if len(args) > 1 else None)
+    if name == "date":
+        return a().cast(_DTYPES["date"])
+    if name in ("timestamp", "datetime"):
+        return a().str.to_datetime()
+    if name == "time":
+        return a().str.to_time()
+    # math extras
+    if name == "pi":
+        import math
+        return lit(math.pi)
+    if name == "cbrt":
+        return a().cbrt()
+    if name == "sign":
+        return a().sign()
+    if name == "log1p":
+        return a().log1p()
+    if name == "log":
+        if len(args) == 2:  # LOG(base, x)
+            return translate_expr(args[1], scope, alias_env).log(
+                float(args[0]["val"]))
+        return a().log(2.718281828459045)
+    if name == "cot":
+        return a().cot()
+    if name == "degrees":
+        return a().degrees()
+    if name == "radians":
+        return a().radians()
+    if name in ("asind", "acosd", "atand", "cotd"):
+        return getattr(a(), {"asind": "arcsin", "acosd": "arccos",
+                             "atand": "arctan", "cotd": "cot"}[name])() \
+            .degrees()
+    if name in ("sind", "cosd", "tand"):
+        return getattr(a().radians(),
+                       {"sind": "sin", "cosd": "cos", "tand": "tan"}[name])()
+    if name == "atan2":
+        from ..api.functions import arctan2
+        return arctan2(a(), translate_expr(args[1], scope, alias_env))
+    if name == "atan2d":
+        from ..api.functions import arctan2d
+        return arctan2d(a(), translate_expr(args[1], scope, alias_env))
+    if name == "mod":
+        return a() % translate_expr(args[1], scope, alias_env)
+    if name == "div":
+        return a() // translate_expr(args[1], scope, alias_env)
+    # bitwise
+    if name in ("bit_and", "bit_or", "bit_xor"):
+        return getattr(a(), f"bitwise_{name[4:]}")()
+    if name == "bit_count":
+        return a().bitwise_count_ones()
+    if name == "bit_length":
+        return a().str.len_bytes() * 8
+    # strings
+    if name == "left":
+        return a().str.head(int(args[1]["val"]))
+    if name == "right":
+        return a().str.tail(int(args[1]["val"]))
+    if name == "strpos":
+        # SQL is 1-based; 0 = not found
+        return a().str.find(args[1]["val"], literal=True).fill_null(-1) + 1
+    if name == "split_part":
+        # 1-based part index
+        return a().str.split(args[1]["val"]) \
+            .list.get(int(args[2]["val"]) - 1)
+    if name == "string_to_array":
+        return a().str.split(args[1]["val"])
+    if name == "regexp_like":
+        return a().str.contains(args[1]["val"], literal=False)
+    if name == "normalize":
+        form = args[1]["val"] if len(args) > 1 else "NFC"
+        return a().str.normalize(str(form).upper())
+    if name == "concat":
+        from ..api.functions import concat_str
+        return concat_str(*[translate_expr(x, scope, alias_env)
+                            for x in args])
+    if name == "concat_ws":
+        from ..api.functions import concat_str
+        return concat_str(*[translate_expr(x, scope, alias_env)
+                            for x in args[1:]],
+                          separator=args[0]["val"])
+    # arrays (list columns)
+    if name == "array_agg":
+        return a().implode()
+    if name == "array_contains":
+        return a().list.contains(args[1]["val"])
+    if name == "array_get":
+        return a().list.get(int(args[1]["val"]))
+    if name in ("array_length", "cardinality"):
+        return a().list.len()
+    if name == "array_max":
+        return a().list.max()
+    if name == "array_min":
+        return a().list.min()
+    if name == "array_mean":
+        return a().list.mean()
+    if name == "array_sum":
+        return a().list.sum()
+    if name == "array_unique":
+        return a().list.unique()
+    if name == "array_reverse":
+        return a().list.reverse()
+    if name == "array_to_string":
+        return a().list.join(args[1]["val"] if len(args) > 1 else ",")
+    if name in ("explode", "unnest"):
+        return a().explode()
+    # stats
+    if name == "corr":
+        from ..api.functions import corr as _corr
+        return _corr(a(), translate_expr(args[1], scope, alias_env))
+    if name in ("covar_samp", "covar", "covar_pop"):
+        from ..api.functions import cov as _cov
+        ddof = 0 if name == "covar_pop" else 1
+        return _cov(a(), translate_expr(args[1], scope, alias_env),
+                    ddof=ddof)
+    if name == "quantile_cont":
+        return a().quantile(float(args[1]["val"]), interpolation="linear")
+    if name == "quantile_disc":
+        return a().quantile(float(args[1]["val"]), interpolation="lower")
+    if name == "if":
+        return when(a()).then(
+            translate_expr(args[1], scope, alias_env)).otherwise(
+            translate_expr(args[2], scope, alias_env))
+    if name == "ifnull":
+        return a().fill_null(translate_expr(args[1], scope, alias_env))
     raise SQLInterfaceError(f"unknown SQL function {name!r}")
 
 

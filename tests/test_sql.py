@@ -229,3 +229,44 @@ def test_sql_global_window():
     out = ctx.execute("SELECT v, SUM(v) OVER () AS s FROM t")
     d = out.collect().to_dict() if hasattr(out, "collect") else out.to_dict()
     assert d["s"] == [6, 6, 6]
+
+
+def test_sql_function_batch():
+    import polaroid_tpu as pl
+    ctx = pl.SQLContext()
+    df = pl.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 4.0, 9.0],
+                       "i": [3, 6, 4], "s": ["foo-bar", "baz-qux", "x-y"],
+                       "d": ["2024-02-15", "2024-03-01", "2024-01-05"]})
+    ctx.register("t", df.lazy())
+    q = lambda s: ctx.execute(s).collect().to_dict()  # noqa: E731
+    assert q("SELECT mod(i, 2) AS m, div(i, 2) AS d FROM t") == \
+        {"m": [1, 0, 0], "d": [1, 3, 2]}
+    assert q("SELECT k, bit_and(i) AS ba, bit_or(i) AS bo FROM t "
+             "GROUP BY k ORDER BY k") == \
+        {"k": ["a", "b"], "ba": [2, 4], "bo": [7, 4]}
+    assert q("SELECT bit_count(i) AS bc FROM t")["bc"] == [2, 2, 1]
+    assert q("SELECT left(s, 3) AS l, right(s, 3) AS r, "
+             "strpos(s, 'bar') AS p FROM t") == \
+        {"l": ["foo", "baz", "x-y"], "r": ["bar", "qux", "x-y"],
+         "p": [5, 0, 0]}
+    assert q("SELECT split_part(s, '-', 1) AS p FROM t")["p"] == \
+        ["foo", "baz", "x"]
+    assert q("SELECT regexp_like(s, '^f') AS r FROM t")["r"] == \
+        [True, False, False]
+    assert q("SELECT concat_ws('_', k, s) AS c FROM t")["c"][0] == \
+        "a_foo-bar"
+    assert q("SELECT k || s AS c FROM t")["c"][0] == "afoo-bar"
+    out = q("SELECT k, array_agg(v) AS aa, quantile_cont(v, 0.5) AS qc "
+            "FROM t GROUP BY k ORDER BY k")
+    assert out["aa"] == [[1.0, 4.0], [9.0]] and out["qc"] == [2.5, 9.0]
+    assert q("SELECT if(v > 2, 'big', 'small') AS f FROM t")["f"] == \
+        ["small", "big", "big"]
+    assert q("SELECT ifnull(nullif(v, 1.0), -1) AS n FROM t")["n"] == \
+        [-1.0, 4.0, 9.0]
+    assert q("SELECT strftime(to_date(d), '%Y/%m') AS f FROM t")["f"] == \
+        ["2024/02", "2024/03", "2024/01"]
+    assert q("SELECT array_to_string(string_to_array(s, '-'), '+') AS a "
+             "FROM t")["a"] == ["foo+bar", "baz+qux", "x+y"]
+    assert q("SELECT cbrt(v) AS c FROM t")["c"][0] == 1.0
+    assert q("SELECT first_value(v) OVER (PARTITION BY k) AS f FROM t") \
+        ["f"] == [1.0, 1.0, 9.0]
