@@ -557,20 +557,20 @@ class LazyFrame:
         return self.map_batches(fn)
 
     def sink_parquet(self, path, **kw) -> None:
-        from ..exec.executor import execute
-        execute(optimize(L.Sink(self._plan, "parquet", path, kw)))
+        from ..exec.streaming import execute_streaming
+        execute_streaming(optimize(L.Sink(self._plan, "parquet", path, kw)))
 
     def sink_csv(self, path, **kw) -> None:
-        from ..exec.executor import execute
-        execute(optimize(L.Sink(self._plan, "csv", path, kw)))
+        from ..exec.streaming import execute_streaming
+        execute_streaming(optimize(L.Sink(self._plan, "csv", path, kw)))
 
     def sink_ipc(self, path, **kw) -> None:
-        from ..exec.executor import execute
-        execute(optimize(L.Sink(self._plan, "ipc", path, kw)))
+        from ..exec.streaming import execute_streaming
+        execute_streaming(optimize(L.Sink(self._plan, "ipc", path, kw)))
 
     def sink_ndjson(self, path, **kw) -> None:
-        from ..exec.executor import execute
-        execute(optimize(L.Sink(self._plan, "ndjson", path, kw)))
+        from ..exec.streaming import execute_streaming
+        execute_streaming(optimize(L.Sink(self._plan, "ndjson", path, kw)))
 
 
 class LazyGroupBy:

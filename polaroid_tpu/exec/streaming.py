@@ -141,7 +141,116 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
             yield t
         return
 
+    if k == "distinct":
+        # two-phase dedupe (reference: polars-stream unique nodes):
+        # per-batch uniques keep memory bounded by output cardinality,
+        # one final unique merges (first-occurrence order preserved by
+        # ordered vstack)
+        from ..api.frame import DataFrame
+        parts = []
+        for t in _stream(plan.input):
+            df = DataFrame._from_table(t)
+            parts.append(df.unique(subset=plan.subset, keep=plan.keep,
+                                   maintain_order=True)._table)
+        if not parts:
+            return
+        merged = parts[0] if len(parts) == 1 else vstack_tables(parts)
+        out = DataFrame._from_table(merged).unique(
+            subset=plan.subset, keep=plan.keep,
+            maintain_order=plan.maintain_order)
+        yield out._table
+        return
+
+    if k == "sort" and plan.slice_ is not None and plan.slice_[0] == 0:
+        # streaming top-k: per-batch top-k partials, one final top-k
+        # (reference: polars-stream top_k node)
+        kk = plan.slice_[1]
+        parts = []
+        for t in _stream(plan.input):
+            part = _materialize(L.Sort(L.DataFrameScan(t), plan.by,
+                                       plan.descending, plan.nulls_last,
+                                       plan.maintain_order, (0, kk)))
+            parts.append(part)
+        if not parts:
+            return
+        merged = parts[0] if len(parts) == 1 else vstack_tables(parts)
+        yield _materialize(L.Sort(L.DataFrameScan(merged), plan.by,
+                                  plan.descending, plan.nulls_last,
+                                  plan.maintain_order, (0, kk)))
+        return
+
+    if k == "with_row_index":
+        from ..api.frame import DataFrame
+        off = plan.offset
+        for t in _stream(plan.input):
+            df = DataFrame._from_table(t)
+            yield df.with_row_index(plan.name, off)._table
+            off += t.count_rows()
+        return
+
+    if k == "sink":
+        yield _stream_sink(plan)
+        return
+
     yield _materialize(plan)
+
+
+def _stream_sink(plan: L.Plan) -> Table:
+    """Out-of-core sink: write each batch incrementally without
+    materializing the full result (reference: polars-stream io_sinks2
+    writers)."""
+    from ..io.arrow_interop import table_to_arrow
+    import pyarrow as pa
+    path = plan.target
+    fmt = plan.fmt
+    kw = dict(plan.options or {})
+    writer = None
+    wrote = 0
+    last = None
+    from ..ops import compact as _C
+    try:
+        for t in _stream(plan.input):
+            t = _C.compact(t)
+            last = t
+            at = table_to_arrow(t)
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
+                if writer is None:
+                    comp = kw.pop("compression", "zstd")
+                    writer = pq.ParquetWriter(str(path), at.schema,
+                                              compression=comp)
+                writer.write_table(at)
+            elif fmt == "ipc":
+                import pyarrow.ipc as paipc
+                if writer is None:
+                    writer = paipc.new_file(pa.OSFile(str(path), "wb"),
+                                            at.schema)
+                writer.write_table(at)
+            elif fmt == "csv":
+                import pyarrow.csv as pacsv
+                if writer is None:
+                    writer = pacsv.CSVWriter(str(path), at.schema)
+                writer.write_table(at)
+            elif fmt == "ndjson":
+                from ..api.frame import DataFrame
+                mode = "w" if wrote == 0 else "a"
+                txt = DataFrame._from_table(t).write_ndjson()
+                with open(path, mode) as f:
+                    f.write(txt)
+            else:
+                raise ComputeError(f"unknown sink format {fmt!r}")
+            wrote += 1
+    finally:
+        if writer is not None:
+            writer.close()
+    if wrote == 0:  # write an empty file with the right schema
+        from ..api.frame import DataFrame
+        from ..exec.executor import execute, _run_sink
+        t = execute(plan.input)
+        _run_sink(t, plan)
+        return t
+    from ..batch import Table as _T
+    return last if last is not None else _T.empty([])
 
 
 def builtins_any(it):

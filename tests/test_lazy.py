@@ -255,3 +255,40 @@ def test_streaming_join_differential():
                               on="k", how=how).sort("k", "v")
         assert l3.collect(engine="streaming").to_dict() == \
             l3.collect(engine="in-memory").to_dict()
+
+
+def test_streaming_distinct_topk_rowindex_sinks(tmp_path):
+    import numpy as np
+    import polaroid_tpu as pl
+    rng = np.random.default_rng(0)
+    n = 20000
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pl.DataFrame({"k": rng.integers(0, 50, n),
+                       "v": rng.uniform(0, 1, n)})
+    for i in range(4):
+        df.slice(i * (n // 4), n // 4).write_parquet(
+            str(src / f"p{i}.parquet"))
+    lf = pl.scan_parquet(str(src / "*.parquet"))
+    # differential: streaming vs in-memory (the reference's load-bearing
+    # test strategy, SURVEY §4)
+    d1 = lf.unique(subset="k").collect(engine="streaming").sort("k")
+    d2 = lf.unique(subset="k").collect(engine="in-memory").sort("k")
+    assert d1.to_dict() == d2.to_dict()
+    t1 = lf.sort("v", descending=True).head(5).collect(engine="streaming")
+    t2 = lf.sort("v", descending=True).head(5).collect(engine="in-memory")
+    assert t1.to_dict() == t2.to_dict()
+    r1 = lf.with_row_index("i").collect(engine="streaming")
+    assert r1.to_dict()["i"][:3] == [0, 1, 2]
+    assert r1.to_dict()["i"][-1] == n - 1
+    # out-of-core sinks write batch-by-batch
+    outp = tmp_path / "out.parquet"
+    lf.filter(pl.col("v") > 0.5).sink_parquet(str(outp))
+    ref = lf.filter(pl.col("v") > 0.5).collect()
+    assert pl.read_parquet(str(outp)).height == ref.height
+    lf.sink_csv(str(tmp_path / "out.csv"))
+    assert pl.read_csv(str(tmp_path / "out.csv")).height == n
+    lf.sink_ipc(str(tmp_path / "out.ipc"))
+    assert pl.read_ipc(str(tmp_path / "out.ipc")).height == n
+    lf.sink_ndjson(str(tmp_path / "out.ndjson"))
+    assert pl.read_ndjson(str(tmp_path / "out.ndjson")).height == n
