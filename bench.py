@@ -123,14 +123,22 @@ N_ROWS = 1 << 23  # 8.4M rows
 BASELINE_ROWS_S = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
 
 
+def _phase(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _run_benches(d: dict) -> None:
     """Fill `d` phase by phase; safe to snapshot at any time."""
     n = N_ROWS
     rng = np.random.default_rng(0)
+    _phase("device_put inputs")
     price = jnp.asarray(rng.uniform(1, 200, n).astype(np.float32))
     volume = jnp.asarray(rng.integers(0, 5000, n).astype(np.int32))
     sym = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint32))
     valid = jnp.ones(n, dtype=bool)
+    _sync(valid)
+    _phase("inputs resident; compiling q1")
 
     from polaroid_tpu.parallel.shuffle import local_groupby
 
@@ -144,9 +152,11 @@ def _run_benches(d: dict) -> None:
         return gkey, s / jnp.maximum(c, 1), gv
 
     t_q1 = _bench(q1, (price, volume, sym, valid))
+    _phase(f"q1 done: {t_q1*1e3:.1f} ms")
     d["t_q1"] = t_q1
     d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
 
+    _phase("compiling op_filter")
     # --- operator microbenches ---
     @jax.jit
     def op_filter(price, volume, valid):
@@ -161,6 +171,7 @@ def _run_benches(d: dict) -> None:
     def op_sort(sym, price):
         return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
 
+    _phase("compiling op_sort")
     t_sort = _bench(op_sort, (sym, price))
     d["sort_8m_ms"] = round(t_sort * 1e3, 3)
     d["sort_rows_per_s"] = round(n / t_sort, 1)
@@ -171,6 +182,7 @@ def _run_benches(d: dict) -> None:
                                          ["sum", "count"])
         return gkey, s, c
 
+    _phase("compiling op_agg")
     t_agg = _bench(op_agg, (sym, price, valid))
     d["groupby_agg_ms"] = round(t_agg * 1e3, 3)
     d["agg_rows_per_s"] = round(n / t_agg, 1)
@@ -194,6 +206,7 @@ def _run_benches(d: dict) -> None:
         hit = sk[posc] == pkey
         return jnp.where(hit, sv[posc], 0.0), hit
 
+    _phase("compiling op_join")
     t_join = _bench(op_join, (bkey, bval, pkey))
     d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
     d["join_rows_per_s"] = round(npr / t_join, 1)
@@ -208,6 +221,7 @@ def _run_benches(d: dict) -> None:
           .group_by("symbol")
           .agg(pl.len().alias("n"), pl.col("notional").sum().alias("total"),
                pl.col("price").mean().alias("avg")))
+    _phase("engine e2e compile")
     lf.collect()  # compile
     t_engine = []
     for _ in range(5):
@@ -218,6 +232,7 @@ def _run_benches(d: dict) -> None:
     d["engine_q1_e2e_ms"] = round(t_eng * 1e3, 3)
     d["engine_q1_rows_per_s"] = round(n / t_eng, 1)
 
+    _phase("parquet scan phase")
     # --- parquet scan throughput (host decode + device upload) ---
     import tempfile
     tmp = tempfile.mkdtemp()
