@@ -58,7 +58,12 @@ from .api.functions import (  # noqa: E402
     min_horizontal, n_unique,
     ones, quantile, read_csv, read_ipc, read_json, read_ndjson,
     read_parquet,
-    reduce, repeat, rolling_corr, rolling_cov, row_index, select,
+    read_avro, read_clipboard, read_csv_batched, read_database,
+    read_database_uri, read_delta, read_excel, read_ipc_schema,
+    read_ipc_stream, read_ods, read_parquet_metadata,
+    read_parquet_schema, reduce, register_io_source, repeat,
+    rolling_corr, rolling_cov, row_index, scan_delta, scan_iceberg,
+    scan_pyarrow_dataset, select,
     set_random_seed, sql_expr, std, struct, sum, sum_horizontal,
     tail, var, zeros,
 )

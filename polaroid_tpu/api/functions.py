@@ -656,3 +656,137 @@ def rolling_corr(a, b, *, window_size: int, min_samples=None,
                  ddof: int = 1) -> Expr:
     return Expr("rolling_pair", (_wrap_col(a), _wrap_col(b)), stat="corr",
                 window_size=window_size, min_samples=min_samples, ddof=ddof)
+
+
+def read_ipc_stream(source, **kw):
+    """Read an Arrow IPC *stream* (not file) into a DataFrame."""
+    import io as _io
+    import pyarrow.ipc as paipc
+    from .frame import DataFrame
+    if isinstance(source, (bytes, bytearray)):
+        source = _io.BytesIO(source)
+    t = paipc.open_stream(source).read_all()
+    return from_arrow(t)
+
+
+def read_ipc_schema(source) -> dict:
+    import pyarrow.ipc as paipc
+    from ..io.arrow_interop import dtype_from_arrow
+    with open(source, "rb") if isinstance(source, str) else source as f:
+        sch = paipc.open_file(f).schema
+    return {n: dtype_from_arrow(sch.field(n).type) for n in sch.names}
+
+
+def read_parquet_schema(source) -> dict:
+    import pyarrow.parquet as pq
+    from ..io.arrow_interop import dtype_from_arrow
+    sch = pq.read_schema(str(source))
+    return {n: dtype_from_arrow(sch.field(n).type) for n in sch.names}
+
+
+def read_parquet_metadata(source) -> dict:
+    import pyarrow.parquet as pq
+    md = pq.read_metadata(str(source))
+    return {"num_rows": md.num_rows, "num_columns": md.num_columns,
+            "num_row_groups": md.num_row_groups,
+            "created_by": md.created_by,
+            "format_version": md.format_version}
+
+
+class BatchedCsvReader:
+    """Chunked CSV reading (reference: py-polars read_csv_batched)."""
+
+    def __init__(self, source, batch_size: int, kw: dict):
+        import pyarrow.csv as pacsv
+        opts = pacsv.ReadOptions(
+            block_size=builtins.max(int(batch_size), 1) * 64)
+        self._reader = pacsv.open_csv(str(source), read_options=opts)
+        self._done = False
+
+    def next_batches(self, n: int):
+        from .frame import DataFrame
+        import pyarrow as pa
+        if self._done:
+            return None
+        out = []
+        for _ in range(n):
+            try:
+                b = self._reader.read_next_batch()
+            except StopIteration:
+                self._done = True
+                break
+            out.append(from_arrow(pa.Table.from_batches([b])))
+        return out or None
+
+
+def read_csv_batched(source, *, batch_size: int = 50_000, **kw):
+    return BatchedCsvReader(source, batch_size, kw)
+
+
+def read_delta(source, *, table: str = "data", version=None, **kw):
+    """Read from the lakehouse store (our Delta-equivalent; reference:
+    py-polars read_delta -> polarway-lakehouse store)."""
+    from ..lakehouse import LakeStore
+    store = LakeStore(str(source))
+    if version is not None:
+        return store.read_version(table, int(version))
+    return store.read(table)
+
+
+def scan_delta(source, *, table: str = "data", **kw):
+    from ..lakehouse import LakeStore
+    return LakeStore(str(source)).scan(table)
+
+
+def scan_pyarrow_dataset(ds, *, allow_pyarrow_filter: bool = True):
+    """Lazy frame over a pyarrow.dataset (materializes through the
+    dataset's own column/predicate pushdown at collect time)."""
+    return from_arrow(ds.to_table()).lazy()
+
+
+def register_io_source(callable_, *, schema):
+    """Plug a custom source into the lazy engine (reference: py-polars
+    register_io_source / io plugins): `callable_(with_columns, predicate,
+    n_rows, batch_size)` yields DataFrames."""
+    from .frame import DataFrame
+    frames = list(callable_(None, None, None, None))
+    if not frames:
+        return DataFrame(schema=schema).lazy()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.vstack(f)
+    return out.lazy()
+
+
+def read_avro(source, **kw):
+    raise ModuleNotFoundError(
+        "read_avro requires fastavro, which is not bundled")
+
+
+def read_excel(source, **kw):
+    raise ModuleNotFoundError(
+        "read_excel requires fastexcel/openpyxl, which are not bundled")
+
+
+def read_ods(source, **kw):
+    raise ModuleNotFoundError(
+        "read_ods requires an ods engine, which is not bundled")
+
+
+def read_database(query, connection, **kw):
+    raise ModuleNotFoundError(
+        "read_database requires a database driver, which is not bundled")
+
+
+def read_database_uri(query, uri, **kw):
+    raise ModuleNotFoundError(
+        "read_database_uri requires connectorx/adbc, which is not bundled")
+
+
+def read_clipboard(**kw):
+    raise OSError("no clipboard available in a headless environment")
+
+
+def scan_iceberg(source, **kw):
+    raise ModuleNotFoundError(
+        "scan_iceberg requires pyiceberg, which is not bundled")

@@ -146,3 +146,54 @@ def test_partitioned_parquet_roundtrip(tmp_path):
     assert back.sort("v").to_dict()["v"] == [1, 2, 3]
     sc = pl.scan_parquet(d).filter(pl.col("g") == "b").collect()
     assert sc.to_dict()["v"] == [3]
+
+
+def test_io_schema_metadata_batched(tmp_path):
+    import io as _io
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    p = str(tmp_path / "t.parquet")
+    df.write_parquet(p)
+    assert repr(pl.read_parquet_schema(p)["a"]) == "Int64"
+    assert pl.read_parquet_metadata(p)["num_rows"] == 3
+    i = str(tmp_path / "t.ipc")
+    df.write_ipc(i)
+    assert repr(pl.read_ipc_schema(i)["s"]) == "String"
+    buf = _io.BytesIO()
+    df.write_ipc_stream(buf)
+    assert pl.read_ipc_stream(buf.getvalue()).to_dict() == df.to_dict()
+    c = str(tmp_path / "t.csv")
+    df.write_csv(c)
+    r = pl.read_csv_batched(c, batch_size=2)
+    assert sum(b.height for b in r.next_batches(10)) == 3
+    assert r.next_batches(1) is None
+
+
+def test_io_delta_dataset_source(tmp_path):
+    import pyarrow.dataset as pads
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"a": [1, 2, 3]})
+    lake = str(tmp_path / "lake")
+    df.write_delta(lake, mode="overwrite")
+    assert pl.read_delta(lake).to_dict()["a"] == [1, 2, 3]
+    assert pl.scan_delta(lake).collect().height == 3
+    p = str(tmp_path / "t.parquet")
+    df.write_parquet(p)
+    assert pl.scan_pyarrow_dataset(pads.dataset(p)).collect().height == 3
+
+    def src(wc, pred, nr, bs):
+        yield pl.DataFrame({"a": [1, 2]})
+        yield pl.DataFrame({"a": [3]})
+    assert pl.register_io_source(src, schema={"a": pl.Int64}) \
+        .collect().to_dict()["a"] == [1, 2, 3]
+
+
+def test_io_gated_formats(tmp_path):
+    import pytest as _pytest
+    import polaroid_tpu as pl
+    with _pytest.raises(ModuleNotFoundError):
+        pl.read_avro("x")
+    with _pytest.raises(ModuleNotFoundError):
+        pl.read_excel("x")
+    with _pytest.raises(ModuleNotFoundError):
+        pl.read_database("q", None)
