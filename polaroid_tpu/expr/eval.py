@@ -1715,6 +1715,51 @@ def _eval_shrink_dtype(v: Val, table: Table) -> Val:
     return cast_val(v, UInt64)
 
 
+def _eval_hist(e: Expr, v: Val, table: Table) -> Val:
+    """Histogram counts (reference: polars-ops hist). Row-count-changing:
+    the result has one row per bin, exposed via a live-prefix mask."""
+    if not v.dtype.is_numeric:
+        raise InvalidOperationError(f"hist on {v.dtype!r}")
+    mask = table.row_mask() if v.live is None else (table.row_mask() & v.live)
+    if v.validity is not None:
+        mask = mask & v.validity
+    cap = v.data.shape[0]
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x = v.data.astype(fdt)
+    bins = e.attrs.get("bins")
+    if bins is not None:
+        edges = jnp.asarray(list(bins), fdt)
+        nb = len(bins) - 1
+    else:
+        bc = int(e.attrs.get("bin_count") or 10)
+        lo = jnp.min(jnp.where(mask, x, jnp.inf))
+        hi = jnp.max(jnp.where(mask, x, -jnp.inf))
+        span = jnp.where(hi > lo, hi - lo, 1.0)
+        edges = lo + span * jnp.arange(bc + 1, dtype=fdt) / bc
+        nb = bc
+    if nb < 1:
+        raise InvalidOperationError("hist needs at least one bin")
+    # bin index: count of edges <= x, clamped; left-closed first bin
+    ge = (x[:, None] >= edges[None, :-1]) & (x[:, None] <= edges[None, 1:])
+    # assign to the first matching bin
+    first = jnp.argmax(ge, axis=1)
+    inb = jnp.any(ge, axis=1) & mask
+    counts = jnp.zeros((nb,), jnp.uint32).at[
+        jnp.where(inb, first, 0)].add(jnp.where(inb, 1, 0).astype(jnp.uint32))
+    out_cap = cap if cap >= nb else nb
+    data = jnp.concatenate([counts, jnp.zeros(out_cap - nb, jnp.uint32)])
+    live = jnp.arange(out_cap) < nb
+    if not e.attrs.get("include_breakpoint"):
+        return Val(UInt32, data, None, None, False, live)
+    from ..dtypes import Struct as StructT
+    bp = jnp.concatenate([edges[1:].astype(_stor(Float64)),
+                          jnp.zeros(out_cap - nb, _stor(Float64))])
+    fields = {"breakpoint": Val(Float64, bp, None, None, False),
+              "count": Val(UInt32, data, None, None, False)}
+    return Val(StructT([("breakpoint", Float64), ("count", UInt32)]),
+               None, None, None, False, live, fields=fields)
+
+
 def _eval_cut(e: Expr, v: Val, table: Table) -> Val:
     """cut/qcut -> Categorical bins (reference: `polars-ops`
     series/cut.rs). Bin index = count of breaks below the value (a tiny
@@ -3000,6 +3045,8 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return Val(tgt, data, validity, None, v.is_scalar, v.live)
     if k in ("cut", "qcut"):
         return _eval_cut(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "hist":
+        return _eval_hist(e, eval_expr(e.children[0], table, ctx), table)
     if k == "gather_every":
         v = eval_expr(e.children[0], table, ctx)
         n = int(e.attrs["n"])

@@ -563,6 +563,15 @@ class Expr:
                 normalize: bool = True) -> "Expr":
         return self._agg("entropy", base=base, normalize=normalize)
 
+    def hist(self, bins=None, *, bin_count: Optional[int] = None,
+             include_category: bool = False,
+             include_breakpoint: bool = False) -> "Expr":
+        return Expr("hist", (self,),
+                    bins=tuple(bins) if bins is not None else None,
+                    bin_count=bin_count,
+                    include_category=include_category,
+                    include_breakpoint=include_breakpoint)
+
     def cut(self, breaks, labels=None, left_closed: bool = False) -> "Expr":
         return Expr("cut", (self,), breaks=tuple(breaks),
                     labels=tuple(labels) if labels is not None else None,

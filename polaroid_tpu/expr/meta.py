@@ -478,6 +478,11 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return Int32
     if k == "row_index":
         return UInt32
+    if k == "hist":
+        if e.attrs.get("include_breakpoint"):
+            from ..dtypes import Struct as StructT
+            return StructT([("breakpoint", Float64), ("count", UInt32)])
+        return UInt32
     if k == "rolling_pair":
         return Float64
     if k == "struct_json_encode":
@@ -579,7 +584,7 @@ _NON_ELEMENTWISE = {"agg", "window", "over", "sort_self", "sort_by",
                     "search_sorted", "cat_categories", "gather_every",
                     "shrink_dtype", "rle", "arg_true", "sample",
                     "extend_constant", "append", "cumulative_eval",
-                    "map_elements"}
+                    "map_elements", "hist"}
 
 
 def is_elementwise(e: Expr) -> bool:

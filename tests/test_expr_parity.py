@@ -277,3 +277,14 @@ def test_where_limit_flatten(df):
     assert one(df, pl.col("b").limit(2)) == [1, 2]
     n = pl.DataFrame({"l": [[1, 2], [3]]})
     assert one(n, pl.col("l").flatten()) == [1, 2, 3]
+
+
+def test_expr_hist():
+    d = pl.DataFrame({"v": [1.0, 2.0, 2.5, 3.0, 9.0]})
+    # right-closed bins (a, b] like polars
+    assert one(d, pl.col("v").hist(bins=[0, 2, 4, 10])) == [2, 2, 1]
+    got = d.select(pl.col("v").hist(bins=[0, 2, 4, 10],
+                                    include_breakpoint=True).alias("h")) \
+        .to_dict()["h"]
+    assert got[0] == {"breakpoint": 2.0, "count": 2}
+    assert sum(one(d, pl.col("v").hist(bin_count=4))) == 5
