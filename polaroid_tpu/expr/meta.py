@@ -25,7 +25,7 @@ __all__ = [
     "is_elementwise", "has_agg", "is_scalar_expr",
 ]
 
-_EXPANSION_KINDS = ("wildcard", "cols", "dtype_cols", "nth")
+_EXPANSION_KINDS = ("wildcard", "cols", "dtype_cols", "nth", "selector")
 
 
 def _find_expansion(e: Expr) -> Optional[Expr]:
@@ -64,6 +64,11 @@ def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
             continue
         if node.kind == "wildcard":
             names = list(schema.keys())
+        elif node.kind == "selector":
+            pred = node.attrs["pred"]
+            w = len(schema)
+            names = [n for i, (n, d) in enumerate(schema.items())
+                     if pred(n, d, i, w)]
         elif node.kind == "cols":
             names = list(node.attrs["names"])
         elif node.kind == "nth":
