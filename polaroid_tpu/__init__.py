@@ -23,9 +23,11 @@ if _os.environ.get("PT_NO_X64") not in ("1", "true"):
 
 from .config import CONFIG, Config  # noqa: E402
 from .dtypes import (  # noqa: E402
-    Boolean, Categorical, DataType, Date, Datetime, Duration, Float32,
-    Float64, Int8, Int16, Int32, Int64, List, Null, String, Struct, Time,
-    UInt8, UInt16, UInt32, UInt64, Utf8,
+    Array, Binary, Boolean, Categorical, DataType, Date, Datetime, Decimal,
+    Duration, Enum, Field, Float16, Float32,
+    Float64, Int8, Int16, Int32, Int64, Int128, List, Null, Object, Schema,
+    String, Struct, Time,
+    UInt8, UInt16, UInt32, UInt64, UInt128, Unknown, Utf8,
 )
 from .errors import (  # noqa: E402
     ColumnNotFoundError, ComputeError, DuplicateError, InvalidOperationError,
@@ -67,6 +69,12 @@ from .api.functions import (  # noqa: E402
     scan_pyarrow_dataset, select,
     set_random_seed, sql_expr, std, struct, sum, sum_horizontal,
     tail, var, zeros,
+    CompatLevel, GPUEngine, QueryOptFlags, StringCache, build_info,
+    cum_sum, cum_sum_horizontal, date_ranges, datetime_range,
+    datetime_ranges, disable_string_cache, enable_string_cache,
+    from_dataframe, from_dicts, from_repr, from_torch, get_index_type,
+    json_normalize, show_versions, thread_pool_size, threadpool_size,
+    time, time_range, time_ranges, union, using_string_cache,
 )
 from .sql.context import SQLContext  # noqa: E402
 

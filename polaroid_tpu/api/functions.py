@@ -790,3 +790,260 @@ def read_clipboard(**kw):
 def scan_iceberg(source, **kw):
     raise ModuleNotFoundError(
         "scan_iceberg requires pyiceberg, which is not bundled")
+
+
+# --- py-polars top-level surface: string cache, ranges, misc --------------
+
+class StringCache:
+    """No-op context manager: dictionaries are per-column and merged on
+    demand, so a global string cache is unnecessary (reference:
+    polars StringCache exists to make categoricals comparable)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def enable_string_cache() -> None:
+    return None
+
+
+def disable_string_cache() -> None:
+    return None
+
+
+def using_string_cache() -> bool:
+    return True  # per-column dicts behave as if always cached
+
+
+def union(items, how: str = "vertical", **kw):
+    return concat(items, how=how)
+
+
+def cum_sum(*columns) -> Expr:
+    cols = [_wrap_col(c) for c in _flatten(columns)]
+    return cols[0].cum_sum()
+
+
+def cum_sum_horizontal(*exprs) -> Expr:
+    from ..expr.expr import struct as _struct
+    from ..expr import meta as _meta
+    es = [_wrap_col(e) for e in _flatten(exprs)]
+    acc = None
+    fields = []
+    for e in es:
+        acc = e if acc is None else (acc + e)
+        fields.append(acc.alias(_meta.output_name(e)))
+    return _struct(*fields).alias("cum_sum")
+
+
+def time(hour=0, minute=0, second=0, microsecond=0) -> Expr:
+    import datetime as _dt
+    t = _dt.time(int(hour), int(minute), int(second), int(microsecond))
+    ns = ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000_000
+          + t.microsecond * 1000)
+    from ..dtypes import Time as _Time
+    return Expr("lit", value=ns, dtype=_Time)
+
+
+def datetime_range(start, end, interval: str = "1d", *,
+                   closed: str = "both", eager: bool = False, **kw):
+    return date_range(start, end, interval, closed=closed, eager=eager)
+
+
+def date_ranges(start, end, interval: str = "1d", *, eager: bool = False,
+                **kw) -> Expr:
+    """Per-row ranges as a list column (reference: pl.date_ranges)."""
+    s = _wrap_col(start)
+    e2 = _wrap_col(end)
+    from ..ops.temporal import parse_every
+    kind, ns = parse_every(interval)
+    if kind != "fixed":
+        raise ComputeError("date_ranges: month intervals unsupported")
+    step_days = builtins.max(ns // (86_400 * 1_000_000_000), 1)
+    return Expr("int_ranges",
+                (s.cast(None) if False else s.to_physical(),
+                 (e2.to_physical() + 1)),
+                step=int(step_days)).alias("date_range")
+
+
+def datetime_ranges(start, end, interval: str = "1d", **kw) -> Expr:
+    return date_ranges(start, end, interval, **kw)
+
+
+def time_range(start=None, end=None, interval: str = "1h", *,
+               eager: bool = False, **kw):
+    import datetime as _dt
+    from ..ops.temporal import parse_every
+    from .series import Series
+    s = start or _dt.time(0)
+    e2 = end or _dt.time(23, 59, 59, 999999)
+    kind, ns = parse_every(interval)
+    out = []
+    cur = (s.hour * 3600 + s.minute * 60 + s.second) * 10**9 \
+        + s.microsecond * 1000
+    endns = (e2.hour * 3600 + e2.minute * 60 + e2.second) * 10**9 \
+        + e2.microsecond * 1000
+    while cur <= endns:
+        out.append(cur)
+        cur += ns
+    from ..dtypes import Time as _Time
+    ser = Series("literal", out, dtype=_Time)
+    if eager:
+        return ser
+    return Expr("lit", value=np.asarray(out, np.int64), dtype=_Time) \
+        .alias("time")
+
+
+def time_ranges(*a, **kw):
+    raise ComputeError("time_ranges (per-row) not supported; "
+                       "use time_range")
+
+
+def linear_spaces(start, end, num_samples, *, eager: bool = False, **kw):
+    raise ComputeError("linear_spaces (per-row) not supported; "
+                       "use linear_space")
+
+
+def from_dicts(dicts, schema=None):
+    from .frame import DataFrame
+    rows = list(dicts)
+    if not rows:
+        return DataFrame(schema=schema)
+    cols = {}
+    keys = []
+    for r in rows:
+        for k2 in r:
+            if k2 not in cols:
+                cols[k2] = []
+                keys.append(k2)
+    for r in rows:
+        for k2 in keys:
+            cols[k2].append(r.get(k2))
+    return DataFrame(cols, schema=schema)
+
+
+def from_repr(text: str):
+    """Parse a printed DataFrame repr back into a frame (reference:
+    pl.from_repr; useful for doctests/bug reports)."""
+    from .frame import DataFrame
+    lines = [ln for ln in text.splitlines() if "│" in ln]
+    if len(lines) < 2:
+        raise ComputeError("no table found in repr text")
+    rows = [[c.strip() for c in ln.strip().strip("│").split("│")]
+            for ln in lines]
+    names = rows[0]
+    dtypes = rows[1] if len(rows) > 1 and rows[1] and \
+        rows[1][0] and not rows[1][0][0].isdigit() else None
+    data_rows = rows[2:] if dtypes else rows[1:]
+    cols = {n: [] for n in names}
+
+    def parse_cell(s):
+        if s in ("null", ""):
+            return None
+        if s in ("true", "false"):
+            return s == "true"
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return builtins.float(s)
+        except ValueError:
+            return s.strip('"')
+    for r in data_rows:
+        for n, c in zip(names, r):
+            cols[n].append(parse_cell(c))
+    return DataFrame(cols)
+
+
+def from_torch(tensor, schema=None):
+    return from_numpy(np.asarray(tensor.cpu().numpy()), schema=schema)
+
+
+def from_dataframe(df, *, allow_copy: bool = True):
+    """Dataframe-interchange-protocol import (via pyarrow)."""
+    import pyarrow.interchange as pai
+    return from_arrow(pai.from_dataframe(df, allow_copy=allow_copy))
+
+
+def json_normalize(data, *, separator: str = ".", max_level=None):
+    """Flatten nested dicts into dotted columns (reference:
+    pl.json_normalize)."""
+    rows = data if isinstance(data, list) else [data]
+
+    def flatten(d, prefix="", level=0):
+        out = {}
+        for k2, v2 in d.items():
+            key = f"{prefix}{separator}{k2}" if prefix else str(k2)
+            if isinstance(v2, dict) and (max_level is None
+                                         or level < max_level):
+                out.update(flatten(v2, key, level + 1))
+            else:
+                out[key] = v2
+        return out
+    return from_dicts([flatten(r) for r in rows])
+
+
+def build_info() -> dict:
+    import jax as _jax
+    return {"version": "0.1.0", "engine": "polaroid-tpu",
+            "jax": _jax.__version__,
+            "backend": _jax.default_backend()}
+
+
+def show_versions() -> None:
+    for k2, v2 in build_info().items():
+        print(f"{k2:10} {v2}")
+
+
+def get_index_type():
+    from ..dtypes import UInt32 as _U32
+    return _U32
+
+
+def thread_pool_size() -> int:
+    import os as _os
+    return _os.cpu_count() or 1
+
+
+threadpool_size = thread_pool_size
+
+
+class GPUEngine:
+    """Accepted for py-polars compatibility; collect(engine=GPUEngine())
+    maps to the default device engine (the TPU is the accelerator here)."""
+
+    def __init__(self, **config) -> None:
+        self.config = config
+
+
+class QueryOptFlags:
+    """Optimizer toggles (reference: polars QueryOptFlags)."""
+
+    def __init__(self, *, predicate_pushdown=True, projection_pushdown=True,
+                 slice_pushdown=True, comm_subplan_elim=True,
+                 comm_subexpr_elim=True, **kw) -> None:
+        self.predicate_pushdown = predicate_pushdown
+        self.projection_pushdown = projection_pushdown
+        self.slice_pushdown = slice_pushdown
+        self.comm_subplan_elim = comm_subplan_elim
+        self.comm_subexpr_elim = comm_subexpr_elim
+
+    @classmethod
+    def none(cls):
+        return cls(predicate_pushdown=False, projection_pushdown=False,
+                   slice_pushdown=False, comm_subplan_elim=False,
+                   comm_subexpr_elim=False)
+
+
+class CompatLevel:
+    @classmethod
+    def newest(cls):
+        return cls()
+
+    @classmethod
+    def oldest(cls):
+        return cls()

@@ -328,3 +328,113 @@ def supertype(a: DataType, b: DataType) -> DataType:
     if isinstance(a, List) and isinstance(b, List):
         return List(supertype(a.inner, b.inner))
     raise SchemaError(f"no supertype of {a!r} and {b!r}")
+
+
+# --- additional py-polars dtype surface -----------------------------------
+
+class Array(List):
+    """Fixed-size list (reference: polars Array). Our list layout is
+    already fixed-width padded, so Array shares List's kernels; `size`
+    is kept for schema fidelity."""
+    _name = "Array"
+
+    def __init__(self, inner=None, size: int = 0, shape=None) -> None:
+        if isinstance(inner, type) and inner is not None and \
+                issubclass(inner, DataType):
+            inner = inner()
+        List.__init__(self, inner if inner is not None else Null)
+        if shape is not None:
+            size = shape if isinstance(shape, int) else int(shape[0])
+        self.size = int(size)
+
+
+class Enum(Categorical):
+    """Fixed-category categorical (reference: polars Enum)."""
+    _name = "Enum"
+
+    def __init__(self, categories=None) -> None:
+        Categorical.__init__(self, "physical")
+        self.categories = list(categories) if categories is not None else []
+
+
+class Binary(DataType):
+    _name = "Binary"
+
+
+class _Decimal(DataType):
+    """Decimal(precision, scale) — stored as Float64 (documented
+    approximation; exact decimal arithmetic is a future round)."""
+    _name = "Decimal"
+
+    def __init__(self, precision=None, scale: int = 0) -> None:
+        self.precision = precision
+        self.scale = scale
+
+
+Decimal = _Decimal
+Object = _simple("Object")()
+Unknown = _simple("Unknown")()
+Int128 = _simple("Int128")()
+UInt128 = _simple("UInt128")()
+Float16 = _simple("Float16")()
+
+
+class Field:
+    """Struct field spec (reference: polars Field)."""
+
+    def __init__(self, name: str, dtype) -> None:
+        self.name = name
+        self.dtype = dtype() if isinstance(dtype, type) else dtype
+
+    def __repr__(self) -> str:
+        return f"Field({self.name!r}, {self.dtype!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Field) and other.name == self.name \
+            and other.dtype == self.dtype
+
+
+class Schema(dict):
+    """Ordered name -> dtype mapping (reference: polars Schema,
+    `crates/polars-schema/src/schema.rs`)."""
+
+    def __init__(self, mapping=None, **named) -> None:
+        items = []
+        if mapping is not None:
+            items = list(mapping.items()) if isinstance(mapping, dict) \
+                else list(mapping)
+        items += list(named.items())
+        super().__init__(
+            (n, d() if isinstance(d, type) else d) for n, d in items)
+
+    def names(self):
+        return list(self.keys())
+
+    def dtypes(self):
+        return list(self.values())
+
+    def len(self) -> int:
+        return len(self)
+
+    def to_python(self) -> dict:
+        import datetime as _dt
+        py = {"Int": int, "UInt": int, "Float": float, "Boolean": bool,
+              "String": str}
+        out = {}
+        for n, d in self.items():
+            r = repr(d)
+            if r.startswith(("Int", "UInt")):
+                out[n] = int
+            elif r.startswith("Float"):
+                out[n] = float
+            elif r == "Boolean":
+                out[n] = bool
+            elif r == "String":
+                out[n] = str
+            elif r == "Date":
+                out[n] = _dt.date
+            elif r.startswith("Datetime"):
+                out[n] = _dt.datetime
+            else:
+                out[n] = object
+        return out
