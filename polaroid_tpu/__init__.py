@@ -75,6 +75,11 @@ from .api.functions import (  # noqa: E402
     from_dataframe, from_dicts, from_repr, from_torch, get_index_type,
     json_normalize, show_versions, thread_pool_size, threadpool_size,
     time, time_range, time_ranges, union, using_string_cache,
+    Catalog, Categories, CredentialProvider, CredentialProviderAWS,
+    CredentialProviderAzure, CredentialProviderFunction,
+    CredentialProviderFunctionReturn, CredentialProviderGCP,
+    PartitionByKey, PartitionMaxSize, PartitionParted,
+    ScanCastOptions, linear_spaces,
 )
 from .sql.context import SQLContext  # noqa: E402
 

@@ -1047,3 +1047,79 @@ class CompatLevel:
     @classmethod
     def oldest(cls):
         return cls()
+
+
+class PartitionByKey:
+    """Partitioned-sink spec: hive-style key directories (reference:
+    polars PartitionByKey -> our write_parquet(partition_by=...))."""
+
+    def __init__(self, base_path, *, by, include_key: bool = True,
+                 **kw) -> None:
+        self.base_path = str(base_path)
+        self.by = [by] if isinstance(by, str) else [
+            b if isinstance(b, str) else str(b) for b in by]
+        self.include_key = include_key
+
+
+class PartitionMaxSize:
+    """Partitioned-sink spec: chunk files of at most max_size rows."""
+
+    def __init__(self, base_path, *, max_size: int, **kw) -> None:
+        self.base_path = str(base_path)
+        self.max_size = int(max_size)
+
+
+class PartitionParted(PartitionByKey):
+    """Like PartitionByKey for pre-sorted ('parted') data."""
+
+
+class Categories:
+    """Namespace handle for global categories (reference: polars
+    Categories). Per-column dictionaries make this a no-op."""
+
+    def __init__(self, name: str = "") -> None:
+        self.name = name
+
+
+class ScanCastOptions:
+    """Cast policy for scans (accepted; scans already upcast per our
+    supertype rules)."""
+
+    def __init__(self, **kw) -> None:
+        self.options = kw
+
+
+class Catalog:
+    def __init__(self, *a, **kw):
+        raise ModuleNotFoundError(
+            "Catalog requires a Unity/REST catalog client, not bundled")
+
+
+class CredentialProvider:
+    pass
+
+
+class CredentialProviderFunction(CredentialProvider):
+    def __init__(self, function=None, **kw):
+        self.function = function
+
+
+CredentialProviderFunctionReturn = dict
+
+
+class CredentialProviderAWS(CredentialProvider):
+    def __init__(self, *a, **kw):
+        raise ModuleNotFoundError("AWS credential chains require boto3, "
+                                  "not bundled")
+
+
+class CredentialProviderAzure(CredentialProvider):
+    def __init__(self, *a, **kw):
+        raise ModuleNotFoundError("Azure credential chains require "
+                                  "azure-identity, not bundled")
+
+
+class CredentialProviderGCP(CredentialProvider):
+    def __init__(self, *a, **kw):
+        raise ModuleNotFoundError("GCP credential chains require "
+                                  "google-auth, not bundled")

@@ -557,7 +557,21 @@ class LazyFrame:
         return self.map_batches(fn)
 
     def sink_parquet(self, path, **kw) -> None:
+        from ..api.functions import PartitionByKey, PartitionMaxSize
         from ..exec.streaming import execute_streaming
+        if isinstance(path, PartitionByKey):
+            self.collect().write_parquet(path.base_path,
+                                         partition_by=path.by, **kw)
+            return
+        if isinstance(path, PartitionMaxSize):
+            import os as _os
+            _os.makedirs(path.base_path, exist_ok=True)
+            i = 0
+            for b in self.collect_batches(batch_size=path.max_size):
+                b.write_parquet(
+                    _os.path.join(path.base_path, f"{i:08d}.parquet"), **kw)
+                i += 1
+            return
         execute_streaming(optimize(L.Sink(self._plan, "parquet", path, kw)))
 
     def sink_csv(self, path, **kw) -> None:

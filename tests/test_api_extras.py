@@ -357,3 +357,41 @@ def test_free_functions_batch():
     assert df.select(pl.cum_reduce(lambda x, y: x + y,
                                    [pl.col("a"), pl.col("b")])
                      .alias("v")).to_dict()["v"][0] == {"a": 3.0, "b": 4.0}
+
+
+def test_partition_sinks(tmp_path):
+    import glob
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"k": ["a", "b", "a", "b"], "v": [1, 2, 3, 4]})
+    df.lazy().sink_parquet(pl.PartitionByKey(str(tmp_path / "bykey"),
+                                             by="k"))
+    assert sorted(p.split("/")[-1]
+                  for p in glob.glob(str(tmp_path / "bykey" / "*"))) == \
+        ["k=a", "k=b"]
+    assert pl.scan_parquet(str(tmp_path / "bykey")).collect() \
+        .sort("v").to_dict()["v"] == [1, 2, 3, 4]
+    df.lazy().sink_parquet(pl.PartitionMaxSize(str(tmp_path / "bysize"),
+                                               max_size=2))
+    files = glob.glob(str(tmp_path / "bysize" / "*.parquet"))
+    assert len(files) == 2
+    assert sum(pl.read_parquet(f).height for f in files) == 4
+
+
+def test_misc_top_level_surface():
+    import polaroid_tpu as pl
+    assert pl.Schema({"a": pl.Int64}).names() == ["a"]
+    with pl.StringCache():
+        assert pl.using_string_cache()
+    assert pl.union([pl.DataFrame({"a": [1]}),
+                     pl.DataFrame({"a": [2]})]).to_dict()["a"] == [1, 2]
+    assert pl.from_dicts([{"a": 1}, {"a": 2, "b": "x"}]).to_dict() == \
+        {"a": [1, 2], "b": [None, "x"]}
+    assert pl.json_normalize([{"a": {"b": 1}, "c": 2}]).to_dict() == \
+        {"a.b": [1], "c": [2]}
+    d = pl.DataFrame({"a": [1, 2]})
+    assert pl.from_repr(repr(d)).to_dict() == d.to_dict()
+    assert pl.build_info()["engine"] == "polaroid-tpu"
+    assert repr(pl.get_index_type()) == "UInt32"
+    assert pl.thread_pool_size() >= 1
+    assert pl.Array(pl.Int64, 4).size == 4
+    assert pl.Enum(["a", "b"]).categories == ["a", "b"]
