@@ -206,6 +206,72 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         data = rx[jnp.clip(rlast, 0, cap - 1)]
         return back(data[::-1], (has & gctx.live_sorted[::-1])[::-1])
 
+    if op in ("rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
+              "rolling_std", "rolling_var"):
+        # group-clamped trailing windows: lo = max(i-w+1, group_start)
+        # resolved with prefix sums / sparse-table range queries
+        from .range_agg import build_sparse, prefix_range_sum, range_query
+        w = int(e.attrs["window_size"])
+        min_p = e.attrs.get("min_samples") or w
+        lo = jnp.maximum(idx - w + 1, gstart)
+        hi = idx + 1
+        cnt = prefix_range_sum(xv.astype(jnp.int32), lo, hi)
+        validity = (cnt >= min_p) & gctx.live_sorted
+        dt = v.dtype
+        if op in ("rolling_min", "rolling_max"):
+            lo_b, hi_b = _type_bounds(x.dtype)
+            knd = "min" if op == "rolling_min" else "max"
+            pad = hi_b if knd == "min" else lo_b
+            levels = build_sparse(jnp.where(xv, x, pad), knd)
+            return back(range_query(levels, lo, hi, knd, pad), validity)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        s = prefix_range_sum(jnp.where(xv, x, 0).astype(acc), lo, hi)
+        if op == "rolling_sum":
+            return back(s.astype(x.dtype), validity)
+        out_dt = _float_dt(dt)
+        n = jnp.maximum(cnt, 1)
+        if op == "rolling_mean":
+            return back((s / n).astype(_stor(out_dt)), validity, out_dt)
+        s2 = prefix_range_sum(jnp.where(xv, x.astype(acc) ** 2, 0), lo, hi)
+        ddof = e.attrs.get("ddof", 1)
+        var = jnp.maximum((s2 - s * s / n) / jnp.maximum(n - ddof, 1), 0)
+        validity = validity & (cnt > ddof)
+        if op == "rolling_var":
+            return back(var.astype(_stor(out_dt)), validity, out_dt)
+        return back(jnp.sqrt(var).astype(_stor(out_dt)), validity, out_dt)
+
+    if op == "ewm_mean":
+        # segment-reset decayed scan (same recurrence as the global ewm,
+        # with group boundaries as resets)
+        alpha = float(e.attrs["alpha"])
+        min_p = e.attrs.get("min_samples", 1)
+        out_dt = _float_dt(v.dtype)
+        stor = _stor(out_dt)
+        f = x.astype(stor)
+        decay = jnp.where(xv, 1.0 - alpha, 1.0).astype(stor)
+        bn = jnp.where(xv, f, 0.0)
+        bd = jnp.where(xv, jnp.ones_like(f), 0.0)
+
+        def comb(a, b):
+            (Ra, Aa, Na, Da) = a
+            (Rb, Ab, Nb, Db) = b
+            return (Ra | Rb,
+                    jnp.where(Rb, Ab, Aa * Ab),
+                    jnp.where(Rb, Nb, Na * Ab + Nb),
+                    jnp.where(Rb, Db, Da * Ab + Db))
+
+        _, _, N, D = jax.lax.associative_scan(
+            comb, (reset, decay, bn, bd))
+        data = N / jnp.maximum(D, 1e-30)
+        cnt = _segmented_cumsum(xv.astype(jnp.int32), reset)
+        validity = xv & (cnt >= min_p)
+        return back(data, validity, out_dt)
+
+    if op == "reverse":
+        gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+        src = jnp.clip(gstart + (gcount - 1) - (idx - gstart), 0, cap - 1)
+        return back(x[src], xv[src])
+
     raise InvalidOperationError(f"window op {op!r} not supported with .over()")
 
 

@@ -120,3 +120,29 @@ def test_over_after_filter():
     out = df.filter(pl.col("v") > 1).select(
         pl.col("v").cum_sum().over("k").alias("c"))
     assert out.to_dict() == {"c": [2, 3, 6, 8]}
+
+
+def test_rolling_ewm_reverse_over_groups():
+    import pandas as pd
+    import pytest as _pytest
+    import polaroid_tpu as pl
+    df = pl.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "v": [1.0, 2.0, 4.0, 10.0, 20.0]})
+    sel = lambda e: df.select(e.alias("x")).to_dict()["x"]  # noqa: E731
+    ref = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                        "v": [1.0, 2, 4, 10, 20]})
+    rm = ref.groupby("k").v.rolling(2, min_periods=1).mean() \
+        .reset_index(drop=True).tolist()
+    assert sel(pl.col("v").rolling_mean(2, min_samples=1).over("k")) == \
+        _pytest.approx(rm)
+    assert sel(pl.col("v").rolling_sum(2, min_samples=1).over("k")) == \
+        [1.0, 3.0, 6.0, 10.0, 30.0]
+    assert sel(pl.col("v").rolling_min(2, min_samples=1).over("k")) == \
+        [1.0, 1.0, 2.0, 10.0, 10.0]
+    assert sel(pl.col("v").rolling_max(2, min_samples=1).over("k")) == \
+        [1.0, 2.0, 4.0, 10.0, 20.0]
+    re = ref.groupby("k").v.apply(lambda s: s.ewm(alpha=0.5).mean()).tolist()
+    assert sel(pl.col("v").ewm_mean(alpha=0.5).over("k")) == \
+        _pytest.approx(re)
+    assert sel(pl.col("v").reverse().over("k")) == \
+        [4.0, 2.0, 1.0, 20.0, 10.0]
