@@ -37,6 +37,7 @@ from .errors import (  # noqa: E402
 from . import exceptions  # noqa: E402  (pl.exceptions parity namespace)
 from . import testing  # noqa: E402  (pl.testing assertion helpers)
 from . import selectors  # noqa: E402  (pl.selectors / cs column selectors)
+from . import monads  # noqa: E402  (Result/Option/Lazy, Polarway addition)
 from .expr.expr import (  # noqa: E402
     Expr, col, element, len_ as len, lit, nth, when,
 )

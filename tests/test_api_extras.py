@@ -395,3 +395,24 @@ def test_misc_top_level_surface():
     assert pl.thread_pool_size() >= 1
     assert pl.Array(pl.Int64, 4).size == 4
     assert pl.Enum(["a", "b"]).categories == ["a", "b"]
+
+
+def test_monads():
+    from polaroid_tpu.monads import Lazy, Option, Result
+    r = Result.ok(2).map(lambda x: x + 1)
+    assert r.is_ok() and r.unwrap() == 3
+    e = Result.err("boom")
+    assert e.is_err() and e.unwrap_or(9) == 9 and e.err_value() == "boom"
+    assert Result.ok(2).map(lambda x: 1 / 0).is_err()
+    assert Result.ok(2).and_then(lambda x: Result.ok(x * 2)).unwrap() == 4
+    assert Result.ok(1).match_result(lambda v: "ok", lambda e2: "err") == \
+        "ok"
+    o = Option.some(5).filter(lambda x: x > 3).map(lambda x: x * 2)
+    assert o.is_some() and o.unwrap() == 10
+    assert Option.nothing().unwrap_or(7) == 7
+    assert Option.some(1).match_option(lambda v: v, lambda: 0) == 1
+    calls = []
+    lz = Lazy(lambda: calls.append(1) or 42)
+    assert not lz.is_evaluated()
+    assert lz.force() == 42 and lz.force() == 42 and calls == [1]
+    assert lz.map(lambda x: x + 1).force() == 43
