@@ -1129,7 +1129,8 @@ def _eval_window(e: Expr, v: Val, fillv: Val, table: Table,
         return back(y, xv & seen, out_dt)
 
     if op in ("rolling_sum_by", "rolling_mean_by", "rolling_min_by",
-              "rolling_max_by", "rolling_std_by", "rolling_var_by"):
+              "rolling_max_by", "rolling_std_by", "rolling_var_by",
+              "rolling_quantile_by", "rolling_rank_by"):
         return _rolling_by(e, v, x, xv, count, back, byv, perm)
 
     raise ComputeError(f"unknown window op {op!r}")
@@ -1290,27 +1291,22 @@ def _ewm_var_std(e: Expr, v: Val, x, xv, back) -> Val:
     return back(data.astype(stor), validity, out_dt)
 
 
-def _rolling_by(e: Expr, v: Val, x, xv, count, back, byv, perm) -> Val:
-    """Range-windowed rolling over a sorted `by` column: window for row i =
-    rows j with by_j in (by_i - period, by_i]. Prefix sums / sparse-table
-    range queries — no per-window loops (reference:
-    polars-time/src/group_by/rolling semantics)."""
-    from ..ops.range_agg import build_sparse, range_query, prefix_range_sum
+def _rolling_by_bounds(e: Expr, b, bdt, live, gstart=None, gend=None):
+    """Per-row range-window bounds [lo, hi) over a sorted `by` column.
+    Value-based on both ends (the reference consumes duplicate `by`
+    values past the current row: polars-time/src/windows/group_by.rs:
+    314-319) with `closed` edge modes. With gstart/gend the search is
+    segmented per group (for `.over()` partitions)."""
+    from ..ops.range_agg import segmented_searchsorted
     from ..ops.temporal import parse_every, UNIT_PER_SECOND
-    op = e.attrs["op"]
     period = e.attrs["period"]
-    min_p = e.attrs.get("min_samples") or 1
-    dt = v.dtype
-    cap = x.shape[0]
-    idx = jnp.arange(cap)
-    b = byv.data[perm]
-    bdt = byv.dtype
+    months = 0
+    span = 0
     if isinstance(period, str):
         kind, ns = parse_every(period)
-        if kind != "fixed":
-            raise InvalidOperationError(
-                f"rolling_*_by: month-based period {period!r} unsupported")
-        if isinstance(bdt, (Datetime, Duration)):
+        if kind == "months":
+            months = ns
+        elif isinstance(bdt, (Datetime, Duration)):
             span = ns // (1_000_000_000 // UNIT_PER_SECOND[bdt.time_unit]) \
                 if bdt.time_unit != "ns" else ns
         elif bdt == Date:
@@ -1321,15 +1317,60 @@ def _rolling_by(e: Expr, v: Val, x, xv, count, back, byv, perm) -> Val:
         span = int(period)
     bi = b.astype(jnp.int64) if not jnp.issubdtype(b.dtype, jnp.floating) \
         else b
-    # by must be sorted ascending over live rows; dead rows sit at the end
-    live = idx < count
+    # by must be sorted ascending within each segment; dead rows are
+    # pinned to the top so their windows resolve empty/irrelevant
     _, hi_bnd = _type_bounds(bi.dtype)
     bs = jnp.where(live, bi, hi_bnd)
-    target = bs - span
-    lo = jnp.searchsorted(bs, target, side="right")
-    hi = idx + 1  # inclusive of self
+    if months:
+        # calendar window: lower bound = by_i minus N civil months
+        if not (isinstance(bdt, Datetime) or bdt == Date):
+            raise InvalidOperationError(
+                f"rolling_*_by: month-based period {period!r} needs a "
+                f"date/datetime `by` column, got {bdt}")
+        from ..ops.temporal_window import _add_months_units
+        mt = _add_months_units(bi, -months, bdt)
+        target = jnp.where(live, mt, bs)
+    else:
+        target = bs - span
+    closed = e.attrs.get("closed") or "right"
+    lo_side = "left" if closed in ("left", "both") else "right"
+    hi_side = "right" if closed in ("right", "both") else "left"
+    cap = bs.shape[0]
+    if gstart is None:
+        idx = jnp.arange(cap)
+        count = jnp.sum(live.astype(jnp.int32))
+        lo = jnp.searchsorted(bs, target, side=lo_side)
+        hi = jnp.minimum(jnp.searchsorted(bs, bs, side=hi_side), count)
+    else:
+        lo = segmented_searchsorted(bs, gstart, gend, target, side=lo_side)
+        hi = segmented_searchsorted(bs, gstart, gend, bs, side=hi_side)
+    return lo, hi
+
+
+def _rolling_by(e: Expr, v: Val, x, xv, count, back, byv, perm) -> Val:
+    """Range-windowed rolling over a sorted `by` column: window for row i =
+    rows j with by_j in (by_i - period, by_i]. Prefix sums / sparse-table
+    range queries — no per-window loops (reference:
+    polars-time/src/group_by/rolling semantics)."""
+    cap = x.shape[0]
+    idx = jnp.arange(cap)
+    live = idx < count
+    lo, hi = _rolling_by_bounds(e, byv.data[perm], byv.dtype, live)
+    return _range_window_reduce(e, v, x, xv, back, lo, hi, idx, live)
+
+
+def _range_window_reduce(e: Expr, v: Val, x, xv, back, lo, hi, idx,
+                         live) -> Val:
+    """Reduce per-row ranges [lo, hi) for every rolling_*_by op."""
+    from ..ops.range_agg import build_sparse, range_query, prefix_range_sum
+    op = e.attrs["op"]
+    min_p = e.attrs.get("min_samples") or 1
+    dt = v.dtype
     cnt = prefix_range_sum(xv.astype(jnp.int32), lo, hi)
     validity = (cnt >= min_p) & live
+    if op in ("rolling_quantile_by", "rolling_rank_by"):
+        return _rolling_order_by(e, v, x, xv, back, lo, hi, idx, cnt,
+                                 validity)
     if op in ("rolling_min_by", "rolling_max_by"):
         knd = "min" if op == "rolling_min_by" else "max"
         lo_b, hi_b = _type_bounds(x.dtype)
@@ -1354,6 +1395,83 @@ def _rolling_by(e: Expr, v: Val, x, xv, count, back, byv, perm) -> Val:
     if op == "rolling_var_by":
         return back(var.astype(stor), validity, out_dt)
     return back(jnp.sqrt(var).astype(stor), validity, out_dt)
+
+
+def _rolling_order_by(e: Expr, v: Val, x, xv, back, lo, hi, idx, cnt,
+                      validity) -> Val:
+    """Order statistics over per-row ranges [lo, hi) via a wavelet tree
+    in rank space (quantile/median/rank for range windows — the
+    reference's per-window quantile loops in
+    polars-compute/src/rolling/quantile_filter.rs don't map to XLA)."""
+    from ..ops.wavelet import (build_wavelet, wavelet_count_lt,
+                               wavelet_select)
+    from ..ops.keycode import encode_orderable
+    op = e.attrs["op"]
+    dt = v.dtype
+    cap = x.shape[0]
+    desc = e.attrs.get("descending", False)
+    u = encode_orderable(x, desc)
+    maxk = ~jnp.zeros((), u.dtype)  # all-ones: nulls/dead sort last
+    u = jnp.where(xv, u, maxk)
+    order = jnp.argsort(u, stable=True)
+    rank = jnp.zeros(cap, jnp.int32).at[order].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    tables = build_wavelet(rank)
+    # empty windows (dead rows, closed='left'/'none') get a dummy
+    # non-empty range; their outputs are masked invalid anyway
+    empty = hi <= lo
+    slo = jnp.where(empty, idx, lo).astype(jnp.int32)
+    shi = jnp.where(empty, idx + 1, hi).astype(jnp.int32)
+    if op == "rolling_quantile_by":
+        q = float(e.attrs["q"])
+        interp = e.attrs.get("interpolation", "nearest")
+        out_dt = _float_dt(dt)
+        stor = _stor(out_dt)
+        sorted_x = x[order].astype(stor)
+        pos = q * (jnp.maximum(cnt, 1).astype(stor) - 1)
+
+        def at(kk):
+            kk = jnp.clip(kk, 0, jnp.maximum(shi - slo - 1, 0))
+            return sorted_x[wavelet_select(tables, slo, shi, kk)]
+
+        if interp == "linear":
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            frac = (pos - i0).astype(stor)
+            data = at(i0) * (1 - frac) + at(i0 + 1) * frac
+            data = jnp.where(frac > 0, data, at(i0))
+        elif interp == "lower":
+            data = at(jnp.floor(pos).astype(jnp.int32))
+        elif interp == "higher":
+            data = at(jnp.ceil(pos).astype(jnp.int32))
+        elif interp == "midpoint":
+            data = (at(jnp.floor(pos).astype(jnp.int32))
+                    + at(jnp.ceil(pos).astype(jnp.int32))) / 2
+        else:  # nearest
+            data = at(jnp.round(pos).astype(jnp.int32))
+        return back(data, validity, out_dt)
+    # rolling_rank_by: rank of the current value within its window;
+    # value ties occupy the contiguous rank interval [first, last)
+    method = e.attrs.get("method", "average")
+    u_sorted = u[order]
+    first = jnp.searchsorted(u_sorted, u, side="left").astype(jnp.int32)
+    last = jnp.searchsorted(u_sorted, u, side="right").astype(jnp.int32)
+    n_lt = wavelet_count_lt(tables, slo, shi, first)
+    n_le = wavelet_count_lt(tables, slo, shi, last)
+    n_eq = n_le - n_lt
+    validity = validity & xv
+    if method == "min":
+        r = (n_lt + 1).astype(jnp.float64)
+    elif method == "max":
+        r = (n_lt + n_eq).astype(jnp.float64)
+    elif method == "dense":
+        # distinct smaller values in the window: count via select-walk is
+        # costly; approximate exactly with lt-count of distinct ranks is
+        # not available -> use min-rank semantics over distinct values
+        raise InvalidOperationError(
+            "rolling_rank_by: method='dense' unsupported")
+    else:  # average
+        r = n_lt + (n_eq + 1) / 2.0
+    return back(r.astype(_stor(Float64)), validity, Float64)
 
 
 def _rolling(e: Expr, v: Val, x, xv, count, back) -> Val:

@@ -380,32 +380,61 @@ class Expr:
                     method=method, descending=descending)
 
     # range-windowed (by a sorted companion column, e.g. time)
-    def _rolling_by(self, op: str, by, window_size, min_samples, **kw):
+    def _rolling_by(self, op: str, by, window_size, min_samples,
+                    closed: str = "right", **kw):
         return Expr("window", (self, _wrap(None), _wrap_col(by)),
                     op=op, period=window_size,
-                    min_samples=min_samples, **kw)
+                    min_samples=min_samples, closed=closed, **kw)
 
-    def rolling_sum_by(self, by, window_size, min_samples: int = 1):
-        return self._rolling_by("rolling_sum_by", by, window_size, min_samples)
+    def rolling_sum_by(self, by, window_size, min_samples: int = 1,
+                       closed: str = "right"):
+        return self._rolling_by("rolling_sum_by", by, window_size,
+                                min_samples, closed)
 
-    def rolling_mean_by(self, by, window_size, min_samples: int = 1):
-        return self._rolling_by("rolling_mean_by", by, window_size, min_samples)
+    def rolling_mean_by(self, by, window_size, min_samples: int = 1,
+                        closed: str = "right"):
+        return self._rolling_by("rolling_mean_by", by, window_size,
+                                min_samples, closed)
 
-    def rolling_min_by(self, by, window_size, min_samples: int = 1):
-        return self._rolling_by("rolling_min_by", by, window_size, min_samples)
+    def rolling_min_by(self, by, window_size, min_samples: int = 1,
+                       closed: str = "right"):
+        return self._rolling_by("rolling_min_by", by, window_size,
+                                min_samples, closed)
 
-    def rolling_max_by(self, by, window_size, min_samples: int = 1):
-        return self._rolling_by("rolling_max_by", by, window_size, min_samples)
+    def rolling_max_by(self, by, window_size, min_samples: int = 1,
+                       closed: str = "right"):
+        return self._rolling_by("rolling_max_by", by, window_size,
+                                min_samples, closed)
 
     def rolling_std_by(self, by, window_size, min_samples: int = 1,
-                       ddof: int = 1):
+                       ddof: int = 1, closed: str = "right"):
         return self._rolling_by("rolling_std_by", by, window_size,
-                                min_samples, ddof=ddof)
+                                min_samples, closed, ddof=ddof)
 
     def rolling_var_by(self, by, window_size, min_samples: int = 1,
-                       ddof: int = 1):
+                       ddof: int = 1, closed: str = "right"):
         return self._rolling_by("rolling_var_by", by, window_size,
-                                min_samples, ddof=ddof)
+                                min_samples, closed, ddof=ddof)
+
+    def rolling_median_by(self, by, window_size, min_samples: int = 1,
+                          closed: str = "right"):
+        return self._rolling_by("rolling_quantile_by", by, window_size,
+                                min_samples, closed, q=0.5,
+                                interpolation="linear")
+
+    def rolling_quantile_by(self, by, window_size, quantile: float = 0.5,
+                            interpolation: str = "nearest",
+                            min_samples: int = 1, closed: str = "right"):
+        return self._rolling_by("rolling_quantile_by", by, window_size,
+                                min_samples, closed, q=quantile,
+                                interpolation=interpolation)
+
+    def rolling_rank_by(self, by, window_size, method: str = "average",
+                        descending: bool = False, min_samples: int = 1,
+                        closed: str = "right"):
+        return self._rolling_by("rolling_rank_by", by, window_size,
+                                min_samples, closed, method=method,
+                                descending=descending)
 
     def interpolate_by(self, by) -> "Expr":
         return Expr("window", (self, _wrap(None), _wrap_col(by)),

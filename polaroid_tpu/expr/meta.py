@@ -350,10 +350,11 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if op in ("pct_change", "rolling_mean", "rolling_std", "rolling_var",
                   "ewm_mean", "interpolate", "interpolate_by",
                   "rolling_quantile", "ewm_std", "ewm_var", "ewm_mean_by",
-                  "rolling_mean_by", "rolling_std_by", "rolling_var_by"):
+                  "rolling_mean_by", "rolling_std_by", "rolling_var_by",
+                  "rolling_quantile_by"):
             return Float32 if ct == Float32 else Float64
         if op in ("rolling_skew", "rolling_kurtosis", "rolling_map",
-                  "rolling_rank"):
+                  "rolling_rank", "rolling_rank_by"):
             return Float64
         if op == "arg_sort":
             return UInt32

@@ -272,6 +272,25 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         src = jnp.clip(gstart + (gcount - 1) - (idx - gstart), 0, cap - 1)
         return back(x[src], xv[src])
 
+    if op in ("rolling_sum_by", "rolling_mean_by", "rolling_min_by",
+              "rolling_max_by", "rolling_std_by", "rolling_var_by",
+              "rolling_quantile_by", "rolling_rank_by"):
+        # per-group range windows: segmented binary search for the
+        # value-based bounds, then the shared range reducers
+        from ..expr.eval import _range_window_reduce, _rolling_by_bounds
+        byv = eval_expr(e.children[2], table, ctx)
+        b = (byv.data if byv.data.shape[0] == cap
+             else jnp.broadcast_to(byv.data, (cap,)))[gctx.perm]
+        gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+        gend = gstart + gcount
+        # dead rows get an empty segment so their windows resolve empty
+        gs = jnp.where(gctx.live_sorted, gstart, idx)
+        ge = jnp.where(gctx.live_sorted, gend, idx)
+        lo, hi = _rolling_by_bounds(e, b, byv.dtype, gctx.live_sorted,
+                                    gs, ge)
+        return _range_window_reduce(e, v, x, xv, back, lo, hi, idx,
+                                    gctx.live_sorted)
+
     raise InvalidOperationError(f"window op {op!r} not supported with .over()")
 
 

@@ -146,3 +146,29 @@ def test_rolling_ewm_reverse_over_groups():
         _pytest.approx(re)
     assert sel(pl.col("v").reverse().over("k")) == \
         [4.0, 2.0, 1.0, 20.0, 10.0]
+
+
+def test_rolling_by_over_groups():
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    n = 150
+    g = rng.choice(["a", "b"], n)
+    t = np.empty(n, "datetime64[ns]")
+    for k in ("a", "b"):
+        m = g == k
+        t[m] = (pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 900, m.sum())), unit="m")).values
+    x = rng.normal(0, 10, n).round(2)
+    df = pl.DataFrame({"g": g.tolist(),
+                       "t": [pd.Timestamp(v).to_pydatetime() for v in t],
+                       "x": x.tolist()})
+    out = df.select(
+        pl.col("x").rolling_sum_by("t", "2h").over("g").alias("s"),
+        pl.col("x").rolling_median_by("t", "2h").over("g").alias("m"),
+    ).to_dict()
+    tv = t.astype(np.int64)
+    p = int(pd.Timedelta("2h").value)
+    for i in range(n):
+        w = x[(g == g[i]) & (tv > tv[i] - p) & (tv <= tv[i])]
+        assert np.isclose(out["s"][i], w.sum())
+        assert np.isclose(out["m"][i], np.median(w))

@@ -148,3 +148,81 @@ def test_sort_expr_within_select():
         {"s": [1, 2, 3]}
     assert df.select(pl.col("a").sort(descending=True).alias("s")) \
         .to_dict() == {"s": [3, 2, 1]}
+
+
+def _brute_by_window(tv, lo_bound, hi_bound, closed):
+    if closed == "right":
+        return (tv > lo_bound) & (tv <= hi_bound)
+    if closed == "both":
+        return (tv >= lo_bound) & (tv <= hi_bound)
+    if closed == "left":
+        return (tv >= lo_bound) & (tv < hi_bound)
+    return (tv > lo_bound) & (tv < hi_bound)
+
+
+@pytest.mark.parametrize("closed", ["right", "both", "left", "none"])
+def test_rolling_order_stats_by(closed):
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    n = 200
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 1200, n)), unit="m")  # duplicates likely
+    x = rng.normal(0, 10, n).round(2)
+    nulls = rng.random(n) < 0.1
+    xs = [None if m else float(v) for v, m in zip(x, nulls)]
+    x[nulls] = np.nan
+    df = pl.DataFrame({"t": list(ts.to_pydatetime()), "x": xs})
+    out = df.select(
+        pl.col("x").rolling_median_by("t", "3h", closed=closed).alias("med"),
+        pl.col("x").rolling_quantile_by(
+            "t", "3h", quantile=0.25, interpolation="linear",
+            closed=closed).alias("q"),
+        pl.col("x").rolling_rank_by("t", "3h", closed=closed).alias("rk"),
+        pl.col("x").rolling_sum_by("t", "3h", closed=closed).alias("s"),
+    ).to_dict()
+    med = np.array([np.nan if v is None else v for v in out["med"]], float)
+    q = np.array([np.nan if v is None else v for v in out["q"]], float)
+    rk = np.array([np.nan if v is None else v for v in out["rk"]], float)
+    s = np.array([np.nan if v is None else v for v in out["s"]], float)
+    tv = ts.values.astype("datetime64[ns]").astype(np.int64)
+    p = int(pd.Timedelta("3h").value)
+    for i in range(n):
+        w = x[_brute_by_window(tv, tv[i] - p, tv[i], closed)]
+        w = w[~np.isnan(w)]
+        if len(w) == 0:
+            assert np.isnan(med[i]) and np.isnan(s[i])
+            continue
+        assert np.isclose(med[i], np.median(w))
+        assert np.isclose(q[i], np.quantile(w, 0.25))
+        assert np.isclose(s[i], w.sum())
+        if not np.isnan(x[i]):
+            ref = (w < x[i]).sum() + ((w == x[i]).sum() + 1) / 2.0
+            assert np.isclose(rk[i], ref)
+
+
+def test_rolling_by_month_periods():
+    import pandas as pd
+    rng = np.random.default_rng(4)
+    tv = (pd.to_datetime("2024-01-15") + pd.to_timedelta(
+        np.sort(rng.integers(0, 200, 150)), unit="D")).values
+    x = rng.normal(0, 5, 150).round(2)
+    df = pl.DataFrame({"t": [pd.Timestamp(d).to_pydatetime() for d in tv],
+                       "x": x.tolist()})
+    out = df.select(
+        pl.col("x").rolling_sum_by("t", "1mo").alias("s"),
+        pl.col("x").rolling_median_by("t", "2mo").alias("m")).to_dict()
+    for i in range(150):
+        lo1 = np.datetime64(pd.Timestamp(tv[i]) - pd.DateOffset(months=1))
+        lo2 = np.datetime64(pd.Timestamp(tv[i]) - pd.DateOffset(months=2))
+        assert np.isclose(out["s"][i], x[(tv > lo1) & (tv <= tv[i])].sum())
+        assert np.isclose(out["m"][i],
+                          np.median(x[(tv > lo2) & (tv <= tv[i])]))
+    # Date-typed by column
+    dfd = pl.DataFrame({"t": [pd.Timestamp(d).date() for d in tv],
+                        "x": x.tolist()})
+    outd = dfd.select(
+        pl.col("x").rolling_mean_by("t", "1mo").alias("mn")).to_dict()
+    for i in range(150):
+        lo1 = np.datetime64(pd.Timestamp(tv[i]) - pd.DateOffset(months=1))
+        assert np.isclose(outd["mn"][i],
+                          x[(tv > lo1) & (tv <= tv[i])].mean())
