@@ -411,8 +411,7 @@ class Series:
 
     @property
     def bin(self):
-        from ..errors import InvalidOperationError
-        raise InvalidOperationError("Binary dtype not supported")
+        return _SeriesNamespace(self, "bin")
 
     @property
     def plot(self):

@@ -427,6 +427,9 @@ def _coerce_host_values(values, dtype: Optional[DataType]):
             dt = Float64
         elif isinstance(v0, str):
             dt = String
+        elif isinstance(v0, (bytes, bytearray)):
+            from .dtypes import Binary
+            dt = Binary()
         elif isinstance(v0, _dt.datetime):
             dt = Datetime("us")
         elif isinstance(v0, _dt.date):

@@ -80,7 +80,13 @@ class DataType:
 
     @property
     def is_string(self) -> bool:
-        return self._name in ("String", "Categorical")
+        # "dictionary-coded variable-length" — Binary shares the whole
+        # code-based kernel path (sort/group/join/filter) with String
+        return self._name in ("String", "Categorical", "Binary")
+
+    @property
+    def is_binary(self) -> bool:
+        return self._name == "Binary"
 
     @property
     def is_bool(self) -> bool:
@@ -239,7 +245,8 @@ _DT_TO_NP = {
     "UInt8": np.uint8, "UInt16": np.uint16, "UInt32": np.uint32,
     "UInt64": np.uint64, "Float32": np.float32, "Float64": np.float64,
     "Boolean": np.bool_, "String": np.int32, "Categorical": np.int32,
-    "Date": np.int32, "Time": np.int64, "Null": np.bool_,
+    "Binary": np.int32, "Date": np.int32, "Time": np.int64,
+    "Null": np.bool_,
 }
 
 
@@ -297,7 +304,9 @@ def supertype(a: DataType, b: DataType) -> DataType:
     if b.is_bool and a.is_numeric:
         return a
     if a.is_string and b.is_string:
-        return String
+        if a.is_binary != b.is_binary:
+            raise SchemaError(f"no supertype of {a!r} and {b!r}")
+        return Binary() if a.is_binary else String
     if a.is_numeric and b.is_numeric:
         if a.is_float and b.is_float:
             return Float64

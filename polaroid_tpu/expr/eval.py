@@ -119,6 +119,28 @@ def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
         return v
     src, dst = v.dtype, dtype
     if src.is_string and dst.is_string:
+        if src.is_binary != dst.is_binary:
+            # utf8 encode/decode is order-preserving (UTF-8 byte order ==
+            # code-point order), so the sorted dictionary stays sorted and
+            # codes carry over; invalid utf8 -> null (or raise if strict)
+            sd = v.sdict or EMPTY_SDICT
+            if dst.is_binary:
+                vals = np.array([str(w).encode("utf-8") for w in sd.values],
+                                dtype=object)
+                return Val(dst, v.data, v.validity, StringDict(vals),
+                           v.is_scalar, v.live)
+            mapped = []
+            bad = np.zeros(max(len(sd.values), 1), dtype=bool)
+            for i, w in enumerate(sd.values):
+                try:
+                    mapped.append(bytes(w).decode("utf-8"))
+                except (UnicodeDecodeError, TypeError):
+                    if strict:
+                        raise InvalidOperationError(
+                            f"cast Binary->String: invalid utf-8 {w!r}")
+                    mapped.append(None)
+                    bad[i] = True
+            return _remap_dict_val(v, mapped, dst)
         # String <-> Categorical: same codes + dictionary, relabeled
         # (our dictionaries are sorted, so they double as categories)
         return Val(dst, v.data, v.validity, v.sdict, v.is_scalar, v.live)
@@ -227,7 +249,9 @@ def _lit_val(value, dtype: Optional[DataType]) -> Val:
         return Val(adt, jnp.asarray(arr.astype(storage_numpy_dtype(adt))),
                    None, None, False)
     if dt.is_string:
-        sd = StringDict(np.array([str(value)], dtype=object))
+        lv = bytes(value) if isinstance(value, (bytes, bytearray)) \
+            else str(value)
+        sd = StringDict(np.array([lv], dtype=object))
         return Val(dt, jnp.zeros((1,), dtype=jnp.int32), None, sd, True)
     if dt == Date:
         days = (value - _pydt.date(1970, 1, 1)).days
@@ -1937,12 +1961,118 @@ def _try_or_none(fn):
         return None
 
 
+def _remap_dict_val(v: Val, mapped, out_dt) -> Val:
+    """Rebuild a dict-coded Val whose dictionary entries were transformed
+    (possibly to None, possibly order-breaking): sort+dedupe the new
+    entries, remap codes, null out None entries."""
+    keep = sorted({m for m in mapped if m is not None})
+    index = {m: i for i, m in enumerate(keep)}
+    remap = np.full(max(len(mapped), 1), NULL_CODE, dtype=np.int32)
+    for i, m in enumerate(mapped):
+        if m is not None:
+            remap[i] = index[m]
+    rm = jnp.asarray(remap)
+    code = v.data
+    data = jnp.where(code >= 0, rm[jnp.clip(code, 0, len(remap) - 1)],
+                     NULL_CODE)
+    validity = _and_valid(v.validity, data != NULL_CODE)
+    return Val(out_dt, data, validity,
+               StringDict(np.array(keep, dtype=object)), v.is_scalar, v.live)
+
+
+def _eval_bin(e: Expr, v: Val) -> Val:
+    """Binary (`bytes`) functions: host-side dictionary transforms +
+    device gathers, same design as `.str` (reference surface:
+    py-polars/src/polars/expr/binary.py)."""
+    op = e.attrs["op"]
+    if not v.dtype.is_binary:
+        raise InvalidOperationError(f".bin.{op} on {v.dtype!r}")
+    sd = v.sdict or EMPTY_SDICT
+    code = v.data
+    words = [bytes(w) for w in sd.values]
+
+    def lut_gather(lut, out_dt):
+        lt = jnp.asarray(lut if len(lut) else np.zeros(1, lut.dtype))
+        data = lt[jnp.clip(code, 0, max(len(lut) - 1, 0))]
+        return Val(out_dt, data, v.validity, None, v.is_scalar, v.live)
+
+    if op in ("contains", "starts_with", "ends_with"):
+        pat = e.attrs["pat"]
+        pat = pat.encode("utf-8") if isinstance(pat, str) else bytes(pat)
+        fn = {"contains": lambda w: pat in w,
+              "starts_with": lambda w: w.startswith(pat),
+              "ends_with": lambda w: w.endswith(pat)}[op]
+        return lut_gather(np.array([fn(w) for w in words], dtype=bool),
+                          Boolean)
+    if op == "size":
+        lut = np.array([len(w) for w in words], dtype=np.uint32)
+        unit = e.attrs.get("unit", "b")
+        if unit != "b":
+            scale = {"kb": 1024, "mb": 1024**2, "gb": 1024**3,
+                     "tb": 1024**4}[unit]
+            return lut_gather((lut / scale).astype(np.float64), Float64)
+        return lut_gather(lut, UInt32)
+    if op == "encode":
+        import base64
+        if e.attrs["encoding"] == "hex":
+            mapped = [w.hex() for w in words]
+        else:
+            mapped = [base64.b64encode(w).decode("ascii") for w in words]
+        return _remap_dict_val(v, mapped, String)
+    if op == "decode":
+        import base64
+        strict = e.attrs.get("strict", True)
+        enc = e.attrs["encoding"]
+        mapped = []
+        for w in words:
+            try:
+                if enc == "hex":
+                    mapped.append(bytes.fromhex(w.decode("ascii")))
+                else:
+                    mapped.append(base64.b64decode(w, validate=True))
+            except Exception:
+                if strict:
+                    raise InvalidOperationError(
+                        f".bin.decode({enc!r}): invalid input {w!r}")
+                mapped.append(None)
+        from ..dtypes import Binary
+        return _remap_dict_val(v, mapped, Binary())
+    if op == "reinterpret":
+        from ..dtypes import physical_numpy_dtype
+        out_dt = e.attrs["dtype"]
+        if isinstance(out_dt, type) and issubclass(out_dt, DataType):
+            out_dt = out_dt()
+        endian = e.attrs.get("endianness", "little")
+        npdt = np.dtype(physical_numpy_dtype(out_dt)).newbyteorder(
+            "<" if endian == "little" else ">")
+        vals = np.zeros(max(len(words), 1), dtype=npdt)
+        ok = np.zeros(max(len(words), 1), dtype=bool)
+        for i, w in enumerate(words):
+            if len(w) == npdt.itemsize:
+                vals[i] = np.frombuffer(w, dtype=npdt)[0]
+                ok[i] = True
+            else:
+                raise InvalidOperationError(
+                    f".bin.reinterpret: value has {len(w)} bytes, "
+                    f"{out_dt!r} needs {npdt.itemsize}")
+        lt = jnp.asarray(vals.astype(storage_numpy_dtype(out_dt)))
+        okj = jnp.asarray(ok)
+        cc = jnp.clip(code, 0, max(len(words) - 1, 0))
+        data = lt[cc]
+        validity = _and_valid(v.validity, okj[cc])
+        return Val(out_dt, data, validity, None, v.is_scalar, v.live)
+    raise InvalidOperationError(f"unknown .bin op {op!r}")
+
+
 def _eval_str(e: Expr, v: Val, table: Table) -> Val:
     import re as _re
     from ..dtypes import Categorical as _Cat
     op = e.attrs["op"]
-    if not (v.dtype.is_string or isinstance(v.dtype, _Cat)):
-        raise InvalidOperationError(f".str.{op} on {v.dtype!r}")
+    if v.dtype.is_binary or \
+            not (v.dtype.is_string or isinstance(v.dtype, _Cat)):
+        raise InvalidOperationError(
+            f".str.{op} on {v.dtype!r}"
+            + (" (use .bin)" if v.dtype.is_binary else ""))
     sd = v.sdict or EMPTY_SDICT
     code = v.data
 
@@ -2791,6 +2921,8 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return _eval_window(e, v, fillv, table, byv)
     if k == "str":
         return _eval_str(e, eval_expr(e.children[0], table, ctx), table)
+    if k == "bin":
+        return _eval_bin(e, eval_expr(e.children[0], table, ctx))
     if k == "dt":
         v = eval_expr(e.children[0], table, ctx)
         if e.attrs.get("op") == "combine":

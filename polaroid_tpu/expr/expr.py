@@ -759,6 +759,46 @@ class Expr:
     def meta(self) -> "MetaNamespace":
         return MetaNamespace(self)
 
+    @property
+    def bin(self) -> "BinNamespace":
+        return BinNamespace(self)
+
+
+class BinNamespace:
+    """Binary (`bytes`) functions — host-side dictionary transforms +
+    device gathers (reference surface: py-polars binary namespace)."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def _op(self, op: str, **kw) -> Expr:
+        return Expr("bin", (self._e,), op=op, **kw)
+
+    def contains(self, literal) -> Expr:
+        return self._op("contains", pat=literal)
+
+    def starts_with(self, prefix) -> Expr:
+        return self._op("starts_with", pat=prefix)
+
+    def ends_with(self, suffix) -> Expr:
+        return self._op("ends_with", pat=suffix)
+
+    def size(self, unit: str = "b") -> Expr:
+        return self._op("size", unit=unit)
+
+    def encode(self, encoding: str) -> Expr:
+        if encoding not in ("hex", "base64"):
+            raise ValueError(f"encoding must be 'hex' or 'base64', got {encoding!r}")
+        return self._op("encode", encoding=encoding)
+
+    def decode(self, encoding: str, strict: bool = True) -> Expr:
+        if encoding not in ("hex", "base64"):
+            raise ValueError(f"encoding must be 'hex' or 'base64', got {encoding!r}")
+        return self._op("decode", encoding=encoding, strict=strict)
+
+    def reinterpret(self, dtype, endianness: str = "little") -> Expr:
+        return self._op("reinterpret", dtype=dtype, endianness=endianness)
+
 
 class StrNamespace:
     """String functions. Evaluated as host-side dictionary transforms +

@@ -192,6 +192,9 @@ def _lit_dtype(value, dtype) -> DataType:
         return Float64
     if isinstance(value, str):
         return String
+    if isinstance(value, (bytes, bytearray)):
+        from ..dtypes import Binary
+        return Binary()
     if isinstance(value, _pydt.datetime):
         return Datetime("us")
     if isinstance(value, _pydt.date):
@@ -365,6 +368,19 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         return ct
     if k == "table_len":
         return UInt32
+    if k == "bin":
+        op = e.attrs["op"]
+        if op in ("contains", "starts_with", "ends_with"):
+            return Boolean
+        if op == "size":
+            return UInt32 if e.attrs.get("unit", "b") == "b" else Float64
+        if op == "encode":
+            return String
+        if op == "reinterpret":
+            d = e.attrs["dtype"]
+            return d() if isinstance(d, type) else d
+        from ..dtypes import Binary
+        return Binary()
     if k == "str":
         op = e.attrs["op"]
         if op in _STR_DTYPES:

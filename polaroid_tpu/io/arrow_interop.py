@@ -37,6 +37,11 @@ def dtype_from_arrow(t: pa.DataType) -> DataType:
     if pa.types.is_string(t) or pa.types.is_large_string(t) or \
             pa.types.is_string_view(t):
         return String
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or \
+            pa.types.is_fixed_size_binary(t) or \
+            getattr(pa.types, "is_binary_view", lambda _: False)(t):
+        from ..dtypes import Binary
+        return Binary()
     if pa.types.is_dictionary(t):
         from ..dtypes import Categorical as _Cat
         return _Cat()
@@ -71,7 +76,8 @@ def dtype_to_arrow(dt: DataType) -> pa.DataType:
               "UInt32": pa.uint32(), "UInt64": pa.uint64(),
               "Float32": pa.float32(), "Float64": pa.float64(),
               "Boolean": pa.bool_(), "String": pa.large_string(),
-              "Categorical": pa.large_string(), "Date": pa.date32(),
+              "Categorical": pa.large_string(),
+              "Binary": pa.large_binary(), "Date": pa.date32(),
               "Time": pa.time64("ns")}
     if name in simple:
         return simple[name]
@@ -112,6 +118,8 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
     if dt.is_string:
         if pa.types.is_dictionary(arr.type):
             arr = arr.cast(pa.large_string())
+        if pa.types.is_fixed_size_binary(arr.type):
+            arr = arr.cast(pa.large_binary())
         obj = arr.to_numpy(zero_copy_only=False)
         codes, sdict = StringDict.encode(obj, mask if mask is not None
                                          else np.ones(n, bool))

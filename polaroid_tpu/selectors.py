@@ -20,8 +20,9 @@ from .dtypes import (
 from .expr.expr import Expr
 
 __all__ = [
-    "all", "alpha", "alphanumeric", "boolean", "by_dtype", "by_index",
-    "by_name", "categorical", "contains", "date", "datetime", "digit",
+    "all", "alpha", "alphanumeric", "binary", "boolean", "by_dtype",
+    "by_index", "by_name", "categorical", "contains", "date", "datetime",
+    "digit",
     "duration", "ends_with", "exclude", "expand_selector", "first",
     "float", "integer", "last", "matches", "numeric", "signed_integer",
     "starts_with", "string", "temporal", "time", "unsigned_integer",
@@ -114,8 +115,12 @@ def string(include_categorical: bool = False) -> Selector:
     def pred(n, d, i, w):
         if isinstance(d, Categorical):
             return include_categorical
-        return d.is_string
+        return d.is_string and not d.is_binary
     return Selector(pred, "string()")
+
+
+def binary() -> Selector:
+    return Selector(lambda n, d, i, w: d.is_binary, "binary()")
 
 
 def categorical() -> Selector:

@@ -50,10 +50,21 @@ class StringDict:
     @staticmethod
     def encode(strings: np.ndarray, mask: Optional[np.ndarray] = None
                ) -> Tuple[np.ndarray, "StringDict"]:
-        """Encode an array of python/numpy strings to int32 codes + dict."""
+        """Encode an array of python/numpy strings (or bytes, for the
+        Binary dtype — same sorted-dictionary design) to int32 codes."""
         obj = np.asarray(strings, dtype=object)
         if mask is None:
             mask = np.array([s is not None for s in obj], dtype=bool)
+        first = next((s for s, m in zip(obj, mask) if m), None)
+        if isinstance(first, (bytes, bytearray)):
+            # bytes sort correctly as objects; never round-trip through
+            # numpy "S"/str dtypes (both mangle embedded/trailing NULs)
+            uniq_list = sorted({bytes(s) for s, m in zip(obj, mask) if m})
+            index = {s: i for i, s in enumerate(uniq_list)}
+            codes = np.array(
+                [index[bytes(s)] if m else NULL_CODE
+                 for s, m in zip(obj, mask)], dtype=np.int32)
+            return codes, StringDict(np.array(uniq_list, dtype=object))
         filled = np.where(mask, obj, "")
         uniq, inv = np.unique(filled.astype(str), return_inverse=True)
         codes = inv.astype(np.int32)
