@@ -62,6 +62,22 @@ def _to_exprs(args, kwargs=None) -> List[Expr]:
 class DataFrame:
     def __init__(self, data=None, schema=None, strict: bool = True):
         if data is None:
+            if schema:
+                # 0-row frame that keeps the declared schema (polars
+                # semantics: pl.DataFrame(schema={...}))
+                from ..batch import _empty_column
+                from ..dtypes import DataType as _DT
+                items = schema.items() if isinstance(schema, dict) \
+                    else [(n, d) for n, d in schema]
+                cap = capacity_for(0)
+                cols, names = {}, []
+                for nm, d in items:
+                    if isinstance(d, type) and issubclass(d, _DT):
+                        d = d()
+                    names.append(nm)
+                    cols[nm] = _empty_column(d, cap)
+                self._table = Table(names, cols, cap, 0, None)
+                return
             self._table = Table([], {}, capacity_for(0), 0, None)
             return
         if isinstance(data, Table):

@@ -102,21 +102,19 @@ class Column:
 
     def take(self, perm: jax.Array) -> "Column":
         """Gather rows by index (axis 0); the one structural op every
-        kernel uses — handles flat, list (2-D + lengths) and struct
-        (recursive) layouts uniformly."""
-        if self.fields is not None:
-            return Column(self.dtype, None,
-                          self.validity[perm] if self.validity is not None
-                          else None,
-                          fields={k: f.take(perm)
-                                  for k, f in self.fields.items()})
+        kernel uses — handles flat, list (2-D + lengths), struct
+        (recursive) and nested list-of-struct/list-of-list (lengths +
+        fields together) layouts uniformly."""
         return Column(
-            self.dtype, self.data[perm],
+            self.dtype,
+            self.data[perm] if self.data is not None else None,
             self.validity[perm] if self.validity is not None else None,
             self.sdict,
             lengths=self.lengths[perm] if self.lengths is not None else None,
             elem_valid=self.elem_valid[perm]
-            if self.elem_valid is not None else None)
+            if self.elem_valid is not None else None,
+            fields={k: f.take(perm) for k, f in self.fields.items()}
+            if self.fields is not None else None)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -149,6 +147,8 @@ class Column:
 
     def to_numpy(self, nrows: int, valid_mask: Optional[np.ndarray] = None):
         """Host copy of the live rows (object array when nulls/strings)."""
+        if self.fields is not None and self.lengths is not None:
+            return _nested_list_to_numpy(self, nrows, valid_mask)
         if self.fields is not None:
             # struct -> object array of dicts
             parts = {k: f.to_numpy(nrows, valid_mask)
@@ -198,6 +198,21 @@ class Column:
 
 def _empty_column(dt: DataType, cap: int) -> Column:
     from .dtypes import List as ListT, Struct as StructT
+    if isinstance(dt, ListT) and isinstance(dt.inner, StructT):
+        fields = {nm: _empty_column(ListT(fd), cap)
+                  for nm, fd in dt.inner.fields}
+        return Column(dt, None, None,
+                      lengths=jnp.zeros(cap, dtype=jnp.int32),
+                      fields=fields)
+    if isinstance(dt, ListT) and isinstance(dt.inner, ListT):
+        stor = storage_numpy_dtype(dt.inner.inner)
+        child = Column(dt.inner, jnp.zeros((cap, 1, 1), dtype=stor), None,
+                       StringDict(np.array([], dtype=object))
+                       if dt.inner.inner.is_string else None,
+                       lengths=jnp.zeros((cap, 1), dtype=jnp.int32))
+        return Column(dt, None, None,
+                      lengths=jnp.zeros(cap, dtype=jnp.int32),
+                      fields={"item": child})
     if isinstance(dt, ListT):
         stor = storage_numpy_dtype(dt.inner)
         return Column(dt, jnp.zeros((cap, 1), dtype=stor), None,
@@ -250,8 +265,9 @@ def _detect_nested(values, dtype: Optional[DataType]) -> Optional[str]:
 
 
 def _list_column_from_host(values, dtype: Optional[DataType],
-                           capacity: Optional[int]) -> Column:
-    from .dtypes import List as ListT
+                           capacity: Optional[int],
+                           width: Optional[int] = None) -> Column:
+    from .dtypes import List as ListT, Struct as StructT
     if isinstance(values, np.ndarray) and values.ndim == 2:
         seq = [list(r) for r in values]
     else:
@@ -263,8 +279,18 @@ def _list_column_from_host(values, dtype: Optional[DataType],
     mask = np.array([v is not None for v in seq], dtype=bool)
     lens = np.array([len(v) if v is not None else 0 for v in seq],
                     dtype=np.int32)
-    W = width_for(int(lens.max()) if n else 1)
+    W = width if width is not None else \
+        width_for(int(lens.max()) if n else 1)
     inner_dt = dtype.inner if isinstance(dtype, ListT) else None
+    e0 = _first_list_elem(seq)
+    if isinstance(inner_dt, StructT) or \
+            (inner_dt is None and isinstance(e0, dict)):
+        return _list_of_struct_from_host(seq, mask, lens, W, inner_dt, cap)
+    if isinstance(inner_dt, ListT) or \
+            (inner_dt is None and isinstance(e0, (list, tuple))) or \
+            (inner_dt is None and isinstance(e0, np.ndarray)
+             and e0.ndim >= 1):
+        return _list_of_list_from_host(seq, mask, lens, W, inner_dt, cap)
     # one flat coercion over the padded (cap, W) grid reuses the scalar
     # coercion logic (strings/temporal/bool) unchanged
     flat: list = [None] * (cap * W)
@@ -302,6 +328,206 @@ def _list_column_from_host(values, dtype: Optional[DataType],
         validity = jnp.asarray(m)
     return Column(ListT(dt), jnp.asarray(data2), validity, sdict,
                   lengths=jnp.asarray(lens_full), elem_valid=elem_valid)
+
+
+def _first_list_elem(seq):
+    for row in seq:
+        if row is None:
+            continue
+        for e in row:
+            if e is not None:
+                return e
+    return None
+
+
+def _list_of_struct_from_host(seq, mask, lens, W, inner_dt, cap) -> Column:
+    """List(Struct): lengths + per-field List columns sharing the width
+    (struct-of-list-of-arrays — the transposed analogue of the
+    reference's ListArray-over-StructArray, polars-arrow/src/array/)."""
+    from .dtypes import List as ListT, Struct as StructT
+    n = len(seq)
+    if isinstance(inner_dt, StructT):
+        names = [nm for nm, _ in inner_dt.fields]
+        fdts = dict(inner_dt.fields)
+    else:
+        names, seen = [], set()
+        for row in seq:
+            for e in (row or ()):
+                if isinstance(e, dict):
+                    for k in e:
+                        if k not in seen:
+                            seen.add(k)
+                            names.append(k)
+        fdts = {}
+    ev = np.zeros((cap, W), dtype=bool)  # element (struct) non-null
+    for i, row in enumerate(seq):
+        if row is None:
+            continue
+        for j, e in enumerate(row):
+            ev[i, j] = e is not None
+    fields = {}
+    for nm in names:
+        frows = [None if row is None else
+                 [None if e is None else
+                  (e.get(nm) if isinstance(e, dict) else None)
+                  for e in row]
+                 for row in seq]
+        fields[nm] = _list_column_from_host(
+            frows, ListT(fdts[nm]) if nm in fdts else None, cap, width=W)
+    inner = StructT([(nm, fields[nm].dtype.inner) for nm in names])
+    lens_full = np.zeros(cap, dtype=np.int32)
+    lens_full[:n] = lens
+    validity = None
+    if not mask.all():
+        m = np.zeros(cap, dtype=bool)
+        m[:n] = mask
+        validity = jnp.asarray(m)
+    in_len = np.arange(W)[None, :] < lens_full[:, None]
+    elem_valid = jnp.asarray(ev) if not (ev == in_len).all() else None
+    return Column(ListT(inner), None, validity, None,
+                  lengths=jnp.asarray(lens_full), elem_valid=elem_valid,
+                  fields=fields)
+
+
+def _list_of_list_from_host(seq, mask, lens, W1, inner_dt, cap) -> Column:
+    """List(List(T)): outer lengths + a lifted child List column whose
+    arrays carry a leading (cap, W1) axis — data (cap, W1, W2), inner
+    lengths (cap, W1). Depth > 2 raises."""
+    from .dtypes import List as ListT
+    from .errors import InvalidOperationError
+    n = len(seq)
+    mx = 1
+    for row in seq:
+        for e in (row or ()):
+            if e is None:
+                continue
+            if isinstance(e, np.ndarray):
+                if e.ndim != 1:
+                    raise InvalidOperationError(
+                        "nested lists deeper than two levels are not "
+                        "supported yet")
+                e = e.tolist()
+            if not isinstance(e, (list, tuple)):
+                raise InvalidOperationError(
+                    f"List(List): inner elements must be lists, got "
+                    f"{type(e).__name__}")
+            mx = max(mx, len(e))
+            for ee in e:
+                if isinstance(ee, (list, tuple, dict)) or (
+                        isinstance(ee, np.ndarray) and ee.ndim > 0):
+                    raise InvalidOperationError(
+                        "nested lists deeper than two levels are not "
+                        "supported yet")
+    W2 = width_for(mx)
+    inner_inner = inner_dt.inner if isinstance(inner_dt, ListT) else None
+    flat: list = [None] * (cap * W1 * W2)
+    inner_lens = np.zeros((cap, W1), dtype=np.int32)
+    ev = np.zeros((cap, W1), dtype=bool)  # inner list non-null
+    for i, row in enumerate(seq):
+        if row is None:
+            continue
+        for j, e in enumerate(row):
+            if e is None:
+                continue
+            ev[i, j] = True
+            el = e.tolist() if isinstance(e, np.ndarray) else e
+            inner_lens[i, j] = len(el)
+            base = (i * W1 + j) * W2
+            for k2, x in enumerate(el):
+                flat[base + k2] = x
+    vals, emask, edt, sdict = _coerce_host_values(flat, inner_inner)
+    if repr(edt) == "Null":
+        edt = Boolean
+    stor = storage_numpy_dtype(edt)
+    data3 = np.asarray(vals).astype(stor, copy=False).reshape(cap, W1, W2)
+    em3 = emask.reshape(cap, W1, W2)
+    in_len2 = np.arange(W2)[None, None, :] < inner_lens[:, :, None]
+    child_ev = None
+    if not (em3 == in_len2).all():
+        child_ev = jnp.asarray(em3 & in_len2)
+    child = Column(ListT(edt), jnp.asarray(data3), None, sdict,
+                   lengths=jnp.asarray(inner_lens), elem_valid=child_ev)
+    lens_full = np.zeros(cap, dtype=np.int32)
+    lens_full[:n] = lens
+    in_len1 = np.arange(W1)[None, :] < lens_full[:, None]
+    elem_valid = jnp.asarray(ev) if not (ev == in_len1).all() else None
+    validity = None
+    if not mask.all():
+        m = np.zeros(cap, dtype=bool)
+        m[:n] = mask
+        validity = jnp.asarray(m)
+    return Column(ListT(ListT(edt)), None, validity, None,
+                  lengths=jnp.asarray(lens_full), elem_valid=elem_valid,
+                  fields={"item": child})
+
+
+def _nested_list_to_numpy(col: Column, nrows: int,
+                          valid_mask: Optional[np.ndarray]):
+    """Decode List(Struct)/List(List) rows to host objects."""
+    from .dtypes import Struct as StructT
+    lens = np.asarray(col.lengths)[:nrows]
+    ev = np.asarray(col.elem_valid)[:nrows] \
+        if col.elem_valid is not None else None
+    vmask = np.asarray(col.validity)[:nrows] \
+        if col.validity is not None else None
+    if valid_mask is not None:
+        sel = valid_mask[:nrows]
+        lens = lens[sel]
+        if ev is not None:
+            ev = ev[sel]
+        if vmask is not None:
+            vmask = vmask[sel]
+    inner = col.dtype.inner
+    m = len(lens)
+    out = np.empty(m, dtype=object)
+    if isinstance(inner, StructT):
+        parts = {nm: f.to_numpy(nrows, valid_mask)
+                 for nm, f in col.fields.items()}
+        for i in range(m):
+            if vmask is not None and not vmask[i]:
+                out[i] = None
+                continue
+            row = []
+            for j in range(int(lens[i])):
+                if ev is not None and not ev[i, j]:
+                    row.append(None)
+                    continue
+                row.append({nm: (parts[nm][i][j]
+                                 if parts[nm][i] is not None else None)
+                            for nm in parts})
+            out[i] = row
+        return out
+    child = col.fields["item"]
+    data3 = np.asarray(child.data)[:nrows]
+    il = np.asarray(child.lengths)[:nrows]
+    cev = np.asarray(child.elem_valid)[:nrows] \
+        if child.elem_valid is not None else None
+    if valid_mask is not None:
+        sel = valid_mask[:nrows]
+        data3 = data3[sel]
+        il = il[sel]
+        if cev is not None:
+            cev = cev[sel]
+    for i in range(m):
+        if vmask is not None and not vmask[i]:
+            out[i] = None
+            continue
+        row = []
+        for j in range(int(lens[i])):
+            if ev is not None and not ev[i, j]:
+                row.append(None)
+                continue
+            L2 = int(il[i, j])
+            vals = _decode_flat_host(child.dtype.inner, data3[i, j, :L2],
+                                     child.sdict)
+            vals = vals.tolist() if isinstance(vals, np.ndarray) \
+                else list(vals)
+            if cev is not None:
+                vals = [v if cev[i, j, k] else None
+                        for k, v in enumerate(vals)]
+            row.append(vals)
+        out[i] = row
+    return out
 
 
 def _struct_column_from_host(values, dtype: Optional[DataType],

@@ -1818,9 +1818,10 @@ def _eval_list(e: Expr, v: Val, table: Table) -> Val:
         return Val(String, jnp.asarray(codes), validity, sdict,
                    v.is_scalar, v.live)
     res = N.list_namespace_op(op, v, e.attrs)
-    return Val(res["dtype"], res["data"], res.get("validity"),
+    return Val(res["dtype"], res.get("data"), res.get("validity"),
                res.get("sdict"), v.is_scalar, v.live,
-               lengths=res.get("lengths"), elem_valid=res.get("elem_valid"))
+               lengths=res.get("lengths"), elem_valid=res.get("elem_valid"),
+               fields=res.get("fields"))
 
 
 def _eval_shrink_dtype(v: Val, table: Table) -> Val:
@@ -2777,15 +2778,7 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             cache[fp] = hit
         return hit
     if k == "col":
-        c = table.column(e.attrs["name"])
-        fields = None
-        if c.fields is not None:
-            fields = {fn: Val(f.dtype, f.data, f.validity, f.sdict, False,
-                              lengths=f.lengths, elem_valid=f.elem_valid,
-                              fields=None)
-                      for fn, f in c.fields.items()}
-        return Val(c.dtype, c.data, c.validity, c.sdict, False,
-                   lengths=c.lengths, elem_valid=c.elem_valid, fields=fields)
+        return column_to_val(table.column(e.attrs["name"]))
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
     if k in ("alias", "name_map", "name_keep", "exclude"):
@@ -3809,6 +3802,15 @@ def cse_rewrite(es):
     return [rewrite(e) for e in es], True
 
 
+def column_to_val(c: Column) -> Val:
+    """Column -> Val, recursively for nested layouts."""
+    fields = None
+    if c.fields is not None:
+        fields = {fn: column_to_val(f) for fn, f in c.fields.items()}
+    return Val(c.dtype, c.data, c.validity, c.sdict, False,
+               lengths=c.lengths, elem_valid=c.elem_valid, fields=fields)
+
+
 def val_to_column(v: Val, cap: int) -> Column:
     """Materialize a Val as a Column with row-capacity `cap`, broadcasting
     scalars and preserving nested (list/struct) layouts."""
@@ -3817,7 +3819,14 @@ def val_to_column(v: Val, cap: int) -> Column:
         validity = v.validity
         if validity is not None and validity.shape[0] != cap:
             validity = jnp.broadcast_to(validity, (cap,))
-        return Column(v.dtype, None, validity, fields=fields)
+        lengths = v.lengths
+        if lengths is not None and lengths.shape[0] != cap:
+            lengths = jnp.broadcast_to(lengths, (cap,))
+        ev = v.elem_valid
+        if ev is not None and ev.shape[0] != cap:
+            ev = jnp.broadcast_to(ev, (cap,) + tuple(ev.shape[1:]))
+        return Column(v.dtype, None, validity, fields=fields,
+                      lengths=lengths, elem_valid=ev)
     data = v.data
     if data.shape[0] != cap:
         data = jnp.broadcast_to(data, (cap,) + tuple(data.shape[1:]))

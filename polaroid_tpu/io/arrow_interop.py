@@ -172,6 +172,13 @@ def _list_column_from_arrow(arr, dt, n: int, mask, capacity: int) -> Column:
     """Arrow List -> padded 2-D device column: gather the flat child by
     (row base + lane) index, masked past each row's length."""
     from ..batch import width_for
+    if pa.types.is_list(arr.type.value_type) or \
+            pa.types.is_large_list(arr.type.value_type) or \
+            pa.types.is_struct(arr.type.value_type):
+        # nested inner types: decode through host objects (correctness
+        # first; columnar fast path is a future optimization)
+        from ..batch import _list_column_from_host
+        return _list_column_from_host(arr.to_pylist(), dt, capacity)
     offs = np.asarray(arr.offsets)
     child = arr.values
     lens = np.diff(offs).astype(np.int32)

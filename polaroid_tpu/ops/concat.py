@@ -62,6 +62,20 @@ def _concat_nested(tables: Sequence[Table], n: str, dt: DataType,
     """Vertical concat of list/struct columns (inputs already compact)."""
     from ..dtypes import List as ListT, Struct as StructT
 
+    if isinstance(dt, ListT) and isinstance(dt.inner, (ListT, StructT)):
+        # nested-inner lists: correctness-first host rebuild (deep concat
+        # is rare; columnar fast path is a future optimization)
+        from ..batch import _list_column_from_host
+        rows: list = []
+        for t in tables:
+            nt = t.nrows or 0
+            c = t.cols.get(n)
+            if c is None:
+                rows.extend([None] * nt)
+            else:
+                rows.extend(list(c.to_numpy(nt)))
+        return _list_column_from_host(rows, dt, cap)
+
     if isinstance(dt, StructT):
         # recurse per field by wrapping child columns in 1-col tables;
         # tables missing the struct (or a field) diagonal-fill with nulls

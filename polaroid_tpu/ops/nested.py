@@ -73,15 +73,41 @@ def explode_table(table: Table, columns: Sequence[str]) -> Table:
         if name not in expl:
             cols[name] = c.take(r)
             continue
-        W = c.data.shape[1]
-        ec = jnp.clip(e, 0, W - 1)
-        data = c.data[r, ec]
         lens_r = c.lengths[r]
         validity = e < lens_r  # empty/null list -> null element row
         if c.elem_valid is not None:
-            validity = validity & c.elem_valid[r, ec]
+            W0 = c.elem_valid.shape[1]
+            validity = validity & c.elem_valid[r, jnp.clip(e, 0, W0 - 1)]
         if c.validity is not None:
             validity = validity & c.validity[r]
+        if c.fields is not None:
+            # List(Struct) -> Struct; List(List) -> List
+            from ..dtypes import Struct as StructT
+            if isinstance(c.dtype.inner, StructT):
+                fcols = {}
+                for nm, f in c.fields.items():
+                    Wf = f.data.shape[1]
+                    ecf = jnp.clip(e, 0, Wf - 1)
+                    fval = validity
+                    if f.elem_valid is not None:
+                        fval = fval & f.elem_valid[r, ecf]
+                    fcols[nm] = Column(f.dtype.inner, f.data[r, ecf],
+                                       fval, f.sdict)
+                cols[name] = Column(c.dtype.inner, None, validity,
+                                    fields=fcols)
+            else:
+                ch = c.fields["item"]
+                Wc = ch.data.shape[1]
+                ecc = jnp.clip(e, 0, Wc - 1)
+                cols[name] = Column(
+                    c.dtype.inner, ch.data[r, ecc], validity, ch.sdict,
+                    lengths=ch.lengths[r, ecc],
+                    elem_valid=ch.elem_valid[r, ecc]
+                    if ch.elem_valid is not None else None)
+            continue
+        W = c.data.shape[1]
+        ec = jnp.clip(e, 0, W - 1)
+        data = c.data[r, ec]
         cols[name] = Column(c.dtype.inner, data, validity, c.sdict)
     out = Table(list(t.names), cols, ocap, total, None)
     if total < ocap:
@@ -112,6 +138,66 @@ def implode_all(data: jax.Array, validity: Optional[jax.Array],
 # .list namespace
 # ---------------------------------------------------------------------------
 
+def _nested_list_namespace_op(op: str, v, attrs: dict):
+    """`.list.<op>` on List(Struct)/List(List) columns (data lives in
+    `fields`; see batch._list_of_struct_from_host/_list_of_list_from_host).
+    Supports the structural subset; element-wise reductions on nested
+    inners raise clearly."""
+    from ..dtypes import Struct as StructT
+    lens = v.lengths
+    cap = lens.shape[0]
+    row_valid = v.validity
+    inner = v.dtype.inner
+    if op in ("len", "n_elements"):
+        return dict(dtype=UInt32, data=lens.astype(jnp.uint32),
+                    validity=row_valid)
+    if op in ("get", "first", "last"):
+        if op == "first":
+            j = jnp.zeros(cap, dtype=jnp.int32)
+        elif op == "last":
+            j = jnp.maximum(lens - 1, 0)
+        else:
+            idx = int(attrs.get("index", 0))
+            j = jnp.full(cap, idx, dtype=jnp.int32) if idx >= 0 \
+                else (lens + idx)
+        inb = (j >= 0) & (j < lens)
+        jc = jnp.clip(j, 0, None)
+        rows = jnp.arange(cap)
+        ok = inb
+        if v.elem_valid is not None:
+            ok = ok & v.elem_valid[rows, jnp.minimum(
+                jc, v.elem_valid.shape[1] - 1)]
+        ok = _and(ok, row_valid)
+        if isinstance(inner, StructT):
+            fields = {}
+            for nm, f in v.fields.items():
+                W = f.data.shape[1]
+                jj = jnp.minimum(jc, W - 1)
+                fd = f.data[rows, jj]
+                fv = ok
+                if f.elem_valid is not None:
+                    fv = fv & f.elem_valid[rows, jj]
+                fields[nm] = dict(dtype=f.dtype.inner, data=fd,
+                                  validity=fv, sdict=f.sdict)
+            from ..expr.eval import Val as _Val
+            fvals = {nm: _Val(d["dtype"], d["data"], d["validity"],
+                              d["sdict"]) for nm, d in fields.items()}
+            return dict(dtype=inner, data=None, validity=ok,
+                        fields=fvals)
+        child = v.fields["item"]
+        W1 = child.data.shape[1]
+        jj = jnp.minimum(jc, W1 - 1)
+        data2 = child.data[rows, jj]          # (cap, W2)
+        lens2 = child.lengths[rows, jj]
+        ev2 = child.elem_valid[rows, jj] \
+            if child.elem_valid is not None else None
+        return dict(dtype=inner, data=data2, validity=ok,
+                    sdict=child.sdict, lengths=lens2, elem_valid=ev2)
+    raise InvalidOperationError(
+        f".list.{op} is not supported on {v.dtype!r} "
+        "(nested inner types support len/get/first/last)")
+
+
 def _elem_mask(v) -> jax.Array:
     """(cap, W) mask of present (in-length AND non-null) elements."""
     W = v.data.shape[1]
@@ -127,6 +213,8 @@ def list_namespace_op(op: str, v, attrs: dict):
     if v.lengths is None:
         raise InvalidOperationError(
             f".list.{op} on non-list dtype {v.dtype!r}")
+    if v.data is None and v.fields is not None:
+        return _nested_list_namespace_op(op, v, attrs)
     inner: DataType = v.dtype.inner
     data, lens = v.data, v.lengths
     cap, W = data.shape
