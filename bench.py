@@ -165,63 +165,9 @@ def _run_benches(d: dict) -> None:
     d["t_q1"] = t_q1
     d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
 
-    _phase("compiling op_filter")
-    # --- operator microbenches ---
-    @jax.jit
-    def op_filter(price, volume, valid):
-        live = valid & (volume > 1000) & (price > 50.0)
-        return live, jnp.sum(jnp.where(live, price, 0.0))
-
-    t_filter = _bench(op_filter, (price, volume, valid))
-    d["filter_ms"] = round(t_filter * 1e3, 3)
-    d["filter_rows_per_s"] = round(n / t_filter, 1)
-
-    @jax.jit
-    def op_sort(sym, price):
-        return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
-
-    _phase("compiling op_sort")
-    t_sort = _bench(op_sort, (sym, price))
-    d["sort_8m_ms"] = round(t_sort * 1e3, 3)
-    d["sort_rows_per_s"] = round(n / t_sort, 1)
-
-    @jax.jit
-    def op_agg(sym, price, valid):
-        gkey, (s, c), gv = local_groupby(sym, [price, price], valid,
-                                         ["sum", "count"])
-        return gkey, s, c
-
-    _phase("compiling op_agg (sort-based general path)")
-    t_agg = _bench(op_agg, (sym, price, valid))
-    d["groupby_agg_sort_ms"] = round(t_agg * 1e3, 3)
-    d["agg_sort_rows_per_s"] = round(n / t_agg, 1)
-
-    # join: 4M probe x 1M build on one chip
-    nb = 1 << 20
-    npr = 1 << 22
-    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint32))
-    bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
-    pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint32))
-
-    from polaroid_tpu.ops.search import searchsorted as _ss
-
-    @jax.jit
-    def op_join(bkey, bval, pkey):
-        # unique build side: sort build, probe via the backend-aware
-        # binary search (sort-method on TPU)
-        sk, sv = jax.lax.sort((bkey, bval), num_keys=1, is_stable=True)
-        pos = _ss(sk, pkey)
-        posc = jnp.clip(pos, 0, nb - 1)
-        hit = sk[posc] == pkey
-        return jnp.where(hit, sv[posc], 0.0), hit
-
-    _phase("compiling op_join")
-    t_join = _bench(op_join, (bkey, bval, pkey))
-    d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
-    d["join_rows_per_s"] = round(npr / t_join, 1)
-
     # --- engine-level end-to-end (lazy pipeline through the fused
-    # executor, host collect included) ---
+    # executor, host collect included) — runs right after the headline so
+    # a later tunnel stall can't mask it ---
     import polaroid_tpu as pl
     df = pl.DataFrame({"symbol": np.asarray(sym), "price": np.asarray(price),
                        "volume": np.asarray(volume)})
@@ -256,6 +202,68 @@ def _run_benches(d: dict) -> None:
     t_read = min(t_read, time.perf_counter() - t0)
     d["parquet_read_ms"] = round(t_read * 1e3, 3)
     d["parquet_read_mb_per_s"] = round(pq_bytes / t_read / 1e6, 1)
+
+    _phase("compiling op_filter")
+    # --- operator microbenches ---
+    @jax.jit
+    def op_filter(price, volume, valid):
+        live = valid & (volume > 1000) & (price > 50.0)
+        return live, jnp.sum(jnp.where(live, price, 0.0))
+
+    t_filter = _bench(op_filter, (price, volume, valid))
+    d["filter_ms"] = round(t_filter * 1e3, 3)
+    d["filter_rows_per_s"] = round(n / t_filter, 1)
+
+    @jax.jit
+    def op_sort(sym, price):
+        return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
+
+    _phase("compiling op_sort")
+    t_sort = _bench(op_sort, (sym, price))
+    d["sort_8m_ms"] = round(t_sort * 1e3, 3)
+    d["sort_rows_per_s"] = round(n / t_sort, 1)
+
+
+    if jax.default_backend() == "cpu" or \
+            os.environ.get("PT_BENCH_FULL") == "1":
+        @jax.jit
+        def op_agg(sym, price, valid):
+            gkey, (s, c), gv = local_groupby(sym, [price, price], valid,
+                                             ["sum", "count"])
+            return gkey, s, c
+
+        _phase("compiling op_agg (sort-based general path)")
+        t_agg = _bench(op_agg, (sym, price, valid))
+        d["groupby_agg_sort_ms"] = round(t_agg * 1e3, 3)
+        d["agg_sort_rows_per_s"] = round(n / t_agg, 1)
+    else:
+        d["agg_sort_skipped"] = ("known axon remote-compile hang; "
+                                 "set PT_BENCH_FULL=1 to include")
+
+    # join: 4M probe x 1M build on one chip
+    nb = 1 << 20
+    npr = 1 << 22
+    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint32))
+    bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
+    pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint32))
+
+    from polaroid_tpu.ops.search import searchsorted as _ss
+
+    @jax.jit
+    def op_join(bkey, bval, pkey):
+        # unique build side: sort build, probe via the backend-aware
+        # binary search (sort-method on TPU)
+        sk, sv = jax.lax.sort((bkey, bval), num_keys=1, is_stable=True)
+        pos = _ss(sk, pkey)
+        posc = jnp.clip(pos, 0, nb - 1)
+        hit = sk[posc] == pkey
+        return jnp.where(hit, sv[posc], 0.0), hit
+
+    _phase("compiling op_join")
+    t_join = _bench(op_join, (bkey, bval, pkey))
+    d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
+    d["join_rows_per_s"] = round(npr / t_join, 1)
+
 
 
 def main():
