@@ -45,16 +45,27 @@ def _map_axis0(c: Column, fn) -> Column:
         elem_valid=fn(c.elem_valid) if c.elem_valid is not None else None)
 
 
+@jax.jit
+def _compact_probe(mask: jax.Array) -> jax.Array:
+    """(row count, already-a-live-prefix flag) packed into ONE device
+    array so collect() pays a single host readback fence (the tunnel
+    round-trip dominates small transfers)."""
+    n = jnp.sum(mask)
+    pre = jnp.all(mask == (jnp.arange(mask.shape[0]) < n))
+    return jnp.stack([n.astype(jnp.int64), pre.astype(jnp.int64)])
+
+
 def compact(table: Table) -> Table:
     """Return a compact-state table (live rows in [0, nrows), same
     capacity). Syncs the row count to host (one scalar)."""
     if table.valid is None:
         return table
     mask = table.valid
-    n = int(jnp.sum(mask))
+    import numpy as _np
+    n, prefix = (int(x) for x in _np.asarray(_compact_probe(mask)))
     # prefix fast path: group-by/sort/scan outputs are already compact —
-    # one extra scalar sync beats re-sorting every column
-    if bool(jnp.all(mask == (jnp.arange(table.capacity) < n))):
+    # the fused probe beats re-sorting every column
+    if prefix:
         return table.with_valid(None, n)
     perm = compact_perm(mask)
     out = gather_table(table, perm, n, None)

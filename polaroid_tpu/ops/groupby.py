@@ -76,9 +76,16 @@ class GroupContext:
         # a TPU scatter — computed only for aggs that need positions
         if self._group_start is None:
             idx = jnp.arange(self.cap, dtype=jnp.int32)
-            self._group_start = _seg_min(
-                jnp.where(self.live_sorted, idx, self.cap).astype(jnp.int32),
-                self.gid, self.out_cap, self.sorted_ids)
+            if not self.sorted_ids and self.out_cap <= _MXU_GROUP_LIMIT \
+                    and jax.default_backend() != "cpu":
+                self._group_start = _masked_seg_minmax(
+                    idx, self.gid, self.out_cap, self.live_sorted, False,
+                    self.cap)
+            else:
+                self._group_start = _seg_min(
+                    jnp.where(self.live_sorted, idx,
+                              self.cap).astype(jnp.int32),
+                    self.gid, self.out_cap, self.sorted_ids)
         return self._group_start
 
 
@@ -278,6 +285,50 @@ def _onehot_seg_sum_f32(values, gid, G: int, live):
     return [out[i] for i in range(C)]
 
 
+def _masked_seg_minmax(x, gid, G: int, live, is_max: bool, identity):
+    """Per-group min/max via blocked masked reductions — no scatter.
+    XLA fuses the (B, G) broadcast-compare-select into the axis-0 reduce,
+    so nothing is materialized; ~20x faster than segment_min/max scatters
+    on TPU (measured 3ms vs 70ms at 8M rows, G~1k)."""
+    n = x.shape[0]
+    B = min(n, 1 << 14)
+    K = max(n // B, 1)
+    x = jnp.where(live, x, identity)
+    g2 = gid.reshape(K, B)
+    x2 = x.reshape(K, B)
+    red = jnp.max if is_max else jnp.min
+
+    def step(acc, xs):
+        gb, vv = xs
+        m = jnp.where(gb[:, None] == jnp.arange(G)[None, :], vv[:, None],
+                      identity)
+        r = red(m, axis=0)
+        return (jnp.maximum(acc, r) if is_max else jnp.minimum(acc, r)), None
+
+    acc0 = jnp.full((G,), identity, x.dtype)
+    out, _ = jax.lax.scan(step, acc0, (g2, x2))
+    return out
+
+
+def _onehot_gather_f32(table_vals, gid):
+    """Per-row lookup out[i] = table_vals[gid[i]] via scanned one-hot
+    matvecs (MXU). 8M-row gathers from small tables cost ~58ms on TPU;
+    this is ~3ms. `table_vals` is (G,) f32; gid rows >= G read 0."""
+    G = table_vals.shape[0]
+    n = gid.shape[0]
+    B = min(n, 1 << 16)
+    K = max(n // B, 1)
+    g2 = gid.reshape(K, B)
+
+    def step(_, gb):
+        oh = (gb[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
+        return None, jax.lax.dot(oh, table_vals,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+    _, out = jax.lax.scan(step, None, g2)
+    return out.reshape(-1)
+
+
 def _dense_mxu_ok(ctx) -> bool:
     # CPU scatters are fast and CPU floats are true f64 — the matmul path
     # is an accelerator optimization only
@@ -386,7 +437,8 @@ def build_groups_dense(key_vals: Sequence[Val], mask: jax.Array,
 
 def _sorted_val(v: Val, ctx: GroupContext) -> Tuple[jax.Array, jax.Array]:
     """(data, participates) in sorted order. participates = live row ∩ expr
-    live-mask ∩ validity."""
+    live-mask ∩ validity. The dense layout's perm is the identity — skip
+    the 8M-row gathers there (TPU gathers dominate the agg otherwise)."""
     cap = ctx.cap
     data = v.data if v.data.shape[0] == cap else jnp.broadcast_to(v.data, (cap,))
     part = jnp.ones(cap, jnp.bool_)
@@ -395,6 +447,8 @@ def _sorted_val(v: Val, ctx: GroupContext) -> Tuple[jax.Array, jax.Array]:
                        else jnp.broadcast_to(v.validity, (cap,)))
     if v.live is not None:
         part = part & v.live
+    if not ctx.sorted_ids:
+        return data, part & ctx.live_sorted
     return data[ctx.perm], part[ctx.perm] & ctx.live_sorted
 
 
@@ -405,6 +459,8 @@ def _group_present(v: Val, ctx: GroupContext) -> jax.Array:
     part = jnp.ones(cap, jnp.bool_)
     if v.live is not None:
         part = part & v.live
+    if not ctx.sorted_ids:
+        return part & ctx.live_sorted
     return part[ctx.perm] & ctx.live_sorted
 
 
@@ -449,7 +505,17 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         if not dt.is_bool:
             raise InvalidOperationError(f"{agg} on {dt!r}")
         if agg == "any":
+            if mxu:
+                r = _masked_seg_minmax(
+                    jnp.where(spart & sx, 1, 0).astype(jnp.int32), gid,
+                    ncap, jnp.ones(cap, jnp.bool_), True, 0)
+                return asval(Boolean, r == 1)
             r = _seg_max(jnp.where(spart & sx, 1, 0), gid, ncap, sids)
+            return asval(Boolean, r == 1)
+        if mxu:
+            # all = min over participating rows (identity 1)
+            r = _masked_seg_minmax(sx.astype(jnp.int32), gid, ncap, spart,
+                                   False, 1)
             return asval(Boolean, r == 1)
         r = _seg_min(jnp.where(spart, sx.astype(jnp.int32), 1), gid, ncap, sids)
         return asval(Boolean, r == 1)
@@ -500,22 +566,47 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             m.astype(jnp.dtype(storage_numpy_dtype(out_dt)))
         return asval(out_dt, data, n > 0)
     if agg in ("min", "max"):
-        n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
+        if mxu:
+            has = _masked_seg_minmax(spart.astype(jnp.int32), gid, ncap,
+                                     jnp.ones(cap, jnp.bool_), True, 0) > 0
+        else:
+            has = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids) > 0
         if dt.is_string:
             big = jnp.int32(np.iinfo(np.int32).max)
-            if agg == "min":
+            if mxu:
+                r = _masked_seg_minmax(sx, gid, ncap, spart,
+                                       agg == "max",
+                                       big if agg == "min" else -1)
+            elif agg == "min":
                 r = _seg_min(jnp.where(spart, sx, big), gid, ncap, sids)
             else:
                 r = _seg_max(jnp.where(spart, sx, -1), gid, ncap, sids)
-            return asval(dt, r, n > 0, v.sdict)
+            return asval(dt, r, has, v.sdict)
         lo, hi = _type_bounds(sx.dtype)
-        if agg == "min":
+        if mxu:
+            r = _masked_seg_minmax(sx, gid, ncap, spart, agg == "max",
+                                   hi if agg == "min" else lo)
+        elif agg == "min":
             r = _seg_min(jnp.where(spart, sx, hi), gid, ncap, sids)
         else:
             r = _seg_max(jnp.where(spart, sx, lo), gid, ncap, sids)
-        return asval(dt, r, n > 0)
+        return asval(dt, r, has)
     if agg in ("var", "std"):
         ddof = attrs.get("ddof", 1)
+        if mxu and (dt.is_float or dt.is_integer or dt.is_bool):
+            # scatter-free two-pass: one-hot sums for (s, n), mean gathered
+            # back to rows by one-hot matvec, second pass for sq devs
+            s, nf = _onehot_seg_sum_f32([sx, jnp.ones(cap, jnp.float32)],
+                                        gid, ncap, spart)
+            m = s / jnp.maximum(nf, 1)
+            mrow = _onehot_gather_f32(m, gid)
+            dev = (sx.astype(jnp.float32) - mrow) ** 2
+            (ss,) = _onehot_seg_sum_f32([dev], gid, ncap, spart)
+            var = ss / jnp.maximum(nf - ddof, 1)
+            out = jnp.sqrt(var) if agg == "std" else var
+            out_dt = _float_dt(dt)
+            return asval(out_dt, out.astype(jnp.dtype(
+                storage_numpy_dtype(out_dt))), nf > ddof)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(_float_dt(dt))
         s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
@@ -532,7 +623,15 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
     if agg in ("first", "last"):
         idx = jnp.arange(cap, dtype=jnp.int32)
         pos = jnp.where(present, idx, cap if agg == "first" else -1)
-        sel = _seg_min(pos, gid, ncap, sids) if agg == "first" else _seg_max(pos, gid, ncap, sids)
+        if mxu:
+            sel = _masked_seg_minmax(pos, gid, ncap,
+                                     jnp.ones(cap, jnp.bool_),
+                                     agg == "last",
+                                     cap if agg == "first" else -1)
+        elif agg == "first":
+            sel = _seg_min(pos, gid, ncap, sids)
+        else:
+            sel = _seg_max(pos, gid, ncap, sids)
         selc = jnp.clip(sel, 0, cap - 1)
         data = sx[selc]
         has = (sel < cap) & (sel >= 0)
@@ -544,7 +643,12 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             validity = has & spart[selc]
         # group with no present rows -> null
         if validity is None:
-            anyp = _seg_sum(present.astype(jnp.int32), gid, ncap, sids)
+            if mxu:
+                anyp = _masked_seg_minmax(present.astype(jnp.int32), gid,
+                                          ncap, jnp.ones(cap, jnp.bool_),
+                                          True, 0)
+            else:
+                anyp = _seg_sum(present.astype(jnp.int32), gid, ncap, sids)
             validity = anyp > 0
         return asval(dt, data, validity, v.sdict)
     if agg == "n_unique":
@@ -835,9 +939,10 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
         inner = eval_expr(e.children[0], table, "agg")
         return reduce_group(e.attrs["agg"], inner, ctx, e.attrs, table)
     if k == "table_len":
-        cnt = _seg_sum(ctx.live_sorted.astype(jnp.uint32), ctx.gid,
-                       ctx.out_cap, ctx.sorted_ids)
-        return Val(UInt32, cnt, None, None, False)
+        # the layout pass already counted live rows per group — reuse it
+        # (avoids a fresh 8M-row segment scatter on TPU)
+        return Val(UInt32, ctx.group_count.astype(jnp.uint32), None, None,
+                   False)
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
     if k == "col" and e.attrs["name"] in key_outputs:
@@ -972,9 +1077,21 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
 
     if gctx.sorted_ids:
         live = jnp.arange(ocap) < gctx.ngroups
+        out = Table(names, cols, ocap, None, live)
+    elif maintain_order:
+        # the first-occurrence sort below re-orders rows anyway; keep the
+        # dense slot layout so group_start/perm indexing stays aligned
+        out = Table(names, cols, ocap, None, gvalid_rows)
     else:
-        live = gvalid_rows
-    out = Table(names, cols, ocap, None, live)
+        # dense layout leaves holes (empty key-code slots); compact to a
+        # live prefix on device while still inside the fused program —
+        # ocap is group-domain-sized, so this argsort+gather is trivial
+        # and saves collect() a host-synced compaction later
+        from .compact import compact_perm, gather_table
+        tmp = Table(names, cols, ocap, None, gvalid_rows)
+        perm = compact_perm(gvalid_rows)
+        live = jnp.arange(ocap) < gctx.ngroups
+        out = gather_table(tmp, perm, None, live)
     if maintain_order:
         # order groups by first occurrence (original row index of first row)
         start_mo = jnp.clip(gctx.group_start, 0, cap - 1)
