@@ -205,11 +205,8 @@ def _empty_column(dt: DataType, cap: int) -> Column:
                       lengths=jnp.zeros(cap, dtype=jnp.int32),
                       fields=fields)
     if isinstance(dt, ListT) and isinstance(dt.inner, ListT):
-        stor = storage_numpy_dtype(dt.inner.inner)
-        child = Column(dt.inner, jnp.zeros((cap, 1, 1), dtype=stor), None,
-                       StringDict(np.array([], dtype=object))
-                       if dt.inner.inner.is_string else None,
-                       lengths=jnp.zeros((cap, 1), dtype=jnp.int32))
+        # any depth: build the child list column flat, lift it to width 1
+        child = _reshape_leading(_empty_column(dt.inner, cap), cap, 1)
         return Column(dt, None, None,
                       lengths=jnp.zeros(cap, dtype=jnp.int32),
                       fields={"item": child})
@@ -389,74 +386,77 @@ def _list_of_struct_from_host(seq, mask, lens, W, inner_dt, cap) -> Column:
                   fields=fields)
 
 
+def _reshape_leading(col: Column, cap: int, W: int) -> Column:
+    """Lift a flat-leading column ((cap*W, ...) arrays) to a nested child
+    layout ((cap, W, ...) arrays), recursing into struct/list fields."""
+    def re(a):
+        return None if a is None else a.reshape((cap, W) + a.shape[1:])
+    return Column(
+        col.dtype, re(col.data), re(col.validity), col.sdict,
+        lengths=re(col.lengths), elem_valid=re(col.elem_valid),
+        fields={k: _reshape_leading(f, cap, W)
+                for k, f in col.fields.items()}
+        if col.fields is not None else None)
+
+
+def _flatten_leading(col: Column) -> Column:
+    """Inverse of `_reshape_leading`: collapse the first two axes of every
+    array ((cap, W, ...) -> (cap*W, ...)), recursing into fields."""
+    def fl(a):
+        return None if a is None else \
+            a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+    return Column(
+        col.dtype, fl(col.data), fl(col.validity), col.sdict,
+        lengths=fl(col.lengths), elem_valid=fl(col.elem_valid),
+        fields={k: _flatten_leading(f) for k, f in col.fields.items()}
+        if col.fields is not None else None)
+
+
 def _list_of_list_from_host(seq, mask, lens, W1, inner_dt, cap) -> Column:
-    """List(List(T)): outer lengths + a lifted child List column whose
-    arrays carry a leading (cap, W1) axis — data (cap, W1, W2), inner
-    lengths (cap, W1). Depth > 2 raises."""
+    """List(List(T)) at ANY depth: outer lengths + a lifted child List
+    column whose arrays carry a leading (cap, W1) axis — e.g. data
+    (cap, W1, W2), inner lengths (cap, W1); deeper nesting recurses
+    (List(List(List)) children are themselves lifted list columns).
+    The flattened child is built by the ordinary row constructor, so
+    List(Struct)/Struct inners compose for free."""
     from .dtypes import List as ListT
     from .errors import InvalidOperationError
     n = len(seq)
-    mx = 1
-    for row in seq:
-        for e in (row or ()):
-            if e is None:
-                continue
-            if isinstance(e, np.ndarray):
-                if e.ndim != 1:
-                    raise InvalidOperationError(
-                        "nested lists deeper than two levels are not "
-                        "supported yet")
-                e = e.tolist()
-            if not isinstance(e, (list, tuple)):
-                raise InvalidOperationError(
-                    f"List(List): inner elements must be lists, got "
-                    f"{type(e).__name__}")
-            mx = max(mx, len(e))
-            for ee in e:
-                if isinstance(ee, (list, tuple, dict)) or (
-                        isinstance(ee, np.ndarray) and ee.ndim > 0):
-                    raise InvalidOperationError(
-                        "nested lists deeper than two levels are not "
-                        "supported yet")
-    W2 = width_for(mx)
-    inner_inner = inner_dt.inner if isinstance(inner_dt, ListT) else None
-    flat: list = [None] * (cap * W1 * W2)
-    inner_lens = np.zeros((cap, W1), dtype=np.int32)
-    ev = np.zeros((cap, W1), dtype=bool)  # inner list non-null
+    child_seq: list = [None] * (cap * W1)
     for i, row in enumerate(seq):
         if row is None:
             continue
         for j, e in enumerate(row):
             if e is None:
                 continue
-            ev[i, j] = True
-            el = e.tolist() if isinstance(e, np.ndarray) else e
-            inner_lens[i, j] = len(el)
-            base = (i * W1 + j) * W2
-            for k2, x in enumerate(el):
-                flat[base + k2] = x
-    vals, emask, edt, sdict = _coerce_host_values(flat, inner_inner)
-    if repr(edt) == "Null":
-        edt = Boolean
-    stor = storage_numpy_dtype(edt)
-    data3 = np.asarray(vals).astype(stor, copy=False).reshape(cap, W1, W2)
-    em3 = emask.reshape(cap, W1, W2)
-    in_len2 = np.arange(W2)[None, None, :] < inner_lens[:, :, None]
-    child_ev = None
-    if not (em3 == in_len2).all():
-        child_ev = jnp.asarray(em3 & in_len2)
-    child = Column(ListT(edt), jnp.asarray(data3), None, sdict,
-                   lengths=jnp.asarray(inner_lens), elem_valid=child_ev)
+            if isinstance(e, np.ndarray):
+                e = e.tolist()
+            if not isinstance(e, (list, tuple)):
+                raise InvalidOperationError(
+                    f"List(List): inner elements must be lists, got "
+                    f"{type(e).__name__}")
+            child_seq[i * W1 + j] = e
+    child = _list_column_from_host(child_seq, inner_dt, cap * W1)
     lens_full = np.zeros(cap, dtype=np.int32)
     lens_full[:n] = lens
     in_len1 = np.arange(W1)[None, :] < lens_full[:, None]
+    # the child's row validity marks present (non-null) inner lists; it
+    # becomes the outer elem_valid and the lifted child carries none
+    if child.validity is not None:
+        ev = np.asarray(child.validity).reshape(cap, W1)
+    else:
+        ev = in_len1
+    child = Column(child.dtype, child.data, None, child.sdict,
+                   lengths=child.lengths, elem_valid=child.elem_valid,
+                   fields=child.fields)
+    child = _reshape_leading(child, cap, W1)
     elem_valid = jnp.asarray(ev) if not (ev == in_len1).all() else None
     validity = None
     if not mask.all():
         m = np.zeros(cap, dtype=bool)
         m[:n] = mask
         validity = jnp.asarray(m)
-    return Column(ListT(ListT(edt)), None, validity, None,
+    return Column(ListT(child.dtype), None, validity, None,
                   lengths=jnp.asarray(lens_full), elem_valid=elem_valid,
                   fields={"item": child})
 
@@ -497,35 +497,31 @@ def _nested_list_to_numpy(col: Column, nrows: int,
                             for nm in parts})
             out[i] = row
         return out
+    # List(List...): decode the lifted child at its flat leading layout
+    # (recursion handles any depth / struct inners), then regroup by the
+    # outer lengths
     child = col.fields["item"]
-    data3 = np.asarray(child.data)[:nrows]
-    il = np.asarray(child.lengths)[:nrows]
-    cev = np.asarray(child.elem_valid)[:nrows] \
-        if child.elem_valid is not None else None
+    W1 = np.asarray(col.fields["item"].lengths).shape[1] \
+        if child.lengths is not None else np.asarray(child.data).shape[1]
+    flat_child = _flatten_leading(child)
+    childrows = flat_child.to_numpy(nrows * W1)
     if valid_mask is not None:
-        sel = valid_mask[:nrows]
-        data3 = data3[sel]
-        il = il[sel]
-        if cev is not None:
-            cev = cev[sel]
+        orig = np.nonzero(valid_mask[:nrows])[0]
+    else:
+        orig = np.arange(m)
     for i in range(m):
         if vmask is not None and not vmask[i]:
             out[i] = None
             continue
+        oi = int(orig[i])
         row = []
         for j in range(int(lens[i])):
             if ev is not None and not ev[i, j]:
                 row.append(None)
                 continue
-            L2 = int(il[i, j])
-            vals = _decode_flat_host(child.dtype.inner, data3[i, j, :L2],
-                                     child.sdict)
-            vals = vals.tolist() if isinstance(vals, np.ndarray) \
-                else list(vals)
-            if cev is not None:
-                vals = [v if cev[i, j, k] else None
-                        for k, v in enumerate(vals)]
-            row.append(vals)
+            vals = childrows[oi * W1 + j]
+            row.append(vals.tolist() if isinstance(vals, np.ndarray)
+                       else vals)
         out[i] = row
     return out
 

@@ -472,6 +472,8 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
     sids = ctx.sorted_ids
     gid = ctx.gid
     dt = v.dtype
+    if agg in ("implode", "agg_groups"):
+        return _group_implode(v, ctx, agg)
     sx, spart = _sorted_val(v, ctx)
     present = _group_present(v, ctx)
 
@@ -816,12 +818,11 @@ def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:
     (host sync — the fused-jit path marks this chain nofuse and re-runs
     eagerly)."""
     from ..dtypes import List as ListT, UInt32 as U32
-    if agg == "implode" and (v.lengths is not None or v.fields is not None):
-        raise InvalidOperationError(
-            "imploding nested columns (List(List)/List(Struct)) is not "
-            "supported yet; explode first or aggregate the elements")
+    nested = agg == "implode" and (v.lengths is not None
+                                   or v.fields is not None)
     cap, ncap = ctx.cap, ctx.out_cap
-    sx, spart = _sorted_val(v, ctx)
+    if not nested:
+        sx, spart = _sorted_val(v, ctx)
     present = _group_present(v, ctx)
     g = jnp.where(present, ctx.gid, ncap).astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -835,6 +836,53 @@ def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:
     ok = (sg < ncap) & (pos < W)
     tgt = jnp.where(ok, jnp.clip(sg, 0, ncap - 1) * W +
                     jnp.clip(pos, 0, W - 1), ncap * W)
+    if nested:
+        from ..batch import Column as _Col, _reshape_leading
+        from ..dtypes import Struct as StructT
+
+        def _as_col(x):
+            return _Col(x.dtype, x.data, x.validity, x.sdict,
+                        lengths=getattr(x, "lengths", None),
+                        elem_valid=getattr(x, "elem_valid", None),
+                        fields={k: _as_col(f) for k, f in x.fields.items()}
+                        if getattr(x, "fields", None) is not None else None)
+
+        ev = None
+        if v.validity is not None:
+            sv = v.validity if v.validity.shape[0] == cap else \
+                jnp.broadcast_to(v.validity, (cap,))
+            sv = sv[ctx.perm][sslot]
+            evflat = jnp.zeros(ncap * W + 1, jnp.bool_).at[tgt].set(
+                sv, mode="drop")
+            ev = evflat[:ncap * W].reshape(ncap, W)
+        if isinstance(v.dtype, StructT):
+            # List(Struct) layout: one imploded List column per field
+            # (matches batch._list_of_struct_from_host)
+            fields_out = {}
+            for nm, f in v.fields.items():
+                fv = Val(f.dtype, f.data, f.validity, f.sdict, False,
+                         live=v.live, lengths=getattr(f, "lengths", None),
+                         elem_valid=getattr(f, "elem_valid", None),
+                         fields=getattr(f, "fields", None))
+                fields_out[nm] = _group_implode(fv, ctx, "implode")
+            return Val(ListT(v.dtype), None, None, None, False,
+                       lengths=counts.astype(jnp.int32), elem_valid=ev,
+                       fields=fields_out)
+        # List input: lift the whole nested layout one level — gather rows
+        # structurally into (ncap, W, ...) arrays (List(List) "item" form)
+        orig = ctx.perm[sslot].astype(jnp.int32)
+        rowflat = jnp.full(ncap * W + 1, cap, jnp.int32).at[tgt].set(
+            orig, mode="drop")
+        rows = jnp.clip(rowflat[:ncap * W], 0, cap - 1)
+        col = _as_col(v)
+        taken = col.take(rows)
+        child = _Col(taken.dtype, taken.data, None, taken.sdict,
+                     lengths=taken.lengths, elem_valid=taken.elem_valid,
+                     fields=taken.fields)
+        child = _reshape_leading(child, ncap, W)
+        return Val(ListT(v.dtype), None, None, None, False,
+                   lengths=counts.astype(jnp.int32), elem_valid=ev,
+                   fields={"item": child})
     if agg == "agg_groups":
         vals = ctx.perm[sslot].astype(jnp.uint32)
         inner_dt, sdict = U32, None
@@ -1065,15 +1113,32 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         v = eval_group_expr(ae, table, gctx, names, key_outputs)
         if name in cols:
             raise DuplicateError(f"duplicate column name {name!r}")
-        data = v.data if v.data.shape[0] == ocap else \
-            jnp.broadcast_to(v.data, (ocap,) + v.data.shape[1:])
+        data = v.data
+        if data is not None and data.shape[0] != ocap:
+            data = jnp.broadcast_to(data, (ocap,) + data.shape[1:])
         validity = v.validity
         if validity is not None and validity.shape[0] != ocap:
             validity = jnp.broadcast_to(validity, (ocap,))
         names.append(name)
+
+        def _fieldcol(x):
+            if isinstance(x, Column):
+                return x
+            return Column(x.dtype, x.data, x.validity, x.sdict,
+                          lengths=getattr(x, "lengths", None),
+                          elem_valid=getattr(x, "elem_valid", None),
+                          fields={k: _fieldcol(f)
+                                  for k, f in x.fields.items()}
+                          if getattr(x, "fields", None) is not None
+                          else None)
+
+        vfields = getattr(v, "fields", None)
         cols[name] = Column(v.dtype, data, validity, v.sdict,
                             lengths=getattr(v, "lengths", None),
-                            elem_valid=getattr(v, "elem_valid", None))
+                            elem_valid=getattr(v, "elem_valid", None),
+                            fields={k: _fieldcol(f)
+                                    for k, f in vfields.items()}
+                            if vfields is not None else None)
 
     if gctx.sorted_ids:
         live = jnp.arange(ocap) < gctx.ngroups

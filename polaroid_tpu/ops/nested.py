@@ -96,14 +96,11 @@ def explode_table(table: Table, columns: Sequence[str]) -> Table:
                 cols[name] = Column(c.dtype.inner, None, validity,
                                     fields=fcols)
             else:
-                ch = c.fields["item"]
-                Wc = ch.data.shape[1]
-                ecc = jnp.clip(e, 0, Wc - 1)
+                ch = _index_level(c.fields["item"], r, e)
                 cols[name] = Column(
-                    c.dtype.inner, ch.data[r, ecc], validity, ch.sdict,
-                    lengths=ch.lengths[r, ecc],
-                    elem_valid=ch.elem_valid[r, ecc]
-                    if ch.elem_valid is not None else None)
+                    c.dtype.inner, ch.data, validity, ch.sdict,
+                    lengths=ch.lengths, elem_valid=ch.elem_valid,
+                    fields=ch.fields)
             continue
         W = c.data.shape[1]
         ec = jnp.clip(e, 0, W - 1)
@@ -137,6 +134,22 @@ def implode_all(data: jax.Array, validity: Optional[jax.Array],
 # ---------------------------------------------------------------------------
 # .list namespace
 # ---------------------------------------------------------------------------
+
+def _index_level(col: Column, r: jax.Array, e: jax.Array) -> Column:
+    """Select element `e` of row `r` from a lifted nested child column:
+    applies `[r, e]` to every (outer_cap, W, ...) array, recursing into
+    struct/list fields, yielding a column one list level shallower.
+    Out-of-range `e` is clipped per-array (callers mask validity)."""
+    def ix(a):
+        if a is None:
+            return None
+        return a[r, jnp.clip(e, 0, a.shape[1] - 1)]
+    return Column(col.dtype, ix(col.data), ix(col.validity), col.sdict,
+                  lengths=ix(col.lengths), elem_valid=ix(col.elem_valid),
+                  fields={k: _index_level(f, r, e)
+                          for k, f in col.fields.items()}
+                  if col.fields is not None else None)
+
 
 def _nested_list_namespace_op(op: str, v, attrs: dict):
     """`.list.<op>` on List(Struct)/List(List) columns (data lives in
@@ -184,15 +197,10 @@ def _nested_list_namespace_op(op: str, v, attrs: dict):
                               d["sdict"]) for nm, d in fields.items()}
             return dict(dtype=inner, data=None, validity=ok,
                         fields=fvals)
-        child = v.fields["item"]
-        W1 = child.data.shape[1]
-        jj = jnp.minimum(jc, W1 - 1)
-        data2 = child.data[rows, jj]          # (cap, W2)
-        lens2 = child.lengths[rows, jj]
-        ev2 = child.elem_valid[rows, jj] \
-            if child.elem_valid is not None else None
-        return dict(dtype=inner, data=data2, validity=ok,
-                    sdict=child.sdict, lengths=lens2, elem_valid=ev2)
+        ch = _index_level(v.fields["item"], rows, jc)
+        return dict(dtype=inner, data=ch.data, validity=ok,
+                    sdict=ch.sdict, lengths=ch.lengths,
+                    elem_valid=ch.elem_valid, fields=ch.fields)
     raise InvalidOperationError(
         f".list.{op} is not supported on {v.dtype!r} "
         "(nested inner types support len/get/first/last)")

@@ -229,10 +229,11 @@ def test_fuzz_nested_roundtrip_and_ops(seed):
                   for v in ((r if r else [None]) if r is not None
                             else [None])]
         assert rows == expect, (kk, rows, expect)
-    # imploding a list column is a clean error (List(List) unsupported)
-    import pytest as _pytest
-    with _pytest.raises(pl.InvalidOperationError):
-        df.group_by("k").agg(pl.col("a"))
+    # imploding a list column lifts it one level: List -> List(List)
+    g2 = df.group_by("k", maintain_order=True).agg(pl.col("a"))
+    for kk, rows in zip(g2.to_dict()["k"], g2.to_dict()["a"]):
+        expect = [r for r, kv in zip(lists, k) if kv == kk]
+        assert rows == expect, (kk, rows, expect)
 
 
 @pytest.mark.parametrize("seed", range(6))

@@ -87,8 +87,67 @@ def test_nested_concat_and_empty_schema():
     assert repr(e.schema["ll"]) == "List(List(Int64))"
 
 
-def test_depth_three_raises():
-    with pytest.raises(pl.exceptions.InvalidOperationError):
-        pl.DataFrame({"x": [[[[1]]]]})
-    with pytest.raises(pl.exceptions.InvalidOperationError):
-        pl.DataFrame({"x": [[[{"a": 1}]]]})
+D3_ROWS = [[[[1, 2], [3]], [[4]]], None, [[[5], [6, 7, 8]]], [[]], []]
+
+
+def test_depth_three_roundtrip_and_structural():
+    df = pl.DataFrame({"x": D3_ROWS})
+    assert repr(df.schema["x"]) == "List(List(List(Int64)))"
+    assert df.to_dict()["x"] == D3_ROWS
+    df2 = pl.DataFrame({"k": [3, 1, 2, 5, 4], "x": D3_ROWS})
+    got = df2.sort("k").to_dict()["x"]
+    exp = [x for _, x in sorted(zip([3, 1, 2, 5, 4], D3_ROWS),
+                                key=lambda p: p[0])]
+    assert got == exp
+    got = df2.filter(pl.col("k") > 2).to_dict()["x"]
+    assert got == [D3_ROWS[0], D3_ROWS[3], D3_ROWS[4]]
+
+
+def test_depth_three_explode_and_list_ops():
+    df = pl.DataFrame({"x": D3_ROWS})
+    assert df.explode("x").to_dict()["x"] == \
+        [[[1, 2], [3]], [[4]], None, [[5], [6, 7, 8]], [], None]
+    assert df.select(pl.col("x").list.len().alias("n")).to_dict()["n"] == \
+        [2, None, 1, 1, 0]
+    assert df.select(pl.col("x").list.first().alias("f")).to_dict()["f"] == \
+        [[[1, 2], [3]], None, [[5], [6, 7, 8]], [], None]
+    assert df.select(pl.col("x").list.get(1).alias("g")).to_dict()["g"] == \
+        [[[4]], None, None, None, None]
+
+
+def test_depth_three_io_and_concat(tmp_path):
+    df = pl.DataFrame({"x": D3_ROWS})
+    p = tmp_path / "d3.parquet"
+    df.write_parquet(str(p))
+    assert pl.read_parquet(str(p)).to_dict()["x"] == D3_ROWS
+    a = tmp_path / "d3.arrow"
+    df.write_ipc(str(a))
+    assert pl.read_ipc(str(a)).to_dict()["x"] == D3_ROWS
+    assert pl.concat([df, df]).to_dict()["x"] == D3_ROWS + D3_ROWS
+    e = pl.DataFrame(schema={"x": pl.List(pl.List(pl.List(pl.Int64)))})
+    assert len(e) == 0
+    assert repr(e.schema["x"]) == "List(List(List(Int64)))"
+
+
+def test_list_list_struct_and_depth_four():
+    rows = [[[{"a": 1}, {"a": 2}]], [[{"a": 3}], [{"a": 4}, {"a": 5}]],
+            None]
+    df = pl.DataFrame({"y": rows})
+    assert df.to_dict()["y"] == rows
+    assert df.explode("y").to_dict()["y"] == \
+        [[{"a": 1}, {"a": 2}], [{"a": 3}], [{"a": 4}, {"a": 5}], None]
+    rows4 = [[[[[1], [2, 3]]]], [[[[4]]]], None]
+    df4 = pl.DataFrame({"z": rows4})
+    assert df4.to_dict()["z"] == rows4
+
+
+def test_group_agg_implode_nested():
+    df = pl.DataFrame({"k": [1, 1, 2], "x": [[[1], [2]], [[3]], [[4, 5]]]})
+    g = df.group_by("k", maintain_order=True).agg(pl.col("x")).to_dict()["x"]
+    assert g == [[[[1], [2]], [[3]]], [[[4, 5]]]]
+    df = pl.DataFrame({"k": [1, 2, 1], "x": [[1, 2], None, [3]]})
+    g = df.group_by("k", maintain_order=True).agg(pl.col("x")).to_dict()["x"]
+    assert g == [[[1, 2], [3]], [None]]
+    df = pl.DataFrame({"k": [1, 1, 2], "s": [{"a": 1}, {"a": 2}, {"a": 3}]})
+    g = df.group_by("k", maintain_order=True).agg(pl.col("s")).to_dict()["s"]
+    assert g == [[{"a": 1}, {"a": 2}], [{"a": 3}]]
