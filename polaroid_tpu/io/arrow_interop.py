@@ -94,7 +94,38 @@ def dtype_to_arrow(dt: DataType) -> pa.DataType:
     raise SchemaError(f"cannot convert {dt!r} to arrow")
 
 
+def _plain_numeric_fast(arr, dt: DataType, capacity: int) -> Column:
+    """One-copy host materialization for null-free int/float columns:
+    per-chunk zero-copy arrow views written straight into the padded
+    staging buffer (skips combine_chunks + to_numpy + pad copies — the
+    hot path for large scans; reference decodes straight into its own
+    buffers, `polars-parquet/src/arrow/read/`)."""
+    n = len(arr)
+    if capacity == n and n:
+        # zero host copies: arrow's C++ combine (if chunked) then a
+        # zero-copy numpy view; jnp.asarray is the only (async) copy
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks() if arr.num_chunks != 1 \
+                else arr.chunk(0)
+        return Column(dt, jnp.asarray(arr.to_numpy(zero_copy_only=True)),
+                      None, None)
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    stor = storage_numpy_dtype(dt)
+    out = np.empty(capacity, dtype=stor)
+    pos = 0
+    for ch in chunks:
+        if len(ch):
+            out[pos:pos + len(ch)] = ch.to_numpy(zero_copy_only=True)
+            pos += len(ch)
+    out[pos:] = 0
+    return Column(dt, jnp.asarray(out), None, None)
+
+
 def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
+    t = arr.type
+    if arr.null_count == 0 and t in _PA_TO_DT and \
+            (pa.types.is_floating(t) or pa.types.is_integer(t)):
+        return _plain_numeric_fast(arr, _PA_TO_DT[t], capacity)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     dt = dtype_from_arrow(arr.type)
@@ -221,7 +252,16 @@ def table_from_arrow(at: pa.Table, capacity: Optional[int] = None) -> Table:
     n = at.num_rows
     cap = capacity or capacity_for(n)
     names = list(at.column_names)
-    cols = {nm: column_from_arrow(at.column(nm), cap) for nm in names}
+    if n >= (1 << 20) and len(names) > 1:
+        # big scans: convert columns in parallel — pyarrow decode/combine
+        # releases the GIL and device uploads are async enqueues
+        import concurrent.futures as _f
+        with _f.ThreadPoolExecutor(max_workers=min(len(names), 8)) as ex:
+            conv = list(ex.map(lambda nm: column_from_arrow(at.column(nm),
+                                                            cap), names))
+        cols = dict(zip(names, conv))
+    else:
+        cols = {nm: column_from_arrow(at.column(nm), cap) for nm in names}
     return Table(names, cols, cap, n, None)
 
 
