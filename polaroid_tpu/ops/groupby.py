@@ -261,8 +261,16 @@ _MXU_GROUP_LIMIT = 4096
 
 
 def _onehot_seg_sum_f32(values, gid, G: int, live):
-    """sum of values per group via scanned one-hot matmuls. `values` is a
-    list of f32 arrays; returns a list of (G,) f32 arrays."""
+    """sum of values per group via one-hot matmuls. `values` is a list of
+    f32 arrays; returns a list of (G,) f32 arrays. On TPU this is a
+    hand-written Pallas kernel (one-hot built in VMEM, single HBM pass);
+    elsewhere, scanned XLA dots."""
+    from .pallas_kernels import onehot_seg_sum, use_pallas
+    if use_pallas():
+        stacked = jnp.stack([jnp.where(live, v, 0).astype(jnp.float32)
+                             for v in values], axis=0)
+        out = onehot_seg_sum(stacked, gid, G)
+        return [out[i] for i in range(len(values))]
     n = gid.shape[0]
     B = min(n, 1 << 16)
     K = max(n // B, 1)
@@ -289,7 +297,13 @@ def _masked_seg_minmax(x, gid, G: int, live, is_max: bool, identity):
     """Per-group min/max via blocked masked reductions — no scatter.
     XLA fuses the (B, G) broadcast-compare-select into the axis-0 reduce,
     so nothing is materialized; ~20x faster than segment_min/max scatters
-    on TPU (measured 3ms vs 70ms at 8M rows, G~1k)."""
+    on TPU (measured 3ms vs 70ms at 8M rows, G~1k). f32 inputs on TPU use
+    the Pallas single-pass kernel instead."""
+    from .pallas_kernels import onehot_seg_minmax, use_pallas
+    if use_pallas() and x.dtype == jnp.float32 and \
+            np.isinf(float(identity)):
+        gm = jnp.where(live, gid, -1)
+        return onehot_seg_minmax(x, gm, G, is_max, float(identity))
     n = x.shape[0]
     B = min(n, 1 << 14)
     K = max(n // B, 1)
@@ -314,6 +328,9 @@ def _onehot_gather_f32(table_vals, gid):
     """Per-row lookup out[i] = table_vals[gid[i]] via scanned one-hot
     matvecs (MXU). 8M-row gathers from small tables cost ~58ms on TPU;
     this is ~3ms. `table_vals` is (G,) f32; gid rows >= G read 0."""
+    from .pallas_kernels import onehot_gather, use_pallas
+    if use_pallas():
+        return onehot_gather(table_vals, gid)
     G = table_vals.shape[0]
     n = gid.shape[0]
     B = min(n, 1 << 16)
