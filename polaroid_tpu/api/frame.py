@@ -634,7 +634,9 @@ class DataFrame:
 
     def join(self, other: "DataFrame", on=None, how: str = "inner", *,
              left_on=None, right_on=None, suffix: str = "_right",
-             join_nulls: bool = False, coalesce: Optional[bool] = None,
+             join_nulls: bool = False, nulls_equal: bool = False,
+             coalesce: Optional[bool] = None,
+             maintain_order: Optional[str] = None,
              validate: str = "m:m") -> "DataFrame":
         from ..ops.join import join_tables
         if on is not None:
@@ -645,7 +647,8 @@ class DataFrame:
             left_on = [left_on] if isinstance(left_on, str) else list(left_on)
             right_on = [right_on] if isinstance(right_on, str) else list(right_on)
         out = join_tables(self._table, other._table, left_on, right_on, how,
-                          suffix, join_nulls, coalesce)
+                          suffix, join_nulls or nulls_equal, coalesce,
+                          maintain_order)
         return DataFrame._from_table(out)
 
     # --- reshaping ------------------------------------------------------
@@ -668,13 +671,18 @@ class DataFrame:
         values = [values] if isinstance(values, str) else list(values)
         distinct = sorted(set(self.get_column(on_col).to_list()),
                           key=lambda x: (x is None, x))
+        from ..expr.expr import when as _when
         aggs = []
         for v in values:
             for d in distinct:
-                base = _col(v).filter(_col(on_col) == d) if d is not None \
-                    else _col(v).filter(_col(on_col).is_null())
+                sel = (_col(on_col) == d) if d is not None \
+                    else _col(on_col).is_null()
+                base = _col(v).filter(sel)
                 agg = getattr(base, aggregate_function
                               if aggregate_function != "count" else "count")()
+                # combinations absent from the input are null, not the
+                # aggregate's empty identity (polars-ops pivot semantics)
+                agg = _when(sel.sum() > 0).then(agg)
                 name = str(d) if len(values) == 1 else f"{v}_{d}"
                 aggs.append(agg.alias(name))
         return self.group_by(index, maintain_order=True).agg(aggs)

@@ -189,8 +189,11 @@ class LazyFrame:
 
     def join(self, other: "LazyFrame", on=None, how: str = "inner", *,
              left_on=None, right_on=None, suffix: str = "_right",
-             join_nulls: bool = False, coalesce: Optional[bool] = None,
+             join_nulls: bool = False, nulls_equal: bool = False,
+             coalesce: Optional[bool] = None,
+             maintain_order: Optional[str] = None,
              validate: str = "m:m", allow_parallel: bool = True) -> "LazyFrame":
+        join_nulls = join_nulls or nulls_equal
         if on is not None:
             left_on = right_on = [on] if isinstance(on, str) else list(on)
         elif how != "cross":
@@ -202,7 +205,7 @@ class LazyFrame:
             left_on = right_on = []
         return LazyFrame._from_plan(
             L.Join(self._plan, other._plan, left_on, right_on, how, suffix,
-                   join_nulls, coalesce))
+                   join_nulls, coalesce, maintain_order))
 
     def join_where(self, other: "LazyFrame", *predicates,
                    suffix: str = "_right") -> "LazyFrame":

@@ -130,7 +130,8 @@ class Series:
     def __ge__(self, o): return self._bin(o, "ge")
     def __neg__(self): return self._apply(lambda c: -c)
     def abs(self): return self._apply(lambda c: c.abs())
-    def cast(self, dtype): return self._apply(lambda c: c.cast(dtype))
+    def cast(self, dtype, strict: bool = True):
+        return self._apply(lambda c: c.cast(dtype, strict=strict))
     def is_null(self): return self._apply(lambda c: c.is_null())
     def is_not_null(self): return self._apply(lambda c: c.is_not_null())
     def fill_null(self, value=None, strategy=None):

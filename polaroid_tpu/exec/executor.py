@@ -116,7 +116,8 @@ def _exec(plan: L.Plan, state: ExecState) -> Table:
         lt = execute(plan.left, state)
         rt = execute(plan.right, state)
         return join_tables(lt, rt, plan.left_on, plan.right_on, plan.how,
-                           plan.suffix, plan.join_nulls, plan.coalesce)
+                           plan.suffix, plan.join_nulls, plan.coalesce,
+                           getattr(plan, "maintain_order", None))
 
     if k == "union":
         tables = [execute(p, state) for p in plan.inputs]

@@ -112,7 +112,8 @@ def _live_order(table: Table):
 # casting
 # ---------------------------------------------------------------------------
 
-def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
+def cast_val(v: Val, dtype: DataType, strict: bool = True,
+             live_mask=None) -> Val:
     if isinstance(dtype, type) and issubclass(dtype, DataType):
         dtype = dtype()
     if v.dtype == dtype:
@@ -176,7 +177,7 @@ def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
                     return float(s)
                 if dst.is_bool:
                     return s in ("true", "True", "1")
-                return int(float(s)) if "." in s else int(s)
+                return int(str(s).strip())  # "12.5" is not an int (polars)
             except (ValueError, TypeError):
                 return None
         oks = sd.map_to_array(lambda s: parse(s) is not None, np.bool_)
@@ -189,8 +190,26 @@ def cast_val(v: Val, dtype: DataType, strict: bool = True) -> Val:
             code = jnp.clip(v.data, 0, len(lut) - 1)
             data = jnp.asarray(lut)[code]
             okv = jnp.asarray(oks)[code]
-        if strict:
-            pass  # strict errors need a host sync; treat as non-strict
+        if strict and not isinstance(v.data, jax.core.Tracer):
+            # eager strict cast: raise if any live, non-null row failed to
+            # parse (one host sync; inside fused traces the check is
+            # skipped and failures become nulls, like the streaming path)
+            bad = ~okv
+            if v.validity is not None and \
+                    not isinstance(v.validity, jax.core.Tracer):
+                bad = bad & v.validity
+            for live in (getattr(v, "live", None), live_mask):
+                if live is not None and \
+                        not isinstance(live, jax.core.Tracer) and \
+                        getattr(live, "shape", None) == bad.shape:
+                    bad = bad & live
+            if bool(jnp.any(bad)):
+                first = sd.values[int(np.asarray(v.data).flat[
+                    int(jnp.argmax(bad))])] if len(sd.values) else "?"
+                raise InvalidOperationError(
+                    f"conversion from `str` to `{dst!r}` failed for "
+                    f"value {first!r}; use strict=False to set "
+                    "failures to null")
         return Val(dst, data, _and_valid(v.validity, okv), None,
                    v.is_scalar, v.live)
     if src == Date and isinstance(dst, Datetime):
@@ -2493,6 +2512,21 @@ def _eval_str(e: Expr, v: Val, table: Table) -> Val:
     raise ComputeError(f"unknown str op {op!r}")
 
 
+def _dollar_refs_to_backrefs(val: str) -> str:
+    """Translate polars/rust-regex replacement syntax ($1, ${name}, $$)
+    into Python re backrefs (\\1, \\g<name>, $)."""
+    import re as _re
+
+    def sub(m):
+        tok = m.group(0)
+        if tok == "$$":
+            return "$"
+        inner = m.group(1) or m.group(2)
+        return f"\\g<{inner}>"
+
+    return _re.sub(r"\$\$|\$\{(\w+)\}|\$(\w+)", sub, val)
+
+
 def _str_transform(op, attrs):
     import re as _re
     if op == "to_uppercase":
@@ -2521,7 +2555,8 @@ def _str_transform(op, attrs):
         if attrs.get("literal"):
             return lambda s: s.replace(pat, val, -1 if n < 0 else n)
         rx = _re.compile(pat)
-        return lambda s: rx.sub(val, s, 0 if n < 0 else n)
+        rep = _dollar_refs_to_backrefs(val)
+        return lambda s: rx.sub(rep, s, 0 if n < 0 else n)
     if op == "zfill":
         ln = attrs["length"]
         return lambda s: s.zfill(ln)
@@ -2784,8 +2819,15 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k in ("alias", "name_map", "name_keep", "exclude"):
         return eval_expr(e.children[0], table, ctx)
     if k == "cast":
+        lm = None
+        if e.attrs.get("strict", True) and table.capacity:
+            try:
+                lm = table.row_mask()
+            except Exception:
+                lm = None
         return cast_val(eval_expr(e.children[0], table, ctx),
-                        e.attrs["dtype"], e.attrs.get("strict", True))
+                        e.attrs["dtype"], e.attrs.get("strict", True),
+                        live_mask=lm)
     if k == "binary":
         l = eval_expr(e.children[0], table, ctx)
         r = eval_expr(e.children[1], table, ctx)
@@ -3440,10 +3482,16 @@ def _eval_is_in(v: Val, vals) -> Val:
     return Val(Boolean, data, validity, None, v.is_scalar, v.live)
 
 
-def _eval_when_then(e: Expr, table: Table, ctx: str) -> Val:
+def _eval_when_then(e: Expr, table: Table, ctx: str, evalf=None,
+                    cap: int = None) -> Val:
+    """when/then/otherwise selection. `evalf`/`cap` override the child
+    evaluator and output length (group-agg context evaluates children
+    per group over out_cap slots)."""
+    if evalf is None:
+        evalf = lambda c: eval_expr(c, table, ctx)  # noqa: E731
     nb = e.attrs["n_branches"]
-    conds = [eval_expr(c, table, ctx) for c in e.children[:nb]]
-    vals = [eval_expr(c, table, ctx) for c in e.children[nb:]]
+    conds = [evalf(c) for c in e.children[:nb]]
+    vals = [evalf(c) for c in e.children[nb:]]
     # unify dtypes
     out_dt = Null
     for v in vals:
@@ -3452,7 +3500,8 @@ def _eval_when_then(e: Expr, table: Table, ctx: str) -> Val:
                 String if out_dt.is_string else supertype(out_dt, v.dtype))
     if out_dt == Null:
         out_dt = Boolean
-    cap = table.capacity
+    if cap is None:
+        cap = table.capacity
     if out_dt.is_string:
         # align all dictionaries pairwise onto one merged dict
         base = vals[0] if vals[0].dtype.is_string else None

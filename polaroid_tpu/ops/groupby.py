@@ -1010,6 +1010,13 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
                    False)
     if k == "lit":
         return _lit_val(e.attrs["value"], e.attrs["dtype"])
+    if k == "when_then":
+        from ..expr.eval import _eval_when_then
+        return _eval_when_then(
+            e, table, "agg",
+            evalf=lambda c: eval_group_expr(c, table, ctx, key_names,
+                                            key_outputs),
+            cap=ctx.out_cap)
     if k == "col" and e.attrs["name"] in key_outputs:
         return key_outputs[e.attrs["name"]]
     if k == "cast":

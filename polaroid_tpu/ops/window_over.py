@@ -78,6 +78,16 @@ def eval_over(e: Expr, table: Table, ctx: str) -> Val:
     gctx = build_groups(key_vals, mask)
     gid_row = _row_gid(gctx)
 
+    ms = e.attrs.get("mapping_strategy", "group_to_rows")
+    if ms == "join":
+        return _eval_over_join(inner, table, gctx, gid_row, cap)
+    if ms == "explode":
+        return _eval_over_explode(inner, table, ctx, gctx)
+    if ms != "group_to_rows":
+        raise InvalidOperationError(
+            f"unknown mapping_strategy {ms!r}; expected 'group_to_rows', "
+            "'join' or 'explode'")
+
     if inner.kind in ("agg", "table_len") or _is_agg_combo(inner):
         gv = eval_group_expr(inner, table, gctx, [], {})
         gdata = gv.data if gv.data.shape[0] == cap else \
@@ -96,6 +106,76 @@ def eval_over(e: Expr, table: Table, ctx: str) -> Val:
 
     raise InvalidOperationError(
         f"expression kind {inner.kind!r} not supported with .over()")
+
+
+def _val_as_col(v: Val):
+    """Structural Column view of a (possibly nested) Val for row gathers."""
+    from ..batch import Column
+    return Column(v.dtype, v.data, v.validity, v.sdict,
+                  lengths=getattr(v, "lengths", None),
+                  elem_valid=getattr(v, "elem_valid", None),
+                  fields={k: _val_as_col(f) for k, f in v.fields.items()}
+                  if getattr(v, "fields", None) is not None else None)
+
+
+def _col_as_val(c) -> Val:
+    return Val(c.dtype, c.data, c.validity, c.sdict, False,
+               lengths=c.lengths, elem_valid=c.elem_valid, fields=c.fields)
+
+
+def _eval_over_join(inner: Expr, table: Table, gctx: GroupContext,
+                    gid_row, cap: int) -> Val:
+    """mapping_strategy='join': the group-level result series is imploded
+    to one List per group and joined back to every row of the group
+    (reference: WindowMapping::Join, `polars-expr/src/expressions/
+    window.rs`)."""
+    from ..dtypes import List as ListT
+    if inner.kind in ("agg", "table_len") or _is_agg_combo(inner):
+        gv = eval_group_expr(inner, table, gctx, [], {})
+    else:
+        gv = eval_group_expr(Expr("agg", (inner,), agg="implode"),
+                             table, gctx, [], {})
+    gidc = jnp.clip(gid_row, 0, gctx.out_cap - 1)
+    if getattr(gv, "lengths", None) is None and \
+            getattr(gv, "fields", None) is None:
+        # scalar aggregate per group -> 1-element list rows
+        gdata = gv.data if gv.data.shape[0] == gctx.out_cap else \
+            jnp.broadcast_to(gv.data, (gctx.out_cap,))
+        data = gdata[gidc][:, None]
+        ev = None
+        if gv.validity is not None:
+            ev = gv.validity[gidc][:, None]
+        return Val(ListT(gv.dtype), data, None, gv.sdict, False,
+                   lengths=jnp.ones(cap, jnp.int32), elem_valid=ev)
+    taken = _val_as_col(gv).take(gidc)
+    return _col_as_val(taken)
+
+
+def _eval_over_explode(inner: Expr, table: Table, ctx: str,
+                       gctx: GroupContext) -> Val:
+    """mapping_strategy='explode': group results flattened in group order
+    (groups are key-sorted here). Only valid where the engine accepts
+    length-changing expressions (select context)."""
+    if ctx != "select":
+        raise InvalidOperationError(
+            "mapping_strategy='explode' only works in a select context "
+            "(the output length differs from the frame height)")
+    if inner.kind in ("agg", "table_len") or _is_agg_combo(inner):
+        gv = eval_group_expr(inner, table, gctx, [], {})
+        live = gctx.group_count > 0
+        return Val(gv.dtype, gv.data, gv.validity, gv.sdict, False,
+                   live=live)
+    v = eval_expr(inner, table, ctx)
+    cap = table.capacity
+    x = (v.data if v.data.shape[0] == cap
+         else jnp.broadcast_to(v.data, (cap,)))[gctx.perm]
+    validity = None
+    if v.validity is not None:
+        vv = v.validity if v.validity.shape[0] == cap else \
+            jnp.broadcast_to(v.validity, (cap,))
+        validity = vv[gctx.perm]
+    return Val(v.dtype, x, validity, v.sdict, False,
+               live=gctx.live_sorted)
 
 
 def _is_agg_combo(e: Expr) -> bool:

@@ -321,7 +321,8 @@ class Join(Plan):
 
     def __init__(self, left: Plan, right: Plan, left_on: List[str],
                  right_on: List[str], how: str, suffix: str = "_right",
-                 join_nulls: bool = False, coalesce: Optional[bool] = None):
+                 join_nulls: bool = False, coalesce: Optional[bool] = None,
+                 maintain_order: Optional[str] = None):
         super().__init__()
         self.left = left
         self.right = right
@@ -332,6 +333,7 @@ class Join(Plan):
         self.suffix = suffix
         self.join_nulls = join_nulls
         self.coalesce = coalesce
+        self.maintain_order = maintain_order
 
     def _compute_schema(self) -> Schema:
         ls = self.left.schema()

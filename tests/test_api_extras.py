@@ -66,7 +66,8 @@ def test_cast_string_to_number():
     out = df.select(pl.col("s").cast(pl.Float64, strict=False).alias("f"),
                     pl.col("s").cast(pl.Int64, strict=False).alias("i"))
     assert out.to_dict()["f"] == [1.0, 2.5, None, None]
-    assert out.to_dict()["i"] == [1, 2, None, None]
+    # "2.5" is not an integer literal (polars: strict=False -> null)
+    assert out.to_dict()["i"] == [1, None, None, None]
 
 
 def test_concat_str():

@@ -1,0 +1,93 @@
+"""Behavior-parity regressions from the round-1 edge-semantics sweep:
+null-key joins, over() mapping strategies, regex replacement refs,
+pivot missing-combo nulls, strict string casts."""
+
+import numpy as np
+import pytest
+
+import polaroid_tpu as pl
+
+
+def test_join_nulls_equal():
+    a = pl.DataFrame({"k": [1, None, 3], "x": [1, 2, 3]})
+    b = pl.DataFrame({"k": [1, None, 4], "y": [10, 20, 30]})
+    # default: null keys never match (polars semantics)
+    assert a.join(b, on="k", how="inner").to_dict()["x"] == [1]
+    out = a.join(b, on="k", how="inner", nulls_equal=True).sort("x").to_dict()
+    assert out["x"] == [1, 2] and out["y"] == [10, 20]
+    lz = a.lazy().join(b.lazy(), on="k", nulls_equal=True).collect()
+    assert sorted(lz.to_dict()["x"]) == [1, 2]
+
+
+def test_over_mapping_strategy_join():
+    df = pl.DataFrame({"g": [1, 1, 2], "v": [1, 2, 3]})
+    out = df.with_columns(
+        pl.col("v").implode().over("g", mapping_strategy="join")
+        .alias("l")).to_dict()
+    assert out["l"] == [[1, 2], [1, 2], [3]]
+    # bare column implodes implicitly
+    out2 = df.with_columns(
+        pl.col("v").over("g", mapping_strategy="join").alias("l")).to_dict()
+    assert out2["l"] == [[1, 2], [1, 2], [3]]
+    # scalar aggregate -> 1-element list per row
+    out3 = df.with_columns(
+        pl.col("v").sum().over("g", mapping_strategy="join")
+        .alias("l")).to_dict()
+    assert out3["l"] == [[3], [3], [3]]
+
+
+def test_over_mapping_strategy_explode():
+    df = pl.DataFrame({"g": [2, 1, 1], "v": [3, 1, 2]})
+    out = df.select(pl.col("v").over("g", mapping_strategy="explode")
+                    .alias("e")).to_dict()
+    assert out["e"] == [1, 2, 3]  # group-major (key-sorted) order
+
+
+def test_str_replace_dollar_refs():
+    s = pl.Series("s", ["ab12", "cd34"])
+    assert s.str.replace(r"(\d+)", "<$1>").to_list() == ["ab<12>", "cd<34>"]
+    assert s.str.replace(r"(?P<d>\d+)", "${d}!").to_list() == ["ab12!",
+                                                               "cd34!"]
+    assert pl.Series("s", ["a1"]).str.replace(r"\d", "$$").to_list() == ["a$"]
+
+
+def test_pivot_missing_combos_are_null():
+    df = pl.DataFrame({"g": ["a", "a", "b"], "k": ["x", "y", "x"],
+                       "v": [1, 2, 3]})
+    out = df.pivot(index="g", on="k", values="v",
+                   aggregate_function="sum").sort("g").to_dict()
+    assert out["x"] == [1, 3]
+    assert out["y"] == [2, None]
+    out2 = df.pivot(index="g", on="k", values="v",
+                    aggregate_function="len").sort("g").to_dict()
+    assert out2["y"] == [1, None]
+
+
+def test_when_then_in_group_agg():
+    df = pl.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = df.group_by("g").agg(
+        pl.when(pl.col("v").sum() > 2).then(pl.lit("big"))
+        .otherwise(pl.lit("small")).alias("c")).sort("g").to_dict()
+    assert out["c"] == ["big", "big"]
+
+
+def test_strict_cast_str_raises():
+    with pytest.raises(pl.exceptions.InvalidOperationError):
+        pl.Series("a", ["x"]).cast(pl.Int64)
+    with pytest.raises(pl.exceptions.InvalidOperationError):
+        pl.DataFrame({"s": ["1", "no"]}).select(pl.col("s").cast(pl.Int64))
+    # non-strict nulls failures; float-looking strings are not ints
+    assert pl.Series("a", ["12", "x", "2.5"]).cast(
+        pl.Int64, strict=False).to_list() == [12, None, None]
+    # filtered-away bad rows don't raise (stale dictionary codes)
+    df = pl.DataFrame({"s": ["1", "zzz", "3"]})
+    out = df.filter(pl.col("s") != "zzz").with_columns(
+        pl.col("s").cast(pl.Int64).alias("i")).to_dict()
+    assert out["i"] == [1, 3]
+
+
+def test_join_maintain_order_param_accepted():
+    a = pl.DataFrame({"k": [3, 1, 2], "x": [1, 2, 3]})
+    b = pl.DataFrame({"k": [2, 3, 1], "y": [9, 8, 7]})
+    out = a.join(b, on="k", maintain_order="left").to_dict()
+    assert out["k"] == [3, 1, 2] and out["y"] == [8, 7, 9]
