@@ -86,7 +86,7 @@ def _seg_sum_kernel(gid_ref, vals_ref, out_ref, *, ghi: int, sub: int):
     blk = gid_ref.shape[1]
 
     def body(j, _):
-        base = pl.multiple_of(j * sub, sub)
+        base = pl.multiple_of(j * jnp.int32(sub), sub)
         g = gid_ref[0, pl.ds(base, sub)]
         hi = jax.lax.shift_right_arithmetic(g, jnp.int32(7))
         lo = jax.lax.bitwise_and(g, jnp.int32(_LO - 1))
@@ -148,7 +148,7 @@ def _seg_minmax_kernel(gid_ref, x_ref, out_ref, *, is_max: bool,
     blk = gid_ref.shape[1]
 
     def body(j, _):
-        base = pl.multiple_of(j * sub, sub)
+        base = pl.multiple_of(j * jnp.int32(sub), sub)
         g = gid_ref[0, pl.ds(base, sub)]
         x = x_ref[0, pl.ds(base, sub)]
         hit = g[:, None] == jax.lax.broadcasted_iota(
@@ -205,7 +205,7 @@ def _gather_kernel(gid_ref, table_ref, out_ref, *, sub: int):
     ghi = table_ref.shape[0]
 
     def body(j, _):
-        base = pl.multiple_of(j * sub, sub)
+        base = pl.multiple_of(j * jnp.int32(sub), sub)
         g = gid_ref[0, pl.ds(base, sub)]
         hi = jax.lax.shift_right_arithmetic(g, jnp.int32(7))
         lo = jax.lax.bitwise_and(g, jnp.int32(_LO - 1))
