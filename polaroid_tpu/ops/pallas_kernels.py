@@ -93,16 +93,17 @@ def _seg_sum_kernel(gid_ref, vals_ref, out_ref, *, ghi: int, sub: int):
         hieq = hi[None, :] == jax.lax.broadcasted_iota(
             jnp.int32, (ghi, sub), 0)                       # (ghi, sub)
         parts = [jnp.where(hieq, vals_ref[c, pl.ds(base, sub)][None, :],
-                           0.0) for c in range(C)]
+                           jnp.float32(0)) for c in range(C)]
         a = parts[0] if C == 1 else jnp.concatenate(parts, axis=0)
         b = (lo[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (sub, _LO), 1)).astype(jnp.float32)  # (sub, 128)
         out_ref[:] += jax.lax.dot(
             a, b, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, blk // sub, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
+                      jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("G",))
@@ -153,16 +154,17 @@ def _seg_minmax_kernel(gid_ref, x_ref, out_ref, *, is_max: bool,
         x = x_ref[0, pl.ds(base, sub)]
         hit = g[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (sub, gcols), 1)
-        m = jnp.where(hit, x[:, None], identity)
+        m = jnp.where(hit, x[:, None], jnp.float32(identity))
         if is_max:
             out_ref[:] = jnp.maximum(out_ref[:],
                                      jnp.max(m, axis=0, keepdims=True))
         else:
             out_ref[:] = jnp.minimum(out_ref[:],
                                      jnp.min(m, axis=0, keepdims=True))
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, blk // sub, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
+                      jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("G", "is_max", "identity"))
@@ -218,10 +220,11 @@ def _gather_kernel(gid_ref, table_ref, out_ref, *, sub: int):
         loeq = lo[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (sub, _LO), 1)
         out_ref[0, pl.ds(base, sub)] = jnp.sum(
-            jnp.where(loeq, rows, 0.0), axis=1)
-        return 0
+            jnp.where(loeq, rows, jnp.float32(0)), axis=1)
+        return _
 
-    jax.lax.fori_loop(0, blk // sub, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
+                      jnp.int32(0))
 
 
 @jax.jit
