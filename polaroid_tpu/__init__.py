@@ -83,6 +83,9 @@ from .api.functions import (  # noqa: E402
     ScanCastOptions, linear_spaces,
 )
 from .sql.context import SQLContext  # noqa: E402
+# bind pl.sql AFTER the sql subpackage is imported so the function wins
+# over the module attribute (py-polars exposes `pl.sql` as a function)
+from .api.functions import sql  # noqa: E402
 
 __version__ = "0.1.0"
 

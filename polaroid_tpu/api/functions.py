@@ -278,7 +278,7 @@ def coalesce(*exprs) -> Expr:
     acc = es[-1]
     for e in reversed(es[:-1]):
         acc = e.fill_null(acc)
-    return acc.alias("coalesce")
+    return acc  # named after the first input, like polars
 
 
 def corr(a, b, ddof: int = 1) -> Expr:
@@ -1123,3 +1123,21 @@ class CredentialProviderGCP(CredentialProvider):
     def __init__(self, *a, **kw):
         raise ModuleNotFoundError("GCP credential chains require "
                                   "google-auth, not bundled")
+
+
+def sql(query: str, *, eager: bool = False):
+    """Run SQL against DataFrames/LazyFrames found in the caller's
+    namespace (parity: `pl.sql`, py-polars `functions/sql.py`)."""
+    import inspect
+    from ..api.frame import DataFrame
+    from ..api.lazyframe import LazyFrame
+    from ..sql.context import SQLContext
+    frame = inspect.currentframe().f_back
+    ns = {}
+    ns.update(frame.f_globals)
+    ns.update(frame.f_locals)
+    ctx = SQLContext()
+    for name, obj in ns.items():
+        if isinstance(obj, (DataFrame, LazyFrame)):
+            ctx.register(name, obj)
+    return ctx.execute(query, eager=eager)

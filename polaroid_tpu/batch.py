@@ -186,6 +186,8 @@ class Column:
             out = data.astype("datetime64[D]").astype(object)
         elif isinstance(self.dtype, Datetime):
             out = data.astype(f"datetime64[{self.dtype.time_unit}]")
+            if self.dtype.time_zone:
+                out = _aware_objects(out, self.dtype.time_zone)
         elif isinstance(self.dtype, Duration):
             out = data.astype(f"timedelta64[{self.dtype.time_unit}]")
         else:
@@ -570,7 +572,8 @@ def _decode_flat_host(dt: DataType, arr: np.ndarray, sdict):
     if name == "Date":
         return arr.astype("datetime64[D]").astype(object)
     if isinstance(dt, Datetime):
-        return arr.astype(f"datetime64[{dt.time_unit}]")
+        out = arr.astype(f"datetime64[{dt.time_unit}]")
+        return _aware_objects(out, dt.time_zone) if dt.time_zone else out
     if isinstance(dt, Duration):
         return arr.astype(f"timedelta64[{dt.time_unit}]")
     return arr
@@ -653,7 +656,18 @@ def _coerce_host_values(values, dtype: Optional[DataType]):
             from .dtypes import Binary
             dt = Binary()
         elif isinstance(v0, _dt.datetime):
-            dt = Datetime("us")
+            tzi = v0.tzinfo
+            if tzi is None:
+                dt = Datetime("us")
+            else:
+                key = getattr(tzi, "key", None)
+                if key is None:
+                    off = v0.utcoffset() or _dt.timedelta()
+                    mins = int(off.total_seconds() // 60)
+                    key = "UTC" if mins == 0 else \
+                        f"{'+' if mins >= 0 else '-'}" \
+                        f"{abs(mins) // 60:02d}:{abs(mins) % 60:02d}"
+                dt = Datetime("us", key)
         elif isinstance(v0, _dt.date):
             dt = Date
         elif isinstance(v0, _dt.timedelta):
@@ -827,3 +841,15 @@ class Table:
         n = self.nrows if self.nrows is not None else "?"
         body = ", ".join(f"{k}: {v!r}" for k, v in self.schema.items())
         return f"Table[{n} rows, cap {self.capacity}]({body})"
+
+def _aware_objects(arr64, tz_name: str):
+    """datetime64 (UTC) -> object array of tz-aware python datetimes."""
+    from datetime import timezone as _tz
+    from zoneinfo import ZoneInfo as _ZI
+    z = _ZI(tz_name)
+    out = np.empty(arr64.shape, dtype=object)
+    flat = arr64.astype("datetime64[us]").astype(object)
+    for i, d in np.ndenumerate(flat):
+        out[i] = d.replace(tzinfo=_tz.utc).astimezone(z) \
+            if d is not None else None
+    return out

@@ -332,6 +332,11 @@ def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
     if op in _BOOL_OPS and l.dtype.is_bool and r.dtype.is_bool:
         return _eval_kleene(op, l, r)
 
+    # temporal +/- first: Date/Datetime x Duration have no supertype
+    if isinstance(l.dtype, (Datetime, Duration)) or l.dtype == Date or \
+       isinstance(r.dtype, (Datetime, Duration)) or r.dtype == Date:
+        return _eval_binary_temporal(op, l, r, table)
+
     st = supertype(l.dtype, r.dtype)
     out_dt = st
     if op in _CMP_OPS:
@@ -349,11 +354,6 @@ def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
         out_dt = Duration(st.time_unit)
     elif op == "sub" and st == Date and l.dtype == Date and r.dtype == Date:
         out_dt = Duration("ms")
-
-    # temporal +/-: Datetime/Date +- Duration
-    if isinstance(l.dtype, (Datetime, Duration)) or l.dtype == Date or \
-       isinstance(r.dtype, (Datetime, Duration)) or r.dtype == Date:
-        return _eval_binary_temporal(op, l, r, table)
 
     a = cast_val(l, st) if not op == "truediv" else cast_val(l, out_dt)
     b = cast_val(r, st) if not op == "truediv" else cast_val(r, out_dt)
@@ -2612,6 +2612,25 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
     else:
         raise InvalidOperationError(f".dt.{op} on {dt!r}")
 
+    # tz-aware columns: components/civil math run on LOCAL wall time
+    # (epochs stay UTC in storage; reference: polars-time DST handling)
+    _UTC_OPS = ("epoch", "timestamp", "cast_time_unit", "with_time_unit",
+                "replace_time_zone", "convert_time_zone", "base_utc_offset",
+                "dst_offset")
+    tzname = dt.time_zone if isinstance(dt, Datetime) else None
+    tz_active = bool(tzname) and tzname != "UTC" and op not in _UTC_OPS
+    if tz_active:
+        from ..ops import tzdata as TZ
+        x = TZ.localize(x, tu, tzname)
+        days = T.epoch_to_days(x, tu)
+        frac = T.time_of_day(x, tu)
+
+        def out(data, out_dt):  # noqa: F811 — tz-aware override
+            if isinstance(out_dt, Datetime) and out_dt.time_zone:
+                data = TZ.delocalize(data, out_dt.time_unit,
+                                     out_dt.time_zone)
+            return Val(out_dt, data, v.validity, None, v.is_scalar, v.live)
+
     if op in ("year", "quarter", "month", "day"):
         y, m, d = T.days_to_civil(days)
         if op == "year":
@@ -2676,8 +2695,15 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
             return cast_val(v, Datetime("us"))
         return v
     if op in ("base_utc_offset", "dst_offset"):
-        # the engine stores UTC instants; offsets are zero by construction
-        return out(jnp.zeros_like(days, dtype=jnp.int64), Duration("ms"))
+        if not tzname or tzname == "UTC":
+            return out(jnp.zeros_like(x, dtype=jnp.int64), Duration("ms"))
+        from ..ops import tzdata as TZ
+        trans, offs, dsts = TZ.offset_table(tzname)
+        per_s = T.UNIT_PER_SECOND[tu]
+        sec = jnp.floor_divide(x.astype(jnp.int64), per_s)
+        val = TZ._lookup(sec, trans,
+                         dsts if op == "dst_offset" else offs - dsts)
+        return out(val.astype(jnp.int64) * 1000, Duration("ms"))
     if op == "is_business_day":
         wd = T.weekday(days)  # ISO: 1=Mon .. 7=Sun
         return out(wd <= 5, Boolean)
@@ -2781,6 +2807,11 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
         return out(days, Date)
     if op == "timestamp":
         tgt = e.attrs.get("time_unit", "us")
+        if tgt in ("s", "d"):  # epoch() accepts seconds/days too
+            base = x.astype(jnp.int64) if dt != Date else \
+                days.astype(jnp.int64) * T.UNIT_PER_SECOND[tu or "us"] * 86_400
+            per = T.UNIT_PER_SECOND[tu or "us"] * (86_400 if tgt == "d" else 1)
+            return out(jnp.floor_divide(base, per), Int64)
         if dt == Date:
             return out(days.astype(jnp.int64) * T.UNIT_PER_SECOND[tgt] * 86_400, Int64)
         return out(_rescale_time(x, tu, tgt).astype(jnp.int64), Int64)
@@ -2791,7 +2822,26 @@ def _eval_dt(e: Expr, v: Val, table: Table) -> Val:
     if op == "cast_time_unit":
         return cast_val(v, Datetime(e.attrs["time_unit"]))
     if op == "replace_time_zone":
-        return out(x, Datetime(tu, e.attrs["tz"]) if isinstance(dt, Datetime) else dt)
+        # wall time is preserved; the stored UTC epoch shifts
+        if not isinstance(dt, Datetime):
+            return out(x, dt)
+        from ..ops import tzdata as TZ
+        newtz = e.attrs["tz"]
+        wall = TZ.localize(x, tu, tzname) if tzname and tzname != "UTC" \
+            else x
+        if newtz is None:
+            return Val(Datetime(tu), wall, v.validity, None, v.is_scalar,
+                       v.live)
+        epoch = wall if newtz == "UTC" else TZ.delocalize(wall, tu, newtz)
+        return Val(Datetime(tu, newtz), epoch, v.validity, None,
+                   v.is_scalar, v.live)
+    if op == "convert_time_zone":
+        if not isinstance(dt, Datetime) or not tzname:
+            raise InvalidOperationError(
+                "convert_time_zone on a time-zone-naive datetime; call "
+                "replace_time_zone first")
+        return Val(Datetime(tu, e.attrs["tz"]), x, v.validity, None,
+                   v.is_scalar, v.live)
     raise ComputeError(f"unknown dt op {op!r}")
 
 
@@ -3102,6 +3152,27 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             ch = _bind_field_refs(ch)
             fields[name] = _bcast(eval_expr(ch, t2, ctx), table.capacity)
         return Val(StructT([(n2, f.dtype) for n2, f in fields.items()]),
+                   None, v.validity, None, v.is_scalar, v.live,
+                   fields=fields)
+    if k == "struct_rename":
+        from ..dtypes import Struct as StructT
+        v = eval_expr(e.children[0], table, ctx)
+        if v.fields is None:
+            raise InvalidOperationError(
+                f".struct.rename_fields on non-struct {v.dtype!r}")
+        olds = list(v.fields.keys())
+        if e.attrs.get("names") is None:
+            pre = e.attrs.get("prefix", "")
+            suf = e.attrs.get("suffix", "")
+            new_names = [f"{pre}{n}{suf}" for n in olds]
+        else:
+            new_names = list(e.attrs["names"])
+        if len(new_names) != len(olds):
+            raise ComputeError(
+                f"rename_fields: {len(new_names)} names for "
+                f"{len(olds)} fields")
+        fields = {nn: v.fields[on] for nn, on in zip(new_names, olds)}
+        return Val(StructT([(nn, f.dtype) for nn, f in fields.items()]),
                    None, v.validity, None, v.is_scalar, v.live,
                    fields=fields)
     if k == "struct_json_encode":

@@ -1120,6 +1120,15 @@ class StructNamespace:
     def rename_fields(self, names) -> Expr:
         return Expr("struct_rename", (self._e,), names=tuple(names))
 
+    def __getitem__(self, name: str) -> Expr:
+        return self.field(name)
+
+    def prefix_fields(self, prefix: str) -> Expr:
+        return Expr("struct_rename", (self._e,), names=None, prefix=prefix)
+
+    def suffix_fields(self, suffix: str) -> Expr:
+        return Expr("struct_rename", (self._e,), names=None, suffix=suffix)
+
     def with_fields(self, *fields, **named) -> Expr:
         from . import meta as _meta
         flat = list(_flatten(fields))

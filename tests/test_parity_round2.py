@@ -86,6 +86,32 @@ def test_strict_cast_str_raises():
     assert out["i"] == [1, 3]
 
 
+def test_struct_rename_and_getitem():
+    df = pl.DataFrame({"s": [{"a": 1, "b": 2}, {"a": 3, "b": 4}]})
+    out = df.select(pl.col("s").struct.rename_fields(["x", "y"])).to_dict()
+    assert out["s"] == [{"x": 1, "y": 2}, {"x": 3, "y": 4}]
+    assert df.select(pl.col("s").struct["a"]).to_dict()["a"] == [1, 3]
+    pre = df.select(pl.col("s").struct.prefix_fields("p_")).to_dict()
+    assert pre["s"][0] == {"p_a": 1, "p_b": 2}
+
+
+def test_module_level_sql():
+    df = pl.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = pl.sql("SELECT g, SUM(v) AS s FROM df GROUP BY g "
+                 "HAVING SUM(v) > 2 ORDER BY g", eager=True).to_dict()
+    assert out["g"] == ["a", "b"] and out["s"] == [3, 3]
+    lazy = pl.sql("SELECT COUNT(*) AS n FROM df")
+    assert lazy.collect().to_dict()["n"] == [3]
+
+
+def test_horizontal_output_names():
+    df = pl.DataFrame({"a": [1, None], "b": [3, 2]})
+    assert df.select(pl.sum_horizontal("a", "b")).to_dict()["sum"] == [4, 2]
+    assert df.select(pl.max_horizontal("a", "b")).to_dict()["max"] == [3, 2]
+    # coalesce keeps the first input's name
+    assert df.select(pl.coalesce("a", "b")).to_dict()["a"] == [1, 2]
+
+
 def test_join_maintain_order_param_accepted():
     a = pl.DataFrame({"k": [3, 1, 2], "x": [1, 2, 3]})
     b = pl.DataFrame({"k": [2, 3, 1], "y": [9, 8, 7]})
