@@ -21,7 +21,8 @@ import jax as _jax
 if _os.environ.get("PT_NO_X64") not in ("1", "true"):
     _jax.config.update("jax_enable_x64", True)
 
-from .config import CONFIG, Config  # noqa: E402
+from .config import CONFIG, _ConfigProxy  # noqa: E402
+Config = _ConfigProxy()  # usable as class-style pl.Config and context mgr
 from .dtypes import (  # noqa: E402
     Array, Binary, Boolean, Categorical, DataType, Date, Datetime, Decimal,
     Duration, Enum, Field, Float16, Float32,

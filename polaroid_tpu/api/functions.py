@@ -347,20 +347,18 @@ def all_horizontal(*exprs) -> Expr:
 
 def fold(acc, function, exprs) -> Expr:
     """Horizontal fold with an accumulator expression (reference:
-    `polars-plan` fold_exprs)."""
-    out = _wrap_col(acc) if isinstance(acc, (Expr, str)) else \
+    `polars-plan` fold_exprs). Selector inputs (pl.all(), cs.numeric())
+    expand against the schema inside the fold at planning time."""
+    acc_e = _wrap_col(acc) if isinstance(acc, (Expr, str)) else \
         Expr("lit", value=acc, dtype=None)
-    for e in _flatten([exprs]):
-        out = function(out, _wrap_col(e))
-    return out.alias("fold")
+    es = tuple(_wrap_col(e) for e in _flatten([exprs]))
+    return Expr("fold_exprs", (acc_e,) + es, function=function, mode="fold")
 
 
 def reduce(function, exprs) -> Expr:
-    es = [_wrap_col(e) for e in _flatten([exprs])]
-    out = es[0]
-    for e in es[1:]:
-        out = function(out, e)
-    return out.alias("reduce")
+    es = tuple(_wrap_col(e) for e in _flatten([exprs]))
+    return Expr("fold_exprs", (es[0],) + es, function=function,
+                mode="reduce")
 
 
 def cum_fold(acc, function, exprs) -> Expr:

@@ -77,6 +77,75 @@ class Config:
             setattr(self, k, v)
         return self
 
+    # --- polars-compatible option surface -------------------------------
+    # (py-polars pl.Config context manager / set_* methods)
+    _PL_NAMES = {
+        "tbl_rows": "fmt_max_rows",
+        "tbl_cols": "fmt_max_cols",
+        "fmt_str_lengths": "fmt_str_len",
+        "verbose": "verbose",
+    }
+
+    def __call__(self, **options: Any) -> "Config":
+        # pl.Config(tbl_rows=...): applies immediately, restores on exit
+        self._saved = {}
+        for k, v in options.items():
+            key = self._PL_NAMES.get(k, k)
+            if not hasattr(self, key):
+                raise AttributeError(f"unknown config option: {k}")
+            self._saved[key] = getattr(self, key)
+            setattr(self, key, v)
+        return self
+
+    def __enter__(self) -> "Config":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for k, v in getattr(self, "_saved", {}).items():
+            setattr(self, k, v)
+        self._saved = {}
+
+    def restore_defaults(self) -> "Config":
+        self.reload()
+        return self
+
+    def set_tbl_rows(self, n: int) -> "Config":
+        self.fmt_max_rows = n
+        return self
+
+    def set_tbl_cols(self, n: int) -> "Config":
+        self.fmt_max_cols = n
+        return self
+
+    def set_fmt_str_lengths(self, n: int) -> "Config":
+        self.fmt_str_len = n
+        return self
+
+    def set_verbose(self, active: bool = True) -> "Config":
+        self.verbose = active
+        return self
+
+
+class _ConfigProxy:
+    """Lets pl.Config act both as the global instance
+    (pl.Config.set_tbl_rows(5)) and as a constructor-style context
+    manager (with pl.Config(tbl_rows=5): ...)."""
+
+    def __getattr__(self, name):
+        return getattr(CONFIG, name)
+
+    def __setattr__(self, name, value):
+        setattr(CONFIG, name, value)
+
+    def __call__(self, **options):
+        return CONFIG(**options)
+
+    def __enter__(self):
+        return CONFIG.__enter__()
+
+    def __exit__(self, *exc):
+        return CONFIG.__exit__(*exc)
+
 
 CONFIG = Config()
 

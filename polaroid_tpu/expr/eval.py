@@ -1643,9 +1643,42 @@ def _eval_list_eval(e: Expr, v: Val, table: Table, ctx: str) -> Val:
     if v.lengths is None:
         raise InvalidOperationError(f".list.eval on non-list {v.dtype!r}")
     inner_e = e.children[1]
+    while inner_e.kind in ("alias", "name_keep"):
+        inner_e = inner_e.children[0]
+    if inner_e.kind == "expr_filter" and \
+            meta.is_elementwise(inner_e.children[0]) and \
+            meta.is_elementwise(inner_e.children[1]):
+        # pl.element().filter(pred): evaluate value+pred per element,
+        # compact kept elements to the row front (same one-sort scheme
+        # as list.filter)
+        val_l = _eval_list_eval(
+            Expr("list_eval", (e.children[0], inner_e.children[0])),
+            v, table, ctx)
+        pred_l = _eval_list_eval(
+            Expr("list_eval", (e.children[0], inner_e.children[1])),
+            v, table, ctx)
+        cap, W = val_l.data.shape
+        jidx = jnp.arange(W)[None, :]
+        in_len = jidx < v.lengths[:, None]
+        keep = in_len & pred_l.data.astype(jnp.bool_)
+        if pred_l.elem_valid is not None:
+            keep = keep & pred_l.elem_valid
+        order = jax.lax.sort(
+            (jnp.where(keep, 0, 1).astype(jnp.int32),
+             jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
+                              (cap, W))),
+            num_keys=1, dimension=1, is_stable=True)[1]
+        data2 = jnp.take_along_axis(val_l.data, order, axis=1)
+        ln2 = jnp.sum(keep, axis=1).astype(jnp.int32)
+        ev2 = jidx < ln2[:, None]
+        if val_l.elem_valid is not None:
+            ev2 = ev2 & jnp.take_along_axis(val_l.elem_valid, order, axis=1)
+        return Val(val_l.dtype, data2, v.validity, val_l.sdict,
+                   v.is_scalar, v.live, lengths=ln2, elem_valid=ev2)
     if not meta.is_elementwise(inner_e):
         raise InvalidOperationError(
-            ".list.eval supports elementwise expressions only")
+            ".list.eval supports elementwise expressions and a top-level "
+            "pl.element().filter(...); explode for anything else")
     cap, W = v.data.shape
     flat = v.data.reshape(cap * W)
     in_len = jnp.arange(W)[None, :] < v.lengths[:, None]

@@ -57,6 +57,7 @@ def expand_exprs(exprs: Sequence, schema: Dict[str, DataType]) -> List[Expr]:
             e = e._as_expr()
         if isinstance(e, str):
             e = Expr("col", name=e)
+        e = _expand_folds(e, schema)
         e, excluded = _strip_excludes(e)
         node = _find_expansion(e)
         if node is None:
@@ -642,3 +643,28 @@ def is_scalar_expr(e: Expr) -> bool:
     if k == "unary":
         return is_scalar_expr(e.children[0])
     return False
+
+
+def _expand_folds(e: Expr, schema) -> Expr:
+    """Resolve deferred horizontal folds (`pl.fold`/`pl.reduce`): their
+    input selectors expand against the schema INSIDE the fold (consumed
+    horizontally), unlike ordinary wildcard expansion which would clone
+    the whole expression per column."""
+    if e.kind == "fold_exprs":
+        inputs = expand_exprs(list(e.children[1:]), schema)
+        fn = e.attrs["function"]
+        if e.attrs["mode"] == "reduce":
+            acc = inputs[0]
+            rest = inputs[1:]
+        else:
+            acc = _expand_folds(e.children[0], schema)
+            rest = inputs
+        for x in rest:
+            acc = fn(acc, x)
+        return acc.alias(e.attrs["mode"])
+    if not e.children:
+        return e
+    ch = tuple(_expand_folds(c, schema) for c in e.children)
+    if all(a is b for a, b in zip(ch, e.children)):
+        return e
+    return Expr(e.kind, ch, **e.attrs)

@@ -117,3 +117,50 @@ def test_join_maintain_order_param_accepted():
     b = pl.DataFrame({"k": [2, 3, 1], "y": [9, 8, 7]})
     out = a.join(b, on="k", maintain_order="left").to_dict()
     assert out["k"] == [3, 1, 2] and out["y"] == [8, 7, 9]
+
+
+def test_fold_reduce_selector_inputs():
+    df = pl.DataFrame({"a": [1, 2], "b": [3, 4]})
+    out = df.select(pl.fold(acc=pl.lit(0), function=lambda a, x: a + x,
+                            exprs=pl.all()).alias("s")).to_dict()
+    assert out["s"] == [4, 6]
+    out2 = df.select(pl.reduce(lambda a, x: a * x, pl.all())).to_dict()
+    assert out2["reduce"] == [3, 8]
+    lz = df.lazy().select(pl.fold(0, lambda a, x: a + x, pl.all())).collect()
+    assert lz.to_dict()["fold"] == [4, 6]
+
+
+def test_config_context_manager():
+    with pl.Config(tbl_rows=2):
+        assert pl.CONFIG.fmt_max_rows == 2
+    assert pl.CONFIG.fmt_max_rows == 10
+    pl.Config.set_tbl_rows(4)
+    assert pl.CONFIG.fmt_max_rows == 4
+    pl.Config.restore_defaults()
+
+
+def test_csv_options(tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a;b\n1;x\n#comment\n2;y\n")
+    out = pl.read_csv(p, separator=";", comment_prefix="#").to_dict()
+    assert out["a"] == [1, 2]
+    df = pl.DataFrame({"a": [1.5, 2.0], "b": ["x", None]})
+    txt = df.write_csv(separator=";", null_value="NA")
+    assert txt.splitlines()[1] == "1.5;x"
+    assert txt.splitlines()[2] == "2.0;NA"
+    assert "1.500" in df.write_csv(float_precision=3)
+    # minimal quoting + roundtrip
+    d2 = pl.DataFrame({"s": ["a,b", "plain"]})
+    assert d2.write_csv().splitlines()[1] == '"a,b"'
+    assert pl.read_csv(d2.write_csv()).to_dict()["s"] == ["a,b", "plain"]
+
+
+def test_list_eval_filter():
+    df = pl.DataFrame({"a": [[1, 5, 2], [8, 1]]})
+    out = df.select(pl.col("a").list.eval(
+        pl.element().filter(pl.element() > 1))).to_dict()
+    assert out["a"] == [[5, 2], [8]]
+    out2 = df.select(pl.col("a").list.eval(
+        (pl.element() * 2).filter(pl.element() > 1))).to_dict()
+    assert out2["a"] == [[10, 4], [16]]
