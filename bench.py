@@ -68,6 +68,12 @@ if __name__ == "__main__" and os.environ.get("PT_BENCH_CHILD") != "1":
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
+
+if os.environ.get("PT_BENCH_CPU") == "1":
+    # the image's sitecustomize forces JAX_PLATFORMS=axon before any
+    # user code; this is the only reliable CPU switch
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 try:  # persistent compile cache: second run skips tunnel compiles
@@ -160,7 +166,19 @@ def _run_benches(d: dict) -> None:
             sym.astype(jnp.int32), G, live)
         return s, s / jnp.maximum(c, 1), c
 
-    t_q1 = _bench(q1, (price, volume, sym, valid))
+    try:
+        t_q1 = _bench(q1, (price, volume, sym, valid))
+        from polaroid_tpu.ops.pallas_kernels import use_pallas
+        d["q1_kernel"] = "pallas" if use_pallas() else "xla"
+    except Exception as exc:
+        # Pallas lowering failed on this backend: fall back to the
+        # scanned-XLA formulation and record why
+        d["pallas_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        os.environ["PT_PALLAS"] = "0"
+        _phase("pallas q1 failed; retrying with XLA path")
+        q1_x = jax.jit(q1.__wrapped__)  # fresh cache, re-traces w/o pallas
+        t_q1 = _bench(q1_x, (price, volume, sym, valid))
+        d["q1_kernel"] = "xla-fallback"
     _phase(f"q1 (dense MXU) done: {t_q1*1e3:.1f} ms")
     d["t_q1"] = t_q1
     d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
