@@ -623,13 +623,15 @@ class DataFrame:
                 grid.append(cur)
                 cur = cur + step
         else:
-            step = _dt.timedelta(microseconds=n / 1000)
+            step = np.timedelta64(max(int(n // 1000), 1), "us")
+            lo = np.datetime64(lo, "us")
+            hi = np.datetime64(hi, "us")
             grid = []
             cur = lo
             while cur <= hi:
                 grid.append(cur)
                 cur = cur + step
-        gdf = DataFrame({time_column: grid})
+        gdf = DataFrame({time_column: np.asarray(grid)})
         return gdf.join(self, on=time_column, how="left")
 
     def join(self, other: "DataFrame", on=None, how: str = "inner", *,
@@ -648,7 +650,7 @@ class DataFrame:
             right_on = [right_on] if isinstance(right_on, str) else list(right_on)
         out = join_tables(self._table, other._table, left_on, right_on, how,
                           suffix, join_nulls or nulls_equal, coalesce,
-                          maintain_order)
+                          maintain_order, validate)
         return DataFrame._from_table(out)
 
     # --- reshaping ------------------------------------------------------
@@ -780,7 +782,9 @@ class DataFrame:
         return DataFrame._from_table(vstack_tables([self._table, other._table]))
 
     def extend(self, other: "DataFrame") -> "DataFrame":
-        return self.vstack(other)
+        # polars extend mutates self (appends other's rows in place)
+        self._table = self.vstack(other)._table
+        return self
 
     def hstack(self, other) -> "DataFrame":
         t = self._table

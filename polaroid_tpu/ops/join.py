@@ -66,7 +66,8 @@ def _unify_keys(lv: List[Val], rv: List[Val]):
 def join_tables(left: Table, right: Table, left_on: Sequence[str],
                 right_on: Sequence[str], how: str, suffix: str = "_right",
                 join_nulls: bool = False, coalesce: Optional[bool] = None,
-                maintain_order: Optional[str] = None) -> Table:
+                maintain_order: Optional[str] = None,
+                validate: str = "m:m") -> Table:
     if how == "cross":
         return cross_join(left, right, suffix)
     if how == "outer":
@@ -80,6 +81,25 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     lmask = left.row_mask()
     rmask = right.row_mask()
+    if validate and validate not in ("m:m", "many_to_many"):
+        # uniqueness checks are opt-in; one scalar sync per checked side
+        # (reference: polars-ops join validation)
+        from .groupby import build_groups as _bg
+
+        def _unique(vals, mask) -> bool:
+            g = _bg(vals, mask)
+            return int(g.ngroups) == int(jnp.sum(mask))
+
+        if validate in ("1:1", "one_to_one", "1:m", "one_to_many") and \
+                not _unique(lv, lmask):
+            raise ComputeError(
+                f"join keys did not fulfill {validate} validation: "
+                "left keys are not unique")
+        if validate in ("1:1", "one_to_one", "m:1", "many_to_one") and \
+                not _unique(rv, rmask):
+            raise ComputeError(
+                f"join keys did not fulfill {validate} validation: "
+                "right keys are not unique")
     if not join_nulls:
         for v in lv:
             if v.validity is not None:

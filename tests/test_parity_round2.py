@@ -164,3 +164,30 @@ def test_list_eval_filter():
     out2 = df.select(pl.col("a").list.eval(
         (pl.element() * 2).filter(pl.element() > 1))).to_dict()
     assert out2["a"] == [[10, 4], [16]]
+
+
+def test_join_validate():
+    a = pl.DataFrame({"k": [1, 1], "x": [1, 2]})
+    b = pl.DataFrame({"k": [1], "y": [9]})
+    with pytest.raises(pl.exceptions.ComputeError):
+        a.join(b, on="k", validate="1:1")
+    with pytest.raises(pl.exceptions.ComputeError):
+        a.join(b, on="k", validate="1:m")
+    a.join(b, on="k", validate="m:1")  # right unique: fine
+    with pytest.raises(pl.exceptions.ComputeError):
+        b.join(a, on="k", validate="m:1")
+
+
+def test_upsample():
+    from datetime import datetime
+    df = pl.DataFrame({"t": [datetime(2024, 1, 1), datetime(2024, 1, 3)],
+                       "v": [1, 2]}).set_sorted("t")
+    out = df.upsample("t", every="1d").to_dict()
+    assert out["v"] == [1, None, 2]
+
+
+def test_extend_mutates():
+    a = pl.DataFrame({"x": [1]})
+    ret = a.extend(pl.DataFrame({"x": [2]}))
+    assert a.to_dict()["x"] == [1, 2]
+    assert ret is a
