@@ -85,8 +85,10 @@ def _seg_sum_kernel(gid_ref, vals_ref, out_ref, *, ghi: int, sub: int):
     C = vals_ref.shape[0]
     blk = gid_ref.shape[1]
 
-    def body(j, _):
-        base = pl.multiple_of(j * jnp.int32(sub), sub)
+    # static Python unroll: fori_loop lowers through scan whose hidden
+    # counter is i64 under x64 mode, which Mosaic cannot legalize
+    for j in range(blk // sub):
+        base = j * sub
         g = gid_ref[0, pl.ds(base, sub)]
         hi = jax.lax.shift_right_arithmetic(g, jnp.int32(7))
         lo = jax.lax.bitwise_and(g, jnp.int32(_LO - 1))
@@ -100,10 +102,6 @@ def _seg_sum_kernel(gid_ref, vals_ref, out_ref, *, ghi: int, sub: int):
         out_ref[:] += jax.lax.dot(
             a, b, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        return _
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
-                      jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("G",))
@@ -123,12 +121,12 @@ def onehot_seg_sum(stacked: jax.Array, gid: jax.Array, G: int) -> jax.Array:
         functools.partial(_seg_sum_kernel, ghi=ghi, sub=sub),
         grid=(n // blk,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((1, blk), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, blk), lambda i: (0, i),
+            pl.BlockSpec((C, blk), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C * ghi, _LO), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((C * ghi, _LO), lambda i: (jnp.int32(0), jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C * ghi, _LO), jnp.float32),
         interpret=_interpret(),
@@ -148,8 +146,8 @@ def _seg_minmax_kernel(gid_ref, x_ref, out_ref, *, is_max: bool,
 
     blk = gid_ref.shape[1]
 
-    def body(j, _):
-        base = pl.multiple_of(j * jnp.int32(sub), sub)
+    for j in range(blk // sub):  # static unroll (see _seg_sum_kernel)
+        base = j * sub
         g = gid_ref[0, pl.ds(base, sub)]
         x = x_ref[0, pl.ds(base, sub)]
         hit = g[:, None] == jax.lax.broadcasted_iota(
@@ -161,10 +159,6 @@ def _seg_minmax_kernel(gid_ref, x_ref, out_ref, *, is_max: bool,
         else:
             out_ref[:] = jnp.minimum(out_ref[:],
                                      jnp.min(m, axis=0, keepdims=True))
-        return _
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
-                      jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("G", "is_max", "identity"))
@@ -185,12 +179,12 @@ def onehot_seg_minmax(x: jax.Array, gid: jax.Array, G: int, is_max: bool,
                           identity=identity, gcols=Gp, sub=sub),
         grid=(n // blk,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((1, blk), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((1, blk), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Gp), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, Gp), lambda i: (jnp.int32(0), jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Gp), jnp.float32),
         interpret=_interpret(),
@@ -206,8 +200,8 @@ def _gather_kernel(gid_ref, table_ref, out_ref, *, sub: int):
     blk = gid_ref.shape[1]
     ghi = table_ref.shape[0]
 
-    def body(j, _):
-        base = pl.multiple_of(j * jnp.int32(sub), sub)
+    for j in range(blk // sub):  # static unroll (see _seg_sum_kernel)
+        base = j * sub
         g = gid_ref[0, pl.ds(base, sub)]
         hi = jax.lax.shift_right_arithmetic(g, jnp.int32(7))
         lo = jax.lax.bitwise_and(g, jnp.int32(_LO - 1))
@@ -221,10 +215,6 @@ def _gather_kernel(gid_ref, table_ref, out_ref, *, sub: int):
             jnp.int32, (sub, _LO), 1)
         out_ref[0, pl.ds(base, sub)] = jnp.sum(
             jnp.where(loeq, rows, jnp.float32(0)), axis=1)
-        return _
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk // sub), body,
-                      jnp.int32(0))
 
 
 @jax.jit
@@ -242,12 +232,12 @@ def onehot_gather(table: jax.Array, gid: jax.Array) -> jax.Array:
         functools.partial(_gather_kernel, sub=sub),
         grid=(np_ // blk,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((1, blk), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ghi, _LO), lambda i: (0, 0),
+            pl.BlockSpec((ghi, _LO), lambda i: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, blk), lambda i: (jnp.int32(0), i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, np_), jnp.float32),
         interpret=_interpret(),
