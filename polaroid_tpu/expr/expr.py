@@ -486,14 +486,13 @@ class Expr:
     def over(self, *partition_by, mapping_strategy: str = "group_to_rows",
              order_by=None, descending: bool = False,
              nulls_last: bool = False) -> "Expr":
-        if order_by is not None:
-            from ..errors import InvalidOperationError
-            raise InvalidOperationError(
-                ".over(order_by=...) is not supported yet; sort the frame "
-                "before applying the window")
         parts = tuple(_wrap_col(p) for p in _flatten(partition_by))
-        return Expr("over", (self,) + parts, n_partition=len(parts),
-                    mapping_strategy=mapping_strategy)
+        obs = ()
+        if order_by is not None:
+            obs = tuple(_wrap_col(o) for o in _flatten([order_by]))
+        return Expr("over", (self,) + parts + obs, n_partition=len(parts),
+                    n_order=len(obs), descending=descending,
+                    nulls_last=nulls_last, mapping_strategy=mapping_strategy)
 
     # --- sorting helpers ------------------------------------------------
     def sort(self, descending: bool = False, nulls_last: bool = False):

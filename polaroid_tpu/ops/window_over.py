@@ -64,7 +64,10 @@ def _segmented_cummin(values, reset):
 
 def eval_over(e: Expr, table: Table, ctx: str) -> Val:
     inner = e.children[0]
-    parts = list(e.children[1:])
+    n_part = e.attrs.get("n_partition", len(e.children) - 1)
+    n_ord = e.attrs.get("n_order", 0)
+    parts = list(e.children[1:1 + n_part])
+    order_exprs = list(e.children[1 + n_part:1 + n_part + n_ord])
     key_vals = [eval_expr(p, table, ctx) for p in parts]
     cap = table.capacity
     mask = table.row_mask()
@@ -75,7 +78,30 @@ def eval_over(e: Expr, table: Table, ctx: str) -> Val:
                     (v.validity if v.validity.shape[0] == cap
                      else jnp.broadcast_to(v.validity, (cap,))),
                     v.sdict, False, v.live) for v in key_vals]
-    gctx = build_groups(key_vals, mask)
+    extra_words = []
+    if order_exprs:
+        # order_by: within-partition ordering words appended below the
+        # partition key — the stable lex sort then lays each group out in
+        # order_by order (ties keep original row order), and every
+        # downstream segmented op + the inv-perm writeback are unchanged.
+        # Capability analogue of WindowExpr sort_by (polars-expr/src/
+        # expressions/window.rs).
+        from .keycode import encode_key_words
+        desc = e.attrs.get("descending", False)
+        nl = e.attrs.get("nulls_last", False)
+        descs = list(desc) if isinstance(desc, (list, tuple)) \
+            else [desc] * n_ord
+        nls = list(nl) if isinstance(nl, (list, tuple)) else [nl] * n_ord
+        for oe, d, nlast in zip(order_exprs, descs, nls):
+            ov = eval_expr(oe, table, ctx)
+            od = ov.data if ov.data.shape[0] == cap else \
+                jnp.broadcast_to(ov.data, (cap,))
+            oval = ov.validity
+            if oval is not None and oval.shape[0] != cap:
+                oval = jnp.broadcast_to(oval, (cap,))
+            extra_words.extend(encode_key_words(od, oval, bool(d),
+                                                bool(nlast)))
+    gctx = build_groups(key_vals, mask, extra_words)
     gid_row = _row_gid(gctx)
 
     ms = e.attrs.get("mapping_strategy", "group_to_rows")

@@ -172,3 +172,64 @@ def test_rolling_by_over_groups():
         w = x[(g == g[i]) & (tv > tv[i] - p) & (tv <= tv[i])]
         assert np.isclose(out["s"][i], w.sum())
         assert np.isclose(out["m"][i], np.median(w))
+
+
+def test_over_order_by():
+    # window fns computed in order_by order within each partition, output
+    # mapped back to original row positions (polars .over(order_by=...))
+    df = pl.DataFrame({
+        "g": ["a", "b", "a", "b", "a", "b", "a"],
+        "t": [3, 1, 1, 3, 2, 2, 4],
+        "x": [10., 20., 30., 40., 50., 60., 70.],
+    })
+    out = df.with_columns(
+        pl.col("x").cum_sum().over("g", order_by="t").alias("cs"),
+        pl.col("x").shift(1).over("g", order_by="t").alias("sh"),
+        pl.col("x").diff().over("g", order_by=pl.col("t")).alias("d"),
+    ).to_dict()
+    p = pd.DataFrame(df.to_dict())
+    s = p.sort_values(["g", "t"], kind="stable")
+    s["cs"] = s.groupby("g")["x"].cumsum()
+    s["sh"] = s.groupby("g")["x"].shift(1)
+    s["d"] = s.groupby("g")["x"].diff()
+    ref = p.join(s[["cs", "sh", "d"]])
+    assert np.allclose(out["cs"], ref["cs"].values)
+    for k in ("sh", "d"):
+        got = [None if v is None else float(v) for v in out[k]]
+        exp = [None if np.isnan(v) else v for v in ref[k].values]
+        assert got == exp, (k, got, exp)
+
+
+def test_over_order_by_descending_and_nulls():
+    df = pl.DataFrame({
+        "g": ["a", "a", "a", "a", "b", "b"],
+        "t": [1, None, 3, 2, 2, 1],
+        "x": [1., 2., 3., 4., 5., 6.],
+    })
+    # descending order_by: cum_sum runs from the largest t down;
+    # nulls_last=False (default) puts null-t rows FIRST (they sort
+    # before everything, matching polars' encoding)
+    out = df.with_columns(
+        pl.col("x").cum_sum().over("g", order_by="t", descending=True,
+                                   nulls_last=True).alias("cs"),
+    ).to_dict()
+    # group a order (desc, nulls last): t=3(x=3), t=2(x=4), t=1(x=1), None(x=2)
+    # cum: 3, 7, 8, 10 -> rows (t=1)->8, (None)->10, (3)->3, (2)->7
+    assert np.allclose(out["cs"][:4], [8., 10., 3., 7.])
+    # group b: t=2(x=5), t=1(x=6) -> cum 5, 11 -> rows: (t=2)->5, (t=1)->11
+    assert np.allclose(out["cs"][4:], [5., 11.])
+
+
+def test_over_order_by_agg_first_last():
+    # order-sensitive aggregates respect order_by
+    df = pl.DataFrame({
+        "g": ["a", "a", "b", "b", "a"],
+        "t": [5, 1, 2, 9, 3],
+        "x": [10, 20, 30, 40, 50],
+    })
+    out = df.with_columns(
+        pl.col("x").first().over("g", order_by="t").alias("f"),
+        pl.col("x").last().over("g", order_by="t").alias("l"),
+    ).to_dict()
+    assert out["f"] == [20, 20, 30, 30, 20]
+    assert out["l"] == [10, 10, 40, 40, 10]
