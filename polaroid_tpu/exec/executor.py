@@ -72,6 +72,16 @@ def _exec(plan: L.Plan, state: ExecState) -> Table:
     if k == "scan":
         return _exec_scan(plan)
 
+    if k == "fast_count":
+        from ..dtypes import UInt32
+        from ..io.parquet import parquet_num_rows
+        n = parquet_num_rows(plan.source)
+        if plan.n_rows is not None:
+            n = min(n, plan.n_rows)
+        from ..api.frame import DataFrame
+        return DataFrame({plan.name: [n]},
+                         schema={plan.name: UInt32})._table
+
     if k == "select":
         t = execute(plan.input, state)
         from ..api.frame import DataFrame

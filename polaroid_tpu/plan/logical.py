@@ -140,6 +140,30 @@ class Scan(Plan):
         return f"SCAN[{self.fmt}:{self.source}]{cols}{pred}{nr}"
 
 
+class FastCount(Plan):
+    """count(*) fast path: row count straight from file metadata with no
+    column reads (reference: the count-star rewrite,
+    `polars-plan/src/plans/optimizer/count_star.rs`)."""
+
+    kind = "fast_count"
+
+    def __init__(self, fmt: str, source, n_rows: Optional[int], name: str):
+        super().__init__()
+        self.fmt = fmt
+        self.source = source
+        self.n_rows = n_rows
+        self.name = name
+
+    def _compute_schema(self) -> Schema:
+        return {self.name: UInt32}
+
+    def with_inputs(self, inputs):
+        return self
+
+    def __repr__(self):
+        return f"FAST_COUNT[{self.fmt}:{self.source}]"
+
+
 def _resolve_file_schema(scan: Scan) -> Schema:
     if scan.fmt == "parquet":
         from ..io.parquet import parquet_schema

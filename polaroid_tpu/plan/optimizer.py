@@ -17,11 +17,136 @@ from . import logical as L
 
 
 def optimize(plan: L.Plan) -> L.Plan:
+    plan = simplify_plan_exprs(plan)
     plan = push_predicates(plan)
     plan = push_slice(plan)
+    plan = count_star_fast_path(plan)
     plan = push_projection(plan, None)
     plan = fuse_topk(plan)
     plan = insert_common_subplan_caches(plan)
+    return plan
+
+
+def count_star_fast_path(plan: L.Plan) -> L.Plan:
+    """select(len()) directly over an unfiltered parquet scan -> row count
+    from file metadata, zero column reads (reference: count-star rewrite,
+    `polars-plan/src/plans/optimizer/count_star.rs`). Runs after
+    predicate/slice pushdown so a pushed filter (scan.predicate) or
+    head() (scan.n_rows, still eligible: count = min) is visible here."""
+    if plan.kind == "select" and plan.input.kind == "scan" and \
+            len(plan.exprs) == 1:
+        sc = plan.input
+        e = plan.exprs[0]
+        name = meta.output_name(e)
+        if e.kind == "alias":
+            e = e.children[0]
+        if e.kind == "table_len" and sc.predicate is None and \
+                sc.fmt == "parquet":
+            return L.FastCount(sc.fmt, sc.source, sc.n_rows, name)
+    new_inputs = [count_star_fast_path(p) for p in plan.inputs]
+    return plan.with_inputs(new_inputs) if plan.inputs else plan
+
+
+# ---------------------------------------------------------------------------
+# expression simplification (reference: simplify_expr pass,
+# `polars-plan/src/plans/optimizer/simplify_expr/`) — constant folding and
+# boolean identities. Runs FIRST so pushdowns and the arrow-filter
+# translation see canonical predicates.
+# ---------------------------------------------------------------------------
+
+import operator as _op  # noqa: E402
+
+_FOLD = {
+    "add": _op.add, "sub": _op.sub, "mul": _op.mul, "truediv": _op.truediv,
+    "floordiv": _op.floordiv, "mod": _op.mod, "pow": _op.pow,
+    "eq": _op.eq, "neq": _op.ne, "lt": _op.lt, "le": _op.le,
+    "gt": _op.gt, "ge": _op.ge, "and": _op.and_, "or": _op.or_,
+    "xor": _op.xor,
+}
+
+
+def _lit_bool(e: Expr):
+    if e.kind == "lit" and isinstance(e.attrs.get("value"), bool):
+        return e.attrs["value"]
+    return None
+
+
+def simplify_expr(e: Expr) -> Expr:
+    if e.children:
+        ch = tuple(simplify_expr(c) for c in e.children)
+        if any(a is not b for a, b in zip(ch, e.children)):
+            e = Expr(e.kind, ch, **e.attrs)
+    if e.kind == "binary":
+        op = e.attrs.get("op")
+        a, b = e.children
+        if op in ("and", "or"):
+            for x, other in ((a, b), (b, a)):
+                lb = _lit_bool(x)
+                if lb is None:
+                    continue
+                if (op == "and" and lb is True) or \
+                        (op == "or" and lb is False):
+                    return other  # identity element
+                # x & False / x | True: only foldable to a constant when
+                # `other` can't be null (nulls: null & False == False in
+                # polars Kleene logic, so the fold IS safe for `and`;
+                # null | True == True, safe for `or`)
+                return Expr("lit", value=lb, dtype=None)
+        fn = _FOLD.get(op)
+        if fn is not None and a.kind == "lit" and b.kind == "lit":
+            va, vb = a.attrs.get("value"), b.attrs.get("value")
+            if va is not None and vb is not None:
+                try:
+                    return Expr("lit", value=fn(va, vb), dtype=None)
+                except Exception:
+                    return e
+        return e
+    if e.kind == "unary":
+        op = e.attrs.get("op")
+        c = e.children[0]
+        if op == "not":
+            if c.kind == "unary" and c.attrs.get("op") == "not":
+                return c.children[0]
+            lb = _lit_bool(c)
+            if lb is not None:
+                return Expr("lit", value=not lb, dtype=None)
+        if op == "neg" and c.kind == "lit" and \
+                isinstance(c.attrs.get("value"), (int, float)) and \
+                not isinstance(c.attrs.get("value"), bool):
+            return Expr("lit", value=-c.attrs["value"],
+                        dtype=c.attrs.get("dtype"))
+        return e
+    if e.kind == "alias" and e.children[0].kind == "alias":
+        return Expr("alias", (e.children[0].children[0],),
+                    name=e.attrs["name"])
+    return e
+
+
+def simplify_plan_exprs(plan: L.Plan) -> L.Plan:
+    new_inputs = [simplify_plan_exprs(p) for p in plan.inputs]
+    if plan.inputs:
+        plan = plan.with_inputs(new_inputs)
+    k = plan.kind
+    if k == "filter":
+        pred = simplify_expr(plan.predicate)
+        if _lit_bool(pred) is True:
+            return plan.input
+        if pred is not plan.predicate:
+            return L.Filter(plan.input, pred)
+        return plan
+    if k in ("select", "with_columns"):
+        exprs = [simplify_expr(x) for x in plan.exprs]
+        if any(a is not b for a, b in zip(exprs, plan.exprs)):
+            cls = L.Select if k == "select" else L.WithColumns
+            return cls(plan.input, exprs)
+        return plan
+    if k == "group_by":
+        keys = [simplify_expr(x) for x in plan.keys]
+        aggs = [simplify_expr(x) for x in plan.aggs]
+        if any(a is not b for a, b in zip(keys + aggs,
+                                          list(plan.keys) + list(plan.aggs))):
+            return L.GroupBy(plan.input, keys, aggs, plan.maintain_order)
+        return plan
     return plan
 
 

@@ -292,3 +292,38 @@ def test_streaming_distinct_topk_rowindex_sinks(tmp_path):
     assert pl.read_ipc(str(tmp_path / "out.ipc")).height == n
     lf.sink_ndjson(str(tmp_path / "out.ndjson"))
     assert pl.read_ndjson(str(tmp_path / "out.ndjson")).height == n
+
+
+def test_count_star_fast_path(tmp_path):
+    import numpy as np
+    p = str(tmp_path / "c.parquet")
+    n = 50_000
+    pl.DataFrame({"a": np.arange(n).tolist(),
+                  "b": np.random.rand(n).tolist()}).write_parquet(p)
+    lf = pl.scan_parquet(p).select(pl.len())
+    assert "FAST_COUNT" in lf.explain()
+    out = lf.collect()
+    assert out.to_dict()["len"] == [n]
+    assert repr(out.schema["len"]) == "UInt32"
+    # aliased + head(): count = min(n_rows, total)
+    out2 = pl.scan_parquet(p).head(123).select(pl.len().alias("n")).collect()
+    assert out2.to_dict()["n"] == [123]
+    # a filter disables the fast path but stays correct
+    out3 = pl.scan_parquet(p).filter(pl.col("a") < 7).select(pl.len()).collect()
+    assert out3.to_dict()["len"] == [7]
+
+
+def test_simplify_exprs():
+    df = pl.DataFrame({"x": [1, 2, 3, 4, 5, 6, 7, 8]})
+    out = df.lazy().filter(
+        (pl.col("x") > pl.lit(2) + pl.lit(3)) & pl.lit(True)).collect()
+    assert out.to_dict()["x"] == [6, 7, 8]
+    assert df.lazy().filter(pl.lit(True)).collect().height == 8
+    assert df.lazy().filter(
+        (pl.col("x") > 0) & pl.lit(False)).collect().height == 0
+    # double negation + folded arithmetic in select
+    out2 = df.lazy().select(
+        (~(~(pl.col("x") > 1))).alias("m"),
+        (pl.lit(2) * pl.lit(10) + pl.col("x")).alias("v")).collect().to_dict()
+    assert out2["m"] == [False] + [True] * 7
+    assert out2["v"] == [21, 22, 23, 24, 25, 26, 27, 28]
