@@ -655,9 +655,12 @@ class DataFrame:
 
     # --- reshaping ------------------------------------------------------
     def pivot(self, on, *, index=None, values=None,
-              aggregate_function: str = "first") -> "DataFrame":
+              aggregate_function: str = "first", on_columns=None,
+              separator: str = "_") -> "DataFrame":
         """Wide pivot (reference: polars-ops pivot): one output column per
-        distinct `on` value, filled by the chosen aggregation."""
+        distinct `on` value, filled by the chosen aggregation.
+        `on_columns` pins the output columns explicitly (the lazy-pivot
+        contract, `py-polars/src/polars/lazyframe/frame.py:7753`)."""
         on_names = [on] if isinstance(on, str) else list(on)
         if len(on_names) != 1:
             raise ComputeError("pivot supports a single `on` column")
@@ -671,8 +674,12 @@ class DataFrame:
             values = [c for c in self.columns
                       if c != on_col and c not in index]
         values = [values] if isinstance(values, str) else list(values)
-        distinct = sorted(set(self.get_column(on_col).to_list()),
-                          key=lambda x: (x is None, x))
+        if on_columns is not None:
+            distinct = list(on_columns.to_list()
+                            if hasattr(on_columns, "to_list") else on_columns)
+        else:
+            distinct = sorted(set(self.get_column(on_col).to_list()),
+                              key=lambda x: (x is None, x))
         from ..expr.expr import when as _when
         aggs = []
         for v in values:
@@ -685,7 +692,7 @@ class DataFrame:
                 # combinations absent from the input are null, not the
                 # aggregate's empty identity (polars-ops pivot semantics)
                 agg = _when(sel.sum() > 0).then(agg)
-                name = str(d) if len(values) == 1 else f"{v}_{d}"
+                name = str(d) if len(values) == 1 else f"{v}{separator}{d}"
                 aggs.append(agg.alias(name))
         return self.group_by(index, maintain_order=True).agg(aggs)
 

@@ -444,6 +444,67 @@ class LazyFrame:
     def pipe(self, fn, *args, **kwargs):
         return fn(self, *args, **kwargs)
 
+    def remote(self, context=None, **_kw) -> "LazyFrameRemote":
+        """Run this query remotely (reference:
+        `py-polars/src/polars/lazyframe/frame.py:8734` — Polars Cloud).
+        Here `context` is a `RemoteClient` (or server address string);
+        without one, collect() uses the in-process distributed engine."""
+        return LazyFrameRemote(self, context)
+
+    def pipe_with_schema(self, function) -> "LazyFrame":
+        """Alter the frame with the resolved input schema available
+        (reference: `py-polars/src/polars/lazyframe/frame.py:968`).
+        Schemas resolve eagerly here, so this is pipe with the schema
+        passed alongside."""
+        return function(self, dict(self._plan.schema()))
+
+    def pivot(self, on, on_columns, *, index=None, values=None,
+              aggregate_function=None, maintain_order: bool = False,
+              separator: str = "_") -> "LazyFrame":
+        """Lazy pivot with explicitly enumerated output columns
+        (reference: `py-polars/src/polars/lazyframe/frame.py:7753` —
+        `on_columns` makes the output schema static, which is what lets
+        the pivot stay lazy)."""
+        on_names = [on] if isinstance(on, str) else list(on)
+        if len(on_names) != 1:
+            raise ComputeError("pivot supports a single `on` column")
+        on_col = on_names[0]
+        combos = list(on_columns.to_list()
+                      if hasattr(on_columns, "to_list") else on_columns)
+        schema = self._plan.schema()
+        idx = [index] if isinstance(index, str) else list(index or [])
+        vals = [values] if isinstance(values, str) else \
+            list(values) if values is not None else None
+        if not idx:
+            idx = [c for c in schema if c != on_col and
+                   (vals is None or c not in vals)][:1]
+        if vals is None:
+            vals = [c for c in schema if c != on_col and c not in idx]
+        agg = aggregate_function or "first"
+
+        def _run(df):
+            return df.pivot(on_col, index=idx, values=vals,
+                            aggregate_function=agg, on_columns=combos,
+                            separator=separator)
+
+        def _schema(ins):
+            vd = {v: ins[v] for v in vals}
+            out = {c: ins[c] for c in idx}
+            for v in vals:
+                for c in combos:
+                    name = str(c) if len(vals) == 1 else \
+                        f"{v}{separator}{c}"
+                    out[name] = vd[v]
+            return out
+
+        def wrapped(t):
+            from .frame import DataFrame
+            return _run(DataFrame._from_table(t))._table
+
+        return LazyFrame._from_plan(
+            L.MapFunction(self._plan, wrapped, _schema, False,
+                          label="pivot"))
+
     # --- sinks ----------------------------------------------------------
     def approx_n_unique(self) -> "LazyFrame":
         return self._agg_all("n_unique")
@@ -735,3 +796,25 @@ def _unnest_table(t, columns):
             names.append(n)
             cols[n] = c
     return Table(names, cols, t.capacity, t.nrows, t.valid)
+
+
+class LazyFrameRemote:
+    """Handle for remote execution of a LazyFrame (capability analogue of
+    polars cloud's LazyFrameRemote; ours runs against the polaroid-tpu
+    gRPC server or the in-process distributed engine)."""
+
+    def __init__(self, lf: "LazyFrame", context=None):
+        self._lf = lf
+        self._context = context
+
+    def collect(self):
+        ctx = self._context
+        if ctx is None:
+            return self._lf.collect(engine="distributed")
+        if isinstance(ctx, str):
+            from ..client import RemoteClient
+            ctx = RemoteClient(ctx)
+        return ctx.execute_plan(self._lf).collect()
+
+    def show(self, n: int = 10):
+        return self._lf.head(n).collect()

@@ -367,6 +367,15 @@ class Series:
     # (py-polars Series mirrors Expr the same way).
     _EXPR_KEEP_SERIES = {"implode", "mode", "agg_groups"}
 
+    def __dir__(self):
+        # expression methods are reachable via __getattr__ delegation;
+        # surface them for dir()/introspection parity with the reference
+        from ..expr.expr import Expr
+        base = set(super().__dir__())
+        base.update(m for m in dir(Expr)
+                    if not m.startswith("_") and callable(getattr(Expr, m)))
+        return sorted(base)
+
     def __getattr__(self, attr):
         if attr.startswith("_"):
             raise AttributeError(attr)

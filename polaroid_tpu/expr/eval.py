@@ -3516,11 +3516,76 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
     if k == "over":
         from ..ops.window_over import eval_over
         return eval_over(e, table, ctx)
+    if k == "reshape":
+        return _eval_reshape(e, table, ctx)
     if k == "concat_str":
         return _eval_concat_str(e, table, ctx)
     if k == "struct":
         raise InvalidOperationError("struct dtype not supported yet")
     raise ComputeError(f"cannot evaluate expr kind {k!r}")
+
+
+def _eval_reshape(e: Expr, table: Table, ctx: str) -> Val:
+    """reshape((n|-1, w)): flat column -> fixed-width Array rows; (n,)
+    on a flat column is the identity (reference: Expr.reshape,
+    `py-polars/src/polars/expr/expr.py:9864`). The element count is one
+    host-synced scalar (same pattern as join output sizing)."""
+    dims = e.attrs["dims"]
+    v = eval_expr(e.children[0], table, ctx)
+    if len(dims) == 1:
+        if v.lengths is None and v.fields is None:
+            return v
+        raise InvalidOperationError(
+            "reshape to 1-D of a nested column is not supported yet; "
+            "use explode()")
+    if len(dims) != 2:
+        raise InvalidOperationError(
+            "reshape with more than 2 dimensions is not supported yet")
+    if v.lengths is not None or v.fields is not None:
+        raise InvalidOperationError("cannot reshape a nested column")
+    if ctx != "select":
+        raise InvalidOperationError(
+            "reshape changes the frame length; only valid in a select "
+            "context")
+    n0, w = dims
+    if w <= 0:
+        raise InvalidOperationError(
+            "only the first reshape dimension may be -1")
+    from ..dtypes import Array as ArrayT
+    cap = table.capacity
+    data = v.data if v.data.shape[0] == cap else \
+        jnp.broadcast_to(v.data, (cap,))
+    mask = v.live if v.live is not None else table.row_mask()
+    order = jnp.argsort(~mask, stable=True)  # live values to the front
+    data = data[order]
+    ev = None
+    if v.validity is not None:
+        vv = v.validity if v.validity.shape[0] == cap else \
+            jnp.broadcast_to(v.validity, (cap,))
+        ev = vv[order]
+    n_live = int(jnp.sum(mask))
+    if n_live % w != 0:
+        raise InvalidOperationError(
+            f"cannot reshape {n_live} elements into rows of width {w}")
+    rows = n_live // w
+    if n0 not in (-1, rows):
+        raise InvalidOperationError(
+            f"cannot reshape {n_live} elements into ({n0}, {w})")
+    rcap = cap // w
+    d2 = data[:rcap * w].reshape(rcap, w)
+    if rcap < cap:
+        d2 = jnp.concatenate(
+            [d2, jnp.zeros((cap - rcap, w), d2.dtype)], axis=0)
+    if ev is not None:
+        e2 = ev[:rcap * w].reshape(rcap, w)
+        if rcap < cap:
+            e2 = jnp.concatenate(
+                [e2, jnp.zeros((cap - rcap, w), jnp.bool_)], axis=0)
+    else:
+        e2 = None
+    live = jnp.arange(cap) < rows
+    return Val(ArrayT(v.dtype, w), d2, None, v.sdict, False, live=live,
+               lengths=jnp.full(cap, w, jnp.int32), elem_valid=e2)
 
 
 def _eval_concat_str(e: Expr, table: Table, ctx: str) -> Val:

@@ -436,6 +436,71 @@ class Expr:
                                 min_samples, closed, method=method,
                                 descending=descending)
 
+    def rolling(self, index_column, *, period, offset=None,
+                closed: str = "right") -> "Expr":
+        """Apply this aggregation over value-range rolling windows of
+        `index_column` (reference: `Expr.rolling`,
+        `py-polars/src/polars/expr/expr.py:3790`) — rewritten onto the
+        engine's rolling_*_by range-window kernels."""
+        from ..errors import InvalidOperationError
+        import datetime as _dt
+        if isinstance(period, _dt.timedelta):
+            period = f"{int(period.total_seconds() * 1e6)}us"
+        if offset is not None:
+            raise InvalidOperationError(
+                "Expr.rolling(offset=...) is not supported yet")
+        if self.kind == "table_len":
+            from ..dtypes import Int32
+            ones = _wrap_col(index_column).is_not_null().cast(Int32)
+            return ones._rolling_by("rolling_sum_by", index_column, period,
+                                    1, closed)
+        if self.kind == "alias":
+            return self.children[0].rolling(
+                index_column, period=period, closed=closed).alias(
+                    self.attrs["name"])
+        if self.kind != "agg":
+            raise InvalidOperationError(
+                "Expr.rolling expects an aggregation expression, e.g. "
+                "pl.col('x').sum().rolling(index_column='t', period='2h')")
+        agg = self.attrs["agg"]
+        child = self.children[0]
+        if agg == "sum":
+            return child.rolling_sum_by(index_column, period, closed=closed)
+        if agg == "mean":
+            return child.rolling_mean_by(index_column, period, closed=closed)
+        if agg == "min":
+            return child.rolling_min_by(index_column, period, closed=closed)
+        if agg == "max":
+            return child.rolling_max_by(index_column, period, closed=closed)
+        if agg == "std":
+            return child.rolling_std_by(index_column, period, closed=closed,
+                                        ddof=self.attrs.get("ddof", 1))
+        if agg == "var":
+            return child.rolling_var_by(index_column, period, closed=closed,
+                                        ddof=self.attrs.get("ddof", 1))
+        if agg == "median":
+            return child.rolling_median_by(index_column, period,
+                                           closed=closed)
+        if agg == "quantile":
+            return child.rolling_quantile_by(
+                index_column, period, quantile=self.attrs.get("q", 0.5),
+                interpolation=self.attrs.get("interpolation", "nearest"),
+                closed=closed)
+        if agg in ("count", "len"):
+            from ..dtypes import Int32
+            src = child.is_not_null().cast(Int32) if agg == "count" \
+                else Expr("lit", value=1, dtype=None)
+            return src._rolling_by("rolling_sum_by", index_column, period,
+                                   1, closed)
+        raise InvalidOperationError(
+            f"aggregation {agg!r} is not supported with Expr.rolling")
+
+    def reshape(self, dimensions) -> "Expr":
+        """Reshape to a flat column or a fixed-width Array column
+        (reference: `py-polars/src/polars/expr/expr.py:9864`)."""
+        dims = tuple(int(d) for d in dimensions)
+        return Expr("reshape", (self,), dims=dims)
+
     def interpolate_by(self, by) -> "Expr":
         return Expr("window", (self, _wrap(None), _wrap_col(by)),
                     op="interpolate_by")

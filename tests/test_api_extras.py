@@ -417,3 +417,65 @@ def test_monads():
     assert not lz.is_evaluated()
     assert lz.force() == 42 and lz.force() == 42 and calls == [1]
     assert lz.map(lambda x: x + 1).force() == 43
+
+
+def test_expr_rolling_agg_windows():
+    import pandas as pd
+    n = 120
+    rng = np.random.default_rng(4)
+    t = np.sort(rng.integers(0, 2000, n)).astype(
+        "datetime64[s]").astype("datetime64[ns]")
+    x = rng.normal(0, 5, n).round(2)
+    df = pl.DataFrame({"t": [pd.Timestamp(v).to_pydatetime() for v in t],
+                       "x": x.tolist()})
+    out = df.select(
+        pl.col("x").sum().rolling(index_column="t", period="5m").alias("s"),
+        pl.len().rolling(index_column="t", period="5m").alias("n"),
+        pl.col("x").max().rolling(index_column="t", period="5m").alias("mx"),
+    ).to_dict()
+    tv = t.astype(np.int64)
+    p = int(pd.Timedelta("5m").value)
+    for i in range(n):
+        w = x[(tv > tv[i] - p) & (tv <= tv[i])]
+        assert np.isclose(out["s"][i], w.sum())
+        assert out["n"][i] == len(w)
+        assert np.isclose(out["mx"][i], w.max())
+
+
+def test_expr_reshape():
+    df = pl.DataFrame({"foo": [1, 2, 3, 4, 5, 6, 7, 8, 9]})
+    sq = df.select(pl.col("foo").reshape((3, 3))).to_dict()
+    assert sq["foo"] == [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    assert df.select(pl.col("foo").reshape((-1, 3))).height == 3
+    assert df.select(pl.col("foo").reshape((9,))).to_dict()["foo"] == \
+        list(range(1, 10))
+    with pytest.raises(Exception):
+        df.select(pl.col("foo").reshape((2, 4)))
+    s = pl.Series("s", [1.0, 2.0, 3.0, 4.0]).reshape((2, 2))
+    assert s.to_list() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_lazy_pivot_and_remote_and_pipe_with_schema():
+    df = pl.DataFrame({"k": ["a", "a", "b"], "c": ["x", "y", "x"],
+                       "v": [1, 2, 3]})
+    lp = df.lazy().pivot("c", ["x", "y", "z"], index="k", values="v",
+                         aggregate_function="sum")
+    # schema is static (the lazy-pivot contract)
+    assert list(lp.schema.keys()) == ["k", "x", "y", "z"]
+    out = lp.collect().sort("k").to_dict()
+    assert out["x"] == [1, 3] and out["y"] == [2, None] and \
+        out["z"] == [None, None]
+    # remote() without a context runs the distributed engine in-process
+    lf = df.lazy().group_by("k").agg(pl.col("v").sum())
+    got = lf.remote().collect().sort("k").to_dict()
+    assert got == {"k": ["a", "b"], "v": [3, 3]}
+    out2 = df.lazy().pipe_with_schema(
+        lambda l, sch: l.select([pl.col(n) for n in sch if n != "k"]))
+    assert out2.collect().columns == ["c", "v"]
+
+
+def test_series_dir_exposes_expr_methods():
+    s = pl.Series("a", [1, 2, 3])
+    d = dir(s)
+    for m in ("rolling_mean", "cum_sum", "sin", "is_in", "rank"):
+        assert m in d
