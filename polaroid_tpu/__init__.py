@@ -82,6 +82,16 @@ from .api.functions import (  # noqa: E402
     CredentialProviderFunctionReturn, CredentialProviderGCP,
     PartitionByKey, PartitionMaxSize, PartitionParted,
     ScanCastOptions, linear_spaces,
+    KeyedPartition, BasePartitionContext, KeyedPartitionContext,
+    defer, groups, map_groups,
+)
+from . import plugins  # noqa: E402
+from .datatype_expr import (  # noqa: E402
+    DataTypeExpr, dtype_of, self_dtype, struct_with_fields,
+)
+from .dtypes import (  # noqa: E402
+    BaseExtension, Extension, get_extension_type, register_extension_type,
+    unregister_extension_type,
 )
 from .sql.context import SQLContext  # noqa: E402
 # bind pl.sql AFTER the sql subpackage is imported so the function wins

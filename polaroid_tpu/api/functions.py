@@ -742,18 +742,88 @@ def scan_pyarrow_dataset(ds, *, allow_pyarrow_filter: bool = True):
     return from_arrow(ds.to_table()).lazy()
 
 
+def _norm_schema(schema):
+    from ..dtypes import DataType as _DT
+    items = schema.items() if isinstance(schema, dict) else list(schema)
+    out = {}
+    for nm, d in items:
+        if isinstance(d, type) and issubclass(d, _DT):
+            d = d()
+        out[nm] = d
+    return out
+
+
 def register_io_source(callable_, *, schema):
     """Plug a custom source into the lazy engine (reference: py-polars
     register_io_source / io plugins): `callable_(with_columns, predicate,
-    n_rows, batch_size)` yields DataFrames."""
+    n_rows, batch_size)` yields DataFrames. Execution is deferred to
+    collect time (the source runs inside the plan, not at registration)."""
     from .frame import DataFrame
-    frames = list(callable_(None, None, None, None))
-    if not frames:
-        return DataFrame(schema=schema).lazy()
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.vstack(f)
-    return out.lazy()
+    from ..plan import logical as L
+
+    declared = _norm_schema(schema)
+
+    def run(_t):
+        frames = list(callable_(None, None, None, None))
+        if not frames:
+            return DataFrame(schema=declared)._table
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.vstack(f)
+        return out._table
+
+    from .lazyframe import LazyFrame
+    empty = L.DataFrameScan(DataFrame(schema=declared)._table)
+    return LazyFrame._from_plan(
+        L.MapFunction(empty, run, schema_fn=lambda _s: dict(declared),
+                      label="io_source"))
+
+
+def map_groups(exprs, function, return_dtype=None, *,
+               is_elementwise: bool = False,
+               returns_scalar: bool = False) -> Expr:
+    """Apply a custom UDF in a GroupBy context (reference:
+    `py-polars/src/polars/functions/lazy.py:1209`). The function receives
+    one Series per input expression for each group."""
+    from ..expr.expr import _wrap_col
+    es = tuple(_wrap_col(x) for x in
+               (exprs if isinstance(exprs, (list, tuple)) else [exprs]))
+    return Expr("map_groups_udf", es, fn=function,
+                return_dtype=return_dtype, returns_scalar=returns_scalar)
+
+
+def groups(column: str) -> Expr:
+    """Deprecated sugar for `pl.col(column).agg_groups()` (reference:
+    `py-polars/src/polars/functions/lazy.py:1879`)."""
+    import warnings
+    warnings.warn("pl.groups() is deprecated; use "
+                  "pl.col(...).agg_groups() instead", DeprecationWarning,
+                  stacklevel=2)
+    from ..expr.expr import col as _c
+    return _c(column).agg_groups()
+
+
+def defer(function, *, schema, validate_schema: bool = True):
+    """Defer an eager DataFrame-producing function until collect
+    (reference: `py-polars/src/polars/io/plugins.py:109` pl.defer)."""
+    declared = _norm_schema(schema) if not callable(schema) else None
+
+    def source(with_columns, predicate, n_rows, batch_size):
+        df = function()
+        if validate_schema:
+            got = dict(df.schema)
+            want = declared if declared is not None else \
+                _norm_schema(schema())
+            if list(got) != list(want) or \
+                    builtins.any(repr(got[k]) != repr(want[k])
+                                 for k in want):
+                from ..errors import SchemaError
+                raise SchemaError(
+                    f"defer: schema mismatch (declared {want}, got {got})")
+        yield df
+
+    sch = declared if declared is not None else _norm_schema(schema())
+    return register_io_source(source, schema=sch)
 
 
 def read_avro(source, **kw):
@@ -1045,6 +1115,48 @@ class CompatLevel:
     @classmethod
     def oldest(cls):
         return cls()
+
+
+class KeyedPartition:
+    """One key=value pair of a partition (reference:
+    `py-polars/src/polars/io/partition.py:26`)."""
+
+    def __init__(self, name: str, str_value: str, raw_value) -> None:
+        self.name = name
+        self.str_value = str_value
+        self.raw_value = raw_value
+
+    def hive_name(self) -> str:
+        return f"{self.name}={self.str_value}"
+
+
+class BasePartitionContext:
+    """Callback context for a partition file creation (reference:
+    `py-polars/src/polars/io/partition.py:103`)."""
+
+    def __init__(self, file_idx: int, file_path, full_path) -> None:
+        self.file_idx = file_idx
+        self.file_path = file_path
+        self.full_path = full_path
+
+
+class KeyedPartitionContext(BasePartitionContext):
+    """Callback context for keyed partition creation (reference:
+    `py-polars/src/polars/io/partition.py:55`)."""
+
+    def __init__(self, file_idx: int, part_idx: int, in_part_idx: int,
+                 keys, file_path, full_path) -> None:
+        super().__init__(file_idx, file_path, full_path)
+        self.part_idx = part_idx
+        self.in_part_idx = in_part_idx
+        self.keys = keys
+
+    def hive_dirs(self):
+        from pathlib import Path
+        p = Path(self.keys[0].hive_name())
+        for key in self.keys[1:]:
+            p = p / key.hive_name()
+        return p
 
 
 class PartitionByKey:

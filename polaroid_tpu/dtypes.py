@@ -447,3 +447,89 @@ class Schema(dict):
             else:
                 out[n] = object
         return out
+
+
+class BaseExtension(DataType):
+    """Base class for extension data types (reference:
+    `py-polars/src/polars/datatypes/classes.py:1305`): a logical wrapper
+    around a storage dtype plus free-form metadata."""
+
+    _name = "Extension"
+
+    def __init__(self, name: str, storage, metadata=None) -> None:
+        if isinstance(storage, type) and issubclass(storage, DataType):
+            storage = storage()
+        self._ext_name = name
+        self._storage = storage
+        self._metadata = metadata
+
+    @classmethod
+    def ext_from_params(cls, name, storage, metadata):
+        """Create an instance from raw parameters."""
+        slf = cls.__new__(cls)
+        slf._ext_name = name
+        slf._storage = storage
+        slf._metadata = metadata
+        return slf
+
+    @property
+    def ext_name(self) -> str:
+        return self._ext_name
+
+    @property
+    def storage(self):
+        return self._storage
+
+    @property
+    def metadata(self):
+        return self._metadata
+
+    def __repr__(self):
+        return f"Extension({self._ext_name!r}, {self._storage!r})"
+
+    def __eq__(self, other):
+        return (isinstance(other, BaseExtension)
+                and other._ext_name == self._ext_name
+                and repr(other._storage) == repr(self._storage))
+
+    def __hash__(self):
+        return hash(("ext", self._ext_name, repr(self._storage)))
+
+
+class Extension(BaseExtension):
+    """Generic opaque extension type (reference:
+    polars.datatypes.Extension)."""
+
+
+_EXTENSION_REGISTRY: dict = {}
+
+
+def register_extension_type(ext_name: str, ext_class=None, *,
+                            as_storage: bool = False) -> None:
+    """Register an extension type under `ext_name` (reference:
+    `py-polars/src/polars/datatypes/extension.py:15`)."""
+    if ext_name in _EXTENSION_REGISTRY:
+        raise ValueError(
+            f"extension type {ext_name!r} is already registered")
+    if as_storage:
+        if ext_class is not None:
+            raise ValueError(
+                "cannot specify ext_class when as_storage is True")
+        _EXTENSION_REGISTRY[ext_name] = "storage"
+        return
+    if not (isinstance(ext_class, type)
+            and issubclass(ext_class, BaseExtension)):
+        raise TypeError("ext_class must be a BaseExtension subclass")
+    _EXTENSION_REGISTRY[ext_name] = ext_class
+
+
+def unregister_extension_type(ext_name: str) -> None:
+    """Remove a registered extension type (reference:
+    `py-polars/src/polars/datatypes/extension.py:47`)."""
+    _EXTENSION_REGISTRY.pop(ext_name, None)
+
+
+def get_extension_type(ext_name: str):
+    """Look up a registered extension type; 'storage' means pass-through
+    (reference: `py-polars/src/polars/datatypes/extension.py:60`)."""
+    return _EXTENSION_REGISTRY.get(ext_name)

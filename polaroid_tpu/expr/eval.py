@@ -1824,6 +1824,31 @@ def _eval_list(e: Expr, v: Val, table: Table) -> Val:
     from ..ops import nested as N
 
     op = e.attrs["op"]
+    if op == "to_list":
+        from ..dtypes import Array as ArrayT, List as ListT
+        if isinstance(v.dtype, ArrayT):
+            return Val(ListT(v.dtype.inner), v.data, v.validity, v.sdict,
+                       v.is_scalar, v.live, lengths=v.lengths,
+                       elem_valid=v.elem_valid, fields=v.fields)
+        return v
+    if op == "item":
+        # strict single-element lists (reference: list.item,
+        # py-polars/src/polars/expr/list.py:688) — one host-synced check
+        if v.lengths is None:
+            raise InvalidOperationError(f".list.item on {v.dtype!r}")
+        allow_empty = e.attrs.get("allow_empty", False)
+        live = v.live if v.live is not None else table.row_mask()
+        lv = live if v.validity is None else (live & v.validity)
+        ln = np.asarray(jnp.where(lv, v.lengths, 1))
+        if (ln > 1).any():
+            raise ComputeError(
+                ".list.item: a sublist has more than one element")
+        if not allow_empty and (ln < 1).any():
+            raise ComputeError(
+                ".list.item: empty sublist (pass allow_empty=True for "
+                "null)")
+        return _eval_list(Expr("list", e.children, op="get", index=0),
+                          v, table)
     if op == "to_struct":
         from ..dtypes import Struct as StructT
         if v.lengths is None:
@@ -2065,6 +2090,17 @@ def _eval_bin(e: Expr, v: Val) -> Val:
                      "tb": 1024**4}[unit]
             return lut_gather((lut / scale).astype(np.float64), Float64)
         return lut_gather(lut, UInt32)
+    if op == "slice":
+        from ..dtypes import Binary
+        off = e.attrs["offset"]
+        ln = e.attrs.get("length")
+
+        def cut(w):
+            start = off if off >= 0 else max(len(w) + off, 0)
+            end = len(w) if ln is None else start + ln
+            return w[start:end]
+
+        return _remap_dict_val(v, [cut(w) for w in words], Binary)
     if op == "encode":
         import base64
         if e.attrs["encoding"] == "hex":
@@ -2908,8 +2944,12 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                 lm = table.row_mask()
             except Exception:
                 lm = None
-        return cast_val(eval_expr(e.children[0], table, ctx),
-                        e.attrs["dtype"], e.attrs.get("strict", True),
+        cv = eval_expr(e.children[0], table, ctx)
+        dt = e.attrs["dtype"]
+        from ..datatype_expr import DataTypeExpr as _DTE, resolve_dtype
+        if isinstance(dt, _DTE):
+            dt = resolve_dtype(dt, dict(table.schema), cv.dtype)
+        return cast_val(cv, dt, e.attrs.get("strict", True),
                         live_mask=lm)
     if k == "binary":
         l = eval_expr(e.children[0], table, ctx)
@@ -3195,9 +3235,13 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                 f".struct.rename_fields on non-struct {v.dtype!r}")
         olds = list(v.fields.keys())
         if e.attrs.get("names") is None:
-            pre = e.attrs.get("prefix", "")
-            suf = e.attrs.get("suffix", "")
-            new_names = [f"{pre}{n}{suf}" for n in olds]
+            fn = e.attrs.get("fn")
+            if fn is not None:  # name.map_fields
+                new_names = [str(fn(n)) for n in olds]
+            else:
+                pre = e.attrs.get("prefix", "")
+                suf = e.attrs.get("suffix", "")
+                new_names = [f"{pre}{n}{suf}" for n in olds]
         else:
             new_names = list(e.attrs["names"])
         if len(new_names) != len(olds):
@@ -3498,6 +3542,9 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         fn = e.attrs["fn"]
         data = fn(v.data)
         rd = e.attrs.get("return_dtype") or v.dtype
+        from ..datatype_expr import DataTypeExpr as _DTE, resolve_dtype
+        if isinstance(rd, _DTE):
+            rd = resolve_dtype(rd, dict(table.schema), v.dtype)
         return Val(rd, data, v.validity, None, v.is_scalar, v.live)
     if k == "replace":
         v = eval_expr(e.children[0], table, ctx)

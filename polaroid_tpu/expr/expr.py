@@ -846,6 +846,15 @@ class BinNamespace:
     def _op(self, op: str, **kw) -> Expr:
         return Expr("bin", (self._e,), op=op, **kw)
 
+    def slice(self, offset: int, length: Optional[int] = None) -> Expr:
+        return self._op("slice", offset=offset, length=length)
+
+    def head(self, n: int = 5) -> Expr:
+        return self._op("slice", offset=0, length=n)
+
+    def tail(self, n: int = 5) -> Expr:
+        return self._op("slice", offset=-n, length=n)
+
     def contains(self, literal) -> Expr:
         return self._op("contains", pat=literal)
 
@@ -1071,6 +1080,9 @@ class ListNamespace:
     def first(self): return self._op("first")
     def last(self): return self._op("last")
     def get(self, index: int): return self._op("get", index=index)
+    def item(self, *, allow_empty: bool = False):
+        return self._op("item", allow_empty=allow_empty)
+    def to_list(self): return self._op("to_list")
     def contains(self, item): return self._op("contains", item=item)
     def arg_min(self): return self._op("arg_min")
     def arg_max(self): return self._op("arg_max")
@@ -1334,6 +1346,24 @@ class NameNamespace:
 
     def to_lowercase(self) -> Expr:
         return Expr("name_map", (self._e,), how="lower", arg=None)
+
+    def map(self, function) -> Expr:
+        return Expr("name_map", (self._e,), how="map", arg=function)
+
+    def replace(self, pattern: str, value: str, *,
+                literal: bool = False) -> Expr:
+        return Expr("name_map", (self._e,), how="replace",
+                    arg=(pattern, value, literal))
+
+    # struct-field renames (only take effect on struct columns)
+    def map_fields(self, function) -> Expr:
+        return Expr("struct_rename", (self._e,), names=None, fn=function)
+
+    def prefix_fields(self, prefix: str) -> Expr:
+        return Expr("struct_rename", (self._e,), names=None, prefix=prefix)
+
+    def suffix_fields(self, suffix: str) -> Expr:
+        return Expr("struct_rename", (self._e,), names=None, suffix=suffix)
 
 
 # --- free functions -----------------------------------------------------

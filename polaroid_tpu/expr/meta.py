@@ -138,6 +138,14 @@ def output_name(e: Expr) -> str:
             return f"{base}{arg}"
         if how == "upper":
             return base.upper()
+        if how == "map":
+            return str(arg(base))
+        if how == "replace":
+            import re as _re
+            pattern, value, literal = arg
+            if literal:
+                return base.replace(pattern, value)
+            return _re.sub(pattern, value, base)
         return base.lower()
     if e.kind == "when_then":
         # name comes from first then-branch value
@@ -265,7 +273,11 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
             inner = d if inner is None else supertype(inner, d)
         return ListT(inner)
     if k == "cast":
-        return e.attrs["dtype"]
+        dt = e.attrs["dtype"]
+        from ..datatype_expr import DataTypeExpr as _DTE
+        if isinstance(dt, _DTE):
+            return dt._resolve(schema, output_dtype(e.children[0], schema))
+        return dt
     if k == "binary":
         op = e.attrs["op"]
         lt_ = output_dtype(e.children[0], schema)

@@ -1041,8 +1041,65 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
         v = eval_group_expr(e.children[0], table, ctx, key_names, key_outputs)
         fake = Table([], {}, ctx.out_cap, None, None)
         return _eval_list(e, v, fake)
+    if k == "map_groups_udf":
+        return _eval_map_groups_udf(e, table, ctx)
     raise InvalidOperationError(
         f"expression kind {k!r} not supported in group_by aggregation")
+
+
+def _eval_map_groups_udf(e: Expr, table: Table, ctx: GroupContext) -> Val:
+    """pl.map_groups(exprs, fn): host UDF over each group's Series
+    (reference: `py-polars/src/polars/functions/lazy.py:1209` — a Python
+    round-trip there too, so the host loop matches the reference's cost
+    model)."""
+    import numpy as _np
+    from ..api.series import Series as _Series
+    fn = e.attrs["fn"]
+    returns_scalar = e.attrs.get("returns_scalar", False)
+    # per-row child values on host, in sorted-group layout
+    host_cols = []
+    for c in e.children:
+        v = eval_expr(c, table, "agg")
+        cap = ctx.cap
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        col = Val(v.dtype, data[ctx.perm],
+                  None if v.validity is None else
+                  jnp.broadcast_to(v.validity, (cap,))[ctx.perm],
+                  v.sdict, False)
+        from ..api.frame import DataFrame as _DF
+        from ..batch import Column as _Col
+        t1 = Table(["x"], {"x": _Col(col.dtype, col.data, col.validity,
+                                     col.sdict)}, cap, None,
+                   jnp.ones(cap, jnp.bool_))
+        host_cols.append(_DF._from_table(t1).get_column("x").to_list())
+    gid = _np.asarray(ctx.gid)
+    live = _np.asarray(ctx.live_sorted)
+    oc = ctx.out_cap
+    # group ids are SLOT indices: 0..ng-1 in the sorted layout, raw key
+    # codes in the dense layout — place each group's result at its slot
+    slots = _np.unique(gid[live])
+    results = [None] * oc
+    filled = _np.zeros(oc, bool)
+    for g in slots:
+        rows = _np.nonzero(live & (gid == g))[0]
+        series = [_Series("", [hc[i] for i in rows]) for hc in host_cols]
+        out = fn(series)
+        if isinstance(out, _Series):
+            out = out.to_list()
+        if returns_scalar and isinstance(out, list):
+            out = out[0] if out else None
+        results[int(g)] = out
+        filled[int(g)] = True
+    from ..api.frame import DataFrame as _DF2
+    src = _DF2({"r": results})._table.column("r")
+    out_col = src.take(jnp.arange(oc))
+    validity = out_col.validity
+    inb = jnp.asarray(filled)
+    validity = inb if validity is None else (validity & inb)
+    return Val(out_col.dtype, out_col.data, validity, out_col.sdict, False,
+               lengths=out_col.lengths, elem_valid=out_col.elem_valid,
+               fields=out_col.fields)
 
 
 def _aggs_need_sorted_layout(agg_exprs: Sequence[Expr]) -> bool:

@@ -479,3 +479,90 @@ def test_series_dir_exposes_expr_methods():
     d = dir(s)
     for m in ("rolling_mean", "cum_sum", "sin", "is_in", "rank"):
         assert m in d
+
+
+def test_defer_and_io_source_lazy():
+    calls = []
+
+    def make():
+        calls.append(1)
+        return pl.DataFrame({"a": [1.0, 2.0]})
+
+    lf = pl.defer(make, schema={"a": pl.Float64})
+    assert calls == []  # not executed at construction
+    assert lf.collect().to_dict()["a"] == [1.0, 2.0]
+    assert calls == [1]
+    with pytest.raises(Exception):
+        pl.defer(lambda: pl.DataFrame({"a": [1]}),
+                 schema={"a": pl.Float64}).collect()
+
+
+def test_datatype_expr():
+    df = pl.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, 3.5]})
+    out = df.lazy().with_columns(pl.col("b").cast(pl.dtype_of("a"))).collect()
+    assert repr(out.schema["b"]) == "Int64"
+    out2 = df.select(pl.col("a").map_batches(lambda x: x * 2,
+                                             return_dtype=pl.dtype_of("a")))
+    assert out2.to_dict()["a"] == [2, 4, 6]
+    dt = pl.struct_with_fields(
+        {"x": pl.Int32, "y": pl.dtype_of("b")}).collect_dtype(dict(df.schema))
+    assert "Struct" in repr(dt)
+
+
+def test_map_groups_and_plugins():
+    import polaroid_tpu.plugins as plug
+    g = pl.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 3.0, 10.0]})
+    out = g.group_by("k").agg(
+        pl.map_groups(["v"], lambda s: s[0].sum() + 1,
+                      returns_scalar=True).alias("m")).sort("k").to_dict()
+    assert out["m"] == [5.0, 11.0]
+    out2 = g.group_by("k").agg(
+        pl.map_groups(["v"], lambda s: s[0] * 2).alias("m")
+    ).sort("k").to_dict()
+    assert out2["m"] == [[2.0, 6.0], [20.0]]
+    plug.register_plugin_callable("dbl_test", lambda d: d * 2)
+    e = plug.register_plugin_function(function_name="dbl_test", args=["v"],
+                                      is_elementwise=True)
+    assert g.select(e).to_dict()["v"] == [2.0, 6.0, 20.0]
+
+
+def test_extension_types_and_partition_contexts():
+    class MyExt(pl.BaseExtension):
+        pass
+
+    pl.register_extension_type("my_test_ext", MyExt)
+    assert pl.get_extension_type("my_test_ext") is MyExt
+    with pytest.raises(ValueError):
+        pl.register_extension_type("my_test_ext", MyExt)
+    pl.unregister_extension_type("my_test_ext")
+    assert pl.get_extension_type("my_test_ext") is None
+    kp = pl.KeyedPartition("k", "a", "a")
+    assert kp.hive_name() == "k=a"
+    ctx = pl.KeyedPartitionContext(0, 0, 0, [kp, pl.KeyedPartition(
+        "j", "b", "b")], "f", "f")
+    assert str(ctx.hive_dirs()) == "k=a/j=b"
+
+
+def test_list_item_bin_slice_name_map():
+    df = pl.DataFrame({"a": [[1], [2], [3]]})
+    assert df.select(pl.col("a").list.item()).to_dict()["a"] == [1, 2, 3]
+    with pytest.raises(Exception):
+        pl.DataFrame({"a": [[1, 2]]}).select(pl.col("a").list.item())
+    db = pl.DataFrame({"b": [b"hello", b"ab", b""]})
+    out = db.select(pl.col("b").bin.head(2).alias("h"),
+                    pl.col("b").bin.tail(2).alias("t"),
+                    pl.col("b").bin.slice(1, 2).alias("s")).to_dict()
+    assert out["h"] == [b"he", b"ab", b""]
+    assert out["t"] == [b"lo", b"ab", b""]
+    assert out["s"] == [b"el", b"b", b""]
+    d3 = pl.DataFrame({"foo_x": [1]})
+    assert d3.select(pl.col("foo_x").name.map(str.upper)).columns == ["FOO_X"]
+    assert d3.select(
+        pl.col("foo_x").name.replace("_x$", "_y")).columns == ["foo_y"]
+    d4 = pl.DataFrame({"s": [{"a": 1, "b": 2}]})
+    assert d4.select(
+        pl.col("s").name.prefix_fields("p_")).unnest("s").columns == \
+        ["p_a", "p_b"]
+    assert d4.select(
+        pl.col("s").name.map_fields(lambda n: n * 2)).unnest("s").columns == \
+        ["aa", "bb"]
