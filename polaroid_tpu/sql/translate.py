@@ -97,6 +97,13 @@ def _translate_window_fn(e: Dict, scope, alias_env) -> Expr:
                   "dense_rank": "dense"}[name]
         base = okey().rank(method=method, descending=bool(descs[0]))
         return base.over(*parts).alias(name)
+    # ORDER BY inside OVER: evaluated through over(order_by=...) so the
+    # window runs in sort order while output stays in row order
+    okw = {}
+    if order:
+        okw = dict(order_by=[translate_expr(o, scope, alias_env)
+                             for o in order],
+                   descending=[bool(d) for d in descs])
     if name in ("lag", "lead"):
         n = 1
         if len(args) > 1 and args[1]["type"] == "lit":
@@ -104,15 +111,15 @@ def _translate_window_fn(e: Dict, scope, alias_env) -> Expr:
         if name == "lead":
             n = -n
         base = translate_expr(args[0], scope, alias_env).shift(n)
-        return base.over(*parts)
+        return base.over(*parts, **okw)
     if name in ("first_value", "last_value"):
         base = translate_expr(args[0], scope, alias_env)
         base = base.first() if name == "first_value" else base.last()
-        return base.over(*parts)
+        return base.over(*parts, **okw)
     inner = {"type": "fn", "name": name, "args": args,
              "distinct": e.get("distinct")}
     base = _translate_fn(inner, scope, alias_env)
-    return base.over(*parts)
+    return base.over(*parts, **okw)
 
 
 def translate_expr(e: Dict, scope: Optional[Scope],

@@ -270,3 +270,17 @@ def test_sql_function_batch():
     assert q("SELECT cbrt(v) AS c FROM t")["c"][0] == 1.0
     assert q("SELECT first_value(v) OVER (PARTITION BY k) AS f FROM t") \
         ["f"] == [1.0, 1.0, 9.0]
+
+
+def test_sql_window_order_by():
+    df = pl.DataFrame({"g": ["a", "b", "a", "b"], "t": [2, 1, 1, 2],
+                       "x": [1., 2., 3., 4.]})
+    ctx = pl.SQLContext(frames={"df": df})
+    out = ctx.execute(
+        "SELECT g, LAG(x, 1) OVER (PARTITION BY g ORDER BY t) AS lx, "
+        "LEAD(x, 1) OVER (PARTITION BY g ORDER BY t) AS ld, "
+        "FIRST_VALUE(x) OVER (PARTITION BY g ORDER BY t DESC) AS fv "
+        "FROM df").collect().to_dict()
+    assert out["lx"] == [3.0, None, None, 2.0]
+    assert out["ld"] == [None, 4.0, 1.0, None]
+    assert out["fv"] == [1.0, 4.0, 1.0, 4.0]
