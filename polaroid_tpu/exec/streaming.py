@@ -75,24 +75,29 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         from ..api.frame import DataFrame
         from ..metrics import current
         qm = current()
+        stateful = None
+        if k in ("select", "with_columns") and \
+                builtins_any(not meta.is_elementwise(e)
+                             for e in plan.exprs):
+            stateful = _StatefulWindowStreamer.try_build(plan.exprs, k)
+            if stateful is None:
+                yield _materialize(plan)
+                return
         for t in _stream(plan.input):
             if qm is not None:
                 with qm.timed(k) as m:
                     m.batches += 1
             df = DataFrame._from_table(t)
             if k == "select":
-                # aggregates in select context are not streamable; bail out
-                if builtins_any(not meta.is_elementwise(e)
-                                for e in plan.exprs):
-                    yield _materialize(plan)
-                    return
-                yield df.select(plan.exprs)._table
+                if stateful is not None:
+                    yield stateful.step(t)
+                else:
+                    yield df.select(plan.exprs)._table
             elif k == "with_columns":
-                if builtins_any(not meta.is_elementwise(e)
-                                for e in plan.exprs):
-                    yield _materialize(plan)
-                    return
-                yield df.with_columns(plan.exprs)._table
+                if stateful is not None:
+                    yield stateful.step(t)
+                else:
+                    yield df.with_columns(plan.exprs)._table
             else:
                 yield df.filter(plan.predicate)._table
         return
@@ -193,6 +198,182 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         return
 
     yield _materialize(plan)
+
+
+# --- stateful window streaming ---------------------------------------------
+# Capability analogue of the reference's dedicated streaming nodes for
+# order-dependent elementwise-ish ops (`polars-stream/src/nodes/`:
+# cum_agg, shift; SURVEY §2.1). Two mechanisms:
+#   * bounded lookback (shift/diff/pct_change/rolling_* by row count):
+#     each batch is evaluated on [tail-of-previous-input ++ batch] and the
+#     tail rows are sliced off — exact for ANY expression tree whose nodes
+#     are elementwise or bounded-lookback windows;
+#   * cumulative ops (cum_sum/min/max/prod/count at the top of the expr):
+#     evaluated per batch, then combined with a carried device scalar.
+
+_CUM_COMBINE = {"cum_sum": "add", "cum_count": "add", "cum_prod": "mul",
+                "cum_min": "min", "cum_max": "max"}
+
+
+def _expr_lookback(e: Expr):
+    """Rows of history expr output row i can depend on; None = unbounded."""
+    k = e.kind
+    if k == "window":
+        op = e.attrs.get("op")
+        if op in ("shift", "diff", "pct_change"):
+            n = e.attrs.get("n", 1)
+            if n < 0:
+                return None  # lookAHEAD not supported
+            base = n
+        elif op in ("rolling_sum", "rolling_mean", "rolling_min",
+                    "rolling_max", "rolling_std", "rolling_var",
+                    "rolling_median", "rolling_quantile", "rolling_skew",
+                    "rolling_kurtosis"):
+            base = int(e.attrs.get("window_size", 1)) - 1
+        else:
+            return None
+        inner = _expr_lookback(e.children[0])
+        return None if inner is None else base + inner
+    from ..expr.meta import _NON_ELEMENTWISE
+    if k in _NON_ELEMENTWISE:
+        return None  # any other stateful/global op: unbounded
+    best = 0
+    for c in e.children:
+        lb = _expr_lookback(c)
+        if lb is None:
+            return None
+        best = max(best, lb)
+    return best
+
+
+class _StatefulWindowStreamer:
+    """Per-batch evaluation of select/with_columns whose expressions are
+    bounded-lookback windows and/or top-level cumulative aggregates."""
+
+    def __init__(self, kind, exprs, lookback_exprs, cum_specs,
+                 max_lookback):
+        self.kind = kind
+        self.exprs = exprs                    # original expr order
+        self.lookback_exprs = lookback_exprs  # exprs evaluated w/ tail
+        self.cum_specs = cum_specs            # [(expr, out_name, combine)]
+        self.K = max_lookback
+        self.tail = None                      # last K input rows
+        self.carry = {}                       # out_name -> device scalar
+
+    @classmethod
+    def try_build(cls, exprs, kind):
+        import jax.numpy as jnp  # noqa: F401
+        lookback_exprs, cum_specs = [], []
+        max_lb = 0
+        for e in exprs:
+            if meta.is_elementwise(e):
+                lookback_exprs.append(e)
+                continue
+            core = e
+            while core.kind == "alias":
+                core = core.children[0]
+            if core.kind == "window" and \
+                    core.attrs.get("op") in _CUM_COMBINE and \
+                    not core.attrs.get("reverse") and \
+                    meta.is_elementwise(core.children[0]):
+                cum_specs.append((e, meta.output_name(e),
+                                  _CUM_COMBINE[core.attrs["op"]]))
+                continue
+            lb = _expr_lookback(e)
+            if lb is None:
+                return None
+            max_lb = max(max_lb, lb)
+            lookback_exprs.append(e)
+        if max_lb > (1 << 22):
+            return None  # tail would defeat streaming
+        return cls(kind, list(exprs), lookback_exprs, cum_specs, max_lb)
+
+    def step(self, t: Table) -> Table:
+        import jax.numpy as jnp
+        from ..api.frame import DataFrame
+        from ..ops.compact import slice_rows
+        n = t.count_rows()
+        # lookback leg: evaluate on [tail ++ batch], slice the tail off
+        if self.K > 0 and self.tail is not None:
+            th = self.tail.count_rows()
+            ext = vstack_tables([self.tail, t])
+        else:
+            th = 0
+            ext = t
+        df = DataFrame._from_table(ext)
+        if self.kind == "select":
+            out = df.select(self.lookback_exprs)._table if \
+                self.lookback_exprs else None
+        else:
+            out = df.with_columns(self.lookback_exprs)._table
+        if out is not None and th:
+            out = slice_rows(out, th, None)
+        if self.kind == "select" and out is None:
+            out = slice_rows(ext, th, None).select_columns([])
+        # cumulative leg: evaluate on the raw batch, combine with carry
+        if self.cum_specs:
+            raw = DataFrame._from_table(t)
+            cum_out = raw.select([e for e, _, _ in self.cum_specs])._table
+            mask = t.row_mask()
+            for _, name, comb in self.cum_specs:
+                c = cum_out.column(name)
+                data, validity = c.data, c.validity
+                carry = self.carry.get(name)
+                if carry is not None:
+                    if comb == "add":
+                        data2 = data + carry
+                    elif comb == "mul":
+                        data2 = data * carry
+                    elif comb == "min":
+                        data2 = jnp.minimum(data, carry)
+                    else:
+                        data2 = jnp.maximum(data, carry)
+                else:
+                    data2 = data
+                # new carry = last live+valid combined value (device-side)
+                ok = mask if validity is None else (mask & validity)
+                idx = jnp.arange(data2.shape[0])
+                last = jnp.max(jnp.where(ok, idx, -1))
+                has = last >= 0
+                cand = data2[jnp.clip(last, 0, data2.shape[0] - 1)]
+                if carry is None:
+                    self.carry[name] = jnp.where(
+                        has, cand, _cum_identity(comb, data2.dtype))
+                else:
+                    self.carry[name] = jnp.where(has, cand, carry)
+                cum_out = cum_out.with_column(
+                    name, c.with_data(data2, validity))
+            # merge cum columns into the output
+            for _, name, _ in self.cum_specs:
+                out = out.with_column(name, cum_out.column(name))
+            if self.kind == "select":
+                # restore the user's column order
+                order = []
+                for e in self.exprs:
+                    nm = meta.output_name(e)
+                    if nm in out.cols and nm not in order:
+                        order.append(nm)
+                out = out.select_columns(order)
+        # update the input tail
+        if self.K > 0:
+            total = ext.count_rows()
+            start = max(total - self.K, 0)
+            self.tail = slice_rows(ext, start, None)
+        return out
+
+
+def _cum_identity(comb: str, dtype):
+    import jax.numpy as jnp
+    import numpy as _np
+    if comb == "add":
+        return jnp.asarray(0, dtype)
+    if comb == "mul":
+        return jnp.asarray(1, dtype)
+    if _np.issubdtype(_np.dtype(dtype), _np.floating):
+        v = _np.inf if comb == "min" else -_np.inf
+        return jnp.asarray(v, dtype)
+    info = _np.iinfo(_np.dtype(dtype))
+    return jnp.asarray(info.max if comb == "min" else info.min, dtype)
 
 
 def _stream_sink(plan: L.Plan) -> Table:

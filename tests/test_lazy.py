@@ -327,3 +327,42 @@ def test_simplify_exprs():
         (pl.lit(2) * pl.lit(10) + pl.col("x")).alias("v")).collect().to_dict()
     assert out2["m"] == [False] + [True] * 7
     assert out2["v"] == [21, 22, 23, 24, 25, 26, 27, 28]
+
+
+def test_streaming_stateful_windows(tmp_path, monkeypatch):
+    # cross-batch state: cum_* via carried scalars, shift/diff/rolling via
+    # the input-tail replay; differential vs the in-memory engine
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 700)
+    n = 4000
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 10, n).round(3)
+    x[rng.random(n) < 0.05] = np.nan  # nulls via parquet NaN? keep floats
+    df = pl.DataFrame({"x": np.nan_to_num(x).tolist(),
+                       "y": rng.integers(0, 9, n).tolist()})
+    p = str(tmp_path / "s.parquet")
+    df.write_parquet(p)
+    lf = pl.scan_parquet(p).with_columns(
+        pl.col("x").cum_sum().alias("cs"),
+        pl.col("x").cum_min().alias("cm"),
+        pl.col("x").cum_prod().alias("cp"),
+        pl.col("y").cum_count().alias("cc"),
+        pl.col("x").shift(5).alias("sh"),
+        (pl.col("x").rolling_sum(100) + pl.col("x").diff(2)).alias("mix"),
+    )
+    a = lf.collect(engine="streaming")
+    b = lf.collect(engine="in-memory")
+    da, db = a.to_dict(), b.to_dict()
+    assert a.height == b.height == n
+    for k in ("cs", "cm", "cc", "sh", "mix"):
+        for va, vb in zip(da[k], db[k]):
+            if va is None or vb is None:
+                assert va is None and vb is None, k
+            else:
+                assert va == pytest.approx(vb, rel=1e-9, abs=1e-9), k
+    # select context preserves expr order
+    s = pl.scan_parquet(p).select(pl.col("x").cum_sum().alias("cs"),
+                                  pl.col("x").shift(1).alias("sh"))
+    out = s.collect(engine="streaming")
+    assert out.columns == ["cs", "sh"]
+    ref = s.collect(engine="in-memory")
+    assert out.to_dict()["cs"] == pytest.approx(ref.to_dict()["cs"])
