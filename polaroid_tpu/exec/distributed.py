@@ -405,12 +405,94 @@ class DistributedExecutor:
             return exec_local(plan)
         lpacked = jax.lax.slice_in_dim(packed_all, 0, capL)
         rpacked = jax.lax.slice_in_dim(packed_all, capL, capL + capR)
-        # fall back to single-device join using packed keys for correctness
-        # and simplicity of payload handling: the heavy shuffle path is in
-        # make_sharded_join (exercised by dryrun); full column plumbing on
-        # that path lands with the pipelined distributed executor.
-        from .executor import execute as exec_local
-        return exec_local(plan)
+        # nested payload columns can't ride the 1-D exchange yet
+        if any(lt.cols[n].lengths is not None or lt.cols[n].fields is not None
+               for n in lt.names) or \
+           any(rt.cols[n].lengths is not None or rt.cols[n].fields is not None
+               for n in rt.names):
+            from .executor import execute as exec_local
+            return exec_local(plan)
+        return self._sharded_join(plan, lt, rt, lv, rv, lpacked, rpacked)
+
+    def _sharded_join(self, plan: L.Join, lt: Table, rt: Table,
+                      lv, rv, lpacked, rpacked) -> Table:
+        """Full distributed inner join (SURVEY §3.4 TPU mapping): both
+        sides row-shuffled by key hash over ICI, local merge join per
+        shard. Sizing passes (dest histogram + match count) replace the
+        reference's SampleState (`nodes/joins/equi_join.rs:250`)."""
+        mesh = self.mesh
+        S = mesh.shape[AXIS]
+        capL, capR = lt.capacity, rt.capacity
+        # row validity for the join: nulls match only with join_nulls
+        lvalid = lt.row_mask()
+        rvalid = rt.row_mask()
+        if not plan.join_nulls:
+            for v in lv:
+                if v.validity is not None:
+                    lvalid = lvalid & v.validity
+            for v in rv:
+                if v.validity is not None:
+                    rvalid = rvalid & v.validity
+        sh = NamedSharding(mesh, P(AXIS))
+        lpacked = jax.device_put(lpacked, sh)
+        rpacked = jax.device_put(rpacked, sh)
+        lvalid = jax.device_put(lvalid, sh)
+        rvalid = jax.device_put(rvalid, sh)
+        # sizing pass 1: exact per-(source, dest) routing histogram
+        hist = SH.make_dest_hist(S, sh)
+        lh = np.asarray(hist(lpacked, lvalid))
+        rh = np.asarray(hist(rpacked, rvalid))
+        l_cap = capacity_for(max(int(lh.max()), 1))
+        r_cap = capacity_for(max(int(rh.max()), 1))
+        # sizing pass 2: per-shard match counts -> static output capacity
+        cnt = SH.make_sharded_join_count(mesh, l_cap, r_cap)
+        counts = np.asarray(cnt(lpacked, lvalid, rpacked, rvalid))
+        out_cap = capacity_for(max(int(counts.max()), 1))
+        # payloads: every left column; right columns minus coalesced keys
+        coalesce = plan.coalesce if plan.coalesce is not None else True
+        r_names = [n for n in rt.names
+                   if not (coalesce and n in plan.right_on)]
+        pays, slots = [], []  # slots: (side, name, dtype, sdict, has_valid)
+        for side, tbl, names in (("l", lt, lt.names), ("r", rt, r_names)):
+            for n in names:
+                c = tbl.cols[n]
+                data = c.data
+                if data.dtype == jnp.bool_:
+                    data = data.astype(jnp.uint8)  # all_to_all-safe
+                pays.append(jax.device_put(data, sh))
+                hasv = c.validity is not None
+                if hasv:
+                    pays.append(jax.device_put(
+                        c.validity.astype(jnp.uint8), sh))
+                slots.append((side, n, c.dtype, c.sdict, hasv))
+        n_l = sum(1 + int(s[4]) for s in slots if s[0] == "l")
+        n_r = len(pays) - n_l
+        join = SH.make_sharded_join(mesh, n_l, n_r, l_cap, out_cap,
+                                    r_per_dest_cap=r_cap)
+        outs = join(lpacked, lvalid, rpacked, rvalid, *pays)
+        jvalid = outs[1]
+        flat = list(outs[2:])
+        # reassemble columns with polars naming (left names, then right
+        # with suffix on collision)
+        names, cols = [], {}
+        li = 0
+        lnames = set(lt.names)
+        for side, n, dt, sd, hasv in slots:
+            data = flat[li]
+            li += 1
+            if dt == Boolean and data.dtype != jnp.bool_:
+                data = data.astype(jnp.bool_)
+            validity = None
+            if hasv:
+                validity = flat[li].astype(jnp.bool_)
+                li += 1
+            out_name = n
+            if side == "r" and n in lnames:
+                out_name = f"{n}{plan.suffix}"
+            names.append(out_name)
+            cols[out_name] = Column(dt, data, validity, sd)
+        cap_out = S * out_cap
+        return Table(names, cols, cap_out, None, jvalid)
 
 
 def _partial_dtype(kind: str, aggs, name: str):

@@ -12,8 +12,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy scalar, NOT a jnp array: this module can be first imported inside
+# a shard_map trace (lazy import in parallel/shuffle._hash_u64), and a
+# module-level jnp constant created there is stamped with the trace's
+# Manual-axis AbstractMesh — every later use then fails sharding
+# propagation with "Mesh for all inputs should be equal".
+GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _fmix32(h):

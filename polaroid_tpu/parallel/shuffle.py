@@ -316,17 +316,92 @@ def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
     return jkey, lout, rout, jvalid
 
 
+def local_join_count(lkey, lvalid, rkey, rvalid):
+    """Per-chip inner-join match COUNT on packed u64 keys (the sizing
+    pass before local_join_inner; analogue of the reference's join
+    sampling, `nodes/joins/equi_join.rs` SampleState)."""
+    capL, capR = lkey.shape[0], rkey.shape[0]
+    capT = capL + capR
+    key = jnp.concatenate([lkey, rkey])
+    valid = jnp.concatenate([lvalid, rvalid])
+    tag = jnp.concatenate([jnp.zeros(capL, jnp.uint32),
+                           jnp.ones(capR, jnp.uint32)])
+    dead = (~valid).astype(jnp.uint32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    sdead, shi, slo, stag = jax.lax.sort(
+        (dead, khi, klo, tag), num_keys=4, is_stable=True)
+    live = sdead == 0
+    idx = jnp.arange(capT)
+    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
+            (slo != jnp.roll(slo, 1))) & live
+    starts, ends, ngroups = _group_bounds(newg, live)
+    e1 = jnp.clip(ends - 1, 0, capT - 1)
+    cl_scan = _segscan(jnp.where(live & (stag == 0), 1, 0), newg, jnp.add)
+    cr_scan = _segscan(jnp.where(live & (stag == 1), 1, 0), newg, jnp.add)
+    gv = jnp.arange(capT, dtype=jnp.int32) < ngroups
+    cl = jnp.where(gv, cl_scan[e1], 0)
+    cr = jnp.where(gv, cr_scan[e1], 0)
+    return jnp.sum((cl.astype(jnp.int64)) * cr.astype(jnp.int64))[None]
+
+
+def make_sharded_join_count(mesh, l_dest_cap: int, r_dest_cap: int):
+    """jit: shuffle both key columns by hash, return per-shard match
+    counts (host-synced by the caller to pick the output capacity)."""
+    S = mesh.shape[AXIS]
+
+    def step(lkey, lvalid, rkey, rvalid):
+        lk, _, lv = exchange_by_hash(lkey, [], lvalid, S, l_dest_cap)
+        rk, _, rv = exchange_by_hash(rkey, [], rvalid, S, r_dest_cap)
+        return local_join_count(lk, lv, rk, rv)
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P(AXIS),) * 4,
+                   out_specs=P(AXIS))
+    return jax.jit(fn)
+
+
+def make_dest_hist(S: int, sharding=None):
+    """jit factory: per-(source shard, destination) record counts for
+    hash routing — the lossless per_dest_cap for exchange_by_hash is the
+    max entry (the reference sizes partitions by sampling; we count
+    exactly). Row-major sharding means source shard = row // (cap/S),
+    so this is one global one-hot reduction, no shard_map needed.
+
+    A FRESH jit per executor (not a module-level jit, not eager):
+    arrays coming out of shard_map carry a Manual-axis AbstractMesh that
+    (a) poisons eager sharding propagation against fresh Auto-mesh
+    constants and (b) confuses the global jit executable cache when the
+    same shapes recur under a new Mesh object."""
+
+    def hist(key, valid):
+        cap = key.shape[0]
+        dest = (_hash_u64(key) % jnp.uint32(S)).astype(jnp.int32)
+        src = (jnp.arange(cap) // (cap // S)).astype(jnp.int32)
+        idx = src * S + dest
+        oh = idx[:, None] == jnp.arange(S * S, dtype=jnp.int32)[None, :]
+        return jnp.sum(oh & valid[:, None], axis=0, dtype=jnp.int32
+                       ).reshape(S, S)
+
+    if sharding is not None:
+        # explicit in_shardings: inputs may arrive stamped with a
+        # Manual-axis AbstractMesh from an earlier shard_map output;
+        # forcing the executor's concrete mesh avoids mixed-mesh traces
+        return jax.jit(hist, in_shardings=(sharding, sharding))
+    return jax.jit(hist)
+
+
 def make_sharded_join(mesh, n_lpay: int, n_rpay: int, per_dest_cap: int,
-                      out_cap: int):
+                      out_cap: int, r_per_dest_cap: int = None):
     """jit-compiled distributed inner join: both sides shuffled by key
     hash, then joined locally per shard."""
     S = mesh.shape[AXIS]
+    r_cap = r_per_dest_cap if r_per_dest_cap is not None else per_dest_cap
 
     def step(lkey, lvalid, rkey, rvalid, *pays):
         lpay = list(pays[:n_lpay])
         rpay = list(pays[n_lpay:])
         lk, lp, lv = exchange_by_hash(lkey, lpay, lvalid, S, per_dest_cap)
-        rk, rp, rv = exchange_by_hash(rkey, rpay, rvalid, S, per_dest_cap)
+        rk, rp, rv = exchange_by_hash(rkey, rpay, rvalid, S, r_cap)
         jk, lo, ro, jv = local_join_inner(lk, lp, lv, rk, rp, rv, out_cap)
         return (jk, jv) + tuple(lo) + tuple(ro)
 

@@ -103,3 +103,40 @@ def test_dist_fallback_join(data):
     dim = pl.LazyFrame({"k": list(range(40)), "name": [f"g{i}" for i in range(40)]})
     lf = data.join(dim, on="k").group_by("name").agg(pl.len().alias("n"))
     _cmp(lf, "name")
+
+
+def test_dist_sharded_join_matches_inmemory():
+    rng = np.random.default_rng(6)
+    n, m = 20000, 3000
+    orders = pl.DataFrame({
+        "user_id": rng.integers(0, 4000, n).tolist(),
+        "amount": rng.uniform(1, 100, n).round(2).tolist(),
+        "flag": (rng.random(n) > 0.5).tolist()})
+    users = pl.DataFrame({
+        "user_id": rng.choice(4000, m, replace=False).tolist(),
+        "country": rng.choice(["CH", "DE", "FR"], m).tolist()})
+    lf = orders.lazy().join(users.lazy(), on="user_id", how="inner")
+    out = lf.collect(engine="distributed").sort(["user_id", "amount"])
+    ref = lf.collect(engine="in-memory").sort(["user_id", "amount"])
+    assert out.height == ref.height
+    assert out.columns == ref.columns
+    da, db = out.to_dict(), ref.to_dict()
+    for k in da:
+        for a, b in zip(da[k], db[k]):
+            assert a == b or (a is None and b is None) or \
+                abs(a - b) < 1e-9, k
+
+
+def test_dist_join_nulls_strings_suffix():
+    l = pl.DataFrame({"k": ["a", "b", None, "c", "a"], "v": [1, 2, 3, 4, 5]})
+    r = pl.DataFrame({"k": ["a", "c", None], "v": [10, 20, 30]})
+    lf = l.lazy().join(r.lazy(), on="k", how="inner")
+    assert lf.collect(engine="distributed").sort(["k", "v"]).to_dict() == \
+        lf.collect(engine="in-memory").sort(["k", "v"]).to_dict()
+    lf2 = l.lazy().join(r.lazy(), on="k", how="inner", join_nulls=True)
+    assert lf2.collect(engine="distributed").sort(
+        ["k", "v"], nulls_last=True).to_dict() == \
+        lf2.collect(engine="in-memory").sort(
+            ["k", "v"], nulls_last=True).to_dict()
+    lf3 = l.lazy().join(r.lazy(), on="k", how="inner", coalesce=False)
+    assert "k_right" in lf3.collect(engine="distributed").columns
