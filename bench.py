@@ -265,17 +265,16 @@ def _run_benches(d: dict) -> None:
     bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
     pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint32))
 
-    from polaroid_tpu.ops.search import searchsorted as _ss
+    from polaroid_tpu.ops.join import lookup_join_sorted
 
     @jax.jit
     def op_join(bkey, bval, pkey):
-        # unique build side: sort build, probe via the backend-aware
-        # binary search (sort-method on TPU)
-        sk, sv = jax.lax.sort((bkey, bval), num_keys=1, is_stable=True)
-        pos = _ss(sk, pkey)
-        posc = jnp.clip(pos, 0, nb - 1)
-        hit = sk[posc] == pkey
-        return jnp.where(hit, sv[posc], 0.0), hit
+        # scan-free two-sort lookup join: sorts + primitive cumops only.
+        # TPU probe data (tools/join_probe_variants.py, 2026-08-19):
+        # gather 4M<-1M = 34.7ms but sort 8.4Mx2 = 21.8ms — sorts are the
+        # fast primitive, so the probe side rides two sorts instead of
+        # searchsorted + gathers (178ms -> 61.5ms on the same shapes).
+        return lookup_join_sorted(bkey, bval, pkey)
 
     _phase("compiling op_join")
     t_join = _bench(op_join, (bkey, bval, pkey))

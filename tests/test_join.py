@@ -172,3 +172,23 @@ def test_merge_sorted():
     b = pl.DataFrame({"k": [2, 3, 6], "v": ["b", "x", "f"]})
     m = a.merge_sorted(b, "k")
     assert m.to_dict()["k"] == [1, 2, 3, 3, 5, 6]
+
+
+def test_lookup_join_sorted_oracle():
+    import jax
+    import jax.numpy as jnp
+    from polaroid_tpu.ops.join import lookup_join_sorted
+    rng = np.random.default_rng(3)
+    nb, npr = 5000, 20000
+    bkey = jnp.asarray(rng.permutation(nb).astype(np.uint32))
+    bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
+    pkey = jnp.asarray(rng.integers(0, nb * 2, npr).astype(np.uint32))
+    v, h = jax.jit(lookup_join_sorted)(bkey, bval, pkey)
+    lut = np.zeros(nb * 2, np.float32)
+    lut[np.asarray(bkey)] = np.asarray(bval)
+    present = np.zeros(nb * 2, bool)
+    present[np.asarray(bkey)] = True
+    exp_h = present[np.asarray(pkey)]
+    assert np.array_equal(np.asarray(h), exp_h)
+    assert np.allclose(np.asarray(v), np.where(exp_h, lut[np.asarray(pkey)],
+                                               0))
