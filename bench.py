@@ -281,6 +281,30 @@ def _run_benches(d: dict) -> None:
     d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
     d["join_rows_per_s"] = round(npr / t_join, 1)
 
+    # --- engine-level join e2e (BASELINE advanced-notebook pipeline:
+    # 2M orders x 1M users inner join -> group_by -> agg, host collect
+    # included) ---
+    _phase("engine join e2e")
+    n_ord, n_usr = 1 << 21, 1 << 20
+    odf = pl.DataFrame({
+        "user_id": np.asarray(rng.integers(0, n_usr, n_ord), np.int64),
+        "amount": np.asarray(rng.uniform(1, 500, n_ord), np.float32)})
+    udf = pl.DataFrame({
+        "user_id": np.asarray(rng.permutation(n_usr), np.int64),
+        "country": np.asarray(rng.integers(0, 30, n_usr), np.int32)})
+    ljf = (odf.lazy().join(udf.lazy(), on="user_id", how="inner")
+           .group_by("country")
+           .agg(pl.len().alias("n"), pl.col("amount").sum().alias("s")))
+    ljf.collect()  # compile
+    t_ej = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ljf.collect()
+        t_ej.append(time.perf_counter() - t0)
+    t_engine_join = float(np.median(t_ej))
+    d["engine_join_2m_x_1m_e2e_ms"] = round(t_engine_join * 1e3, 3)
+    d["engine_join_rows_per_s"] = round(n_ord / t_engine_join, 1)
+
 
 
 def main():

@@ -192,3 +192,45 @@ def test_lookup_join_sorted_oracle():
     assert np.array_equal(np.asarray(h), exp_h)
     assert np.allclose(np.asarray(v), np.where(exp_h, lut[np.asarray(pkey)],
                                                0))
+
+
+def test_m1_fast_path_differential():
+    # m:1 joins take the sort-native fast path; differential vs pandas
+    import pandas as pd
+    rng = np.random.default_rng(8)
+    n, m = 8000, 1500
+    orders = pl.DataFrame({
+        "uid": [None if rng.random() < 0.02 else int(v)
+                for v in rng.integers(0, 3000, n)],
+        "amt": rng.uniform(1, 100, n).round(2).tolist()})
+    users = pl.DataFrame({
+        "uid": rng.choice(3000, m, replace=False).tolist(),
+        "cc": [None if rng.random() < 0.1 else c
+               for c in rng.choice(["CH", "DE", "FR"], m)],
+        "score": rng.normal(0, 1, m).round(4).tolist(),
+        "vip": (rng.random(m) > 0.8).tolist(),
+        "n64": rng.integers(-2**40, 2**40, m).tolist()})
+    for how in ("inner", "left"):
+        out = orders.join(users, on="uid", how=how)
+        ref = pd.DataFrame(orders.to_dict()).merge(
+            pd.DataFrame(users.to_dict()), on="uid", how=how)
+        assert out.height == len(ref)
+        oc = out.sort(["uid", "amt"], nulls_last=True).to_dict()
+        rc = ref.sort_values(["uid", "amt"], na_position="last")
+        assert np.allclose(
+            [np.nan if x is None else x for x in oc["score"]],
+            rc["score"].values, equal_nan=True)
+        assert [x for x in oc["cc"]] == \
+            [None if (isinstance(x, float) and np.isnan(x)) else x
+             for x in rc["cc"].values]
+        assert [x for x in oc["n64"]] == \
+            [None if np.isnan(x) else int(x) for x in rc["n64"].values]
+        exp_vip = [None if (isinstance(x, float) and np.isnan(x)) else
+                   bool(x) for x in rc["vip"].values]
+        assert oc["vip"] == exp_vip
+    # m:1 with multi-key + suffix collision
+    l2 = pl.DataFrame({"a": [1, 2, 1], "b": ["x", "y", "y"], "v": [1, 2, 3]})
+    r2 = pl.DataFrame({"a": [1, 1], "b": ["x", "y"], "v": [10, 20]})
+    got = l2.join(r2, on=["a", "b"], how="left").sort("v").to_dict()
+    assert got == {"a": [1, 2, 1], "b": ["x", "y", "y"], "v": [1, 2, 3],
+                   "v_right": [10, None, 20]}
