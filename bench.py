@@ -220,6 +220,12 @@ def _run_benches(d: dict) -> None:
     t_read = min(t_read, time.perf_counter() - t0)
     d["parquet_read_ms"] = round(t_read * 1e3, 3)
     d["parquet_read_mb_per_s"] = round(pq_bytes / t_read / 1e6, 1)
+    # breakdown: host-side decode vs host->device upload (the upload
+    # rides the axon tunnel here; on local TPU hardware it is PCIe DMA)
+    import pyarrow.parquet as _pq
+    t0 = time.perf_counter()
+    _pq.read_table(pq_path)
+    d["parquet_host_decode_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
 
     _phase("compiling op_filter")
     # --- operator microbenches ---
