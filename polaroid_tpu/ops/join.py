@@ -33,7 +33,9 @@ from ..strings import NULL_CODE
 from . import compact as Cp
 from .groupby import _seg_max, _seg_min, _seg_sum
 from .search import searchsorted
-from .keycode import encode_key_words, lex_sort_indices
+from .keycode import (col_from_u32_words as _col_from_u32_words,
+                      col_to_u32_words as _col_u32_words,
+                      encode_key_words, lex_sort_indices)
 
 __all__ = ["join_tables", "cross_join", "lookup_join_sorted"]
 
@@ -468,41 +470,6 @@ def cross_join(left: Table, right: Table, suffix: str = "_right") -> Table:
         names.append(name)
         cols[name] = R.cols[n].take(j)
     return Table(names, cols, capO, total, None)
-
-
-def _col_u32_words(data) -> list:
-    """Reinterpret a 1-D column buffer as 1 or 2 uint32 word arrays."""
-    dt = data.dtype
-    if dt == jnp.bool_:
-        return [data.astype(jnp.uint32)]
-    if dt.itemsize <= 4:
-        if dt.itemsize < 4:
-            data = data.astype(
-                jnp.int32 if jnp.issubdtype(dt, jnp.signedinteger)
-                else jnp.uint32)
-        u = jax.lax.bitcast_convert_type(
-            data, jnp.uint32 if data.dtype.itemsize == 4 else data.dtype)
-        if u.dtype != jnp.uint32:
-            u = u.astype(jnp.uint32)
-        return [u]
-    u = jax.lax.bitcast_convert_type(data, jnp.uint64)
-    return [(u >> jnp.uint64(32)).astype(jnp.uint32),
-            (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
-
-
-def _col_from_u32_words(words, stor):
-    """Inverse of _col_u32_words for a target numpy storage dtype."""
-    stor = jnp.dtype(stor)
-    if len(words) == 2:
-        u = (words[0].astype(jnp.uint64) << jnp.uint64(32)) | \
-            words[1].astype(jnp.uint64)
-        return jax.lax.bitcast_convert_type(u, stor)
-    w = words[0]
-    if stor == jnp.bool_:
-        return w != 0
-    if stor.itemsize < 4:
-        return w.astype(stor)
-    return jax.lax.bitcast_convert_type(w, stor)
 
 
 def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,

@@ -147,3 +147,38 @@ def unpack_keys_single_word(packed, bits: Sequence[int]):
         out.append((packed >> jnp.uint64(shift)) & mask)
         shift += b
     return list(reversed(out))
+
+
+def col_to_u32_words(data) -> list:
+    """Reinterpret a 1-D column buffer as 1 or 2 uint32 word arrays."""
+    dt = data.dtype
+    if dt == jnp.bool_:
+        return [data.astype(jnp.uint32)]
+    if dt.itemsize <= 4:
+        if dt.itemsize < 4:
+            data = data.astype(
+                jnp.int32 if jnp.issubdtype(dt, jnp.signedinteger)
+                else jnp.uint32)
+        u = jax.lax.bitcast_convert_type(
+            data, jnp.uint32 if data.dtype.itemsize == 4 else data.dtype)
+        if u.dtype != jnp.uint32:
+            u = u.astype(jnp.uint32)
+        return [u]
+    u = jax.lax.bitcast_convert_type(data, jnp.uint64)
+    return [(u >> jnp.uint64(32)).astype(jnp.uint32),
+            (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
+
+
+def col_from_u32_words(words, stor):
+    """Inverse of _col_u32_words for a target numpy storage dtype."""
+    stor = jnp.dtype(stor)
+    if len(words) == 2:
+        u = (words[0].astype(jnp.uint64) << jnp.uint64(32)) | \
+            words[1].astype(jnp.uint64)
+        return jax.lax.bitcast_convert_type(u, stor)
+    w = words[0]
+    if stor == jnp.bool_:
+        return w != 0
+    if stor.itemsize < 4:
+        return w.astype(stor)
+    return jax.lax.bitcast_convert_type(w, stor)

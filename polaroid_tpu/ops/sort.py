@@ -45,12 +45,69 @@ def sort_table(table: Table, key_vals, descending, nulls_last,
     if not key_vals:
         raise ShapeError("sort requires at least one key")
     mask = table.row_mask()
-    perm = sort_perm(key_vals, descending, nulls_last, mask, maintain_order)
     count = jnp.sum(mask)
-    out = C.gather_table(table, perm, None, None)
+    flat = all(c.lengths is None and c.fields is None
+               for c in table.cols.values())
+    import os
+    carry = os.environ.get("PT_SORT_CARRY")
+    use_carry = flat and (carry == "1" or
+                          (carry != "0" and
+                           jax.default_backend() != "cpu"))
+    if use_carry:
+        out = _sort_table_carried(table, key_vals, descending, nulls_last,
+                                  maintain_order, mask)
+    else:
+        perm = sort_perm(key_vals, descending, nulls_last, mask,
+                         maintain_order)
+        out = C.gather_table(table, perm, None, None)
     # live rows are now a prefix; express as a mask to avoid a host sync
     live = jnp.arange(table.capacity) < count
     return out.with_valid(live, table.nrows)
+
+
+def _sort_table_carried(table: Table, key_vals, descending, nulls_last,
+                        maintain_order: bool, mask) -> Table:
+    """Sort with every column carried THROUGH the sort as tail operands
+    instead of gathered by the permutation afterwards. On TPU a random
+    gather costs ~8.7ns/element while sorted words move at
+    ~1.3ns/row/word, so carrying an N-column table through one multi-
+    operand `lax.sort` beats N permutation gathers ~3-6x (the same
+    doctrine as the m:1 join fill, ARCHITECTURE.md)."""
+    from .keycode import col_from_u32_words, col_to_u32_words
+    from ..batch import Column, storage_numpy_dtype
+    cap = mask.shape[0]
+    words: List[jax.Array] = [(~mask).astype(jnp.uint32)]
+    for v, d, nl in zip(key_vals, descending, nulls_last):
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        validity = v.validity
+        if validity is not None and validity.shape[0] != cap:
+            validity = jnp.broadcast_to(validity, (cap,))
+        words.extend(encode_key_words(data, validity, d, nl))
+    tails, layout = [], []
+    for n in table.names:
+        c = table.cols[n]
+        ws = col_to_u32_words(c.data)
+        hasv = c.validity is not None
+        if hasv:
+            ws.append(c.validity.astype(jnp.uint32))
+        layout.append((n, c, len(ws) - int(hasv), hasv))
+        tails.extend(ws)
+    outs = jax.lax.sort(tuple(words) + tuple(tails), num_keys=len(words),
+                        is_stable=maintain_order)
+    sorted_tails = list(outs[len(words):])
+    cols = {}
+    wi = 0
+    for n, c, nwords, hasv in layout:
+        data = col_from_u32_words(sorted_tails[wi:wi + nwords],
+                                  storage_numpy_dtype(c.dtype))
+        wi += nwords
+        validity = None
+        if hasv:
+            validity = sorted_tails[wi] != 0
+            wi += 1
+        cols[n] = Column(c.dtype, data, validity, c.sdict)
+    return Table(list(table.names), cols, cap, None, None)
 
 
 def top_k_table(table: Table, key_vals, k: int, descending, nulls_last) -> Table:
