@@ -17,6 +17,8 @@ hash tables that need dynamic allocation.
 
 from __future__ import annotations
 
+import functools
+
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -63,6 +65,32 @@ def _unify_keys(lv: List[Val], rv: List[Val]):
         lo.append(a)
         ro.append(b)
     return lo, ro
+
+
+@jax.jit
+def _merged_sort_stats(words, side_idx):
+    """Merged lex sort + per-group side counts, as ONE compiled program
+    (remote-dispatch-friendly). Returns the sorted-layout arrays the
+    join paths consume plus max right-count (the m:1 detector)."""
+    capT = side_idx.shape[0]
+    skeys, tails, perm = lex_sort_indices(list(words), (side_idx,))
+    s_sideidx = tails[0]
+    s_dead = skeys[0]
+    s_tag = skeys[-1]
+    live_sorted = s_dead == 0
+    idx = jnp.arange(capT)
+    newgrp = idx == 0
+    for w in skeys[1:-1]:
+        newgrp = newgrp | (w != jnp.roll(w, 1))
+    newgrp = newgrp & live_sorted
+    gid = jnp.where(live_sorted, jnp.cumsum(newgrp.astype(jnp.int32)) - 1,
+                    capT)
+    cl = _seg_sum(jnp.where(live_sorted & (s_tag == 0), 1, 0), gid, capT)
+    cr = _seg_sum(jnp.where(live_sorted & (s_tag == 1), 1, 0), gid, capT)
+    group_start = _seg_min(
+        jnp.where(live_sorted, idx, capT).astype(jnp.int32), gid, capT)
+    return (s_sideidx, s_tag, live_sorted, gid, cl, cr, group_start, perm,
+            jnp.max(cr))
 
 
 def join_tables(left: Table, right: Table, left_on: Sequence[str],
@@ -153,21 +181,11 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
                                 jnp.arange(capR, dtype=jnp.int32)])
 
     words = [dead] + keywords + [tag]
-    skeys, tails, perm = lex_sort_indices(words, (side_idx,))
-    s_sideidx = tails[0]
-    s_dead = skeys[0]
-    s_tag = skeys[-1]
-    live_sorted = s_dead == 0
-    idx = jnp.arange(capT)
-    newgrp = idx == 0
-    for w in skeys[1:-1]:
-        newgrp = newgrp | (w != jnp.roll(w, 1))
-    newgrp = newgrp & live_sorted
-    gid = jnp.where(live_sorted, jnp.cumsum(newgrp.astype(jnp.int32)) - 1, capT)
-    cl = _seg_sum(jnp.where(live_sorted & (s_tag == 0), 1, 0), gid, capT)
-    cr = _seg_sum(jnp.where(live_sorted & (s_tag == 1), 1, 0), gid, capT)
-    group_start = _seg_min(jnp.where(live_sorted, idx, capT).astype(jnp.int32),
-                           gid, capT)
+    # one jitted program for sort + group stats: through the remote
+    # tunnel every eager op pays a dispatch RTT, so the whole phase
+    # compiles once (cached per word-count/shape) and dispatches once
+    (s_sideidx, s_tag, live_sorted, gid, cl, cr, group_start, perm,
+     max_cr) = _merged_sort_stats(tuple(words), side_idx)
 
     # m:1 fast path (TPU): when every key group has at most one right
     # row (the orders-join-users shape), the output aligns with LEFT
@@ -176,7 +194,7 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
     # gathers cost ~8.7ns/elem on this chip vs ~1.3ns/row/word sorted).
     if how in ("inner", "left") and \
             all(right.cols[n].lengths is None and right.cols[n].fields is None
-                for n in right.names) and int(jnp.max(cr)) <= 1:
+                for n in right.names) and int(max_cr) <= 1:
         return _m1_join_fast(left, right, left_on, right_on, how, suffix,
                              coalesce, gid, live_sorted, s_tag, s_sideidx,
                              perm, capT)
@@ -472,50 +490,24 @@ def cross_join(left: Table, right: Table, suffix: str = "_right") -> Table:
     return Table(names, cols, capO, total, None)
 
 
-def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,
-                  suffix: str, coalesce: bool, gid, live_sorted, s_tag,
-                  s_sideidx, perm, capT: int) -> Table:
-    """Inner/left join when right keys are unique per group: output rows
-    ARE the left rows (original order preserved), right payloads arrive
-    via sort + cummax forward-fill — zero random gathers (TPU: gathers
-    are ~7x costlier per element than sorted words; see
-    lookup_join_sorted). Steps:
-
-      1. one 2-operand sort inverts the merged-sort permutation;
-      2. one sort drops every right payload word into sorted-slot order;
-      3. per word, a reversed cummax over (monotone right-row counter |
-         word) forward-fills the run's single right row onto its left
-         rows (right rows sort after left rows within a run);
-      4. one writeback sort by original left row index.
-    """
-    capL, capR = left.capacity, right.capacity
+@functools.partial(jax.jit, static_argnums=(0,))
+def _m1_fill(capL: int, gid, live_sorted, s_tag, s_sideidx, perm, r_words):
+    """Device core of the m:1 fast path as ONE compiled program (see
+    _m1_join_fast for the algorithm). r_words are the right columns'
+    u32 words at right capacity; returns (hit, filled words) aligned
+    with original left rows."""
+    capT = gid.shape[0]
     idxT = jnp.arange(capT, dtype=jnp.int32)
     # 1. inverse permutation: inv[concat_row] = sorted slot
     _, inv = jax.lax.sort((perm.astype(jnp.int32), idxT), num_keys=1)
-
-    # right payload columns (minus coalesced keys)
-    r_names = [n for n in right.names
-               if not (coalesce and n in right_on)]
-    concat_words, layout = [], []
-    for n in r_names:
-        c = right.cols[n]
-        ws = _col_u32_words(c.data)
-        pad = jnp.zeros(capL, jnp.uint32)
-        ws = [jnp.concatenate([pad, w]) for w in ws]
-        hasv = c.validity is not None
-        if hasv:
-            ws.append(jnp.concatenate(
-                [pad, c.validity.astype(jnp.uint32)]))
-        layout.append((n, c, len(ws) - int(hasv), hasv))
-        concat_words.extend(ws)
-
+    pad = jnp.zeros(capL, jnp.uint32)
+    concat_words = [jnp.concatenate([pad, w]) for w in r_words]
     # 2. into sorted-slot order (single-word key sort)
     if concat_words:
         sorted_ws = jax.lax.sort((inv,) + tuple(concat_words),
                                  num_keys=1)[1:]
     else:
         sorted_ws = ()
-
     # 3. reversed forward-fill: right row is LAST in its run
     isr = live_sorted & (s_tag == 1)
     risr = isr[::-1]
@@ -533,7 +525,6 @@ def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,
         f = jax.lax.cummax(pack)
         filled.append((f & jnp.uint64(0xFFFFFFFF)
                        ).astype(jnp.uint32)[::-1])
-
     # 4. writeback: every left row appears exactly once; right rows dump
     wb_key = jnp.where(s_tag == 0, s_sideidx, capL).astype(jnp.int32)
     outs = jax.lax.sort(
@@ -541,6 +532,42 @@ def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,
         num_keys=1)
     hit = jax.lax.slice_in_dim(outs[1], 0, capL) != 0
     fills = [jax.lax.slice_in_dim(o, 0, capL) for o in outs[2:]]
+    return hit, tuple(fills)
+
+
+def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,
+                  suffix: str, coalesce: bool, gid, live_sorted, s_tag,
+                  s_sideidx, perm, capT: int) -> Table:
+    """Inner/left join when right keys are unique per group: output rows
+    ARE the left rows (original order preserved), right payloads arrive
+    via sort + cummax forward-fill — zero random gathers (TPU: gathers
+    are ~7x costlier per element than sorted words; see
+    lookup_join_sorted). Steps:
+
+      1. one 2-operand sort inverts the merged-sort permutation;
+      2. one sort drops every right payload word into sorted-slot order;
+      3. per word, a reversed cummax over (monotone right-row counter |
+         word) forward-fills the run's single right row onto its left
+         rows (right rows sort after left rows within a run);
+      4. one writeback sort by original left row index.
+    """
+    capL, capR = left.capacity, right.capacity
+
+    # right payload columns (minus coalesced keys), split into u32 words
+    r_names = [n for n in right.names
+               if not (coalesce and n in right_on)]
+    r_words, layout = [], []
+    for n in r_names:
+        c = right.cols[n]
+        ws = _col_u32_words(c.data)
+        hasv = c.validity is not None
+        if hasv:
+            ws.append(c.validity.astype(jnp.uint32))
+        layout.append((n, c, len(ws) - int(hasv), hasv))
+        r_words.extend(ws)
+
+    hit, fills = _m1_fill(capL, gid, live_sorted, s_tag, s_sideidx, perm,
+                          tuple(r_words))
 
     names, cols = list(left.names), dict(left.cols)
     lnames = set(left.names)
