@@ -31,6 +31,48 @@ def gather_table(table: Table, perm: jax.Array, nrows: Optional[int],
     return Table(list(table.names), cols, table.capacity, nrows, valid)
 
 
+def _carry_prefix(table: Table, mask, nrows: Optional[int],
+                  valid: Optional[jax.Array]) -> Optional[Table]:
+    """Move live rows to a stable front prefix with ONE multi-operand
+    lax.sort carrying every column word (the sort-as-compaction doctrine:
+    TPU random gathers cost ~8.7ns/elem vs ~1.3ns/row/word sorted).
+    Returns None when a column is nested (caller falls back to gathers)
+    or on CPU (gathers are free there)."""
+    import os
+    carry = os.environ.get("PT_SORT_CARRY")
+    if carry == "0" or (carry != "1" and jax.default_backend() == "cpu"):
+        return None
+    if any(c.lengths is not None or c.fields is not None
+           for c in table.cols.values()):
+        return None
+    from ..batch import storage_numpy_dtype
+    from .keycode import col_from_u32_words, col_to_u32_words
+    tails, layout = [], []
+    for n in table.names:
+        c = table.cols[n]
+        ws = col_to_u32_words(c.data)
+        hasv = c.validity is not None
+        if hasv:
+            ws.append(c.validity.astype(jnp.uint32))
+        layout.append((n, c, len(ws) - int(hasv), hasv))
+        tails.extend(ws)
+    outs = jax.lax.sort(((~mask).astype(jnp.uint32),) + tuple(tails),
+                        num_keys=1, is_stable=True)
+    sorted_tails = list(outs[1:])
+    cols = {}
+    wi = 0
+    for n, c, nwords, hasv in layout:
+        data = col_from_u32_words(sorted_tails[wi:wi + nwords],
+                                  storage_numpy_dtype(c.dtype))
+        wi += nwords
+        validity = None
+        if hasv:
+            validity = sorted_tails[wi] != 0
+            wi += 1
+        cols[n] = Column(c.dtype, data, validity, c.sdict)
+    return Table(list(table.names), cols, table.capacity, nrows, valid)
+
+
 def _map_axis0(c: Column, fn) -> Column:
     """Apply an axis-0 structural transform to every per-row array of a
     column (data/validity/lengths/elem_valid; struct fields recursively)."""
@@ -67,8 +109,9 @@ def compact(table: Table) -> Table:
     # the fused probe beats re-sorting every column
     if prefix:
         return table.with_valid(None, n)
-    perm = compact_perm(mask)
-    out = gather_table(table, perm, n, None)
+    out = _carry_prefix(table, mask, n, None)
+    if out is None:
+        out = gather_table(table, compact_perm(mask), n, None)
     return out
 
 
@@ -76,9 +119,10 @@ def compact_device(table: Table):
     """Device-only compaction: returns (table-with-live-prefix, count) where
     count stays on device (no host sync). Used inside fused pipelines."""
     mask = table.row_mask()
-    perm = compact_perm(mask)
     count = jnp.sum(mask)
-    out = gather_table(table, perm, None, None)
+    out = _carry_prefix(table, mask, None, None)
+    if out is None:
+        out = gather_table(table, compact_perm(mask), None, None)
     return out, count
 
 

@@ -88,3 +88,20 @@ def test_sort_dates():
     d = [dt.date(2024, 3, 1), dt.date(2023, 1, 5), dt.date(2025, 7, 9)]
     df = pl.DataFrame({"d": d})
     assert df.sort("d").to_dict() == {"d": sorted(d)}
+
+
+def test_compact_carried_matches_gather(monkeypatch):
+    rng = np.random.default_rng(10)
+    n = 3000
+    df = pl.DataFrame({
+        "k": rng.integers(0, 50, n).tolist(),
+        "s": rng.choice(["p", "q"], n).tolist(),
+        "f": [None if rng.random() < 0.1 else float(v)
+              for v in rng.normal(0, 1, n).round(4)],
+    })
+    pred = pl.col("k") % 3 == 1
+    monkeypatch.setenv("PT_SORT_CARRY", "1")
+    a = df.filter(pred).to_dict()
+    monkeypatch.setenv("PT_SORT_CARRY", "0")
+    b = df.filter(pred).to_dict()
+    assert a == b
