@@ -257,3 +257,69 @@ def test_fuzz_window_over_oracle(seed):
         assert (a is None and np.isnan(b)) or abs(a - b) < 1e-9
     assert np.allclose(out["mean"], gb.transform("mean").to_numpy(),
                        atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_join_m1_vs_pandas(seed):
+    """Randomized m:1 and m:m joins vs pandas (covers the sort-native
+    m:1 fast path and the generic expansion on the same seeds)."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(200, 3000))
+    m = int(rng.integers(50, 800))
+    dom = int(rng.integers(m, m * 3))
+    how = ["inner", "left"][seed % 2]
+    unique_right = seed % 3 != 0
+    left = {
+        "k": [None if rng.random() < 0.03 else int(v)
+              for v in rng.integers(0, dom, n)],
+        "v": [float(x) for x in np.round(rng.normal(0, 10, n), 3)],
+        "t": [f"s{i}" for i in rng.integers(0, 7, n)],
+    }
+    if unique_right:
+        rk = rng.choice(dom, m, replace=False)
+    else:
+        rk = rng.integers(0, dom, m)
+    right = {
+        "k": [int(v) for v in rk],
+        "w": [None if rng.random() < 0.1 else float(x)
+              for x in np.round(rng.uniform(0, 1, m), 4)],
+        "u": [f"u{i}" for i in rng.integers(0, 5, m)],
+    }
+    out = pl.DataFrame(left).join(pl.DataFrame(right), on="k", how=how)
+    ref = pd.DataFrame(left).merge(pd.DataFrame(right), on="k", how=how)
+    assert out.height == len(ref), (how, unique_right)
+    oc = out.sort(["k", "v", "w"], nulls_last=True).to_dict()
+    rc = ref.sort_values(["k", "v", "w"], na_position="last", kind="stable")
+    assert np.allclose(
+        [np.nan if x is None else x for x in oc["v"]], rc["v"].values,
+        equal_nan=True)
+    assert np.allclose(
+        [np.nan if x is None else x for x in oc["w"]],
+        rc["w"].astype(float).values, equal_nan=True)
+    got_u = oc["u"]
+    exp_u = [None if (isinstance(x, float) and np.isnan(x)) else x
+             for x in rc["u"].values]
+    assert got_u == exp_u
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_over_order_by(seed):
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(100, 1500))
+    df = pl.DataFrame({
+        "g": [f"g{i}" for i in rng.integers(0, 12, n)],
+        "t": [int(v) for v in rng.integers(0, 10_000, n)],
+        "x": [float(v) for v in np.round(rng.normal(0, 5, n), 3)],
+    })
+    out = df.with_columns(
+        pl.col("x").cum_sum().over("g", order_by="t").alias("cs"),
+        pl.col("x").shift(1).over("g", order_by="t").alias("sh"),
+    ).to_dict()
+    p = pd.DataFrame(df.to_dict())
+    s = p.sort_values(["g", "t"], kind="stable")
+    s["cs"] = s.groupby("g")["x"].cumsum()
+    s["sh"] = s.groupby("g")["x"].shift(1)
+    joined = p.join(s[["cs", "sh"]])
+    assert np.allclose(out["cs"], joined["cs"].values)
+    got = [np.nan if v is None else v for v in out["sh"]]
+    assert np.allclose(got, joined["sh"].values, equal_nan=True)
