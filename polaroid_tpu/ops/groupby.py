@@ -1265,23 +1265,24 @@ def unique_table(table: Table, subset: Optional[Sequence[str]],
         c = table.column(n)
         key_vals.append(Val(c.dtype, c.data, c.validity, c.sdict, False))
     gctx = build_groups(key_vals, mask)
-    idx = jnp.arange(cap, dtype=jnp.int32)
+    # representatives directly in the sorted layout: the stable group
+    # sort keeps original order within a run, so run start == first
+    # occurrence and run end == last. Writeback to original row order is
+    # a 2-operand sort by the permutation (sort-as-scatter; TPU boolean
+    # scatters at table size serialize).
     if keep in ("any", "first"):
-        pos = _seg_min(jnp.where(gctx.live_sorted, idx, cap).astype(jnp.int32),
-                       gctx.gid, cap)
+        is_rep = gctx.newgrp
     elif keep == "last":
-        pos = _seg_max(jnp.where(gctx.live_sorted, idx, -1).astype(jnp.int32),
-                       gctx.gid, cap)
+        run_end = jnp.concatenate(
+            [gctx.newgrp[1:], jnp.ones(1, jnp.bool_)]) | ~jnp.concatenate(
+                [gctx.live_sorted[1:], jnp.zeros(1, jnp.bool_)])
+        is_rep = run_end & gctx.live_sorted
     elif keep == "none":
-        pos = jnp.where(gctx.group_count == 1, gctx.group_start, cap)
+        cnt_row = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+        is_rep = gctx.newgrp & (cnt_row == 1)
     else:
         raise ComputeError(f"invalid keep strategy {keep!r}")
-    posc = jnp.clip(pos, 0, cap - 1)
-    rep_orig = gctx.perm[posc]
-    in_range = (pos >= 0) & (pos < cap) & (gctx.group_count > 0)
-    if keep == "none":
-        in_range = in_range & (gctx.group_count == 1)
-    sel = jnp.zeros(cap + 1, jnp.bool_).at[
-        jnp.where(in_range, rep_orig, cap)].set(True)
-    sel = jax.lax.slice_in_dim(sel, 0, cap)
-    return table.with_valid(sel & mask, None)
+    _, sel_w = jax.lax.sort(
+        (gctx.perm.astype(jnp.int32), is_rep.astype(jnp.uint32)),
+        num_keys=1)
+    return table.with_valid((sel_w != 0) & mask, None)

@@ -204,10 +204,11 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
         flag_row = has_match[jnp.clip(gid, 0, capT - 1)]
         want = flag_row if how == "semi" else ~flag_row
         lsel = want & live_sorted & (s_tag == 0)
-        # scatter back to original left rows
-        tgt = jnp.where(lsel, s_sideidx, capL)
-        sel = jnp.zeros(capL + 1, jnp.bool_).at[tgt].set(True)
-        sel = jax.lax.slice_in_dim(sel, 0, capL)
+        # writeback to original left rows via sort (TPU boolean scatters
+        # at table size serialize); right rows dump past capL
+        wb = jnp.where(s_tag == 0, s_sideidx, capL).astype(jnp.int32)
+        _, sel_w = jax.lax.sort((wb, lsel.astype(jnp.uint32)), num_keys=1)
+        sel = jax.lax.slice_in_dim(sel_w, 0, capL) != 0
         # anti join also keeps left rows that were masked out by null keys
         if how == "anti" and not join_nulls:
             sel = sel | (left.row_mask() & ~lmask)
