@@ -1457,8 +1457,10 @@ def _rolling_order_by(e: Expr, v: Val, x, xv, back, lo, hi, idx, cnt,
     maxk = ~jnp.zeros((), u.dtype)  # all-ones: nulls/dead sort last
     u = jnp.where(xv, u, maxk)
     order = jnp.argsort(u, stable=True)
-    rank = jnp.zeros(cap, jnp.int32).at[order].set(
-        jnp.arange(cap, dtype=jnp.int32))
+    # inverse permutation via sort (TPU scatters serialize)
+    _, rank = jax.lax.sort(
+        (order.astype(jnp.int32), jnp.arange(cap, dtype=jnp.int32)),
+        num_keys=1)
     tables = build_wavelet(rank)
     # empty windows (dead rows, closed='left'/'none') get a dummy
     # non-empty range; their outputs are masked invalid anyway
@@ -1614,11 +1616,10 @@ def _rank(e: Expr, v: Val, x, xv, count, back) -> Val:
         r = gid.astype(jnp.float32)
     else:  # average
         r = (start + gend).astype(jnp.float32) / 2 + 1
-    out = jnp.zeros(cap, dtype=r.dtype).at[si].set(r)
+    # writeback via sort (TPU scatters serialize)
+    _, out = jax.lax.sort((si.astype(jnp.int32), r), num_keys=1)
     from ..dtypes import UInt32 as U32, Float64 as F64
     out_dt = F64 if method == "average" else U32
-    outv = xv
-    out_validity = jnp.zeros(cap, jnp.bool_).at[si].set(xv[si] if False else True)
     # validity: null stays null
     validity = xv
     data = out.astype(_stor(out_dt))
@@ -3933,19 +3934,25 @@ def _eval_distinct_flags(e: Expr, table: Table, ctx: str) -> Val:
         (dead, nullk, x, idx), num_keys=3, is_stable=True)
     newg = (jnp.arange(cap) == 0) | (sx != jnp.roll(sx, 1)) | \
         (sk1 != jnp.roll(sk1, 1)) | (sk0 != jnp.roll(sk0, 1))
-    gid = jnp.cumsum(newg.astype(jnp.int32)) - 1
-    counts = jnp.zeros(cap, jnp.int32).at[gid].add(1)
-    gcount = counts[gid]
+    # per-row run length from boundary positions (scatter-free)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    is_last = jnp.concatenate([newg[1:], jnp.ones(1, jnp.bool_)])
+    start_row = jax.lax.cummax(jnp.where(newg, pos, -1))
+    end_row = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_last, pos, cap + 1))))
+    gcount = end_row - start_row + 1
     if e.kind == "is_duplicated":
         flag = gcount > 1
     elif e.kind == "is_unique":
         flag = gcount == 1
     elif e.kind == "is_last_distinct":
-        flag = jnp.concatenate([newg[1:], jnp.ones(1, jnp.bool_)])
+        flag = is_last
     else:  # is_first_distinct
         flag = newg
-    out = jnp.zeros(cap, jnp.bool_).at[si].set(flag)
-    return Val(Boolean, out, None, None, False, v.live)
+    # writeback via sort (TPU scatters serialize)
+    _, out_w = jax.lax.sort(
+        (si.astype(jnp.int32), flag.astype(jnp.uint32)), num_keys=1)
+    return Val(Boolean, out_w != 0, None, None, False, v.live)
 
 
 def _eval_sort_by(e: Expr, table: Table, ctx: str) -> Val:

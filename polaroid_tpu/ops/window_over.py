@@ -441,7 +441,8 @@ def _rank_over(e: Expr, v: Val, x, xv, gctx: GroupContext, back):
         r = dense.astype(fdt)
     else:  # average
         r = (tie_start + tie_end).astype(fdt) / 2 + 1
-    out_sorted2 = jnp.zeros(cap, r.dtype).at[perm2].set(r)
+    # writeback via sort (TPU scatters serialize at table size)
+    _, out_sorted2 = jax.lax.sort((perm2.astype(jnp.int32), r), num_keys=1)
     out_dt = Float64 if method == "average" else UInt32
     data = out_sorted2.astype(_stor(out_dt))
     return back(data, xv, out_dt)
