@@ -447,6 +447,9 @@ def _materialize(plan: L.Plan) -> Table:
 
 
 def _stream_scan(plan: L.Scan) -> Iterator[Table]:
+    if plan.fmt == "csv":
+        yield from _stream_scan_csv(plan)
+        return
     if plan.fmt != "parquet":
         yield _materialize(plan)
         return
@@ -464,6 +467,33 @@ def _stream_scan(plan: L.Scan) -> Iterator[Table]:
         if residual is not None:
             from ..api.frame import DataFrame
             t = DataFrame._from_table(t).filter(residual)._table
+        if remaining is not None:
+            from ..ops.compact import slice_rows
+            n = t.count_rows()
+            if n >= remaining:
+                yield slice_rows(t, 0, remaining)
+                return
+            remaining -= n
+        yield t
+
+
+def _stream_scan_csv(plan: L.Scan) -> Iterator[Table]:
+    """Batched CSV scan: pyarrow's incremental reader, per-batch
+    predicate/projection (reference: polars-stream csv source)."""
+    from ..io.arrow_interop import table_from_arrow
+    from ..io.csv import scan_csv_batches
+    opts = {k: v for k, v in plan.options.items()
+            if k in ("has_header", "separator", "null_values")}
+    remaining = plan.n_rows
+    for at in scan_csv_batches(plan.source, batch_rows=CONFIG.batch_rows,
+                               **opts):
+        if plan.columns is not None:
+            at = at.select([c for c in plan.columns
+                            if c in at.column_names])
+        t = table_from_arrow(at)
+        if plan.predicate is not None:
+            from ..api.frame import DataFrame
+            t = DataFrame._from_table(t).filter(plan.predicate)._table
         if remaining is not None:
             from ..ops.compact import slice_rows
             n = t.count_rows()

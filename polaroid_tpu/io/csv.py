@@ -104,3 +104,33 @@ def write_csv(df, file=None, separator: str = ",",
         with open(str(file), "w", newline="") as f:
             f.write(out)
     return None
+
+
+def scan_csv_batches(source, batch_rows: int = 1 << 21,
+                     has_header: bool = True, separator: str = ",",
+                     null_values=None, **_kw):
+    """Stream a CSV file as arrow tables of ~batch_rows rows (pyarrow's
+    incremental reader; reference: polars-io streaming CSV source,
+    `polars-stream/src/nodes/io_sources/csv`)."""
+    read_opts = pacsv.ReadOptions(autogenerate_column_names=not has_header)
+    parse_opts = pacsv.ParseOptions(delimiter=separator)
+    conv = {}
+    if null_values is not None:
+        conv["null_values"] = ([null_values] if isinstance(null_values, str)
+                               else list(null_values))
+        conv["strings_can_be_null"] = True
+    reader = pacsv.open_csv(
+        str(source) if not hasattr(source, "read") else source,
+        read_options=read_opts, parse_options=parse_opts,
+        convert_options=pacsv.ConvertOptions(**conv))
+    buf, rows = [], 0
+    for batch in reader:
+        if batch.num_rows == 0:
+            continue
+        buf.append(batch)
+        rows += batch.num_rows
+        if rows >= batch_rows:
+            yield pa.Table.from_batches(buf)
+            buf, rows = [], 0
+    if buf:
+        yield pa.Table.from_batches(buf)

@@ -197,3 +197,21 @@ def test_io_gated_formats(tmp_path):
         pl.read_excel("x")
     with _pytest.raises(ModuleNotFoundError):
         pl.read_database("q", None)
+
+
+def test_streaming_csv_scan(tmp_path, monkeypatch):
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 400)
+    n = 3000
+    rng = np.random.default_rng(0)
+    df = pl.DataFrame({"a": rng.integers(0, 50, n).tolist(),
+                       "b": rng.normal(0, 1, n).round(4).tolist(),
+                       "s": rng.choice(["x", "y", "z"], n).tolist()})
+    p = str(tmp_path / "s.csv")
+    df.write_csv(p)
+    lf = pl.scan_csv(p).filter(pl.col("a") > 25).group_by("s").agg(
+        pl.len().alias("n"), pl.col("b").sum().alias("t")).sort("s")
+    a = lf.collect(engine="streaming").to_dict()
+    b = lf.collect(engine="in-memory").to_dict()
+    assert a["n"] == b["n"]
+    assert np.allclose(a["t"], b["t"])
+    assert pl.scan_csv(p).head(777).collect(engine="streaming").height == 777
