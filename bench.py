@@ -58,7 +58,13 @@ def _supervise() -> None:
         print(lines[-1] if lines else _wedge_json(), flush=True)
     except subprocess.TimeoutExpired:
         p.kill()
-        print(_wedge_json(), flush=True)
+        try:  # the child may have printed its JSON before stalling
+            out, _ = p.communicate(timeout=10)
+        except Exception:
+            out = ""
+        lines = [ln for ln in (out or "").splitlines()
+                 if ln.strip().startswith("{")]
+        print(lines[-1] if lines else _wedge_json(), flush=True)
     raise SystemExit(0)
 
 
@@ -108,8 +114,14 @@ def _bench(fn, args, iters=10, warmup=2):
     return max((total - fetch) / iters, 1e-9)
 
 
-def _device_selftest(timeout_s: float = 120.0) -> bool:
-    """Probe the device->host path with a watchdog."""
+_SELFTEST_THREAD = [None]
+
+
+def _device_selftest(timeout_s: float = 240.0) -> bool:
+    """Probe the device->host path with a watchdog. The thread handle is
+    kept so a failing run can WAIT for the in-flight readback instead of
+    exiting mid-grant (an exit while the probe holds a grant wedges the
+    tunnel for the NEXT run too — the failure mode compounds)."""
     ok = [False]
 
     def probe():
@@ -120,6 +132,7 @@ def _device_selftest(timeout_s: float = 120.0) -> bool:
             ok[0] = False
 
     t = threading.Thread(target=probe, daemon=True)
+    _SELFTEST_THREAD[0] = t
     t.start()
     t.join(timeout_s)
     return ok[0]
@@ -321,7 +334,13 @@ def main():
             "details": {"error": "device readback wedged (axon tunnel); "
                                  "no measurement possible",
                         "platform": jax.default_backend()}}), flush=True)
-        os._exit(0)  # probe thread may be hung in the tunnel runtime
+        # do NOT exit while the probe holds an in-flight grant: that
+        # wedges the tunnel for the NEXT attempt too. Wait for the
+        # readback to drain within the remaining budget, then exit.
+        t = _SELFTEST_THREAD[0]
+        if t is not None:
+            t.join(float(os.environ.get("PT_BENCH_BUDGET_S", "540")))
+        os._exit(0)
 
     budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
     shared: dict = {"platform": jax.default_backend(), "n_rows": N_ROWS}
