@@ -179,12 +179,61 @@ def _fit(arr, ncap, fill):
 
 
 def _seg_sorted(data, gid, ncap, op, ident):
+    """Per-group totals over a gid-sorted layout WITHOUT
+    jax.lax.associative_scan — custom-combiner scans generate programs
+    the axon remote compiler never returns from at multi-million-row
+    sizes (hard-won; see the verify skill). Primitive formulations:
+
+      add      cumsum differencing: total_g = s[end_g-1] - s[start_g-1]
+      min/max  cummax over (gid<<32 | orderable value word) packings —
+               gid is monotone in this layout, so the running max's low
+               bits inside segment g belong to segment g; 64-bit values
+               resolve hi then lo with a second masked pass
+    """
     newg, starts, ends, ngroups = _sorted_bounds(gid, ncap)
     cap = gid.shape[0]
     live = gid < ncap
+    e1 = jnp.clip(ends - 1, 0, cap - 1)
+    gvalid = jnp.arange(cap) < ngroups
+    if op is jnp.add:
+        acc = data.dtype
+        if acc == jnp.float32 and jax.config.jax_enable_x64:
+            acc = jnp.float64  # differencing error scales with the
+            # GLOBAL prefix magnitude; a wide accumulator keeps it at
+            # f64 eps (the engine's sum accumulators are f64 already)
+        s = jnp.cumsum(jnp.where(live, data, jnp.zeros((), data.dtype)
+                                 ).astype(acc))
+        lo = jnp.where(starts > 0, s[jnp.clip(starts - 1, 0, cap - 1)],
+                       jnp.zeros((), s.dtype))
+        out = jnp.where(gvalid, (s[e1] - lo).astype(data.dtype),
+                        jnp.asarray(ident, data.dtype))
+        return _fit(out, ncap, ident)
+    if op is jnp.minimum or op is jnp.maximum:
+        from .keycode import encode_orderable
+        is_min = op is jnp.minimum
+        x = jnp.where(live, data, jnp.asarray(ident, data.dtype))
+        u = encode_orderable(x, descending=is_min)  # max of u == op-best
+        g64 = jnp.where(live, gid, 0).astype(jnp.uint64)
+        if u.dtype.itemsize <= 4:
+            pack = (g64 << jnp.uint64(32)) | u.astype(jnp.uint64)
+            best_u = (jax.lax.cummax(pack)[e1] &
+                      jnp.uint64(0xFFFFFFFF))
+        else:
+            # 64-bit values: one extra 3-word sort puts each segment's
+            # largest encoding at its end (gid ascends; dead gid == ncap
+            # sorts past every live segment)
+            hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+            lo32 = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            _, bh, bl = jax.lax.sort(
+                (gid.astype(jnp.int32), hi, lo32), num_keys=3)
+            best_u = ((bh[e1].astype(jnp.uint64) << jnp.uint64(32)) |
+                      bl[e1].astype(jnp.uint64))
+        from .keycode import decode_orderable
+        val = decode_orderable(best_u, data.dtype, descending=is_min)
+        out = jnp.where(gvalid, val, jnp.asarray(ident, data.dtype))
+        return _fit(out, ncap, ident)
     scanned = _segscan(jnp.where(live, data, jnp.asarray(ident, data.dtype)),
                        newg, op)
-    e1 = jnp.clip(ends - 1, 0, cap - 1)
     out = jnp.where(jnp.arange(cap) < ngroups, scanned[e1],
                     jnp.asarray(ident, data.dtype))
     return _fit(out, ncap, ident)

@@ -182,3 +182,32 @@ def col_from_u32_words(words, stor):
     if stor.itemsize < 4:
         return w.astype(stor)
     return jax.lax.bitcast_convert_type(w, stor)
+
+
+def decode_orderable(u, dtype, descending: bool):
+    """Inverse of keycode.encode_orderable for a uint64/uint32-encoded
+    value (u already truncated to the dtype's width in the low bits)."""
+    import jax.lax as lax
+    stor = jnp.dtype(dtype)
+    if descending:
+        u = ~u  # encode_orderable(desc) is NOT of the ascending encoding
+    if stor.kind == "f":
+        if stor.itemsize == 8:
+            sign = (u >> jnp.uint64(63)) & jnp.uint64(1)
+            raw = jnp.where(sign == 1,
+                            u ^ (jnp.uint64(1) << jnp.uint64(63)), ~u)
+            return lax.bitcast_convert_type(raw, jnp.float64)
+        u32 = u.astype(jnp.uint32)
+        sign = (u32 >> jnp.uint32(31)) & jnp.uint32(1)
+        raw = jnp.where(sign == 1, u32 ^ (jnp.uint32(1) << jnp.uint32(31)),
+                        ~u32)
+        return lax.bitcast_convert_type(raw, jnp.float32)
+    if stor.kind == "u":
+        return u.astype(stor)
+    if stor.kind == "b":
+        return (u & jnp.uint64(1)) != 0
+    w = stor.itemsize * 8
+    udt = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32,
+           8: jnp.uint64}[stor.itemsize]
+    uu = u.astype(udt) ^ (jnp.asarray(1, udt) << jnp.asarray(w - 1, udt))
+    return lax.bitcast_convert_type(uu, stor)

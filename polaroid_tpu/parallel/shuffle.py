@@ -139,23 +139,23 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
         return gkey, outs, gvalid
     starts, ends, ngroups = _group_bounds(newg, live)
     g_arange = jnp.arange(cap, dtype=jnp.int32)
-    e1 = jnp.clip(ends - 1, 0, cap - 1)
     gcount = jnp.where(g_arange < ngroups, ends - starts, 0)
+    # primitive-op segment totals (groupby._seg_sorted: cumsum
+    # differencing / gid-packed cummax — NO associative_scan; custom-
+    # combiner scans generate programs the axon remote compiler never
+    # returns from at these sizes)
+    gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
+    from ..ops.groupby import _seg_max, _seg_min, _seg_sum
     outs = []
     for sv, agg in zip(svals, aggs):
         if agg == "count":
             outs.append(gcount)
         elif agg == "sum":
-            scanned = _segscan(jnp.where(live, sv, 0), newg, jnp.add)
-            outs.append(scanned[e1])
+            outs.append(_seg_sum(sv, gid, cap))
         elif agg == "min":
-            big = _ident(sv.dtype, "min")
-            scanned = _segscan(jnp.where(live, sv, big), newg, jnp.minimum)
-            outs.append(scanned[e1])
+            outs.append(_seg_min(sv, gid, cap))
         elif agg == "max":
-            small = _ident(sv.dtype, "max")
-            scanned = _segscan(jnp.where(live, sv, small), newg, jnp.maximum)
-            outs.append(scanned[e1])
+            outs.append(_seg_max(sv, gid, cap))
         else:
             raise ValueError(f"agg {agg}")
     gvalid = g_arange < ngroups

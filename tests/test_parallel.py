@@ -104,3 +104,61 @@ def test_graft_entry_singlechip():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_local_groupby_accel_branch_matches_cpu():
+    """The accelerator branch (primitive-op segment totals, no
+    associative_scan) must agree with the CPU segment_* branch."""
+    import unittest.mock as M
+    import jax.numpy as jnp
+    import polaroid_tpu.parallel.shuffle as SH
+    rng = np.random.default_rng(1)
+    n = 5000
+    key = jnp.asarray(rng.integers(0, 200, n).astype(np.uint64))
+    v1 = jnp.asarray(rng.normal(0, 10, n))
+    v2 = jnp.asarray(rng.integers(-100, 100, n))
+    valid = jnp.asarray(rng.random(n) > 0.1)
+    aggs = ["sum", "min", "max", "count"]
+    a = SH.local_groupby(key, [v1, v1, v2, v2], valid, aggs)
+    with M.patch.object(SH.jax, "default_backend", return_value="tpu"):
+        b = SH.local_groupby(key, [v1, v1, v2, v2], valid, aggs)
+    va, vb = np.asarray(a[2]), np.asarray(b[2])
+    assert (va == vb).all()
+    assert (np.asarray(a[0])[va] == np.asarray(b[0])[vb]).all()
+    for x, y in zip(a[1], b[1]):
+        assert np.allclose(np.asarray(x)[va], np.asarray(y)[vb])
+
+
+def test_seg_sorted_primitive_paths_oracle():
+    import jax.numpy as jnp
+    import polaroid_tpu.ops.groupby as G
+    import unittest.mock as M
+    rng = np.random.default_rng(0)
+    cap, ng = 4000, 37
+    gid_np = np.sort(rng.integers(0, ng, cap))
+    gid_np[-100:] = cap
+    gid = jnp.asarray(gid_np.astype(np.int32))
+    gids_live = sorted(set(gid_np[gid_np < cap].tolist()))
+    with M.patch.object(G, "_use_segscan", lambda: True):
+        for dt in (np.float32, np.float64, np.int32, np.int64, np.uint32,
+                   np.int16):
+            if np.issubdtype(dt, np.floating):
+                data = rng.normal(0, 100, cap).astype(dt)
+            else:
+                lo = -1000 if np.issubdtype(dt, np.signedinteger) else 0
+                data = rng.integers(lo, 1000, cap).astype(dt)
+            d = jnp.asarray(data)
+            for name, fn in (("sum", G._seg_sum), ("min", G._seg_min),
+                             ("max", G._seg_max)):
+                out = np.asarray(fn(d, gid, cap))
+                for slot, g in enumerate(gids_live):
+                    rows = data[gid_np == g]
+                    if name == "sum":
+                        exp = rows.astype(np.float64).sum() if \
+                            np.issubdtype(np.dtype(dt), np.floating) \
+                            else rows.sum()
+                        assert np.isclose(float(out[slot]), float(exp),
+                                          rtol=1e-6)
+                    else:
+                        exp = rows.min() if name == "min" else rows.max()
+                        assert out[slot] == exp, (dt, name, g)
