@@ -1050,6 +1050,19 @@ class DataFrame:
         from ..io.arrow_interop import table_to_arrow
         return table_to_arrow(self._table)
 
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule export (reference:
+        `py-polars/src/polars/dataframe/frame.py:1580`)."""
+        return self.to_arrow().__arrow_c_stream__(requested_schema)
+
+    def __dataframe__(self, nan_as_null: bool = False,
+                      allow_copy: bool = True):
+        """Dataframe-interchange-protocol export (reference:
+        `py-polars/src/polars/dataframe/frame.py:1001`), served by the
+        Arrow host representation."""
+        return self.to_arrow().__dataframe__(
+            nan_as_null=nan_as_null, allow_copy=allow_copy)
+
     def rows(self) -> List[tuple]:
         d = self._table.to_numpy_dict()
         names = list(d.keys())

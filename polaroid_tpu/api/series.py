@@ -271,12 +271,22 @@ class Series:
     def struct(self):
         return _SeriesNamespace(self, "struct")
 
+    @property
+    def ext(self):
+        return _SeriesNamespace(self, "ext")
+
     # --- introspection ---------------------------------------------------
     def len(self) -> int:
         return len(self)
 
     def chunk_lengths(self):
         return [len(self)]
+
+    def get_chunks(self):
+        """Chunks of this Series (reference:
+        `py-polars/src/polars/series/series.py:9115`); device columns are
+        single-chunk by design."""
+        return [self]
 
     def n_chunks(self) -> int:
         return 1
@@ -307,6 +317,13 @@ class Series:
     def to_arrow(self):
         import pyarrow as pa
         return pa.array(self.to_list())
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule export (reference:
+        `py-polars/src/polars/series/series.py:1600`)."""
+        import pyarrow as pa
+        arr = pa.chunked_array([self.to_arrow()])
+        return arr.__arrow_c_stream__(requested_schema)
 
     def equals(self, other: "Series") -> bool:
         return self.to_list() == other.to_list()

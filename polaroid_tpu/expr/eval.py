@@ -112,12 +112,28 @@ def _live_order(table: Table):
 # casting
 # ---------------------------------------------------------------------------
 
+def _rebrand_val(v: Val, dtype: DataType) -> Val:
+    """Same physical data under a different logical dtype (extension
+    wrap/unwrap — reference: polars ext_to/ext_storage expressions)."""
+    out = Val(dtype, v.data, v.validity, v.sdict, v.is_scalar, v.live,
+              v.lengths, v.elem_valid, v.fields)
+    return out
+
+
 def cast_val(v: Val, dtype: DataType, strict: bool = True,
              live_mask=None) -> Val:
     if isinstance(dtype, type) and issubclass(dtype, DataType):
         dtype = dtype()
     if v.dtype == dtype:
         return v
+    from ..dtypes import BaseExtension as _BaseExt
+    if isinstance(v.dtype, _BaseExt):
+        v = _rebrand_val(v, v.dtype.storage)
+        if v.dtype == dtype:
+            return v
+    if isinstance(dtype, _BaseExt):
+        inner = cast_val(v, dtype.storage, strict, live_mask)
+        return _rebrand_val(inner, dtype)
     src, dst = v.dtype, dtype
     if src.is_string and dst.is_string:
         if src.is_binary != dst.is_binary:
@@ -2952,6 +2968,31 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             dt = resolve_dtype(dt, dict(table.schema), cv.dtype)
         return cast_val(cv, dt, e.attrs.get("strict", True),
                         live_mask=lm)
+    if k == "ext_to":
+        # wrap storage-typed values in an extension dtype (reference:
+        # py-polars/src/polars/expr/ext.py:26 ExprExtensionNameSpace.to)
+        from ..dtypes import BaseExtension as _BaseExt
+        from ..datatype_expr import DataTypeExpr as _DTE, resolve_dtype
+        v = eval_expr(e.children[0], table, ctx)
+        dt = e.attrs["dtype"]
+        if isinstance(dt, _DTE):
+            dt = resolve_dtype(dt, dict(table.schema), v.dtype)
+        if not isinstance(dt, _BaseExt):
+            raise InvalidOperationError(
+                f"ext.to expects an extension dtype, got {dt!r}")
+        if v.dtype != dt.storage:
+            raise InvalidOperationError(
+                f"ext.to: input dtype {v.dtype!r} does not match storage "
+                f"type {dt.storage!r}")
+        return _rebrand_val(v, dt)
+    if k == "ext_storage":
+        # unwrap to the storage dtype; non-extension inputs pass through
+        # (reference: py-polars/src/polars/expr/ext.py:43 .storage)
+        from ..dtypes import BaseExtension as _BaseExt
+        v = eval_expr(e.children[0], table, ctx)
+        if isinstance(v.dtype, _BaseExt):
+            return _rebrand_val(v, v.dtype.storage)
+        return v
     if k == "binary":
         l = eval_expr(e.children[0], table, ctx)
         r = eval_expr(e.children[1], table, ctx)
@@ -3570,6 +3611,48 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
         return _eval_concat_str(e, table, ctx)
     if k == "struct":
         raise InvalidOperationError("struct dtype not supported yet")
+    if k == "map_groups_udf":
+        # map_groups/plugin UDF outside a group-by: the whole frame is a
+        # single group (reference: polars evaluates map_groups exprs in
+        # select context over the full column set)
+        from ..api.frame import DataFrame as _DF
+        from ..api.series import Series as _Series
+        from ..batch import Column as _Col
+        fn = e.attrs["fn"]
+        returns_scalar = e.attrs.get("returns_scalar", False)
+        series = []
+        for ci, c in enumerate(e.children):
+            v = eval_expr(c, table, ctx)
+            cap = table.capacity
+            data = v.data if (hasattr(v.data, "shape") and v.data.shape
+                              and v.data.shape[0] == cap) else \
+                jnp.broadcast_to(v.data, (cap,) + tuple(
+                    v.data.shape[1:] if hasattr(v.data, "shape") else ()))
+            validity = v.validity
+            if validity is not None and validity.shape[0] != cap:
+                validity = jnp.broadcast_to(validity, (cap,))
+            t1 = Table([f"x{ci}"],
+                       {f"x{ci}": _Col(v.dtype, data, validity, v.sdict,
+                                       lengths=v.lengths,
+                                       elem_valid=v.elem_valid,
+                                       fields=v.fields)},
+                       cap, table.nrows, v.live if v.live is not None
+                       else table.valid)
+            series.append(_DF._from_table(t1).get_column(f"x{ci}"))
+        out = fn(series)
+        if not isinstance(out, _Series):
+            out = _Series("", out if isinstance(out, (list, tuple))
+                          else [out])
+        if returns_scalar and len(out) == 1:
+            oc = out._col
+            return Val(oc.dtype, oc.data[:1], None if oc.validity is None
+                       else oc.validity[:1], oc.sdict, True)
+        oc = out.to_frame()._table
+        col = oc.column(oc.names[0])
+        col = col.take(jnp.arange(table.capacity))
+        return Val(col.dtype, col.data, col.validity, col.sdict, False,
+                   lengths=col.lengths, elem_valid=col.elem_valid,
+                   fields=col.fields)
     raise ComputeError(f"cannot evaluate expr kind {k!r}")
 
 

@@ -835,6 +835,55 @@ class Expr:
     def bin(self) -> "BinNamespace":
         return BinNamespace(self)
 
+    @property
+    def ext(self) -> "ExtNamespace":
+        return ExtNamespace(self)
+
+    def register_plugin(self, *, lib, symbol, args=None, kwargs=None,
+                        is_elementwise: bool = False,
+                        input_wildcard_expansion: bool = False,
+                        returns_scalar: bool = False,
+                        cast_to_supertypes: bool = False,
+                        pass_name_to_apply: bool = False,
+                        changes_length: bool = False) -> "Expr":
+        """Deprecated plugin hook (reference:
+        `py-polars/src/polars/expr/expr.py:11416`); forwards to
+        polaroid_tpu.plugins.register_plugin_function with self as the
+        first input expression."""
+        import warnings
+        warnings.warn(
+            "`register_plugin` is deprecated; use "
+            "`polaroid_tpu.plugins.register_plugin_function` instead.",
+            DeprecationWarning, stacklevel=2)
+        from ..plugins import register_plugin_function
+        return register_plugin_function(
+            plugin_path=lib, function_name=symbol,
+            args=[self, *(args or [])], kwargs=kwargs,
+            is_elementwise=is_elementwise,
+            input_wildcard_expansion=input_wildcard_expansion,
+            returns_scalar=returns_scalar,
+            cast_to_supertype=cast_to_supertypes,
+            pass_name_to_apply=pass_name_to_apply,
+            changes_length=changes_length)
+
+
+class ExtNamespace:
+    """Extension-dtype functions (reference:
+    `py-polars/src/polars/expr/ext.py:17` ExprExtensionNameSpace):
+    wrap storage values into an extension dtype and back."""
+
+    def __init__(self, e: Expr):
+        self._e = e
+
+    def to(self, dtype) -> Expr:
+        """Convert storage-typed input to the extension `dtype`."""
+        return Expr("ext_to", (self._e,), dtype=dtype)
+
+    def storage(self) -> Expr:
+        """Unwrap to the storage values; non-extension input passes
+        through unchanged."""
+        return Expr("ext_storage", (self._e,))
+
 
 class BinNamespace:
     """Binary (`bytes`) functions — host-side dictionary transforms +

@@ -278,6 +278,16 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if isinstance(dt, _DTE):
             return dt._resolve(schema, output_dtype(e.children[0], schema))
         return dt
+    if k == "ext_to":
+        dt = e.attrs["dtype"]
+        from ..datatype_expr import DataTypeExpr as _DTE
+        if isinstance(dt, _DTE):
+            return dt._resolve(schema, output_dtype(e.children[0], schema))
+        return dt
+    if k == "ext_storage":
+        from ..dtypes import BaseExtension as _BaseExt
+        ct = output_dtype(e.children[0], schema)
+        return ct.storage if isinstance(ct, _BaseExt) else ct
     if k == "binary":
         op = e.attrs["op"]
         lt_ = output_dtype(e.children[0], schema)

@@ -566,3 +566,71 @@ def test_list_item_bin_slice_name_map():
     assert d4.select(
         pl.col("s").name.map_fields(lambda n: n * 2)).unnest("s").columns == \
         ["aa", "bb"]
+
+
+def test_ext_namespace_and_cast():
+    # reference: py-polars/src/polars/expr/ext.py (to/storage),
+    # series/ext.py
+    MyExt = pl.Extension("point", pl.Float64)
+    df = pl.DataFrame({"a": [1.0, 2.0, None]})
+    wrapped = df.select(pl.col("a").ext.to(MyExt))
+    assert wrapped.schema["a"] == MyExt
+    back = df.select(pl.col("a").ext.to(MyExt).ext.storage())
+    assert back.schema["a"] == pl.Float64
+    assert back.to_dict()["a"] == [1.0, 2.0, None]
+    # cast to/from extension dtypes rebrands the same storage
+    assert df.select(pl.col("a").cast(MyExt)).schema["a"] == MyExt
+    # storage() on non-extension input passes through
+    assert df.select(pl.col("a").ext.storage()).schema["a"] == pl.Float64
+    # mismatched storage raises
+    with pytest.raises(Exception):
+        pl.DataFrame({"a": ["x"]}).select(pl.col("a").ext.to(MyExt))
+    # Series namespace
+    s = pl.Series("a", [1.0, 2.0])
+    s2 = s.ext.to(MyExt)
+    assert s2.dtype == MyExt
+    assert s2.ext.storage().dtype == pl.Float64
+
+
+def test_register_plugin_deprecated_and_select_context():
+    import warnings
+    from polaroid_tpu import plugins
+
+    plugins.register_plugin_callable(
+        "pt_test_dbl",
+        lambda s: pl.Series("x", [None if v is None else v * 2
+                                  for v in s.to_list()]))
+    df = pl.DataFrame({"a": [1.0, 2.0, None]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        e = pl.col("a").register_plugin(lib="dummy.so", symbol="pt_test_dbl")
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert df.select(e.alias("a")).to_dict()["a"] == [2.0, 4.0, None]
+    # register_plugin_function evaluates in plain select context too
+    e2 = plugins.register_plugin_function(
+        function_name="pt_test_dbl", args=[pl.col("a")])
+    assert df.select(e2.alias("a")).to_dict()["a"] == [2.0, 4.0, None]
+
+
+def test_dataframe_interchange_and_capsule():
+    df = pl.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    dfi = df.__dataframe__()
+    assert list(dfi.column_names()) == ["a", "b"]
+    assert dfi.num_rows() == 2
+    import pandas as pd
+    if hasattr(pd.api, "interchange"):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pdf = pd.api.interchange.from_dataframe(df.__dataframe__())
+        assert list(pdf["a"]) == [1, 2]
+    # Arrow PyCapsule protocol
+    import pyarrow as pa
+    tbl = pa.table(df)  # consumes __arrow_c_stream__
+    assert tbl.column_names == ["a", "b"]
+    arr = pa.chunked_array(pl.Series("s", [1, 2, 3]))
+    assert arr.to_pylist() == [1, 2, 3]
+    # single-chunk Series introspection
+    s = pl.Series("s", [1, 2, 3])
+    assert len(s.get_chunks()) == 1
+    assert s.get_chunks()[0].to_list() == [1, 2, 3]
