@@ -143,7 +143,8 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
     # dense fast path: small key domains -> direct-indexed lookup join;
     # only the build (right) side is sorted, probes are O(1) gathers
     if how in ("inner", "left", "semi", "anti") and not join_nulls:
-        spans = _dense_join_spans(lv, rv, lmask, rmask, capL, capR)
+        spans = _dense_join_spans(lv, rv, lmask, rmask, capL, capR,
+                                  left, right, left_on, right_on)
         if spans is not None:
             return _dense_join(left, right, left_on, right_on, how, suffix,
                                coalesce, lv, rv, lmask, rmask, spans)
@@ -299,19 +300,54 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     live_out = k < total
 
-    return _assemble_join_output(left, right, left_on, right_on, how,
-                                 suffix, coalesce, lidx, ridx, lmatch,
-                                 rmatch, total, capO)
+    out = _assemble_join_output(left, right, left_on, right_on, how,
+                                suffix, coalesce, lidx, ridx, lmatch,
+                                rmatch, total, capO)
+    _propagate_join_stats(out, left, right, suffix)
+    return out
 
 
-def _dense_join_spans(lv, rv, lmask, rmask, capL, capR):
+@jax.jit
+def _minmax_masked(data, mask):
+    """(min, max) over live rows, packed into one array so the caller
+    pays a single host readback."""
+    info = jnp.iinfo(data.dtype)
+    mn = jnp.min(jnp.where(mask, data, info.max))
+    mx = jnp.max(jnp.where(mask, data, info.min))
+    return jnp.stack([mn.astype(jnp.int64), mx.astype(jnp.int64)])
+
+
+_STAT_BUCKET = 1024  # same bucketing as exec/compiled._ensure_groupby_stats
+
+
+def _int_key_stats(tbl: Table, name: str, v: Val, mask, cap) -> tuple:
+    """Bucketed (min, max) of an integer join key, cached on the Column
+    (the reference's Sample phase analogue, `equi_join.rs:250`; one
+    device sync the first time, free afterwards)."""
+    c = tbl.cols.get(name) if tbl is not None else None
+    cacheable = c is not None and v.data is c.data
+    if cacheable and c.stats is not None and "min" in c.stats:
+        return c.stats["min"], c.stats["max"]
+    data = v.data if v.data.shape[0] == cap else \
+        jnp.broadcast_to(v.data, (cap,))
+    mn, mx = (int(x) for x in np.asarray(_minmax_masked(data, mask)))
+    if mx < mn:
+        mn, mx = 0, 0
+    B = _STAT_BUCKET
+    mn, mx = (mn // B) * B, ((mx // B) + 1) * B - 1
+    if cacheable:
+        c.stats = {"min": mn, "max": mx}
+    return mn, mx
+
+
+def _dense_join_spans(lv, rv, lmask, rmask, capL, capR,
+                      left=None, right=None, left_on=(), right_on=()):
     """Per-key (span, base) when both sides' domains are small: shared
-    string dictionaries, bools, small/statistic-bounded ints. Joins run
-    eagerly (they host-sync the output size anyway), so int ranges are
-    measured with one extra sync — the reference's Sample phase analogue
-    (`equi_join.rs:250`)."""
+    string dictionaries, bools, small/statistic-bounded ints. Int ranges
+    come from bucketed column stats cached across queries (the
+    reference's Sample phase analogue, `equi_join.rs:250`)."""
     spans = []
-    for a, b in zip(lv, rv):
+    for ki, (a, b) in enumerate(zip(lv, rv)):
         dt = a.dtype
         if dt.is_string:
             # after _align_strings both share one dict
@@ -324,19 +360,11 @@ def _dense_join_spans(lv, rv, lmask, rmask, capL, capR):
                 base = -(1 << (bits - 1)) if dt.is_signed_integer else 0
                 spans.append(((1 << bits) + 1, base))
             else:
-                info = jnp.iinfo(a.data.dtype)
-                am = jnp.where(lmask, a.data if a.data.shape[0] == capL
-                               else jnp.broadcast_to(a.data, (capL,)), info.max)
-                bm = jnp.where(rmask, b.data if b.data.shape[0] == capR
-                               else jnp.broadcast_to(b.data, (capR,)), info.max)
-                mn = int(min(int(jnp.min(am)), int(jnp.min(bm))))
-                aM = jnp.where(lmask, a.data if a.data.shape[0] == capL
-                               else jnp.broadcast_to(a.data, (capL,)), info.min)
-                bM = jnp.where(rmask, b.data if b.data.shape[0] == capR
-                               else jnp.broadcast_to(b.data, (capR,)), info.min)
-                mx = int(max(int(jnp.max(aM)), int(jnp.max(bM))))
-                if mx < mn:
-                    mn, mx = 0, 0
+                ln = left_on[ki] if ki < len(left_on) else None
+                rn = right_on[ki] if ki < len(right_on) else None
+                lmn, lmx = _int_key_stats(left, ln, a, lmask, capL)
+                rmn, rmx = _int_key_stats(right, rn, b, rmask, capR)
+                mn, mx = min(lmn, rmn), max(lmx, rmx)
                 spans.append((mx - mn + 2, mn))
         else:
             return None
@@ -348,63 +376,185 @@ def _dense_join_spans(lv, rv, lmask, rmask, capL, capR):
     return spans
 
 
+_DENSE_JIT_CACHE: dict = {}
+
+
+def _dense_codes(vals, mask, cap, spans, prod):
+    """Mixed-radix dense key code per row; dead rows get the dump code
+    `prod` (trace-safe)."""
+    gid = jnp.zeros(cap, jnp.int32)
+    for v, (span, base) in zip(vals, spans):
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        if v.dtype.is_string:
+            c = data.astype(jnp.int32) + 1
+        elif repr(v.dtype) == "Boolean":
+            c = data.astype(jnp.int32) + 1
+        else:
+            c = (data.astype(jnp.int64) - (base or 0) + 1).astype(jnp.int32)
+        gid = gid * span + jnp.clip(c, 0, span - 1)
+    return jnp.where(mask, gid, prod)
+
+
 def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
                 lv, rv, lmask, rmask, spans):
+    """Direct-indexed join over a small dense key domain, compiled as two
+    cached XLA programs (count phase -> ONE host sync for the output
+    size -> assemble phase). Through the remote tunnel every eager op
+    pays a dispatch round trip, so the phase structure — not just the
+    kernels — is the performance surface (reference pipeline analogue:
+    `equi_join.rs` Build/Probe as dedicated nodes)."""
+    from ..exec.compiled import _flatten_table, _unflatten_table, _table_key
     capL, capR = left.capacity, right.capacity
     prod = 1
     for s, _ in spans:
         prod *= s
 
-    def codes(vals, mask, cap):
-        gid = jnp.zeros(cap, jnp.int32)
-        for v, (span, base) in zip(vals, spans):
-            data = v.data if v.data.shape[0] == cap else \
-                jnp.broadcast_to(v.data, (cap,))
-            if v.dtype.is_string:
-                c = data.astype(jnp.int32) + 1
-            elif repr(v.dtype) == "Boolean":
-                c = data.astype(jnp.int32) + 1
-            else:
-                c = (data.astype(jnp.int64) - (base or 0) + 1).astype(jnp.int32)
-            gid = gid * span + jnp.clip(c, 0, span - 1)
-        return jnp.where(mask, gid, prod)
+    kdts = tuple(repr(v.dtype) for v in lv)
+    base_key = (how, tuple(spans), prod, capL, capR, kdts)
+    lk = tuple(v.data for v in lv)
+    rk = tuple(v.data for v in rv)
+    lsd = [v.sdict for v in lv]
+    ldt = [v.dtype for v in lv]
 
-    code_l = codes(lv, lmask, capL)
-    code_r = codes(rv, rmask, capR)
-
-    counts = _seg_sum(jnp.ones(capR, jnp.int32), code_r, prod, False)
-    cnt_p = jnp.where(lmask, counts[jnp.clip(code_l, 0, prod - 1)], 0)
+    def rebuild_vals(datas, side_vals):
+        return [Val(v.dtype, d, None, v.sdict, False)
+                for v, d in zip(side_vals, datas)]
 
     if how in ("semi", "anti"):
-        sel = lmask & (cnt_p > 0)
-        if how == "anti":
-            sel = left.row_mask() & ~sel
-        return left.with_valid(sel & left.row_mask(), None)
+        key = ("dsa",) + base_key
+        jf = _DENSE_JIT_CACHE.get(key)
+        if jf is None:
+            def fn(lk, rk, lmask, rmask, row_live):
+                code_l = _dense_codes(rebuild_vals(lk, lv), lmask, capL,
+                                      spans, prod)
+                code_r = _dense_codes(rebuild_vals(rk, rv), rmask, capR,
+                                      spans, prod)
+                counts = _seg_sum(jnp.ones(capR, jnp.int32), code_r, prod,
+                                  False)
+                cnt_p = jnp.where(lmask,
+                                  counts[jnp.clip(code_l, 0, prod - 1)], 0)
+                sel = lmask & (cnt_p > 0)
+                if how == "anti":
+                    sel = row_live & ~sel
+                return sel & row_live
+            jf = jax.jit(fn)
+            _DENSE_JIT_CACHE[key] = jf
+        sel = jf(lk, rk, lmask, rmask, left.row_mask())
+        return left.with_valid(sel, None)
 
-    offsets = jnp.cumsum(counts) - counts  # exclusive, per dense code
-    rsorted = jnp.argsort(code_r, stable=True)  # dump code sorts last
-
-    row_live = left.row_mask()
-    if how == "inner":
-        m = cnt_p
-    else:  # left: every live left row emits >= 1 (null-key rows included)
-        m = jnp.where(row_live, jnp.maximum(cnt_p, 1), 0)
-
-    total = int(jnp.sum(m))
+    # --- phase A: per-row expansion counts + total (one program) ---
+    key_a = ("da",) + base_key
+    jf_a = _DENSE_JIT_CACHE.get(key_a)
+    if jf_a is None:
+        def fn_a(lk, rk, lmask, rmask, row_live):
+            code_l = _dense_codes(rebuild_vals(lk, lv), lmask, capL,
+                                  spans, prod)
+            code_r = _dense_codes(rebuild_vals(rk, rv), rmask, capR,
+                                  spans, prod)
+            counts = _seg_sum(jnp.ones(capR, jnp.int32), code_r, prod,
+                              False)
+            cnt_p = jnp.where(lmask,
+                              counts[jnp.clip(code_l, 0, prod - 1)], 0)
+            if how == "inner":
+                m = cnt_p
+            else:  # left: every live left row emits >= 1
+                m = jnp.where(row_live, jnp.maximum(cnt_p, 1), 0)
+            return (code_l, code_r, counts, cnt_p, m,
+                    jnp.sum(m.astype(jnp.int64)))
+        jf_a = jax.jit(fn_a)
+        _DENSE_JIT_CACHE[key_a] = jf_a
+    code_l, code_r, counts, cnt_p, m, total_dev = jf_a(
+        lk, rk, lmask, rmask, left.row_mask())
+    total = int(np.asarray(total_dev))  # the one host sync
     capO = capacity_for(max(total, 1))
-    moff = jnp.cumsum(m)
-    k = jnp.arange(capO, dtype=jnp.int64)
-    p = searchsorted(moff, k, side="right").astype(jnp.int32)
-    pc = jnp.clip(p, 0, capL - 1)
-    j = (k - (moff[pc] - m[pc])).astype(jnp.int32)
-    slot = offsets[jnp.clip(code_l[pc], 0, prod - 1)] + j
-    ridx = rsorted[jnp.clip(slot, 0, capR - 1)]
-    live_out = k < total
-    lmatch = live_out
-    rmatch = live_out & (cnt_p[pc] > 0)
-    return _assemble_join_output(left, right, left_on, right_on, how, suffix,
-                                 coalesce, pc, ridx, lmatch, rmatch, total,
-                                 capO)
+
+    # --- phase B: expansion indices + output gather (one program) ---
+    lflat, lmeta = _flatten_table(left)
+    rflat, rmeta = _flatten_table(right)
+    key_b = (("db", capO, total, suffix, coalesce, tuple(left_on),
+              tuple(right_on), _table_key(left), _table_key(right))
+             + base_key)
+    hit_b = _DENSE_JIT_CACHE.get(key_b)
+    if hit_b is None:
+        meta_cell: list = [None]
+
+        def fn_b(lflat, rflat, code_l, code_r, counts, cnt_p, m):
+            ltab = _unflatten_table(lflat, lmeta)
+            rtab = _unflatten_table(rflat, rmeta)
+            offsets = jnp.cumsum(counts) - counts  # exclusive per code
+            rsorted = jnp.argsort(code_r, stable=True)  # dump sorts last
+            moff = jnp.cumsum(m)
+            k = jnp.arange(capO, dtype=jnp.int64)
+            p = searchsorted(moff, k, side="right").astype(jnp.int32)
+            pc = jnp.clip(p, 0, capL - 1)
+            j = (k - (moff[pc] - m[pc])).astype(jnp.int32)
+            slot = offsets[jnp.clip(code_l[pc], 0, prod - 1)] + j
+            ridx = rsorted[jnp.clip(slot, 0, capR - 1)]
+            live_out = k < total
+            lmatch = live_out
+            rmatch = live_out & (cnt_p[pc] > 0)
+            out_t = _assemble_join_output(
+                ltab, rtab, left_on, right_on, how, suffix, coalesce,
+                pc, ridx, lmatch, rmatch, total, capO)
+            out_flat, out_meta = _flatten_table(out_t)
+            meta_cell[0] = out_meta
+            return out_flat
+        jitted = jax.jit(fn_b)
+        out_flat = jitted(lflat, rflat, code_l, code_r, counts, cnt_p, m)
+        hit_b = (jitted, meta_cell[0])
+        _DENSE_JIT_CACHE[key_b] = hit_b
+        if len(_DENSE_JIT_CACHE) > 256:
+            _DENSE_JIT_CACHE.pop(next(iter(_DENSE_JIT_CACHE)))
+    else:
+        jitted, out_meta = hit_b
+        out_flat = jitted(lflat, rflat, code_l, code_r, counts, cnt_p, m)
+    out = _unflatten_table(out_flat, hit_b[1])
+    # stats survive the gather: live output values are a subset of the
+    # source column's live values, so cached bounds stay valid and the
+    # downstream group-by skips its stats sync
+    _propagate_join_stats(out, left, right, suffix)
+    return out
+
+
+def _ensure_col_stats(tbl: Table, name: str) -> None:
+    """Cache bucketed min/max on a flat integer column (one readback,
+    amortized across queries — the column object persists on the source
+    table while join outputs are rebuilt per collect)."""
+    c = tbl.cols[name]
+    if (not c.dtype.is_integer or c.stats is not None or c.data is None
+            or c.fields is not None or c.lengths is not None):
+        return
+    mask = tbl.row_mask()
+    if c.validity is not None:
+        mask = mask & c.validity
+    mn, mx = (int(x) for x in np.asarray(_minmax_masked(c.data, mask)))
+    if mx < mn:
+        mn, mx = 0, 0
+    B = _STAT_BUCKET
+    c.stats = {"min": (mn // B) * B, "max": ((mx // B) + 1) * B - 1}
+
+
+def _propagate_join_stats(out: Table, left: Table, right: Table,
+                          suffix: str) -> None:
+    """Live output values are a subset of the source column's live
+    values, so cached bounds stay valid bounds; caching them on the
+    source and copying forward lets the downstream group-by's dense
+    path skip its per-collect stats sync."""
+    for n in out.names:
+        src_t, src_n = None, None
+        if n in left.cols:
+            src_t, src_n = left, n
+        elif n in right.cols:
+            src_t, src_n = right, n
+        elif n.endswith(suffix) and n[:-len(suffix)] in right.cols:
+            src_t, src_n = right, n[:-len(suffix)]
+        if src_t is None:
+            continue
+        _ensure_col_stats(src_t, src_n)
+        src = src_t.cols[src_n]
+        if src.stats is not None:
+            out.cols[n].stats = dict(src.stats)
 
 
 def _assemble_join_output(left, right, left_on, right_on, how, suffix,
@@ -587,7 +737,9 @@ def _m1_join_fast(left: Table, right: Table, left_on, right_on, how: str,
     out_valid = left.row_mask()
     if how == "inner":
         out_valid = out_valid & hit
-    return Table(names, cols, capL, None, out_valid)
+    out = Table(names, cols, capL, None, out_valid)
+    _propagate_join_stats(out, left, right, suffix)
+    return out
 
 
 def lookup_join_sorted(bkey, bval, pkey):
