@@ -188,121 +188,181 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
     (s_sideidx, s_tag, live_sorted, gid, cl, cr, group_start, perm,
      max_cr) = _merged_sort_stats(tuple(words), side_idx)
 
+    if how == "semi" or how == "anti":
+        # one jitted program, no host sync (the output rides the left
+        # table's capacity)
+        key = ("gsa", how, join_nulls, capL, capT)
+        jf = _DENSE_JIT_CACHE.get(key)
+        if jf is None:
+            def fn_sa(gid, cr, live_sorted, s_tag, s_sideidx, lmask,
+                      row_mask):
+                has_match = cr > 0
+                flag_row = has_match[jnp.clip(gid, 0, capT - 1)]
+                want = flag_row if how == "semi" else ~flag_row
+                lsel = want & live_sorted & (s_tag == 0)
+                # writeback to original left rows via sort (TPU boolean
+                # scatters at table size serialize); right rows dump
+                # past capL
+                wb = jnp.where(s_tag == 0, s_sideidx,
+                               capL).astype(jnp.int32)
+                _, sel_w = jax.lax.sort((wb, lsel.astype(jnp.uint32)),
+                                        num_keys=1)
+                sel = jax.lax.slice_in_dim(sel_w, 0, capL) != 0
+                # anti join keeps left rows masked out by null keys too
+                if how == "anti" and not join_nulls:
+                    sel = sel | (row_mask & ~lmask)
+                return sel & row_mask
+            jf = jax.jit(fn_sa)
+            _DENSE_JIT_CACHE[key] = jf
+        sel = jf(gid, cr, live_sorted, s_tag, s_sideidx, lmask,
+                 left.row_mask())
+        return left.with_valid(sel, None)
+
+    # --- count phase: ONE readback for (max_cr, total, extraL, extraR);
+    # the m:1 decision and the output capacity both come from it ---
+    key_c = ("gc", how, join_nulls, capT)
+    jf_c = _DENSE_JIT_CACHE.get(key_c)
+    if jf_c is None:
+        def fn_c(cl, cr, max_cr, lnull, rnull):
+            cr1 = jnp.maximum(cr, 1)
+            cl1 = jnp.maximum(cl, 1)
+            if how == "inner":
+                m = cl * cr
+            elif how == "left":
+                m = cl * cr1
+            elif how == "right":
+                m = cl1 * cr
+            elif how == "full":
+                m = cl * cr1 + jnp.where(cl == 0, cr, 0)
+            else:
+                raise ComputeError(f"unknown join type {how!r}")
+            eL = jnp.sum(lnull.astype(jnp.int64)) \
+                if how in ("left", "full") and not join_nulls else \
+                jnp.int64(0)
+            eR = jnp.sum(rnull.astype(jnp.int64)) \
+                if how in ("right", "full") and not join_nulls else \
+                jnp.int64(0)
+            return m, jnp.stack([max_cr.astype(jnp.int64),
+                                 jnp.sum(m.astype(jnp.int64)), eL, eR])
+        jf_c = jax.jit(fn_c)
+        _DENSE_JIT_CACHE[key_c] = jf_c
+    lnull = left.row_mask() & ~lmask
+    rnull = right.row_mask() & ~rmask
+    m, packed = jf_c(cl, cr, max_cr, lnull, rnull)
+    mcr, mtotal, extraL, extraR = (int(x) for x in np.asarray(packed))
+    total = mtotal + extraL + extraR
+
     # m:1 fast path (TPU): when every key group has at most one right
     # row (the orders-join-users shape), the output aligns with LEFT
     # rows — no expansion, no per-column random gathers. Right payloads
     # ride sorts + cummax forward-fills instead (see lookup_join_sorted;
     # gathers cost ~8.7ns/elem on this chip vs ~1.3ns/row/word sorted).
-    if how in ("inner", "left") and \
+    # (null-key left rows surface naturally here: the output is aligned
+    # with ALL live left rows, unmatched ones get null right payloads)
+    if how in ("inner", "left") and mcr <= 1 and \
             all(right.cols[n].lengths is None and right.cols[n].fields is None
-                for n in right.names) and int(max_cr) <= 1:
+                for n in right.names):
         return _m1_join_fast(left, right, left_on, right_on, how, suffix,
                              coalesce, gid, live_sorted, s_tag, s_sideidx,
                              perm, capT)
 
-    if how == "semi" or how == "anti":
-        has_match = cr > 0
-        flag_row = has_match[jnp.clip(gid, 0, capT - 1)]
-        want = flag_row if how == "semi" else ~flag_row
-        lsel = want & live_sorted & (s_tag == 0)
-        # writeback to original left rows via sort (TPU boolean scatters
-        # at table size serialize); right rows dump past capL
-        wb = jnp.where(s_tag == 0, s_sideidx, capL).astype(jnp.int32)
-        _, sel_w = jax.lax.sort((wb, lsel.astype(jnp.uint32)), num_keys=1)
-        sel = jax.lax.slice_in_dim(sel_w, 0, capL) != 0
-        # anti join also keeps left rows that were masked out by null keys
-        if how == "anti" and not join_nulls:
-            sel = sel | (left.row_mask() & ~lmask)
-        return left.with_valid(sel & left.row_mask(), None)
-
-    # --- expansion counts per group ---
-    cr1 = jnp.maximum(cr, 1)
-    cl1 = jnp.maximum(cl, 1)
-    if how == "inner":
-        m = cl * cr
-    elif how == "left":
-        m = cl * cr1
-    elif how == "right":
-        m = cl1 * cr
-    elif how == "full":
-        m = cl * cr1 + jnp.where(cl == 0, cr, 0)
-    else:
-        raise ComputeError(f"unknown join type {how!r}")
-
-    # unmatched null-key rows also surface in left/full/right joins
-    extraL = extraR = 0
-    if not join_nulls:
-        lnull = left.row_mask() & ~lmask
-        rnull = right.row_mask() & ~rmask
-        if how in ("left", "full"):
-            extraL = int(jnp.sum(lnull))
-        if how in ("right", "full"):
-            extraR = int(jnp.sum(rnull))
-
-    total = int(jnp.sum(m)) + extraL + extraR
     capO = capacity_for(max(total, 1))
 
-    offsets = jnp.cumsum(m)
-    k = jnp.arange(capO, dtype=jnp.int64)
-    g = searchsorted(offsets, k, side="right").astype(jnp.int32)
-    gc = jnp.clip(g, 0, capT - 1)
-    base = offsets[gc] - m[gc]
-    r = (k - base).astype(jnp.int32)
+    # --- assemble phase: expansion indices + output gather, one program
+    from ..exec.compiled import _flatten_table, _unflatten_table, _table_key
+    lflat, lmeta = _flatten_table(left)
+    rflat, rmeta = _flatten_table(right)
+    key_b = ("gb", how, suffix, coalesce, tuple(left_on), tuple(right_on),
+             capO, total, extraL, extraR, capL, capR, capT,
+             _table_key(left), _table_key(right))
+    hit_b = _DENSE_JIT_CACHE.get(key_b)
+    if hit_b is None:
+        meta_cell: list = [None]
 
-    cl_g, cr_g = cl[gc], cr[gc]
-    cr1_g, cl1_g = cr1[gc], cl1[gc]
-    gs = group_start[gc]
-    if how == "inner":
-        i = r // jnp.maximum(cr_g, 1)
-        j = r % jnp.maximum(cr_g, 1)
-        lmatch = jnp.ones(capO, jnp.bool_)
-        rmatch = jnp.ones(capO, jnp.bool_)
-    elif how == "left":
-        i = r // cr1_g
-        j = r % cr1_g
-        lmatch = jnp.ones(capO, jnp.bool_)
-        rmatch = cr_g > 0
-    elif how == "right":
-        j = r // cl1_g
-        i = r % cl1_g
-        rmatch = jnp.ones(capO, jnp.bool_)
-        lmatch = cl_g > 0
-    else:  # full
-        main = cl_g * cr1_g
-        in_main = r < main
-        i = jnp.where(in_main, r // cr1_g, 0)
-        j = jnp.where(in_main, r % cr1_g, r - main)
-        lmatch = in_main & (cl_g > 0)
-        rmatch = jnp.where(in_main, cr_g > 0, True)
+        def fn_b(lflat, rflat, m, cl, cr, group_start, s_sideidx,
+                 lnull, rnull):
+            ltab = _unflatten_table(lflat, lmeta)
+            rtab = _unflatten_table(rflat, rmeta)
+            cr1 = jnp.maximum(cr, 1)
+            cl1 = jnp.maximum(cl, 1)
+            offsets = jnp.cumsum(m)
+            k = jnp.arange(capO, dtype=jnp.int64)
+            g = searchsorted(offsets, k, side="right").astype(jnp.int32)
+            gc = jnp.clip(g, 0, capT - 1)
+            base = offsets[gc] - m[gc]
+            r = (k - base).astype(jnp.int32)
 
-    valid_out = k < (total - extraL - extraR)
-    lslot = jnp.clip(gs + i, 0, capT - 1)
-    rslot = jnp.clip(gs + cl_g + j, 0, capT - 1)
-    lidx = jnp.clip(s_sideidx[lslot], 0, capL - 1)
-    ridx = jnp.clip(s_sideidx[rslot], 0, capR - 1)
-    lmatch = lmatch & valid_out
-    rmatch = rmatch & valid_out
+            cl_g, cr_g = cl[gc], cr[gc]
+            cr1_g, cl1_g = cr1[gc], cl1[gc]
+            gs = group_start[gc]
+            if how == "inner":
+                i = r // jnp.maximum(cr_g, 1)
+                j = r % jnp.maximum(cr_g, 1)
+                lmatch = jnp.ones(capO, jnp.bool_)
+                rmatch = jnp.ones(capO, jnp.bool_)
+            elif how == "left":
+                i = r // cr1_g
+                j = r % cr1_g
+                lmatch = jnp.ones(capO, jnp.bool_)
+                rmatch = cr_g > 0
+            elif how == "right":
+                j = r // cl1_g
+                i = r % cl1_g
+                rmatch = jnp.ones(capO, jnp.bool_)
+                lmatch = cl_g > 0
+            else:  # full
+                main = cl_g * cr1_g
+                in_main = r < main
+                i = jnp.where(in_main, r // cr1_g, 0)
+                j = jnp.where(in_main, r % cr1_g, r - main)
+                lmatch = in_main & (cl_g > 0)
+                rmatch = jnp.where(in_main, cr_g > 0, True)
 
-    # append unmatched null-key rows (host-known counts)
-    if extraL or extraR:
-        nl_perm = jnp.argsort(~lnull, stable=True) if extraL else None
-        nr_perm = jnp.argsort(~rnull, stable=True) if extraR else None
-        pos = k - (total - extraL - extraR)
-        if extraL:
-            sel = (pos >= 0) & (pos < extraL)
-            lidx = jnp.where(sel, nl_perm[jnp.clip(pos, 0, capL - 1)], lidx)
-            lmatch = lmatch | sel
-        if extraR:
-            pos2 = pos - extraL
-            sel2 = (pos2 >= 0) & (pos2 < extraR)
-            ridx = jnp.where(sel2, nr_perm[jnp.clip(pos2, 0, capR - 1)], ridx)
-            rmatch = rmatch | sel2
+            valid_out = k < (total - extraL - extraR)
+            lslot = jnp.clip(gs + i, 0, capT - 1)
+            rslot = jnp.clip(gs + cl_g + j, 0, capT - 1)
+            lidx = jnp.clip(s_sideidx[lslot], 0, capL - 1)
+            ridx = jnp.clip(s_sideidx[rslot], 0, capR - 1)
+            lmatch = lmatch & valid_out
+            rmatch = rmatch & valid_out
 
-    live_out = k < total
+            # append unmatched null-key rows (host-known counts)
+            if extraL or extraR:
+                nl_perm = jnp.argsort(~lnull, stable=True) if extraL \
+                    else None
+                nr_perm = jnp.argsort(~rnull, stable=True) if extraR \
+                    else None
+                pos = k - (total - extraL - extraR)
+                if extraL:
+                    sel = (pos >= 0) & (pos < extraL)
+                    lidx = jnp.where(
+                        sel, nl_perm[jnp.clip(pos, 0, capL - 1)], lidx)
+                    lmatch = lmatch | sel
+                if extraR:
+                    pos2 = pos - extraL
+                    sel2 = (pos2 >= 0) & (pos2 < extraR)
+                    ridx = jnp.where(
+                        sel2, nr_perm[jnp.clip(pos2, 0, capR - 1)], ridx)
+                    rmatch = rmatch | sel2
 
-    out = _assemble_join_output(left, right, left_on, right_on, how,
-                                suffix, coalesce, lidx, ridx, lmatch,
-                                rmatch, total, capO)
+            out_t = _assemble_join_output(
+                ltab, rtab, left_on, right_on, how, suffix, coalesce,
+                lidx, ridx, lmatch, rmatch, total, capO)
+            out_flat, out_meta = _flatten_table(out_t)
+            meta_cell[0] = out_meta
+            return out_flat
+        jitted = jax.jit(fn_b)
+        out_flat = jitted(lflat, rflat, m, cl, cr, group_start, s_sideidx,
+                          lnull, rnull)
+        hit_b = (jitted, meta_cell[0])
+        _DENSE_JIT_CACHE[key_b] = hit_b
+        if len(_DENSE_JIT_CACHE) > 256:
+            _DENSE_JIT_CACHE.pop(next(iter(_DENSE_JIT_CACHE)))
+    else:
+        jitted, _ = hit_b
+        out_flat = jitted(lflat, rflat, m, cl, cr, group_start, s_sideidx,
+                          lnull, rnull)
+    out = _unflatten_table(out_flat, hit_b[1])
     _propagate_join_stats(out, left, right, suffix)
     return out
 
