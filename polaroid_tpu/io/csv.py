@@ -98,8 +98,10 @@ def write_csv(df, file=None, separator: str = ",",
     if file is None:
         return out
     if hasattr(file, "write"):
-        file.write(out.encode() if "b" in getattr(file, "mode", "")
-                   else out)
+        try:
+            file.write(out)
+        except TypeError:  # binary buffer (BytesIO / "wb" handle)
+            file.write(out.encode())
     else:
         with open(str(file), "w", newline="") as f:
             f.write(out)

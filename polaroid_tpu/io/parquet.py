@@ -55,6 +55,15 @@ def _read_one(p: str, columns, filters) -> pa.Table:
 def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
                        filters=None, n_rows: Optional[int] = None) -> pa.Table:
     import os as _os
+    if hasattr(source, "read") or isinstance(source, (bytes, bytearray)):
+        if isinstance(source, (bytes, bytearray)):
+            import io as _io
+            source = _io.BytesIO(source)
+        t = pq.read_table(source, columns=list(columns) if columns else None,
+                          filters=filters)
+        if n_rows is not None:
+            t = t.slice(0, n_rows)
+        return t
     if isinstance(source, (str, Path)) and "://" not in str(source) \
             and _os.path.isdir(str(source)):
         # hive-partitioned dataset directory: partition keys become columns
@@ -200,6 +209,9 @@ def write_parquet(df, file, compression: str = "zstd",
                   compression_level=compression_level,
                   write_statistics=statistics,
                   row_group_size=row_group_size)
+    if hasattr(file, "write"):
+        pq.write_table(at, file, **kwargs)
+        return
     s = str(file)
     if "://" in s:
         from .remote import resolve_filesystem

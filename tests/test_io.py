@@ -215,3 +215,19 @@ def test_streaming_csv_scan(tmp_path, monkeypatch):
     assert a["n"] == b["n"]
     assert np.allclose(a["t"], b["t"])
     assert pl.scan_csv(p).head(777).collect(engine="streaming").height == 777
+
+
+def test_parquet_csv_filelike_roundtrip():
+    import io
+    df = pl.DataFrame({"a": [1, 2, 3], "b": ["x", None, "z"]})
+    buf = io.BytesIO()
+    df.write_parquet(buf)
+    buf.seek(0)
+    assert pl.read_parquet(buf).to_dict() == df.to_dict()
+    assert pl.read_parquet(buf.getvalue()).to_dict() == df.to_dict()
+    cbuf = io.BytesIO()
+    df.write_csv(cbuf)
+    assert b"a,b" in cbuf.getvalue()
+    sbuf = io.StringIO()
+    df.write_csv(sbuf)
+    assert "a,b" in sbuf.getvalue()
