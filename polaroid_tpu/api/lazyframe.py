@@ -795,7 +795,8 @@ def _unnest_table(t, columns):
         else:
             names.append(n)
             cols[n] = c
-    return Table(names, cols, t.capacity, t.nrows, t.valid)
+    return Table(names, cols, t.capacity, t._nrows, t.valid,
+                 nrows_dev=t.nrows_dev)
 
 
 class LazyFrameRemote:

@@ -707,18 +707,39 @@ class Table:
     Otherwise `valid` (bool, shape (capacity,)) marks live rows and `nrows`
     may be None (unknown until a host sync) — the masked state lets filter
     and friends stay on device with static shapes.
+
+    Deferred count: when `valid` is None and the host count is unknown,
+    `nrows_dev` (a device scalar) holds the live prefix length. Reading
+    `.nrows` syncs it lazily (ONE scalar readback — on the remote-TPU
+    tunnel a round trip costs ~24ms, so collect() never forces it;
+    height/repr/host export do). Ops stay device-only via `row_mask()`.
     """
 
-    __slots__ = ("names", "cols", "capacity", "nrows", "valid")
+    __slots__ = ("names", "cols", "capacity", "_nrows", "valid",
+                 "nrows_dev")
 
     def __init__(self, names: List[str], cols: Dict[str, Column],
                  capacity: int, nrows: Optional[int],
-                 valid: Optional[jax.Array] = None):
+                 valid: Optional[jax.Array] = None,
+                 nrows_dev: Optional[jax.Array] = None):
         self.names = names
         self.cols = cols
         self.capacity = capacity
-        self.nrows = nrows
+        self._nrows = nrows
         self.valid = valid
+        self.nrows_dev = nrows_dev
+
+    @property
+    def nrows(self) -> Optional[int]:
+        """Host row count; syncs a deferred device count on first read."""
+        if self._nrows is None and self.valid is None and \
+                self.nrows_dev is not None:
+            self._nrows = int(np.asarray(self.nrows_dev))
+        return self._nrows
+
+    @nrows.setter
+    def nrows(self, value: Optional[int]) -> None:
+        self._nrows = value
 
     # --- constructors ---------------------------------------------------
     @staticmethod
@@ -772,17 +793,23 @@ class Table:
 
     # --- live-row helpers ----------------------------------------------
     def row_mask(self) -> jax.Array:
-        """Bool (capacity,) mask of live rows."""
+        """Bool (capacity,) mask of live rows (device-only, never syncs)."""
         if self.valid is not None:
             return self.valid
-        n = self.nrows if self.nrows is not None else 0
-        return jnp.arange(self.capacity) < n
+        if self._nrows is not None:
+            return jnp.arange(self.capacity) < self._nrows
+        if self.nrows_dev is not None:
+            return jnp.arange(self.capacity) < self.nrows_dev
+        return jnp.arange(self.capacity) < 0
 
     def count_rows(self) -> int:
         """Host-synced live row count (caches into nrows)."""
-        if self.nrows is None:
-            self.nrows = int(jnp.sum(self.valid))
-        return self.nrows
+        if self._nrows is None:
+            if self.valid is not None:
+                self._nrows = int(jnp.sum(self.valid))
+            elif self.nrows_dev is not None:
+                self._nrows = int(np.asarray(self.nrows_dev))
+        return self._nrows
 
     # --- structural ops (no device compute) ----------------------------
     def select_columns(self, names: Sequence[str]) -> "Table":
@@ -790,7 +817,8 @@ class Table:
             if n not in self.cols:
                 raise ColumnNotFoundError(f"{n!r} not found; available: {self.names}")
         return Table(list(names), {n: self.cols[n] for n in names},
-                     self.capacity, self.nrows, self.valid)
+                     self.capacity, self._nrows, self.valid,
+                     nrows_dev=self.nrows_dev)
 
     def drop_columns(self, names: Sequence[str]) -> "Table":
         drop = set(names)
@@ -806,7 +834,8 @@ class Table:
         if name not in cols:
             names.append(name)
         cols[name] = col
-        return Table(names, cols, self.capacity, self.nrows, self.valid)
+        return Table(names, cols, self.capacity, self._nrows, self.valid,
+                     nrows_dev=self.nrows_dev)
 
     def rename(self, mapping: Dict[str, str], strict: bool = True) -> "Table":
         for old in mapping:
@@ -816,11 +845,14 @@ class Table:
         if len(set(new_names)) != len(new_names):
             raise DuplicateError(f"duplicate column names after rename: {new_names}")
         cols = {mapping.get(n, n): c for n, c in self.cols.items()}
-        return Table(new_names, cols, self.capacity, self.nrows, self.valid)
+        return Table(new_names, cols, self.capacity, self._nrows, self.valid,
+                     nrows_dev=self.nrows_dev)
 
     def with_valid(self, valid: Optional[jax.Array],
-                   nrows: Optional[int]) -> "Table":
-        return Table(self.names, self.cols, self.capacity, nrows, valid)
+                   nrows: Optional[int],
+                   nrows_dev: Optional[jax.Array] = None) -> "Table":
+        return Table(self.names, self.cols, self.capacity, nrows, valid,
+                     nrows_dev=nrows_dev)
 
     # --- host materialization ------------------------------------------
     def to_numpy_dict(self) -> Dict[str, np.ndarray]:
@@ -838,7 +870,8 @@ class Table:
         return out
 
     def __repr__(self) -> str:
-        n = self.nrows if self.nrows is not None else "?"
+        n = self._nrows if self._nrows is not None else \
+            ("deferred" if self.nrows_dev is not None else "?")
         body = ", ".join(f"{k}: {v!r}" for k, v in self.schema.items())
         return f"Table[{n} rows, cap {self.capacity}]({body})"
 

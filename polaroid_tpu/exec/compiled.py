@@ -60,7 +60,13 @@ def _table_key(t: Table) -> tuple:
             st = (c.stats.get("min"), c.stats.get("max"))
         items.append((n, repr(c.dtype), c.validity is not None,
                       c.sdict.version if c.sdict is not None else 0, st))
-    return (tuple(items), t.capacity)
+    # live-state shape is part of the key: masked / compact / deferred
+    # inputs flatten to different pytrees, and the cached output metadata
+    # must match the trace that produced it
+    live_kind = ("masked" if t.valid is not None else
+                 "deferred" if t._nrows is None and t.nrows_dev is not None
+                 else "compact")
+    return (tuple(items), t.capacity, live_kind)
 
 
 def _ensure_groupby_stats(nodes: List[L.Plan], table: Table) -> None:
@@ -98,8 +104,13 @@ def _ensure_groupby_stats(nodes: List[L.Plan], table: Table) -> None:
                 mask = mask & c.validity
             big = jnp.iinfo(c.data.dtype).max
             small = jnp.iinfo(c.data.dtype).min
-            mn = int(jnp.min(jnp.where(mask, c.data, big)))
-            mx = int(jnp.max(jnp.where(mask, c.data, small)))
+            # pack (min, max) into ONE readback — a device->host round
+            # trip costs ~24ms through the remote tunnel
+            packed = jnp.stack(
+                [jnp.min(jnp.where(mask, c.data, big)).astype(jnp.int64),
+                 jnp.max(jnp.where(mask, c.data, small)).astype(jnp.int64)])
+            import numpy as _np
+            mn, mx = (int(x) for x in _np.asarray(packed))
             if mx < mn:
                 mn, mx = 0, 0
             # bucket bounds so stats stay stable across similar batches
@@ -217,7 +228,9 @@ def _flatten_table(t: Table):
                         None))
     if t.valid is not None:
         flat["__valid"] = t.valid
-    metadata = (tuple(colmeta), t.capacity, t.nrows, t.valid is not None)
+    if t.valid is None and t._nrows is None and t.nrows_dev is not None:
+        flat["__nrows_dev"] = t.nrows_dev
+    metadata = (tuple(colmeta), t.capacity, t._nrows, t.valid is not None)
     return flat, metadata
 
 
@@ -243,7 +256,8 @@ def _unflatten_table(flat, metadata) -> Table:
                          lengths=flat.get(f"l:{n}") if has_l else None,
                          elem_valid=flat.get(f"e:{n}") if has_e else None)
     valid = flat.get("__valid") if has_valid else None
-    return Table(names, cols, capacity, nrows, valid)
+    return Table(names, cols, capacity, nrows, valid,
+                 nrows_dev=flat.get("__nrows_dev"))
 
 
 def collect_fusable_chain(plan: L.Plan) -> Tuple[List[L.Plan], L.Plan]:

@@ -3261,8 +3261,8 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                 cols2[mn] = val_to_column(
                     _bcast(fv2, table.capacity), table.capacity)
                 names2.append(mn)
-            t2 = Table(names2, cols2, table.capacity, table.nrows,
-                       table.valid)
+            t2 = Table(names2, cols2, table.capacity, table._nrows,
+                       table.valid, nrows_dev=table.nrows_dev)
         for name, ch in zip(e.attrs["names"], e.children[1:]):
             ch = _bind_field_refs(ch)
             fields[name] = _bcast(eval_expr(ch, t2, ctx), table.capacity)
@@ -3636,8 +3636,10 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
                                        lengths=v.lengths,
                                        elem_valid=v.elem_valid,
                                        fields=v.fields)},
-                       cap, table.nrows, v.live if v.live is not None
-                       else table.valid)
+                       cap, table._nrows, v.live if v.live is not None
+                       else table.valid,
+                       nrows_dev=None if v.live is not None
+                       else table.nrows_dev)
             series.append(_DF._from_table(t1).get_column(f"x{ci}"))
         out = fn(series)
         if not isinstance(out, _Series):

@@ -87,32 +87,52 @@ def _map_axis0(c: Column, fn) -> Column:
         elem_valid=fn(c.elem_valid) if c.elem_valid is not None else None)
 
 
-@jax.jit
-def _compact_probe(mask: jax.Array) -> jax.Array:
-    """(row count, already-a-live-prefix flag) packed into ONE device
-    array so collect() pays a single host readback fence (the tunnel
-    round-trip dominates small transfers)."""
-    n = jnp.sum(mask)
-    pre = jnp.all(mask == (jnp.arange(mask.shape[0]) < n))
-    return jnp.stack([n.astype(jnp.int64), pre.astype(jnp.int64)])
+_COMPACT_CACHE: dict = {}
 
 
 def compact(table: Table) -> Table:
-    """Return a compact-state table (live rows in [0, nrows), same
-    capacity). Syncs the row count to host (one scalar)."""
+    """Return a compact-state table (live rows form a front prefix, same
+    capacity) WITHOUT any host sync: the row count stays on device as
+    `nrows_dev` and syncs lazily on first `.nrows` read. This keeps
+    collect() fully asynchronous — queries pipeline on the device stream
+    and the host never blocks on a readback between them (the remote-TPU
+    tunnel round trip is ~24ms, dwarfing most kernels).
+
+    The whole compaction runs as ONE jitted program per (schema,
+    capacity, live-state) — a single dispatch through the remote tunnel,
+    and well-defined sharding propagation when the inputs are laid out
+    across a mesh (eager op-by-op dispatch on sharded arrays is both
+    slower and fragile)."""
     if table.valid is None:
         return table
-    mask = table.valid
-    import numpy as _np
-    n, prefix = (int(x) for x in _np.asarray(_compact_probe(mask)))
-    # prefix fast path: group-by/sort/scan outputs are already compact —
-    # the fused probe beats re-sorting every column
-    if prefix:
-        return table.with_valid(None, n)
-    out = _carry_prefix(table, mask, n, None)
-    if out is None:
-        out = gather_table(table, compact_perm(mask), n, None)
-    return out
+    from ..exec.compiled import _flatten_table, _table_key, _unflatten_table
+    in_flat, in_meta = _flatten_table(table)
+    key = _table_key(table)
+    hit = _COMPACT_CACHE.get(key)
+    if hit is None:
+        meta_cell: list = [None]
+
+        def fn(flat):
+            t = _unflatten_table(flat, in_meta)
+            mask = t.valid
+            count = jnp.sum(mask)
+            out = _carry_prefix(t, mask, None, None)
+            if out is None:
+                out = gather_table(t, compact_perm(mask), None, None)
+            out = out.with_valid(None, None, nrows_dev=count)
+            out_flat, out_meta = _flatten_table(out)
+            meta_cell[0] = out_meta
+            return out_flat
+        jitted = jax.jit(fn)
+        out_flat = jitted(in_flat)
+        hit = (jitted, meta_cell[0])
+        _COMPACT_CACHE[key] = hit
+        if len(_COMPACT_CACHE) > 512:
+            _COMPACT_CACHE.pop(next(iter(_COMPACT_CACHE)))
+    else:
+        jitted, _ = hit
+        out_flat = jitted(in_flat)
+    return _unflatten_table(out_flat, hit[1])
 
 
 def compact_device(table: Table):

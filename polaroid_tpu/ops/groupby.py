@@ -1271,8 +1271,9 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
                             if vfields is not None else None)
 
     if gctx.sorted_ids:
-        live = jnp.arange(ocap) < gctx.ngroups
-        out = Table(names, cols, ocap, None, live)
+        # groups occupy a front prefix; emit the deferred device count so
+        # collect() stays sync-free (batch.Table nrows_dev)
+        out = Table(names, cols, ocap, None, None, nrows_dev=gctx.ngroups)
     elif maintain_order:
         # the first-occurrence sort below re-orders rows anyway; keep the
         # dense slot layout so group_start/perm indexing stays aligned
@@ -1285,8 +1286,8 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         from .compact import compact_perm, gather_table
         tmp = Table(names, cols, ocap, None, gvalid_rows)
         perm = compact_perm(gvalid_rows)
-        live = jnp.arange(ocap) < gctx.ngroups
-        out = gather_table(tmp, perm, None, live)
+        out = gather_table(tmp, perm, None, None)
+        out = out.with_valid(None, None, nrows_dev=gctx.ngroups)
     if maintain_order:
         # order groups by first occurrence (original row index of first row)
         start_mo = jnp.clip(gctx.group_start, 0, cap - 1)

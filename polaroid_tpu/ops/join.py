@@ -8,7 +8,7 @@ are cast to a common supertype, encoded into order-preserving words
 once — rows with equal keys become contiguous runs with left rows before
 right rows. Match counts per run are segment sums; the output size is one
 host-synced scalar that picks a static capacity bucket; the expansion
-enumerates (group, i, j) pairs with vectorized searchsorted + gathers.
+enumerates (group, i, j) pairs with a scatter+cummax slot map + gathers.
 
 Exact for any number of key columns (no hash collisions), deterministic,
 and O((n+m)log(n+m)) in XLA's fused sort — the TPU answer to build/probe
@@ -34,7 +34,6 @@ from ..expr.eval import Val, _align_strings, cast_val
 from ..strings import NULL_CODE
 from . import compact as Cp
 from .groupby import _seg_max, _seg_min, _seg_sum
-from .search import searchsorted
 from .keycode import (col_from_u32_words as _col_from_u32_words,
                       col_to_u32_words as _col_u32_words,
                       encode_key_words, lex_sort_indices)
@@ -287,7 +286,8 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
             cl1 = jnp.maximum(cl, 1)
             offsets = jnp.cumsum(m)
             k = jnp.arange(capO, dtype=jnp.int64)
-            g = searchsorted(offsets, k, side="right").astype(jnp.int32)
+            # scatter+cummax instead of binary search (see _expand_rows)
+            g = _expand_rows(m, offsets, capO)
             gc = jnp.clip(g, 0, capT - 1)
             base = offsets[gc] - m[gc]
             r = (k - base).astype(jnp.int32)
@@ -439,6 +439,26 @@ def _dense_join_spans(lv, rv, lmask, rmask, capL, capR,
 _DENSE_JIT_CACHE: dict = {}
 
 
+def _expand_rows(m, moff, capO: int):
+    """Map output slot k -> emitting source row, given per-row emission
+    counts `m` and their inclusive cumsum `moff` (trace-time helper).
+
+    Scatters each emitting row's index at its first output slot
+    (start = moff - m; starts are unique among m>0 rows and strictly
+    increasing), then forward-fills with cummax — slot k in
+    [start[r], start[r] + m[r]) lands exactly on r because the next
+    emitting row's start is start[r] + m[r]. Replaces
+    searchsorted(moff, arange, 'right'): one scatter + one cumulative op
+    instead of log(n) serialized full-gather passes (TPU: 5.5ms vs 52ms
+    at 2M rows)."""
+    n = m.shape[0]
+    start = (moff - m).astype(jnp.int64)
+    pos = jnp.where(m > 0, start, jnp.int64(capO))  # dead rows drop
+    markers = jnp.zeros(capO, jnp.int32).at[pos].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return jax.lax.cummax(markers)
+
+
 def _dense_codes(vals, mask, cap, spans, prod):
     """Mixed-radix dense key code per row; dead rows get the dump code
     `prod` (trace-safe)."""
@@ -520,13 +540,28 @@ def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
                 m = cnt_p
             else:  # left: every live left row emits >= 1
                 m = jnp.where(row_live, jnp.maximum(cnt_p, 1), 0)
-            return (code_l, code_r, counts, cnt_p, m,
-                    jnp.sum(m.astype(jnp.int64)))
+            # pack (total, max build-group size) into ONE readback: the
+            # total sizes the output; the max is the m:1 detector
+            packed = jnp.stack([jnp.sum(m.astype(jnp.int64)),
+                                jnp.max(counts).astype(jnp.int64)])
+            return code_l, code_r, counts, cnt_p, m, packed
         jf_a = jax.jit(fn_a)
         _DENSE_JIT_CACHE[key_a] = jf_a
-    code_l, code_r, counts, cnt_p, m, total_dev = jf_a(
+    code_l, code_r, counts, cnt_p, m, packed = jf_a(
         lk, rk, lmask, rmask, left.row_mask())
-    total = int(np.asarray(total_dev))  # the one host sync
+    total, mcr = (int(x) for x in np.asarray(packed))  # the one host sync
+
+    # m:1 fast path: every key has at most one build row, so the output
+    # IS the left table (original order, capacity, column buffers — zero
+    # copy) with right payloads arriving via one dense-lookup gather per
+    # column and unmatched rows masked (inner) or null-filled (left).
+    # This is the FK->PK shape (reference: polars-ops
+    # hash_join/single_keys_inner.rs probe of a unique build side); it
+    # avoids the expansion machinery and all left-side gathers.
+    if mcr <= 1:
+        return _dense_m1_join(left, right, left_on, right_on, how, suffix,
+                              coalesce, base_key, code_l, code_r, cnt_p,
+                              lmask, prod)
     capO = capacity_for(max(total, 1))
 
     # --- phase B: expansion indices + output gather (one program) ---
@@ -546,7 +581,13 @@ def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
             rsorted = jnp.argsort(code_r, stable=True)  # dump sorts last
             moff = jnp.cumsum(m)
             k = jnp.arange(capO, dtype=jnp.int64)
-            p = searchsorted(moff, k, side="right").astype(jnp.int32)
+            # output-slot -> left-row map WITHOUT binary search: scatter
+            # each emitting row's index at its first output slot, then
+            # forward-fill with cummax (start offsets are unique over
+            # m>0 rows and monotone, so the fill is exact). On TPU this
+            # is one scatter + one cumop vs log(n) serialized gather
+            # passes for searchsorted (measured 5.5ms vs 52ms at 2M).
+            p = _expand_rows(m, moff, capO)
             pc = jnp.clip(p, 0, capL - 1)
             j = (k - (moff[pc] - m[pc])).astype(jnp.int32)
             slot = offsets[jnp.clip(code_l[pc], 0, prod - 1)] + j
@@ -573,6 +614,81 @@ def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
     # stats survive the gather: live output values are a subset of the
     # source column's live values, so cached bounds stay valid and the
     # downstream group-by skips its stats sync
+    _propagate_join_stats(out, left, right, suffix)
+    return out
+
+
+def _dense_m1_join(left: Table, right: Table, left_on, right_on, how: str,
+                   suffix: str, coalesce: bool, base_key, code_l, code_r,
+                   cnt_p, lmask, prod: int) -> Table:
+    """Dense-domain join when every key has at most one build (right)
+    row: the output is aligned with the LEFT rows — left column buffers
+    are reused untouched, right payloads arrive via a dense-lookup
+    gather (scatter right row indices by key code once, gather by the
+    probe codes), unmatched rows are masked out (inner) or left live
+    with null right payloads (left join). No expansion pass, no output
+    re-bucketing, no host sync beyond phase A's.
+
+    Reference analogue: the unique-build-side probe of
+    `polars-ops/src/frame/join/hash_join/single_keys_inner.rs`."""
+    from ..exec.compiled import _flatten_table, _unflatten_table, _table_key
+    capL, capR = left.capacity, right.capacity
+    r_names = [n for n in right.names
+               if not (coalesce and n in set(right_on))]
+    rpay = right.select_columns(r_names) if r_names else None
+
+    valid_key = ("dm1v", how) + base_key
+    jf_v = _DENSE_JIT_CACHE.get(valid_key)
+    if jf_v is None:
+        def fn_v(cnt_p, lmask, row_live):
+            rmatch = lmask & (cnt_p > 0)
+            out_valid = rmatch if how == "inner" else row_live
+            return rmatch, out_valid
+        jf_v = jax.jit(fn_v)
+        _DENSE_JIT_CACHE[valid_key] = jf_v
+    rmatch, out_valid = jf_v(cnt_p, lmask, left.row_mask())
+
+    names, cols = list(left.names), dict(left.cols)
+    if rpay is not None:
+        rflat, rmeta = _flatten_table(rpay)
+        key_g = ("dm1g", how, _table_key(rpay), capL) + base_key
+        hit = _DENSE_JIT_CACHE.get(key_g)
+        if hit is None:
+            meta_cell: list = [None]
+
+            def fn_g(rflat, code_l, code_r, rmatch):
+                rtab = _unflatten_table(rflat, rmeta)
+                ridx = jnp.zeros(prod, jnp.int32).at[code_r].set(
+                    jnp.arange(capR, dtype=jnp.int32), mode="drop")
+                gidx = ridx[jnp.clip(code_l, 0, prod - 1)]
+                gnames, gcols = [], {}
+                for n in rtab.names:
+                    gc = rtab.cols[n].take(gidx)
+                    validity = rmatch if gc.validity is None \
+                        else (gc.validity & rmatch)
+                    gnames.append(n)
+                    gcols[n] = Column(gc.dtype, gc.data, validity, gc.sdict,
+                                      lengths=gc.lengths,
+                                      elem_valid=gc.elem_valid,
+                                      fields=gc.fields)
+                out_flat, out_meta = _flatten_table(
+                    Table(gnames, gcols, capL, None, None))
+                meta_cell[0] = out_meta
+                return out_flat
+            jitted = jax.jit(fn_g)
+            out_flat = jitted(rflat, code_l, code_r, rmatch)
+            hit = (jitted, meta_cell[0])
+            _DENSE_JIT_CACHE[key_g] = hit
+        else:
+            jitted, _ = hit
+            out_flat = jitted(rflat, code_l, code_r, rmatch)
+        gtab = _unflatten_table(out_flat, hit[1])
+        lnames = set(left.names)
+        for n in gtab.names:
+            out_name = f"{n}{suffix}" if n in lnames else n
+            names.append(out_name)
+            cols[out_name] = gtab.cols[n]
+    out = Table(names, cols, capL, None, out_valid)
     _propagate_join_stats(out, left, right, suffix)
     return out
 

@@ -60,9 +60,9 @@ def sort_table(table: Table, key_vals, descending, nulls_last,
         perm = sort_perm(key_vals, descending, nulls_last, mask,
                          maintain_order)
         out = C.gather_table(table, perm, None, None)
-    # live rows are now a prefix; express as a mask to avoid a host sync
-    live = jnp.arange(table.capacity) < count
-    return out.with_valid(live, table.nrows)
+    # live rows are now a prefix; keep the count on device (deferred —
+    # no host sync; .nrows reads it lazily)
+    return out.with_valid(None, table._nrows, nrows_dev=count)
 
 
 def _sort_table_carried(table: Table, key_vals, descending, nulls_last,

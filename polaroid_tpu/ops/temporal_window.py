@@ -294,7 +294,8 @@ def rolling_agg(table: Table, index_column: str, period: str,
             raise ComputeError(f"duplicate column {name!r}")
         names.append(name)
         cols[name] = val
-    return Table(names, cols, cap, table.nrows, table.valid)
+    return Table(names, cols, cap, table._nrows, table.valid,
+                 nrows_dev=table.nrows_dev)
 
 
 def _rolling_one(ae: Expr, table: Table, perm, inv_perm, lo, hi, live_sorted):
