@@ -154,6 +154,8 @@ class DistributedExecutor:
             return self._exec_sort(plan)
         if k == "join":
             return self._exec_join(plan)
+        if k == "distinct":
+            return self._exec_distinct(plan)
         if k == "slice":
             t = self._exec(plan.input)
             return C.slice_rows(t, plan.offset, plan.length)
@@ -184,6 +186,16 @@ class DistributedExecutor:
             from ..ops.groupby import group_by_agg
             return group_by_agg(C.compact(t), keys, aggs, plan.maintain_order)
         partials, merges, finals = dec
+        try:
+            return self._exec_group_by_sharded(plan, t, keys, partials,
+                                               finals)
+        except InvalidOperationError:
+            from ..ops.groupby import group_by_agg
+            return group_by_agg(C.compact(t), keys, aggs,
+                                plan.maintain_order)
+
+    def _exec_group_by_sharded(self, plan, t, keys, partials,
+                               finals) -> Table:
         cap = t.capacity
         mask = t.row_mask()
         key_vals = [eval_expr(kx, t, "select") for kx in keys]
@@ -248,7 +260,8 @@ class DistributedExecutor:
                                      per_dest_cap=per_dest)
         out = gb(packed, mask, *val_arrays)
         gkey, gvalid = out[0], out[1]
-        parts = out[2:]
+        _check_no_drops(out[2], "group-by")
+        parts = out[3:]
 
         out_cap = gkey.shape[0]
         key_out_vals = _unpack_keys(gkey, unpack_info, out_cap)
@@ -372,8 +385,85 @@ class DistributedExecutor:
         return out
 
     # ------------------------------------------------------------------
+    def _exec_distinct(self, plan) -> Table:
+        """Distributed DISTINCT: rows hash-shuffled by the packed subset
+        key (nulls group as values, like single-device unique_table), a
+        per-shard representative pass flags survivors. keep first/last
+        ride a global row-index payload (reference: streaming distinct,
+        `polars-stream/src/nodes/`)."""
+        t = self._exec(plan.input)
+        subset = plan.subset or list(t.names)
+        if any(t.cols[n].lengths is not None or t.cols[n].fields is not None
+               for n in t.names):
+            from ..ops.groupby import unique_table
+            return unique_table(C.compact(t), plan.subset, plan.keep,
+                                plan.maintain_order)
+        cap = t.capacity
+        key_vals = []
+        for n in subset:
+            c = t.column(n)
+            key_vals.append(Val(c.dtype, c.data, c.validity, c.sdict, False))
+        try:
+            packed, _ = _pack_key_vals(key_vals, cap)
+        except InvalidOperationError:
+            from ..ops.groupby import unique_table
+            return unique_table(C.compact(t), plan.subset, plan.keep,
+                                plan.maintain_order)
+        sh = NamedSharding(self.mesh, P(AXIS))
+        valid = jax.device_put(t.row_mask(), sh)
+        packed = jax.device_put(packed, sh)
+        hist = SH.make_dest_hist(self.S, sh)
+        h = np.asarray(hist(packed, valid))
+        per_dest = capacity_for(max(int(h.max()), 1))
+        rowidx = jax.device_put(jnp.arange(cap, dtype=jnp.int32), sh)
+        pays, slots = [], []
+        for n in t.names:
+            c = t.cols[n]
+            data = c.data
+            if data.dtype == jnp.bool_:
+                data = data.astype(jnp.uint8)
+            pays.append(jax.device_put(data, sh))
+            hasv = c.validity is not None
+            if hasv:
+                pays.append(jax.device_put(c.validity.astype(jnp.uint8), sh))
+            slots.append((n, c.dtype, c.sdict, hasv))
+        uq = SH.make_sharded_unique(self.mesh, per_dest, plan.keep,
+                                    len(pays))
+        outs = uq(packed, valid, rowidx, *pays)
+        flag = outs[0]
+        _check_no_drops(outs[1], "distinct")
+        ridx_out = outs[2]
+        flat = list(outs[3:])
+        names, cols = [], {}
+        li = 0
+        for n, dt, sd, hasv in slots:
+            data = flat[li]
+            li += 1
+            if dt == Boolean and data.dtype != jnp.bool_:
+                data = data.astype(jnp.bool_)
+            validity = None
+            if hasv:
+                validity = flat[li].astype(jnp.bool_)
+                li += 1
+            names.append(n)
+            cols[n] = Column(dt, data, validity, sd)
+        # each shard's output = its exchanged arrays (S*per_dest rows)
+        out = Table(names, cols, self.S * self.S * per_dest, None, flag)
+        if plan.maintain_order:
+            from ..dtypes import Int64
+            from ..ops.sort import sort_table
+            order = Val(Int64, ridx_out.astype(jnp.int64), None, None, False)
+            out = sort_table(out, [order], [False], [False])
+        return out
+
+    # ------------------------------------------------------------------
     def _exec_join(self, plan: L.Join) -> Table:
-        if plan.how != "inner":
+        how = "full" if plan.how == "outer" else plan.how
+        coalesce = plan.coalesce if plan.coalesce is not None \
+            else how != "full"
+        if how not in ("inner", "left", "right", "full", "semi", "anti") \
+                or (how == "full" and coalesce):
+            # cross / asof / coalescing-full: single-device fallback
             from .executor import execute as exec_local
             return exec_local(plan)
         lt = self._exec(plan.left)
@@ -416,44 +506,47 @@ class DistributedExecutor:
 
     def _sharded_join(self, plan: L.Join, lt: Table, rt: Table,
                       lv, rv, lpacked, rpacked) -> Table:
-        """Full distributed inner join (SURVEY §3.4 TPU mapping): both
-        sides row-shuffled by key hash over ICI, local merge join per
-        shard. Sizing passes (dest histogram + match count) replace the
-        reference's SampleState (`nodes/joins/equi_join.rs:250`)."""
+        """Distributed join over the full matrix (inner/left/right/full/
+        semi/anti; SURVEY §3.4 TPU mapping): both sides row-shuffled by
+        key hash over ICI, local merge join per shard with unmatched-row
+        emission (reference: `nodes/joins/equi_join.rs:1075`
+        EmitUnmatchedBuild). Sizing passes (dest histogram + output-row
+        count) replace the reference's SampleState (`equi_join.rs:250`);
+        the shuffle reports overflow and the executor REFUSES dropped
+        rows instead of silently losing them. Null-key rows that must
+        still be emitted (left/full/anti under join_nulls=False) bypass
+        the shuffle and are appended from their origin shards."""
         mesh = self.mesh
         S = mesh.shape[AXIS]
-        capL, capR = lt.capacity, rt.capacity
-        # row validity for the join: nulls match only with join_nulls
+        how = "full" if plan.how == "outer" else plan.how
+        coalesce = plan.coalesce if plan.coalesce is not None \
+            else how != "full"
+        # matchable = live AND all key columns non-null (unless join_nulls)
         lvalid = lt.row_mask()
         rvalid = rt.row_mask()
+        lkeyv, rkeyv = lvalid, rvalid
         if not plan.join_nulls:
             for v in lv:
                 if v.validity is not None:
-                    lvalid = lvalid & v.validity
+                    lkeyv = lkeyv & v.validity
             for v in rv:
                 if v.validity is not None:
-                    rvalid = rvalid & v.validity
+                    rkeyv = rkeyv & v.validity
         sh = NamedSharding(mesh, P(AXIS))
         lpacked = jax.device_put(lpacked, sh)
         rpacked = jax.device_put(rpacked, sh)
-        lvalid = jax.device_put(lvalid, sh)
-        rvalid = jax.device_put(rvalid, sh)
-        # sizing pass 1: exact per-(source, dest) routing histogram
+        lkeyv = jax.device_put(lkeyv, sh)
+        rkeyv = jax.device_put(rkeyv, sh)
+        # sizing pass 1: exact per-(source, dest) routing histogram ->
+        # lossless exchange capacities
         hist = SH.make_dest_hist(S, sh)
-        lh = np.asarray(hist(lpacked, lvalid))
-        rh = np.asarray(hist(rpacked, rvalid))
+        lh = np.asarray(hist(lpacked, lkeyv))
+        rh = np.asarray(hist(rpacked, rkeyv))
         l_cap = capacity_for(max(int(lh.max()), 1))
         r_cap = capacity_for(max(int(rh.max()), 1))
-        # sizing pass 2: per-shard match counts -> static output capacity
-        cnt = SH.make_sharded_join_count(mesh, l_cap, r_cap)
-        counts = np.asarray(cnt(lpacked, lvalid, rpacked, rvalid))
-        out_cap = capacity_for(max(int(counts.max()), 1))
-        # payloads: every left column; right columns minus coalesced keys
-        coalesce = plan.coalesce if plan.coalesce is not None else True
-        r_names = [n for n in rt.names
-                   if not (coalesce and n in plan.right_on)]
-        pays, slots = [], []  # slots: (side, name, dtype, sdict, has_valid)
-        for side, tbl, names in (("l", lt, lt.names), ("r", rt, r_names)):
+
+        def side_payloads(tbl, names):
+            pays, slots = [], []
             for n in names:
                 c = tbl.cols[n]
                 data = c.data
@@ -464,35 +557,150 @@ class DistributedExecutor:
                 if hasv:
                     pays.append(jax.device_put(
                         c.validity.astype(jnp.uint8), sh))
-                slots.append((side, n, c.dtype, c.sdict, hasv))
-        n_l = sum(1 + int(s[4]) for s in slots if s[0] == "l")
-        n_r = len(pays) - n_l
-        join = SH.make_sharded_join(mesh, n_l, n_r, l_cap, out_cap,
-                                    r_per_dest_cap=r_cap)
-        outs = join(lpacked, lvalid, rpacked, rvalid, *pays)
-        jvalid = outs[1]
-        flat = list(outs[2:])
-        # reassemble columns with polars naming (left names, then right
-        # with suffix on collision)
+                slots.append((n, c.dtype, c.sdict, hasv))
+            return pays, slots
+
+        if how in ("semi", "anti"):
+            pays, slots = side_payloads(lt, lt.names)
+            join = SH.make_sharded_semi(mesh, l_cap, r_cap, how, len(pays))
+            outs = join(lpacked, lkeyv, rpacked, rkeyv, *pays)
+            flag = outs[0]
+            _check_no_drops(outs[1], how)
+            flat = list(outs[2:])
+            names, cols = [], {}
+            li = 0
+            for n, dt, sd, hasv in slots:
+                data = flat[li]
+                li += 1
+                if dt == Boolean and data.dtype != jnp.bool_:
+                    data = data.astype(jnp.bool_)
+                validity = None
+                if hasv:
+                    validity = flat[li].astype(jnp.bool_)
+                    li += 1
+                names.append(n)
+                cols[n] = Column(dt, data, validity, sd)
+            # each shard's output = its exchanged arrays (S*l_cap rows)
+            out = Table(names, cols, S * S * l_cap, None, flag)
+            if how == "anti" and not plan.join_nulls:
+                # left rows with null keys match nothing: they SURVIVE the
+                # anti filter but never entered the shuffle — append them
+                lnull = lt.row_mask() & ~lkeyv
+                out = self._append_rows(out, lt.with_valid(lnull, None))
+            return out
+
+        # sizing pass 2: per-shard output-row counts -> static capacity
+        cnt = SH.make_sharded_join_count(mesh, l_cap, r_cap, how)
+        counts = np.asarray(cnt(lpacked, lkeyv, rpacked, rkeyv))
+        out_cap = capacity_for(max(int(counts.max()), 1))
+        # payloads: for right joins the RIGHT side keeps its key columns
+        # and the LEFT side drops coalesced keys; otherwise vice versa
+        if how == "right":
+            l_names = [n for n in lt.names
+                       if not (coalesce and n in plan.left_on)]
+            r_names = list(rt.names)
+        else:
+            l_names = list(lt.names)
+            r_names = [n for n in rt.names
+                       if not (coalesce and n in plan.right_on)]
+        lpays, lslots = side_payloads(lt, l_names)
+        rpays, rslots = side_payloads(rt, r_names)
+        join = SH.make_sharded_join(mesh, len(lpays), len(rpays), l_cap,
+                                    out_cap, r_per_dest_cap=r_cap, how=how)
+        outs = join(lpacked, lkeyv, rpacked, rkeyv, *lpays, *rpays)
+        jvalid, lmatch, rmatch = outs[1], outs[2], outs[3]
+        _check_no_drops(outs[4], how)
+        flat = list(outs[5:])
         names, cols = [], {}
         li = 0
-        lnames = set(lt.names)
-        for side, n, dt, sd, hasv in slots:
-            data = flat[li]
-            li += 1
-            if dt == Boolean and data.dtype != jnp.bool_:
-                data = data.astype(jnp.bool_)
-            validity = None
-            if hasv:
-                validity = flat[li].astype(jnp.bool_)
+        taken = set()
+        mask_left = how in ("right", "full")
+        mask_right = how in ("left", "full")
+        for side, slots in (("l", lslots), ("r", rslots)):
+            for n, dt, sd, hasv in slots:
+                data = flat[li]
                 li += 1
-            out_name = n
-            if side == "r" and n in lnames:
-                out_name = f"{n}{plan.suffix}"
-            names.append(out_name)
-            cols[out_name] = Column(dt, data, validity, sd)
-        cap_out = S * out_cap
-        return Table(names, cols, cap_out, None, jvalid)
+                if dt == Boolean and data.dtype != jnp.bool_:
+                    data = data.astype(jnp.bool_)
+                validity = None
+                if hasv:
+                    validity = flat[li].astype(jnp.bool_)
+                    li += 1
+                match = lmatch if side == "l" else rmatch
+                if (side == "l" and mask_left) or \
+                        (side == "r" and mask_right):
+                    validity = match if validity is None \
+                        else (validity & match)
+                out_name = n
+                if out_name in taken:
+                    out_name = f"{n}{plan.suffix}"
+                taken.add(out_name)
+                names.append(out_name)
+                cols[out_name] = Column(dt, data, validity, sd)
+        out = Table(names, cols, S * out_cap, None, jvalid)
+        # emit-unmatched for null-key rows that bypassed the shuffle
+        if not plan.join_nulls:
+            if how in ("left", "full"):
+                lnull = lt.row_mask() & ~lkeyv
+                out = self._append_rows(
+                    out, _rename_to(lt.with_valid(lnull, None),
+                                    l_names, lslots, names[:len(lslots)]))
+            if how in ("right", "full"):
+                rnull = rt.row_mask() & ~rkeyv
+                out = self._append_rows(
+                    out, _rename_to(rt.with_valid(rnull, None),
+                                    r_names, rslots,
+                                    names[len(lslots):]))
+        return out
+
+    def _append_rows(self, out: Table, extra: Table) -> Table:
+        """Append `extra`'s live rows to `out` (missing columns become
+        all-null), re-sharding the result."""
+        from ..ops.concat import vstack_tables
+        from ..batch import _empty_column
+        ex = C.compact(extra.select_columns(
+            [n for n in extra.names if n in out.cols]))
+        if ex.nrows == 0:
+            return out
+        # add missing columns as nulls at ex's capacity
+        cols = dict(ex.cols)
+        names = list(ex.names)
+        for n in out.names:
+            if n in cols:
+                continue
+            base = _empty_column(out.cols[n].dtype, ex.capacity)
+            base = Column(base.dtype, base.data,
+                          jnp.zeros(ex.capacity, jnp.bool_),
+                          out.cols[n].sdict, lengths=base.lengths,
+                          fields=base.fields)
+            cols[n] = base
+            names.append(n)
+        ex2 = Table(list(out.names),
+                    {n: cols[n] for n in out.names},
+                    ex.capacity, ex._nrows, None, nrows_dev=ex.nrows_dev)
+        stacked = vstack_tables([C.compact(out), ex2])
+        return _shard_table(stacked, self.mesh)
+
+
+def _check_no_drops(dropped, what: str) -> None:
+    """Shuffle safety: the exchange reports records beyond a
+    destination's capacity; a non-zero count means a sizing bug and the
+    result would silently lose rows — refuse it loudly instead."""
+    total = int(np.asarray(dropped).sum())
+    if total:
+        raise ComputeError(
+            f"distributed {what}: shuffle overflow dropped {total} "
+            "records (per-destination capacity undersized); this is an "
+            "engine sizing bug — please report")
+
+
+def _rename_to(t: Table, src_names, slots, out_names) -> Table:
+    """Rename a side table's payload columns to the join output names
+    (suffix collisions resolved by position)."""
+    mapping = {n: out for (n, _, _, _), out in zip(slots, out_names)
+               if n != out}
+    t = t.select_columns([n for (n, _, _, _) in slots])
+    return t.rename(mapping) if mapping else t
 
 
 def _partial_dtype(kind: str, aggs, name: str):

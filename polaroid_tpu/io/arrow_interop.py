@@ -13,6 +13,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+import jax
 import jax.numpy as jnp
 
 from ..batch import Column, Table, storage_numpy_dtype
@@ -94,6 +95,19 @@ def dtype_to_arrow(dt: DataType) -> pa.DataType:
     raise SchemaError(f"cannot convert {dt!r} to arrow")
 
 
+def _dput(host) -> "jax.Array":
+    """Async host->device upload of an OWNED contiguous buffer.
+
+    jax.device_put enqueues and returns (~23ms for 32MB through the
+    remote tunnel) while jnp.asarray of a borrowed arrow view can
+    transfer synchronously; reads must never block on the wire
+    (reference: decode/upload overlap in polars-io pl_async)."""
+    a = np.ascontiguousarray(host)
+    if not a.flags.owndata:
+        a = a.copy()
+    return jax.device_put(a)
+
+
 def _plain_numeric_fast(arr, dt: DataType, capacity: int) -> Column:
     """One-copy host materialization for null-free int/float columns:
     per-chunk zero-copy arrow views written straight into the padded
@@ -107,7 +121,7 @@ def _plain_numeric_fast(arr, dt: DataType, capacity: int) -> Column:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks() if arr.num_chunks != 1 \
                 else arr.chunk(0)
-        return Column(dt, jnp.asarray(arr.to_numpy(zero_copy_only=True)),
+        return Column(dt, _dput(arr.to_numpy(zero_copy_only=True)),
                       None, None)
     chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
     stor = storage_numpy_dtype(dt)
@@ -118,7 +132,7 @@ def _plain_numeric_fast(arr, dt: DataType, capacity: int) -> Column:
             out[pos:pos + len(ch)] = ch.to_numpy(zero_copy_only=True)
             pos += len(ch)
     out[pos:] = 0
-    return Column(dt, jnp.asarray(out), None, None)
+    return Column(dt, _dput(out), None, None)
 
 
 def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
@@ -144,7 +158,7 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
         if mask is not None:
             v = np.zeros(capacity, bool)
             v[:n] = mask
-            validity = jnp.asarray(v)
+            validity = _dput(v)
         return Column(dt, None, validity, fields=fields)
     if dt.is_string:
         if pa.types.is_dictionary(arr.type):
@@ -160,8 +174,8 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
         if mask is not None:
             v = np.zeros(capacity, bool)
             v[:n] = mask
-            validity = jnp.asarray(v)
-        return Column(dt, jnp.asarray(out), validity, sdict)
+            validity = _dput(v)
+        return Column(dt, _dput(out), validity, sdict)
     stor = storage_numpy_dtype(dt)
     if pa.types.is_timestamp(arr.type) or pa.types.is_duration(arr.type) or \
             pa.types.is_date32(arr.type) or pa.types.is_time64(arr.type) or \
@@ -195,8 +209,8 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
     if mask is not None:
         v = np.zeros(capacity, bool)
         v[:n] = mask
-        validity = jnp.asarray(v)
-    return Column(dt, jnp.asarray(out), validity, None)
+        validity = _dput(v)
+    return Column(dt, _dput(out), validity, None)
 
 
 def _list_column_from_arrow(arr, dt, n: int, mask, capacity: int) -> Column:
@@ -232,14 +246,14 @@ def _list_column_from_arrow(arr, dt, n: int, mask, capacity: int) -> Column:
         cv = np.asarray(ccol.validity)[idx]
         ev = np.zeros((capacity, W), dtype=bool)
         ev[:n] = cv & in_len
-        elem_valid = jnp.asarray(ev)
+        elem_valid = _dput(ev)
     validity = None
     if mask is not None:
         v = np.zeros(capacity, bool)
         v[:n] = mask
-        validity = jnp.asarray(v)
-    return Column(dt, jnp.asarray(out), validity, ccol.sdict,
-                  lengths=jnp.asarray(lens_full), elem_valid=elem_valid)
+        validity = _dput(v)
+    return Column(dt, _dput(out), validity, ccol.sdict,
+                  lengths=_dput(lens_full), elem_valid=elem_valid)
 
 
 def _physical_arrow(t: pa.DataType) -> pa.DataType:

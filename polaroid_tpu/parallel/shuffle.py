@@ -185,9 +185,16 @@ def exchange_by_hash(key, payloads: Sequence, valid, num_shards: int,
 
 
 def exchange_records(dest, key, payloads: Sequence, valid, num_shards: int,
-                     per_dest_cap: int, axis: str = AXIS):
+                     per_dest_cap: int, axis: str = AXIS,
+                     with_overflow: bool = False):
     """Route records to explicit destinations (range partitioning for
-    distributed sort, hash partitioning for joins/group-by)."""
+    distributed sort, hash partitioning for joins/group-by).
+
+    Records beyond a destination's `per_dest_cap` slots are dropped, so
+    callers MUST size the capacity losslessly (exact dest histograms or
+    a by-construction bound). `with_overflow=True` additionally returns
+    the per-shard dropped-record count so jitted wrappers can surface a
+    hard runtime error instead of silent row loss."""
     cap = key.shape[0]
     dest = jnp.where(valid, dest.astype(jnp.uint32),
                      jnp.uint32(num_shards)).astype(jnp.int32)
@@ -216,8 +223,13 @@ def exchange_records(dest, key, payloads: Sequence, valid, num_shards: int,
     rvalid = jax.lax.all_to_all(svalid, axis, 0, 0, tiled=True)
     rpay = [jax.lax.all_to_all(p, axis, 0, 0, tiled=True) for p in spay]
     n = num_shards * per_dest_cap
-    return (rkey.reshape(n), [p.reshape(n) for p in rpay],
-            rvalid.reshape(n).astype(jnp.bool_))
+    out = (rkey.reshape(n), [p.reshape(n) for p in rpay],
+           rvalid.reshape(n).astype(jnp.bool_))
+    if with_overflow:
+        dropped = jnp.sum(
+            jnp.maximum(counts - per_dest_cap, 0).astype(jnp.int64))
+        return out + (dropped,)
+    return out
 
 
 def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
@@ -225,30 +237,36 @@ def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
                          axis: str = AXIS):
     """Full distributed group-by (runs inside shard_map):
     local partial agg -> hash all_to_all -> local merge.
-    Output: per-shard (gkey, outs, gvalid) of capacity S*per_dest_cap,
-    each shard owning a disjoint hash range of keys."""
+    Output: per-shard (gkey, outs, gvalid, dropped) of capacity
+    S*per_dest_cap, each shard owning a disjoint hash range of keys.
+    `dropped` counts exchange-overflow records (0 by construction when
+    per_dest_cap >= the local shard capacity: a chip holds at most that
+    many partial states)."""
     gkey, partials, gvalid = local_groupby(key, vals, valid, aggs)
-    rkey, rpart, rvalid = exchange_by_hash(gkey, partials, gvalid,
-                                           num_shards, per_dest_cap, axis)
+    dest = _hash_u64(gkey) % jnp.uint32(num_shards)
+    rkey, rpart, rvalid, dropped = exchange_records(
+        dest, gkey, partials, gvalid, num_shards, per_dest_cap, axis,
+        with_overflow=True)
     merge_aggs = [_MERGE_OF[a] for a in aggs]
-    return local_groupby(rkey, rpart, rvalid, merge_aggs)
+    gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
+    return gk, outs, gv, dropped
 
 
 def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
     """jit-compiled distributed group-by over row-sharded arrays.
 
     Inputs: key (uint64, sharded on rows), vals list, valid.
-    Outputs: sharded (gkey, outs..., gvalid)."""
+    Outputs: sharded (gkey, gvalid, dropped, outs...)."""
     S = mesh.shape[AXIS]
 
     def step(key, valid, *vals):
-        gk, outs, gv = sharded_groupby_step(key, list(vals), valid, aggs,
-                                            S, per_dest_cap)
-        return (gk, gv) + tuple(outs)
+        gk, outs, gv, dropped = sharded_groupby_step(
+            key, list(vals), valid, aggs, S, per_dest_cap)
+        return (gk, gv, dropped[None]) + tuple(outs)
 
     fn = shard_map(step, mesh=mesh,
                    in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
-                   out_specs=tuple(P(AXIS) for _ in range(2 + len(aggs))))
+                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
     return jax.jit(fn)
 
 
@@ -260,30 +278,46 @@ def shuffle_rows_step(key, payloads, valid, num_shards: int,
                             axis)
 
 
-def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
-    """Per-chip inner join on packed u64 keys with STATIC output capacity
-    (overflow rows dropped — callers provide slack). Pure-jnp variant of
-    `ops/join.py` for use inside shard_map.
+def _expand_slots(m, offs, out_cap: int):
+    """Output slot -> group map: scatter each emitting group's index at
+    its first output slot (start = offs - m, unique among m>0 groups and
+    strictly increasing), forward-fill with cummax. One scatter + one
+    cumop instead of log(n) serialized gather passes for searchsorted
+    (TPU: 5.5ms vs 52ms at 2M slots; see ops/join._expand_rows)."""
+    n = m.shape[0]
+    start = (offs - m).astype(jnp.int64)
+    pos = jnp.where(m > 0, start, jnp.int64(out_cap))
+    markers = jnp.zeros(out_cap, jnp.int32).at[pos].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return jax.lax.cummax(markers)
 
-    Returns (jkey, lpay', rpay', jvalid) with capacity out_cap."""
+
+def _merged_side_counts(lkey, lvalid, rkey, rvalid, want_ids: bool):
+    """Shared merged-sort prologue of the local join kernels: sort both
+    sides' keys together, return per-group (cl, cr) side counts in the
+    sorted layout plus (optionally) the sorted side indices/keys."""
     capL, capR = lkey.shape[0], rkey.shape[0]
     capT = capL + capR
     key = jnp.concatenate([lkey, rkey])
     valid = jnp.concatenate([lvalid, rvalid])
     tag = jnp.concatenate([jnp.zeros(capL, jnp.uint32),
                            jnp.ones(capR, jnp.uint32)])
-    sidx = jnp.concatenate([jnp.arange(capL, dtype=jnp.int32),
-                            jnp.arange(capR, dtype=jnp.int32)])
     dead = (~valid).astype(jnp.uint32)
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    sdead, shi, slo, stag, ssid, skey64 = jax.lax.sort(
-        (dead, khi, klo, tag, sidx, key), num_keys=4, is_stable=True)
+    if want_ids:
+        sidx = jnp.concatenate([jnp.arange(capL, dtype=jnp.int32),
+                                jnp.arange(capR, dtype=jnp.int32)])
+        sdead, shi, slo, stag, ssid, skey64 = jax.lax.sort(
+            (dead, khi, klo, tag, sidx, key), num_keys=4, is_stable=True)
+    else:
+        sdead, shi, slo, stag = jax.lax.sort(
+            (dead, khi, klo, tag), num_keys=4, is_stable=True)
+        ssid = skey64 = None
     live = sdead == 0
     idx = jnp.arange(capT)
     newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
             (slo != jnp.roll(slo, 1))) & live
-    # per-group left/right counts via segmented scans (scatter-free)
     starts, ends, ngroups = _group_bounds(newg, live)
     e1 = jnp.clip(ends - 1, 0, capT - 1)
     cl_scan = _segscan(jnp.where(live & (stag == 0), 1, 0), newg, jnp.add)
@@ -292,68 +326,128 @@ def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
     gv = g_arange < ngroups
     cl = jnp.where(gv, cl_scan[e1], 0)
     cr = jnp.where(gv, cr_scan[e1], 0)
-    gstart = starts
-    m = cl * cr
+    return (capL, capR, capT, live, stag, ssid, skey64, starts, cl, cr,
+            newg, ngroups)
+
+
+def _join_emit_counts(cl, cr, how: str):
+    """Per-group output row count for each join type (the reference's
+    emit logic incl. unmatched rows, `equi_join.rs:1075`
+    EmitUnmatchedBuild)."""
+    cl1 = jnp.maximum(cl, 1)
+    cr1 = jnp.maximum(cr, 1)
+    if how == "inner":
+        return cl * cr
+    if how == "left":
+        return cl * cr1
+    if how == "right":
+        return cl1 * cr
+    if how == "full":
+        return cl * cr1 + jnp.where(cl == 0, cr, 0)
+    raise ValueError(f"join type {how!r}")
+
+
+def local_join(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int,
+               how: str = "inner"):
+    """Per-chip inner/left/right/full join on packed u64 keys with STATIC
+    output capacity (overflow rows dropped — callers size it from the
+    sizing pass). Pure-jnp variant of `ops/join.py` for use inside
+    shard_map.
+
+    Returns (jkey, lpay', rpay', jvalid, lmatch, rmatch) with capacity
+    out_cap; lmatch/rmatch are False on output rows whose left/right
+    side is an unmatched fill (payload validity must be masked)."""
+    (capL, capR, capT, live, stag, ssid, skey64, gstart, cl, cr,
+     newg, ngroups) = _merged_side_counts(lkey, lvalid, rkey, rvalid, True)
+    m = _join_emit_counts(cl, cr, how)
     offs = jnp.cumsum(m)
-    from ..ops.search import searchsorted as _ss
     k = jnp.arange(out_cap, dtype=jnp.int64)
-    g = _ss(offs, k, side="right").astype(jnp.int32)
-    gc = jnp.clip(g, 0, capT - 1)
+    gc = jnp.clip(_expand_slots(m, offs, out_cap), 0, capT - 1)
     base = offs[gc] - m[gc]
     r = (k - base).astype(jnp.int32)
-    crg = jnp.maximum(cr[gc], 1)
-    i = r // crg
-    j = r % crg
+    cl_g, cr_g = cl[gc], cr[gc]
+    cl1_g = jnp.maximum(cl_g, 1)
+    cr1_g = jnp.maximum(cr_g, 1)
+    if how == "inner":
+        i = r // cr1_g
+        j = r % cr1_g
+        lmatch = jnp.ones(out_cap, jnp.bool_)
+        rmatch = jnp.ones(out_cap, jnp.bool_)
+    elif how == "left":
+        i = r // cr1_g
+        j = r % cr1_g
+        lmatch = jnp.ones(out_cap, jnp.bool_)
+        rmatch = cr_g > 0
+    elif how == "right":
+        j = r // cl1_g
+        i = r % cl1_g
+        rmatch = jnp.ones(out_cap, jnp.bool_)
+        lmatch = cl_g > 0
+    else:  # full
+        main = cl_g * cr1_g
+        in_main = r < main
+        i = jnp.where(in_main, r // cr1_g, 0)
+        j = jnp.where(in_main, r % cr1_g, r - main)
+        lmatch = in_main & (cl_g > 0)
+        rmatch = jnp.where(in_main, cr_g > 0, True)
     lslot = jnp.clip(gstart[gc] + i, 0, capT - 1)
-    rslot = jnp.clip(gstart[gc] + cl[gc] + j, 0, capT - 1)
+    rslot = jnp.clip(gstart[gc] + cl_g + j, 0, capT - 1)
     total = offs[capT - 1]
     jvalid = k < total
+    lmatch = lmatch & jvalid
+    rmatch = rmatch & jvalid
     lidx = jnp.clip(ssid[lslot], 0, capL - 1)
     ridx = jnp.clip(ssid[rslot], 0, capR - 1)
-    jkey = skey64[lslot]
+    jkey = jnp.where(lmatch, skey64[lslot], skey64[rslot])
     lout = [p[lidx] for p in lpay]
     rout = [p[ridx] for p in rpay]
-    return jkey, lout, rout, jvalid
+    return jkey, lout, rout, jvalid, lmatch, rmatch
 
 
-def local_join_count(lkey, lvalid, rkey, rvalid):
-    """Per-chip inner-join match COUNT on packed u64 keys (the sizing
-    pass before local_join_inner; analogue of the reference's join
+def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
+    """Back-compat wrapper: inner join (see local_join)."""
+    jk, lo, ro, jv, _, _ = local_join(lkey, lpay, lvalid, rkey, rpay,
+                                      rvalid, out_cap, "inner")
+    return jk, lo, ro, jv
+
+
+def local_semi_flags(lkey, lvalid, rkey, rvalid, how: str):
+    """Per-chip semi/anti match flags aligned with the exchanged LEFT
+    rows: True where the row survives the semi (has a match) or anti
+    (has none) filter. Writeback to left-row order rides one sort
+    (sort-as-scatter; TPU boolean scatters serialize)."""
+    (capL, capR, capT, live, stag, ssid, _, gstart, cl, cr,
+     newg, ngroups) = _merged_side_counts(lkey, lvalid, rkey, rvalid, True)
+    # group id per sorted slot (prefix count of newg)
+    gid = jnp.clip(jnp.cumsum(newg.astype(jnp.int32)) - 1, 0, capT - 1)
+    has_match = cr[gid] > 0
+    want = has_match if how == "semi" else ~has_match
+    sel = want & live & (stag == 0)
+    wb = jnp.where(stag == 0, ssid, capL).astype(jnp.int32)
+    _, sel_w = jax.lax.sort((wb, sel.astype(jnp.uint32)), num_keys=1)
+    return jax.lax.slice_in_dim(sel_w, 0, capL) != 0
+
+
+def local_join_count(lkey, lvalid, rkey, rvalid, how: str = "inner"):
+    """Per-chip join output-row COUNT on packed u64 keys (the sizing
+    pass before local_join; analogue of the reference's join
     sampling, `nodes/joins/equi_join.rs` SampleState)."""
-    capL, capR = lkey.shape[0], rkey.shape[0]
-    capT = capL + capR
-    key = jnp.concatenate([lkey, rkey])
-    valid = jnp.concatenate([lvalid, rvalid])
-    tag = jnp.concatenate([jnp.zeros(capL, jnp.uint32),
-                           jnp.ones(capR, jnp.uint32)])
-    dead = (~valid).astype(jnp.uint32)
-    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
-    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    sdead, shi, slo, stag = jax.lax.sort(
-        (dead, khi, klo, tag), num_keys=4, is_stable=True)
-    live = sdead == 0
-    idx = jnp.arange(capT)
-    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
-            (slo != jnp.roll(slo, 1))) & live
-    starts, ends, ngroups = _group_bounds(newg, live)
-    e1 = jnp.clip(ends - 1, 0, capT - 1)
-    cl_scan = _segscan(jnp.where(live & (stag == 0), 1, 0), newg, jnp.add)
-    cr_scan = _segscan(jnp.where(live & (stag == 1), 1, 0), newg, jnp.add)
-    gv = jnp.arange(capT, dtype=jnp.int32) < ngroups
-    cl = jnp.where(gv, cl_scan[e1], 0)
-    cr = jnp.where(gv, cr_scan[e1], 0)
-    return jnp.sum((cl.astype(jnp.int64)) * cr.astype(jnp.int64))[None]
+    (capL, capR, capT, live, stag, _, _, starts, cl, cr,
+     newg, ngroups) = _merged_side_counts(lkey, lvalid, rkey, rvalid, False)
+    m = _join_emit_counts(cl, cr, how)
+    return jnp.sum(m.astype(jnp.int64))[None]
 
 
-def make_sharded_join_count(mesh, l_dest_cap: int, r_dest_cap: int):
-    """jit: shuffle both key columns by hash, return per-shard match
+def make_sharded_join_count(mesh, l_dest_cap: int, r_dest_cap: int,
+                            how: str = "inner"):
+    """jit: shuffle both key columns by hash, return per-shard output-row
     counts (host-synced by the caller to pick the output capacity)."""
     S = mesh.shape[AXIS]
 
     def step(lkey, lvalid, rkey, rvalid):
         lk, _, lv = exchange_by_hash(lkey, [], lvalid, S, l_dest_cap)
         rk, _, rv = exchange_by_hash(rkey, [], rvalid, S, r_dest_cap)
-        return local_join_count(lk, lv, rk, rv)
+        return local_join_count(lk, lv, rk, rv, how)
 
     fn = shard_map(step, mesh=mesh, in_specs=(P(AXIS),) * 4,
                    out_specs=P(AXIS))
@@ -391,22 +485,110 @@ def make_dest_hist(S: int, sharding=None):
 
 
 def make_sharded_join(mesh, n_lpay: int, n_rpay: int, per_dest_cap: int,
-                      out_cap: int, r_per_dest_cap: int = None):
-    """jit-compiled distributed inner join: both sides shuffled by key
-    hash, then joined locally per shard."""
+                      out_cap: int, r_per_dest_cap: int = None,
+                      how: str = "inner"):
+    """jit-compiled distributed join (inner/left/right/full): both sides
+    shuffled by key hash, then joined locally per shard. Output order:
+    (jkey, jvalid, lmatch, rmatch, dropped, lpays..., rpays...); the
+    `dropped` scalar per shard is the exchange-overflow count — the
+    executor REFUSES the result if any records were dropped (shuffle
+    safety: no silent row loss)."""
     S = mesh.shape[AXIS]
     r_cap = r_per_dest_cap if r_per_dest_cap is not None else per_dest_cap
 
     def step(lkey, lvalid, rkey, rvalid, *pays):
         lpay = list(pays[:n_lpay])
         rpay = list(pays[n_lpay:])
-        lk, lp, lv = exchange_by_hash(lkey, lpay, lvalid, S, per_dest_cap)
-        rk, rp, rv = exchange_by_hash(rkey, rpay, rvalid, S, r_cap)
-        jk, lo, ro, jv = local_join_inner(lk, lp, lv, rk, rp, rv, out_cap)
-        return (jk, jv) + tuple(lo) + tuple(ro)
+        ldest = _hash_u64(lkey) % jnp.uint32(S)
+        rdest = _hash_u64(rkey) % jnp.uint32(S)
+        lk, lp, lv, ldrop = exchange_records(
+            ldest, lkey, lpay, lvalid, S, per_dest_cap, with_overflow=True)
+        rk, rp, rv, rdrop = exchange_records(
+            rdest, rkey, rpay, rvalid, S, r_cap, with_overflow=True)
+        jk, lo, ro, jv, lm, rm = local_join(lk, lp, lv, rk, rp, rv,
+                                            out_cap, how)
+        return (jk, jv, lm, rm, (ldrop + rdrop)[None]) + tuple(lo) + tuple(ro)
 
-    n_out = 2 + n_lpay + n_rpay
+    n_out = 5 + n_lpay + n_rpay
     fn = shard_map(step, mesh=mesh,
                    in_specs=tuple(P(AXIS) for _ in range(4 + n_lpay + n_rpay)),
                    out_specs=tuple(P(AXIS) for _ in range(n_out)))
+    return jax.jit(fn)
+
+
+def local_unique(key, rowidx, valid, keep: str):
+    """Per-chip DISTINCT flags on packed u64 keys: True where the row is
+    its group's representative. `rowidx` is the global original row
+    index, so keep="first"/"last" match single-device semantics; rows
+    with equal keys were hash-routed to one shard, making local
+    representatives globally unique. Returns flags aligned with the
+    input rows (writeback via one sort)."""
+    cap = key.shape[0]
+    dead = (~valid).astype(jnp.uint32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    sdead, shi, slo, sridx, spos = jax.lax.sort(
+        (dead, khi, klo, rowidx.astype(jnp.int32), pos), num_keys=4,
+        is_stable=True)
+    live = sdead == 0
+    idx = jnp.arange(cap)
+    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
+            (slo != jnp.roll(slo, 1))) & live
+    run_end = (jnp.concatenate([newg[1:], jnp.ones(1, jnp.bool_)]) |
+               ~jnp.concatenate([live[1:], jnp.zeros(1, jnp.bool_)])) & live
+    if keep in ("any", "first"):
+        rep = newg
+    elif keep == "last":
+        rep = run_end
+    elif keep == "none":
+        rep = newg & run_end  # groups of size one
+    else:
+        raise ValueError(f"keep {keep!r}")
+    _, rep_w = jax.lax.sort((spos, rep.astype(jnp.uint32)), num_keys=1)
+    return rep_w != 0
+
+
+def make_sharded_unique(mesh, per_dest_cap: int, keep: str, n_pay: int):
+    """jit-compiled distributed DISTINCT: rows + a global row index are
+    hash-shuffled by the (packed) subset key, each shard flags its
+    representatives. Output: (flag, dropped, rowidx', pays...)."""
+    S = mesh.shape[AXIS]
+
+    def step(key, valid, rowidx, *pays):
+        dest = _hash_u64(key) % jnp.uint32(S)
+        k2, p2, v2, dropped = exchange_records(
+            dest, key, [rowidx] + list(pays), valid, S, per_dest_cap,
+            with_overflow=True)
+        flag = local_unique(k2, p2[0], v2, keep)
+        return (flag & v2, dropped[None]) + tuple(p2)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=tuple(P(AXIS) for _ in range(3 + n_pay)),
+                   out_specs=tuple(P(AXIS) for _ in range(3 + n_pay)))
+    return jax.jit(fn)
+
+
+def make_sharded_semi(mesh, per_dest_cap: int, r_per_dest_cap: int,
+                      how: str, n_lpay: int):
+    """jit-compiled distributed semi/anti join: left rows + payloads are
+    shuffled with the keys; output is the exchanged left rows with a
+    survive-flag (semi: has a match; anti: has none), plus the overflow
+    count (refused on drop)."""
+    S = mesh.shape[AXIS]
+
+    def step(lkey, lvalid, rkey, rvalid, *lpay):
+        ldest = _hash_u64(lkey) % jnp.uint32(S)
+        rdest = _hash_u64(rkey) % jnp.uint32(S)
+        lk, lp, lv, ldrop = exchange_records(
+            ldest, lkey, list(lpay), lvalid, S, per_dest_cap,
+            with_overflow=True)
+        rk, _, rv, rdrop = exchange_records(
+            rdest, rkey, [], rvalid, S, r_per_dest_cap, with_overflow=True)
+        flag = local_semi_flags(lk, lv, rk, rv, how)
+        return (flag & lv, (ldrop + rdrop)[None]) + tuple(lp)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=tuple(P(AXIS) for _ in range(4 + n_lpay)),
+                   out_specs=tuple(P(AXIS) for _ in range(2 + n_lpay)))
     return jax.jit(fn)

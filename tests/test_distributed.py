@@ -140,3 +140,79 @@ def test_dist_join_nulls_strings_suffix():
             ["k", "v"], nulls_last=True).to_dict()
     lf3 = l.lazy().join(r.lazy(), on="k", how="inner", coalesce=False)
     assert "k_right" in lf3.collect(engine="distributed").columns
+
+
+# ---------------------------------------------------------------------------
+# full join matrix + distinct on the 8-device mesh (VERDICT r1 item 3):
+# every `how` differential-tested against the in-memory oracle
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_sides():
+    rng = np.random.default_rng(11)
+    n, m = 5000, 1200
+    lk = rng.integers(0, 900, n).astype(object)
+    rk = rng.integers(0, 1500, m).astype(object)  # partial overlap
+    lk[rng.random(n) < 0.03] = None
+    rk[rng.random(m) < 0.05] = None
+    left = pl.DataFrame({"k": lk.tolist(),
+                         "lv": rng.uniform(0, 10, n).round(3).tolist()})
+    right = pl.DataFrame({"k": rk.tolist(),
+                          "rv": rng.integers(-5, 5, m).tolist()})
+    return left.lazy(), right.lazy()
+
+
+def _cmp_join(lf, sort_keys=None):
+    a0 = lf.collect(engine="in-memory")
+    sort_keys = list(a0.columns)  # total order: ties must compare equal
+    a = a0.sort(sort_keys, nulls_last=True)
+    b = lf.collect(engine="distributed").sort(sort_keys, nulls_last=True)
+    assert a.height == b.height
+    assert a.columns == b.columns
+    da, db = a.to_dict(), b.to_dict()
+    for k in da:
+        for x, y in zip(da[k], db[k]):
+            ok = (x == y) or (x is None and y is None) or \
+                (isinstance(x, float) and isinstance(y, float)
+                 and abs(x - y) < 1e-9)
+            assert ok, (k, x, y)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                 "semi", "anti"])
+def test_dist_join_matrix(join_sides, how):
+    lf_l, lf_r = join_sides
+    kw = {"coalesce": False} if how == "full" else {}
+    lf = lf_l.join(lf_r, on="k", how=how, **kw)
+    cols = lf.collect_schema() if hasattr(lf, "collect_schema") else None
+    keys = ["k", "lv"] if how in ("semi", "anti") else \
+        (["k", "k_right", "lv", "rv"] if how == "full" else ["k", "lv"]
+         if how != "right" else ["k", "rv"])
+    keys = [c for c in keys
+            if c in lf.collect(engine="in-memory").columns]
+    _cmp_join(lf, keys)
+
+
+@pytest.mark.parametrize("how", ["left", "full", "anti"])
+def test_dist_join_matrix_join_nulls(join_sides, how):
+    lf_l, lf_r = join_sides
+    kw = {"coalesce": False} if how == "full" else {}
+    lf = lf_l.join(lf_r, on="k", how=how, join_nulls=True, **kw)
+    keys = [c for c in ["k", "lv", "rv"]
+            if c in lf.collect(engine="in-memory").columns]
+    _cmp_join(lf, keys)
+
+
+@pytest.mark.parametrize("keep", ["any", "first", "last", "none"])
+def test_dist_distinct(data, keep):
+    lf = data.unique(subset=["k", "s"], keep=keep)
+    a = lf.collect(engine="in-memory").sort(["k", "s", "v"]).to_dict()
+    b = lf.collect(engine="distributed").sort(["k", "s", "v"]).to_dict()
+    assert a == b
+
+
+def test_dist_distinct_maintain_order(data):
+    lf = data.unique(subset=["k"], keep="first", maintain_order=True)
+    a = lf.collect(engine="in-memory").to_dict()
+    b = lf.collect(engine="distributed").to_dict()
+    assert a == b

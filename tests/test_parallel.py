@@ -50,7 +50,8 @@ def test_sharded_groupby(mesh, rng):
     val = jax.device_put(jnp.asarray(rng.normal(size=n).astype(np.float32)), sh)
     valid = jax.device_put(jnp.asarray(rng.uniform(size=n) > 0.1), sh)
     gb = make_sharded_groupby(mesh, ["sum", "count"], per_dest_cap=rows)
-    gk, gv, s, c = gb(key, valid, val, val)
+    gk, gv, dropped, s, c = gb(key, valid, val, val)
+    assert int(np.asarray(dropped).sum()) == 0
     gkn, gvn, sn, cn = map(np.asarray, (gk, gv, s, c))
     kh, vh, mh = map(np.asarray, (key, val, valid))
     ref_sum = collections.defaultdict(float)
@@ -80,7 +81,8 @@ def test_sharded_join(mesh, rng):
     rvalid = jax.device_put(jnp.asarray(rng.uniform(size=n) > 0.5), sh)
     jn = make_sharded_join(mesh, 1, 1, per_dest_cap=n,
                            out_cap=8 * rows * rows)
-    jk, jv, lo, ro = jn(lkey, lvalid, rkey, rvalid, lval, rval)
+    jk, jv, lm, rm, dropped, lo, ro = jn(lkey, lvalid, rkey, rvalid, lval, rval)
+    assert int(np.asarray(dropped).sum()) == 0
     total = int(np.asarray(jv).sum())
     rc = collections.Counter(np.asarray(rkey)[np.asarray(rvalid)].tolist())
     want = sum(rc[int(k)] for k in np.asarray(lkey))
