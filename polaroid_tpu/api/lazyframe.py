@@ -210,12 +210,67 @@ class LazyFrame:
     def join_where(self, other: "LazyFrame", *predicates,
                    suffix: str = "_right") -> "LazyFrame":
         """Inequality join (reference: iejoin,
-        `polars-ops/src/frame/join/iejoin/`): cross product filtered by
-        the predicates. Right-side name collisions take `suffix`, as in
-        polars — reference them suffixed in the predicates."""
+        `polars-ops/src/frame/join/iejoin/mod.rs:206`, Khayyat et al.):
+        predicates of the form `left_expr OP right_expr` (OP an
+        inequality) drive a sort + wavelet-tree dominance enumeration —
+        the cross product is never materialized (`ops/iejoin.py`).
+        Right-side name collisions take `suffix`, as in polars —
+        reference them suffixed in the predicates. Predicates that
+        don't decompose into one-side-each inequalities are applied as
+        filters on the candidate pairs (falling back to cross+filter
+        only when NO predicate decomposes)."""
         if not predicates:
             raise ComputeError("join_where requires at least one predicate")
         preds = _to_exprs(predicates)
+        from ..expr import meta as _meta
+        lschema = self._plan.schema()
+        rschema = other._plan.schema()
+        out_right = {}
+        for n in rschema:
+            out_right[f"{n}{suffix}" if n in lschema else n] = n
+        _flip = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
+
+        def side(e):
+            roots = _meta.root_names(e)
+            if roots and roots <= set(lschema):
+                return "l"
+            if roots and roots <= set(out_right):
+                return "r"
+            return None
+
+        def to_right(e):
+            # rewrite joined-output names back to right-frame names
+            from ..expr.expr import Expr
+            if e.kind == "col":
+                return Expr("col", (), name=out_right[e.attrs["name"]])
+            if not e.children:
+                return e
+            return Expr(e.kind, tuple(to_right(c) for c in e.children),
+                        **e.attrs)
+
+        def is_sortable(e, schema):
+            try:
+                dt = _meta.output_dtype(e, schema)
+            except Exception:
+                return False
+            return not (dt.is_string or dt.is_nested)
+
+        ineq, post = [], []
+        for p in preds:
+            op = p.attrs.get("op") if p.kind == "binary" else None
+            if op in ("lt", "le", "gt", "ge"):
+                a, b = p.children
+                sa, sb = side(a), side(b)
+                if sa == "l" and sb == "r" and is_sortable(a, lschema):
+                    ineq.append((a, op, to_right(b)))
+                    continue
+                if sa == "r" and sb == "l" and is_sortable(b, lschema):
+                    ineq.append((b, _flip[op], to_right(a)))
+                    continue
+            post.append(p)
+        if ineq:
+            return LazyFrame._from_plan(
+                L.IEJoin(self._plan, other._plan, ineq, post, suffix))
         pred = preds[0]
         for p in preds[1:]:
             pred = pred & p

@@ -122,6 +122,11 @@ def _exec(plan: L.Plan, state: ExecState) -> Table:
         t = execute(plan.input, state)
         return unique_table(t, plan.subset, plan.keep, plan.maintain_order)
 
+    if k == "iejoin":
+        from ..ops.iejoin import iejoin_tables
+        lt = execute(plan.left, state)
+        rt = execute(plan.right, state)
+        return iejoin_tables(lt, rt, plan.preds, plan.post, plan.suffix)
     if k == "join":
         lt = execute(plan.left, state)
         rt = execute(plan.right, state)

@@ -396,6 +396,41 @@ class Join(Plan):
         return f"JOIN[{self.how} on {self.left_on}]"
 
 
+class IEJoin(Plan):
+    """Inequality join (join_where): `preds` are (left_expr, op,
+    right_expr) inequalities with op in lt/le/gt/ge; `post` are extra
+    predicates over the joined schema. Reference:
+    `polars-ops/src/frame/join/iejoin/mod.rs`."""
+    kind = "iejoin"
+
+    def __init__(self, left: Plan, right: Plan, preds, post,
+                 suffix: str = "_right"):
+        super().__init__()
+        self.left = left
+        self.right = right
+        self.inputs = (left, right)
+        self.preds = preds
+        self.post = post
+        self.suffix = suffix
+
+    def _compute_schema(self) -> Schema:
+        ls = self.left.schema()
+        rs = self.right.schema()
+        out: Schema = dict(ls)
+        for n, dt in rs.items():
+            name = n if n not in out else f"{n}{self.suffix}"
+            out[name] = dt
+        return out
+
+    def with_inputs(self, inputs):
+        return IEJoin(inputs[0], inputs[1], self.preds, self.post,
+                      self.suffix)
+
+    def __repr__(self):
+        ops = ",".join(op for (_, op, _) in self.preds)
+        return f"IEJOIN[{ops}]"
+
+
 class Union(Plan):
     kind = "union"
 

@@ -65,6 +65,11 @@ def plan_to_dict(p: L.Plan) -> Dict[str, Any]:
         out["suffix"] = p.suffix
         out["join_nulls"] = p.join_nulls
         out["coalesce"] = p.coalesce
+    elif k == "iejoin":
+        out["preds"] = [[expr_to_dict(a), op, expr_to_dict(b)]
+                        for (a, op, b) in p.preds]
+        out["post"] = [expr_to_dict(e) for e in p.post]
+        out["suffix"] = p.suffix
     elif k == "union":
         out["how"] = p.how
     elif k == "rename":
@@ -129,6 +134,12 @@ def plan_from_dict(d: Dict[str, Any]) -> L.Plan:
         return L.Join(ins[0], ins[1], d["left_on"], d["right_on"], d["how"],
                       d.get("suffix", "_right"), d.get("join_nulls", False),
                       d.get("coalesce"))
+    if k == "iejoin":
+        preds = [(expr_from_dict(a), op, expr_from_dict(b))
+                 for (a, op, b) in d["preds"]]
+        post = [expr_from_dict(e) for e in d.get("post", [])]
+        return L.IEJoin(ins[0], ins[1], preds, post,
+                        d.get("suffix", "_right"))
     if k == "union":
         return L.Union(ins, d.get("how", "vertical"))
     if k == "rename":
