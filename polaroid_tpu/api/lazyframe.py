@@ -394,10 +394,12 @@ class LazyFrame:
         from .frame import DataFrame
         from ..exec.executor import ExecState, execute
         self._plan.schema()  # validate names/dtypes before pushdowns mask them
-        plan = optimize(self._plan)
+        eng = engine if engine != "auto" else CONFIG.engine_affinity
+        if streaming:
+            eng = "streaming"
+        plan = optimize(self._plan, eng)
         if CONFIG.visualize_ir:
             print(plan.describe())
-        eng = engine if engine != "auto" else CONFIG.engine_affinity
         if streaming or eng == "streaming":
             from ..exec.streaming import execute_streaming
             t = execute_streaming(plan)
@@ -691,19 +693,19 @@ class LazyFrame:
                     _os.path.join(path.base_path, f"{i:08d}.parquet"), **kw)
                 i += 1
             return
-        execute_streaming(optimize(L.Sink(self._plan, "parquet", path, kw)))
+        execute_streaming(optimize(L.Sink(self._plan, "parquet", path, kw), "streaming"))
 
     def sink_csv(self, path, **kw) -> None:
         from ..exec.streaming import execute_streaming
-        execute_streaming(optimize(L.Sink(self._plan, "csv", path, kw)))
+        execute_streaming(optimize(L.Sink(self._plan, "csv", path, kw), "streaming"))
 
     def sink_ipc(self, path, **kw) -> None:
         from ..exec.streaming import execute_streaming
-        execute_streaming(optimize(L.Sink(self._plan, "ipc", path, kw)))
+        execute_streaming(optimize(L.Sink(self._plan, "ipc", path, kw), "streaming"))
 
     def sink_ndjson(self, path, **kw) -> None:
         from ..exec.streaming import execute_streaming
-        execute_streaming(optimize(L.Sink(self._plan, "ndjson", path, kw)))
+        execute_streaming(optimize(L.Sink(self._plan, "ndjson", path, kw), "streaming"))
 
 
 class LazyGroupBy:

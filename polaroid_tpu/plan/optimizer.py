@@ -16,14 +16,130 @@ from ..expr.expr import Expr
 from . import logical as L
 
 
-def optimize(plan: L.Plan) -> L.Plan:
+def optimize(plan: L.Plan, engine: str = "in-memory") -> L.Plan:
     plan = simplify_plan_exprs(plan)
     plan = push_predicates(plan)
     plan = push_slice(plan)
     plan = count_star_fast_path(plan)
     plan = push_projection(plan, None)
+    if engine in ("in-memory", "auto"):
+        # sortedness is an in-memory-engine property: its sort-based
+        # group-by emits key order; hash-sharded engines do not
+        plan = elide_redundant_sorts(plan)
     plan = fuse_topk(plan)
     plan = insert_common_subplan_caches(plan)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# sortedness propagation (reference: `polars-plan/src/plans/optimizer/
+# set_order/` + sortedness analysis): track "output rows are ordered by
+# K" through the plan and remove Sort nodes that re-establish an order
+# the input already has. Doubly important in this engine: the in-memory
+# group-by IS a sort, so group_by(k).agg(...).sort(k) carries its order
+# for free (asc, nulls first, NaN last — verified identical to
+# sort_table's encoding).
+# ---------------------------------------------------------------------------
+
+def _bare_col(e: Expr) -> Optional[str]:
+    while e.kind == "alias":
+        e = e.children[0]
+    return e.attrs["name"] if e.kind == "col" else None
+
+
+def output_sortedness(plan: L.Plan) -> List:
+    """Longest known [(name, descending, nulls_last)] prefix the plan's
+    output rows are ordered by (empty = unknown)."""
+    k = plan.kind
+    if k == "sort":
+        out = []
+        for e, d, nl in zip(plan.by, plan.descending, plan.nulls_last):
+            n = _bare_col(e)
+            if n is None:
+                break
+            out.append((n, bool(d), bool(nl)))
+        return out
+    if k == "group_by" and not plan.maintain_order:
+        out = []
+        for e in plan.keys:
+            n = _bare_col(e)
+            if n is None or e.kind == "alias":
+                break  # aliased keys rename the column; keep it simple
+            out.append((n, False, False))
+        return out
+    if k in ("filter", "slice", "cache", "with_row_index", "fast_count"):
+        return output_sortedness(plan.input) if plan.inputs else []
+    if k == "distinct":
+        # representative masks preserve input row order
+        return output_sortedness(plan.input)
+    if k in ("select", "with_columns"):
+        s = output_sortedness(plan.input)
+        if not s:
+            return []
+        # a sorted column survives if no expression redefines it; for
+        # select it must also still be present (as a bare passthrough)
+        redefined, passed = set(), set()
+        try:
+            ins = plan.input.schema()
+            exprs = meta.expand_exprs(plan.exprs, ins)
+        except Exception:
+            return []
+        for e in exprs:
+            n = meta.output_name(e)
+            inner = e
+            while inner.kind == "alias":
+                inner = inner.children[0]
+            if inner.kind == "col" and inner.attrs["name"] == n:
+                passed.add(n)
+            else:
+                redefined.add(n)
+        out = []
+        for (n, d, nl) in s:
+            if n in redefined or (k == "select" and n not in passed):
+                break
+            out.append((n, d, nl))
+        return out
+    if k == "rename":
+        s = output_sortedness(plan.input)
+        return [(plan.mapping.get(n, n), d, nl) for (n, d, nl) in s]
+    if k == "drop":
+        s = output_sortedness(plan.input)
+        out = []
+        dropped = set(plan.names)
+        for (n, d, nl) in s:
+            if n in dropped:
+                break
+            out.append((n, d, nl))
+        return out
+    if k == "join" and plan.how in ("semi", "anti", "cross"):
+        # semi/anti are row masks on the left table; cross enumerates
+        # left-major — all preserve the left side's order
+        return output_sortedness(plan.left)
+    return []
+
+
+def elide_redundant_sorts(plan: L.Plan) -> L.Plan:
+    new_inputs = [elide_redundant_sorts(p) for p in plan.inputs]
+    if plan.inputs:
+        plan = plan.with_inputs(new_inputs)
+    if plan.kind == "sort" and plan.slice_ is None:
+        want = []
+        for e, d, nl in zip(plan.by, plan.descending, plan.nulls_last):
+            n = _bare_col(e)
+            if n is None:
+                return plan
+            want.append((n, bool(d), bool(nl)))
+        have = output_sortedness(plan.input)
+        if want and len(want) <= len(have) and have[:len(want)] == want:
+            try:
+                ins = plan.input.schema()
+            except Exception:
+                return plan
+            if any(ins.get(n) is None or ins[n].is_nested
+                   for (n, _, _) in want):
+                return plan
+            # already ordered: a stable sort would be the identity
+            return plan.input
     return plan
 
 

@@ -366,3 +366,69 @@ def test_streaming_stateful_windows(tmp_path, monkeypatch):
     assert out.columns == ["cs", "sh"]
     ref = s.collect(engine="in-memory")
     assert out.to_dict()["cs"] == pytest.approx(ref.to_dict()["cs"])
+
+
+# ---------------------------------------------------------------------------
+# sortedness propagation (VERDICT r1 item 9): redundant sorts elided
+# ---------------------------------------------------------------------------
+
+def _plan_has_sort(p):
+    if p.kind == "sort":
+        return True
+    return any(_plan_has_sort(i) for i in p.inputs)
+
+
+def test_sort_elided_after_groupby():
+    import numpy as np
+    from polaroid_tpu.plan.optimizer import optimize
+    rng = np.random.default_rng(0)
+    lf = (pl.LazyFrame({"k": rng.integers(0, 20, 500),
+                        "v": rng.uniform(0, 1, 500)})
+          .group_by("k").agg(pl.col("v").sum().alias("s")).sort("k"))
+    assert not _plan_has_sort(optimize(lf._plan, "in-memory"))
+    # still present for hash-sharded engines
+    assert _plan_has_sort(optimize(lf._plan, "distributed"))
+    # results correct (and ordered) without the sort node
+    out = lf.collect().to_dict()
+    assert out["k"] == sorted(set(rng.integers(0, 20, 0).tolist()) |
+                              set(np.unique(
+                                  np.random.default_rng(0)
+                                  .integers(0, 20, 500)).tolist()))
+
+
+def test_sort_elided_after_sort_through_filter():
+    from polaroid_tpu.plan.optimizer import optimize
+    lf = (pl.LazyFrame({"a": [3, 1, 2], "b": [1.0, 2.0, 3.0]})
+          .sort("a", descending=True).filter(pl.col("b") > 0.5)
+          .with_columns((pl.col("b") * 2).alias("c"))
+          .sort("a", descending=True))
+    p = optimize(lf._plan, "in-memory")
+    n_sorts = 0
+    def count(pp):
+        nonlocal n_sorts
+        if pp.kind == "sort":
+            n_sorts += 1
+        for i in pp.inputs:
+            count(i)
+    count(p)
+    assert n_sorts == 1
+    assert lf.collect().to_dict()["a"] == [3, 2, 1]
+
+
+def test_sort_not_elided_when_key_redefined():
+    from polaroid_tpu.plan.optimizer import optimize
+    lf = (pl.LazyFrame({"a": [3, 1, 2]})
+          .sort("a")
+          .with_columns((pl.col("a") % 2).alias("a"))
+          .sort("a"))
+    assert _plan_has_sort(optimize(lf._plan, "in-memory"))
+    assert lf.collect().to_dict()["a"] == [0, 1, 1]
+
+
+def test_sort_not_elided_on_direction_mismatch():
+    from polaroid_tpu.plan.optimizer import optimize
+    lf = (pl.LazyFrame({"k": [2, 1, 2], "v": [1, 2, 3]})
+          .group_by("k").agg(pl.col("v").sum().alias("s"))
+          .sort("k", descending=True))
+    assert _plan_has_sort(optimize(lf._plan, "in-memory"))
+    assert lf.collect().to_dict()["k"] == [2, 1]
