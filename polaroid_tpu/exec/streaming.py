@@ -112,21 +112,7 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
 
     if k == "join" and plan.how in ("inner", "left", "semi", "anti") \
             and not plan.join_nulls:
-        # streaming equi-join (reference: equi_join.rs Build->Probe):
-        # materialize the build (right) side once, stream probe batches
-        # through it — each output batch joins one probe batch
-        from ..ops.join import join_tables
-        from ..metrics import current
-        qm = current()
-        build = _materialize(plan.right)
-        for t in _stream(plan.left):
-            if qm is not None:
-                with qm.timed("join") as m:
-                    m.batches += 1
-            out = join_tables(t, build, plan.left_on, plan.right_on,
-                              plan.how, plan.suffix, plan.join_nulls,
-                              plan.coalesce)
-            yield out
+        yield from _stream_join(plan)
         return
 
     if k == "union":
@@ -198,6 +184,102 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         return
 
     yield _materialize(plan)
+
+
+def _stream_join(plan: L.Join) -> Iterator[Table]:
+    """Streaming equi-join with SAMPLED build-side selection (reference:
+    `equi_join.rs:250` SampleState + `joins/mod.rs:20-28`): batches are
+    pulled from BOTH sides, preferring the currently-smaller one, until
+    one side exhausts or both exceed the sample limit
+    (PT_JOIN_SAMPLE_LIMIT, default 10M like the reference). The
+    exhausted/smaller side becomes the build side — an inner join swaps
+    sides freely (column order/naming restored afterwards); left/semi/
+    anti are constrained to build on the right. Sampled batches are
+    replayed into the probe stream, so memory stays bounded by
+    min(side sizes) + sample."""
+    import itertools
+    from ..ops.join import join_tables
+    from ..metrics import current
+    qm = current()
+
+    def probe_loop(probe_iter, build, swapped):
+        lsch = list(plan.left.schema().keys())
+        rsch = list(plan.right.schema().keys())
+        coalesce = plan.coalesce if plan.coalesce is not None else True
+        for t in probe_iter:
+            if qm is not None:
+                with qm.timed("join") as m:
+                    m.batches += 1
+            if not swapped:
+                yield join_tables(t, build, plan.left_on, plan.right_on,
+                                  plan.how, plan.suffix, plan.join_nulls,
+                                  plan.coalesce)
+                continue
+            # inner join with sides swapped: probe batches are RIGHT
+            # rows, build is the sampled LEFT side. Join with a temp
+            # suffix + no coalesce, then restore the user-facing
+            # column names/order (left cols, then right minus
+            # coalesced keys, plan.suffix on collision).
+            raw = join_tables(t, build, plan.right_on, plan.left_on,
+                              "inner", "__swapL", plan.join_nulls, False)
+            rnames = set(rsch)
+            sel, ren = [], {}
+            for n in lsch:
+                src = n if n not in rnames else f"{n}__swapL"
+                sel.append(src)
+                if src != n:
+                    ren[src] = n
+            skip = set(plan.right_on) if coalesce else set()
+            for n in rsch:
+                if n in skip:
+                    continue
+                out_name = f"{n}{plan.suffix}" if n in set(lsch) else n
+                sel.append(n)
+                if out_name != n:
+                    ren[n] = out_name
+            out = raw.select_columns(sel)
+            if ren:
+                out = out.rename(ren)
+            yield out
+
+    if plan.how != "inner":
+        build = _materialize(plan.right)
+        yield from probe_loop(_stream(plan.left), build, False)
+        return
+
+    limit = CONFIG.join_sample_limit
+    lit, rit = _stream(plan.left), _stream(plan.right)
+    lbuf: List[Table] = []
+    rbuf: List[Table] = []
+    lrows = rrows = 0
+    ldone = rdone = False
+    while not (ldone or rdone) and (lrows <= limit or rrows <= limit):
+        if rrows <= lrows:
+            try:
+                t = next(rit)
+                rbuf.append(t)
+                rrows += t.count_rows()
+            except StopIteration:
+                rdone = True
+        else:
+            try:
+                t = next(lit)
+                lbuf.append(t)
+                lrows += t.count_rows()
+            except StopIteration:
+                ldone = True
+    if ldone and (not rdone) and lrows < rrows + (0 if rdone else 1):
+        # left side is the smaller: swap (inner only)
+        build = lbuf[0] if len(lbuf) == 1 else \
+            (vstack_tables(lbuf) if lbuf else _materialize(plan.left))
+        yield from probe_loop(itertools.chain(rbuf, rit), build, True)
+        return
+    # default: build = right (drain the rest if not exhausted)
+    rest = list(rit) if not rdone else []
+    allr = rbuf + rest
+    build = allr[0] if len(allr) == 1 else \
+        (vstack_tables(allr) if allr else _materialize(plan.right))
+    yield from probe_loop(itertools.chain(lbuf, lit), build, False)
 
 
 # --- stateful window streaming ---------------------------------------------
