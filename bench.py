@@ -141,6 +141,26 @@ def _device_selftest(timeout_s: float = 240.0) -> bool:
 N_ROWS = 1 << 23  # 8.4M rows
 BASELINE_ROWS_S = 10e6 / 0.120  # reference GroupBy+Agg: 10M rows / 120ms
 
+# ---------------------------------------------------------------------------
+# roofline model (TPU v5e single chip): achieved fraction of the
+# bandwidth/compute bound per phase. Bytes/FLOP models documented inline;
+# frac = ideal_time / measured_time (1.0 = at roofline). North star
+# (BASELINE.md): every operator within 1.5x of roofline, i.e. frac >= 0.67.
+# ---------------------------------------------------------------------------
+HBM_BW = 819e9        # B/s   (v5e HBM)
+MXU_F32 = 49e12       # FLOP/s (f32 via bf16 passes ~= 1/4 of 197T bf16)
+
+
+def _roofline(d: dict, phase: str, t_meas: float, bytes_moved: float,
+              flops: float = 0.0, note: str = "") -> None:
+    t_ideal = max(bytes_moved / HBM_BW, flops / MXU_F32)
+    d[f"{phase}_roofline_frac"] = round(t_ideal / max(t_meas, 1e-9), 3)
+    d[f"{phase}_model_gb"] = round(bytes_moved / 1e9, 3)
+    if flops:
+        d[f"{phase}_model_gflop"] = round(flops / 1e9, 1)
+    if note:
+        d[f"{phase}_roofline_note"] = note
+
 
 def _phase(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
@@ -195,6 +215,12 @@ def _run_benches(d: dict) -> None:
     _phase(f"q1 (dense MXU) done: {t_q1*1e3:.1f} ms")
     d["t_q1"] = t_q1
     d["q1_filter_groupby_mean_ms"] = round(t_q1 * 1e3, 3)
+    # q1 model: one HBM pass over (price f32, volume i32, sym u32, valid
+    # bool); MXU work = radix one-hot segsum (pallas_kernels.onehot_seg_sum):
+    # A(C*ghi x sub) @ B(sub x 128) per sub-tile -> 2*C*ghi*128 FLOP/row,
+    # C=2 value rows, ghi = ceil(G/128) = 8
+    _roofline(d, "q1", t_q1, n * (4 + 4 + 4 + 1),
+              flops=2.0 * (2 * 8 * 128) * n)
 
     # --- engine-level end-to-end (lazy pipeline through the fused
     # executor) — runs right after the headline so a later tunnel stall
@@ -263,14 +289,27 @@ def _run_benches(d: dict) -> None:
 
     _phase("compiling op_filter")
     # --- operator microbenches ---
-    @jax.jit
-    def op_filter(price, volume, valid):
-        live = valid & (volume > 1000) & (price > 50.0)
-        return live, jnp.sum(jnp.where(live, price, 0.0))
+    # honest filter: predicate + device compaction to a live prefix +
+    # count (the full "filter 10M rows" operation of BASELINE.md, not
+    # just a lazy mask). One multi-operand carry sort moves every column.
+    from polaroid_tpu.ops.keycode import col_to_u32_words
 
-    t_filter = _bench(op_filter, (price, volume, valid))
+    @jax.jit
+    def op_filter(price, volume, sym, valid):
+        live = valid & (volume > 1000) & (price > 50.0)
+        words = [w for col in (price, volume, sym)
+                 for w in col_to_u32_words(col)]
+        outs = jax.lax.sort(((~live).astype(jnp.uint32),) + tuple(words),
+                            num_keys=1, is_stable=True)
+        return outs[1], outs[2], outs[3], jnp.sum(live)
+
+    t_filter = _bench(op_filter, (price, volume, sym, valid), iters=20)
     d["filter_ms"] = round(t_filter * 1e3, 3)
     d["filter_rows_per_s"] = round(n / t_filter, 1)
+    # model: read 3 cols + mask, write 3 cols (the compaction is at
+    # minimum one full r/w pass)
+    _roofline(d, "filter", t_filter, n * (13 + 12),
+              note="compaction via carry sort; ideal = 1 r/w pass")
 
     @jax.jit
     def op_sort(sym, price):
@@ -280,23 +319,61 @@ def _run_benches(d: dict) -> None:
     t_sort = _bench(op_sort, (sym, price))
     d["sort_8m_ms"] = round(t_sort * 1e3, 3)
     d["sort_rows_per_s"] = round(n / t_sort, 1)
+    # model: ideal 4-pass LSD radix over (4B key + 4B payload), r+w
+    _roofline(d, "sort", t_sort, 4 * 2 * n * 8,
+              note="ideal = 4-pass radix; XLA lax.sort is a general "
+                   "comparison sort — known gap, pallas radix sort is "
+                   "the planned fix")
 
+    # sort-based general group-by (was skipped in r1 for a remote-compile
+    # hang with associative_scan formulations; local_groupby now lowers
+    # to primitive cumops only — measure it for real)
+    @jax.jit
+    def op_agg(sym, price, valid):
+        gkey, (s, c), gv = local_groupby(sym, [price, price], valid,
+                                         ["sum", "count"])
+        return gkey, s, c
 
-    if jax.default_backend() == "cpu" or \
-            os.environ.get("PT_BENCH_FULL") == "1":
-        @jax.jit
-        def op_agg(sym, price, valid):
-            gkey, (s, c), gv = local_groupby(sym, [price, price], valid,
-                                             ["sum", "count"])
-            return gkey, s, c
+    _phase("compiling op_agg (sort-based general path)")
+    t_agg = _bench(op_agg, (sym, price, valid))
+    d["groupby_agg_sort_ms"] = round(t_agg * 1e3, 3)
+    d["agg_sort_rows_per_s"] = round(n / t_agg, 1)
+    # model: dominated by one (dead,key,idx) sort (3 ops, r+w) + one
+    # value gather pass + segment cumops (~2 passes)
+    _roofline(d, "agg_sort", t_agg, (3 * 2 + 2 + 4) * n * 4)
 
-        _phase("compiling op_agg (sort-based general path)")
-        t_agg = _bench(op_agg, (sym, price, valid))
-        d["groupby_agg_sort_ms"] = round(t_agg * 1e3, 3)
-        d["agg_sort_rows_per_s"] = round(n / t_agg, 1)
-    else:
-        d["agg_sort_skipped"] = ("known axon remote-compile hang; "
-                                 "set PT_BENCH_FULL=1 to include")
+    # H2O id3-style stress: 1M-unique string key group-by at 8M rows
+    # (VERDICT r1: string scalability). Dictionary codes are device-side;
+    # the sorted-dict build is host-side and amortized across queries.
+    _phase("string group-by (1M unique keys)")
+    import polaroid_tpu as _pl
+    uniq = np.char.add("id", rng.integers(0, 1 << 20, 1 << 20)
+                       .astype("U7"))
+    codes_h = rng.integers(0, len(uniq), n).astype(np.int32)
+    t0 = time.perf_counter()
+    sdf = _pl.DataFrame({"id3": uniq[codes_h],
+                         "v1": np.asarray(rng.integers(0, 5, n), np.int32)})
+    d["string_dict_build_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    slf = (sdf.lazy().group_by("id3")
+           .agg(_pl.col("v1").sum().alias("s")))
+    slf.collect()  # compile
+
+    def _fence_df(dfr):
+        t = dfr._table
+        leaf = t.nrows_dev if t.nrows_dev is not None \
+            else t.cols[t.names[0]].data
+        np.asarray(leaf).reshape(-1)[:1]
+
+    t0 = time.perf_counter()
+    outs = [slf.collect() for _ in range(3)]
+    _fence_df(outs[-1])
+    tt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    _fence_df(outs[0])
+    fetch = time.perf_counter() - t1
+    t_sg = max((tt - fetch) / 3, 1e-9)
+    d["string_groupby_1m_unique_ms"] = round(t_sg * 1e3, 3)
+    d["string_groupby_rows_per_s"] = round(n / t_sg, 1)
 
     # join: 4M probe x 1M build on one chip
     nb = 1 << 20
@@ -320,6 +397,9 @@ def _run_benches(d: dict) -> None:
     t_join = _bench(op_join, (bkey, bval, pkey))
     d["join_4m_x_1m_ms"] = round(t_join * 1e3, 3)
     d["join_rows_per_s"] = round(npr / t_join, 1)
+    # model: two sorts of (npr+nb) x ~3 u32 operands (r+w) + cumops pass
+    _roofline(d, "join", t_join, (2 * 3 * 2 + 2) * (npr + nb) * 4,
+              note="scan-free two-sort lookup join")
 
     # --- engine-level join e2e (BASELINE advanced-notebook pipeline:
     # 2M orders x 1M users inner join -> group_by -> agg, host collect
