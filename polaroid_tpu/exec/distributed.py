@@ -255,10 +255,18 @@ class DistributedExecutor:
                     f"distributed agg {kind!r} not supported")
             post_specs.append((nm, kind))
 
-        per_dest = cap // self.S
-        gb = SH.make_sharded_groupby(self.mesh, agg_kinds,
-                                     per_dest_cap=per_dest)
-        out = gb(packed, mask, *val_arrays)
+        # two-phase with exact histogram sizing: phase 1 pre-aggregates
+        # per chip and counts records per (source, dest); the host-synced
+        # max sizes the exchange so the merge runs at ~ngroups/S per
+        # shard, not full-dataset size (the scaling fix; reference
+        # analogue: CardinalitySketch-driven partition sizing)
+        p1 = SH.make_groupby_partials(self.mesh, agg_kinds)
+        outs1 = p1(packed, mask, *val_arrays)
+        gkey1, gvalid1, counts = outs1[0], outs1[1], outs1[2]
+        parts1 = outs1[3:]
+        per_dest = capacity_for(max(int(np.asarray(counts).max()), 1))
+        p2 = SH.make_groupby_merge(self.mesh, agg_kinds, per_dest)
+        out = p2(gkey1, gvalid1, *parts1)
         gkey, gvalid = out[0], out[1]
         _check_no_drops(out[2], "group-by")
         parts = out[3:]

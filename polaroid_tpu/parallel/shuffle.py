@@ -232,6 +232,70 @@ def exchange_records(dest, key, payloads: Sequence, valid, num_shards: int,
     return out
 
 
+def exchange_records_2d(dest, key, payloads: Sequence, valid,
+                        n_hosts: int, n_chips: int, per_dest_cap: int,
+                        host_axis: str, chip_axis: str,
+                        with_overflow: bool = False):
+    """Hierarchical all-to-all over a (hosts x chips) mesh: records with
+    global destination shard d = h*C + c first ride ICI (all_to_all over
+    `chip_axis`, routed by c) so each chip holds the records bound for
+    its chip-index on EVERY host, then cross DCN (all_to_all over
+    `host_axis`, routed by h) between same-chip-index peers only — the
+    two-stage schedule that keeps the slow DCN leg to one contiguous
+    block per host pair (SURVEY §2.4 TPU mapping; scaling-book
+    hierarchy). Shapes stay static: stage 1 expands capacity by C,
+    stage 2 by H."""
+    C, H = n_chips, n_hosts
+    c_d = (dest % jnp.uint32(C)).astype(jnp.uint32)
+    h_d = (dest // jnp.uint32(C)).astype(jnp.uint32)
+    # stage 1 (ICI): route by destination chip index; h_d rides along
+    r1 = exchange_records(c_d, key, list(payloads) + [h_d], valid, C,
+                          per_dest_cap, axis=chip_axis,
+                          with_overflow=with_overflow)
+    if with_overflow:
+        k1, p1, v1, drop1 = r1
+    else:
+        k1, p1, v1 = r1
+    h1 = p1[-1].astype(jnp.uint32)
+    # stage 2 (DCN): route by destination host index
+    r2 = exchange_records(jnp.where(v1, h1, jnp.uint32(H)), k1, p1[:-1],
+                          v1, H, C * per_dest_cap, axis=host_axis,
+                          with_overflow=with_overflow)
+    if with_overflow:
+        k2, p2, v2, drop2 = r2
+        return k2, p2, v2, drop1 + drop2
+    return r2
+
+
+def make_sharded_groupby_2d(mesh, aggs: Sequence[str], per_dest_cap: int,
+                            host_axis: str = None, chip_axis: str = None):
+    """jit-compiled distributed group-by over a 2-D (hosts x chips)
+    mesh: local partial agg -> hierarchical ICI+DCN exchange -> local
+    merge. Same contract as make_sharded_groupby with a (H, C) mesh."""
+    from .mesh import CHIP_AXIS, HOST_AXIS
+    host_axis = host_axis or HOST_AXIS
+    chip_axis = chip_axis or CHIP_AXIS
+    H = mesh.shape[host_axis]
+    C = mesh.shape[chip_axis]
+    S = H * C
+    spec = P((host_axis, chip_axis))
+
+    def step(key, valid, *vals):
+        gkey, partials, gvalid = local_groupby(key, list(vals), valid, aggs)
+        dest = _hash_u64(gkey) % jnp.uint32(S)
+        rkey, rpart, rvalid, dropped = exchange_records_2d(
+            dest, gkey, partials, gvalid, H, C, per_dest_cap,
+            host_axis, chip_axis, with_overflow=True)
+        merge_aggs = [_MERGE_OF[a] for a in aggs]
+        gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
+        return (gk, gv, dropped[None]) + tuple(outs)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(spec, spec) + tuple(spec for _ in aggs),
+                   out_specs=tuple(spec for _ in range(3 + len(aggs))))
+    return jax.jit(fn)
+
+
 def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
                          num_shards: int, per_dest_cap: int,
                          axis: str = AXIS):
@@ -256,12 +320,61 @@ def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
     """jit-compiled distributed group-by over row-sharded arrays.
 
     Inputs: key (uint64, sharded on rows), vals list, valid.
-    Outputs: sharded (gkey, gvalid, dropped, outs...)."""
+    Outputs: sharded (gkey, gvalid, dropped, outs...).
+
+    NOTE: per_dest_cap = local shard capacity is always lossless but
+    makes the post-exchange merge run at full-dataset size per shard —
+    use the two-phase `make_groupby_partials` / `make_groupby_merge`
+    pair with exact histogram sizing for scaling-critical paths."""
     S = mesh.shape[AXIS]
 
     def step(key, valid, *vals):
         gk, outs, gv, dropped = sharded_groupby_step(
             key, list(vals), valid, aggs, S, per_dest_cap)
+        return (gk, gv, dropped[None]) + tuple(outs)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
+                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
+    return jax.jit(fn)
+
+
+def make_groupby_partials(mesh, aggs: Sequence[str]):
+    """Phase 1 of the sized distributed group-by: per-chip partial agg +
+    exact per-(source, dest) routing histogram. The host reads the
+    histogram max to pick the exchange capacity (the reference sizes
+    partitions by sampling, `nodes/group_by.rs` CardinalitySketch; we
+    count exactly), so phase 2's merge runs at ~ngroups/S per shard
+    instead of full-dataset size."""
+    S = mesh.shape[AXIS]
+
+    def step(key, valid, *vals):
+        gkey, partials, gvalid = local_groupby(key, list(vals), valid, aggs)
+        dest = (_hash_u64(gkey) % jnp.uint32(S)).astype(jnp.int32)
+        oh = jnp.where(gvalid[:, None],
+                       dest[:, None] == jnp.arange(S, dtype=jnp.int32)[None],
+                       False)
+        counts = jnp.sum(oh, axis=0, dtype=jnp.int32)
+        return (gkey, gvalid, counts) + tuple(partials)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
+                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
+    return jax.jit(fn)
+
+
+def make_groupby_merge(mesh, aggs: Sequence[str], per_dest_cap: int):
+    """Phase 2: exchange the (already sharded) partial states by key
+    hash with the histogram-sized capacity, merge locally."""
+    S = mesh.shape[AXIS]
+    merge_aggs = [_MERGE_OF[a] for a in aggs]
+
+    def step(gkey, gvalid, *partials):
+        dest = _hash_u64(gkey) % jnp.uint32(S)
+        rkey, rpart, rvalid, dropped = exchange_records(
+            dest, gkey, list(partials), gvalid, S, per_dest_cap,
+            with_overflow=True)
+        gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
         return (gk, gv, dropped[None]) + tuple(outs)
 
     fn = shard_map(step, mesh=mesh,

