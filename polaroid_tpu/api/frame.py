@@ -1136,9 +1136,12 @@ class DataFrame:
         else:
             raise InvalidOperationError(f"unknown write_delta mode {mode!r}")
 
-    def write_avro(self, file, **kw) -> None:
-        raise ModuleNotFoundError(
-            "write_avro requires fastavro, which is not bundled")
+    def write_avro(self, file, compression: str = "uncompressed",
+                   **kw) -> None:
+        """Write as an Avro object-container file (codecs: uncompressed/
+        deflate; reference: `polars-io/src/avro/write.rs`)."""
+        from ..io.avro import write_avro as _wa
+        _wa(self, file, compression=compression)
 
     def write_excel(self, workbook=None, **kw) -> None:
         raise ModuleNotFoundError(

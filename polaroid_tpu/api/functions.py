@@ -826,9 +826,11 @@ def defer(function, *, schema, validate_schema: bool = True):
     return register_io_source(source, schema=sch)
 
 
-def read_avro(source, **kw):
-    raise ModuleNotFoundError(
-        "read_avro requires fastavro, which is not bundled")
+def read_avro(source, columns=None, n_rows=None):
+    """Read an Avro object-container file (self-contained codec,
+    `io/avro.py`; reference: `polars-io/src/avro/read.rs`)."""
+    from ..io.avro import read_avro as _ra
+    return _ra(source, columns=columns, n_rows=n_rows)
 
 
 def read_excel(source, **kw):
