@@ -45,7 +45,10 @@ def _expand_paths(source) -> List[str]:
 def _read_one(p: str, columns, filters) -> pa.Table:
     cols = list(columns) if columns else None
     if "://" in p:
-        from .remote import resolve_filesystem
+        from .remote import localize, resolve_filesystem
+        local = localize(p)  # remote-file cache when PT_FILE_CACHE=1
+        if "://" not in local:
+            return pq.read_table(local, columns=cols, filters=filters)
         fs, inner = resolve_filesystem(p)
         return pq.read_table(inner, columns=cols, filters=filters,
                              filesystem=fs)
