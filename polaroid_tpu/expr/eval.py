@@ -331,6 +331,39 @@ def _align_strings(l: Val, r: Val) -> Tuple[Val, Val]:
 # binary ops
 # ---------------------------------------------------------------------------
 
+def _eval_fma(op: str, a: Val, b: Val, c: Val, table: Table) -> Val:
+    """Fused multiply-add family (reference: `polars-plan/src/plans/
+    optimizer/fused.rs` FusedMultiplyAdd/Sub): one XLA computation
+    instead of two eager dispatches and an intermediate array in HBM.
+    op: fma = a*b+c, fms = a*b-c, fsm = c-a*b. Dtype/overflow semantics
+    match the unfused chain (multiply in supertype(a,b), then combine
+    in supertype(·, c))."""
+    def _num(v):
+        return v.dtype.is_integer or v.dtype.is_float
+    if not (_num(a) and _num(b) and _num(c)):
+        m = _eval_binary("mul", a, b, table)
+        if op == "fsm":
+            return _eval_binary("sub", c, m, table)
+        return _eval_binary("add" if op == "fma" else "sub", m, c, table)
+    st1 = supertype(a.dtype, b.dtype)
+    st = supertype(st1, c.dtype)
+    x = cast_val(a, st1).data
+    y = cast_val(b, st1).data
+    z = cast_val(c, st).data
+    prod = x * y
+    if st1 != st:
+        prod = prod.astype(_stor(st))
+    if op == "fma":
+        data = prod + z
+    elif op == "fms":
+        data = prod - z
+    else:
+        data = z - prod
+    validity = _and_valid(_and_valid(a.validity, b.validity), c.validity)
+    return Val(st, data, validity, None,
+               a.is_scalar and b.is_scalar and c.is_scalar)
+
+
 def _eval_binary(op: str, l: Val, r: Val, table: Table) -> Val:
     # strings first
     if l.dtype.is_string or r.dtype.is_string:
@@ -3000,6 +3033,11 @@ def eval_expr(e: Expr, table: Table, ctx: str = "select") -> Val:
             # broadcasting handled by jnp on (1,) vs (capacity,)
             pass
         return _eval_binary(e.attrs["op"], l, r, table)
+    if k == "fma":
+        a = eval_expr(e.children[0], table, ctx)
+        b = eval_expr(e.children[1], table, ctx)
+        c = eval_expr(e.children[2], table, ctx)
+        return _eval_fma(e.attrs["op"], a, b, c, table)
     if k == "unary":
         return _eval_unary(e.attrs["op"], eval_expr(e.children[0], table, ctx),
                            e.attrs)

@@ -310,6 +310,10 @@ def output_dtype(e: Expr, schema: Dict[str, DataType]) -> DataType:
         if st == Date and op == "sub":
             return Duration("ms")
         return st
+    if k == "fma":
+        st1 = supertype(output_dtype(e.children[0], schema),
+                        output_dtype(e.children[1], schema))
+        return supertype(st1, output_dtype(e.children[2], schema))
     if k == "unary":
         op = e.attrs["op"]
         ct = output_dtype(e.children[0], schema)
@@ -660,7 +664,7 @@ def is_scalar_expr(e: Expr) -> bool:
         return not isinstance(v, (list, tuple, np.ndarray))
     if k in ("alias", "cast", "name_map"):
         return is_scalar_expr(e.children[0])
-    if k == "binary":
+    if k in ("binary", "fma"):
         return all(is_scalar_expr(c) for c in e.children)
     if k == "unary":
         return is_scalar_expr(e.children[0])

@@ -18,10 +18,12 @@ from . import logical as L
 
 def optimize(plan: L.Plan, engine: str = "in-memory") -> L.Plan:
     plan = simplify_plan_exprs(plan)
+    plan = cluster_with_columns(plan)
     plan = push_predicates(plan)
     plan = push_slice(plan)
     plan = count_star_fast_path(plan)
     plan = push_projection(plan, None)
+    plan = fuse_arithmetic(plan)
     if engine in ("in-memory", "auto"):
         # sortedness is an in-memory-engine property: its sort-based
         # group-by emits key order; hash-sharded engines do not
@@ -236,6 +238,103 @@ def simplify_expr(e: Expr) -> Expr:
         return Expr("alias", (e.children[0].children[0],),
                     name=e.attrs["name"])
     return e
+
+
+# ---------------------------------------------------------------------------
+# cluster_with_columns (reference: `polars-plan/src/plans/optimizer/
+# cluster_with_columns.rs`): merge adjacent WITH_COLUMNS nodes whose
+# upper expressions neither read nor rewrite the lower node's outputs.
+# One plan node = one executor dispatch + one capacity pass, so merging
+# directly cuts engine glue.
+# ---------------------------------------------------------------------------
+
+def cluster_with_columns(plan: L.Plan) -> L.Plan:
+    new_inputs = [cluster_with_columns(p) for p in plan.inputs]
+    if plan.inputs:
+        plan = plan.with_inputs(new_inputs)
+    while plan.kind == "with_columns" and plan.input.kind == "with_columns":
+        lower = plan.input
+        try:
+            in_schema = lower.input.schema()
+            lower_x = meta.expand_exprs(lower.exprs, in_schema)
+            upper_x = meta.expand_exprs(plan.exprs, lower.schema())
+            lower_outs = {meta.output_name(x) for x in lower_x}
+            upper_outs = {meta.output_name(x) for x in upper_x}
+            upper_refs: Set[str] = set()
+            for x in upper_x:
+                meta.root_names(x, upper_refs)
+        except Exception:
+            break  # unresolvable schema/name — leave as-is
+        if (upper_refs & lower_outs) or (upper_outs & lower_outs):
+            break
+        plan = L.WithColumns(lower.input,
+                             list(lower.exprs) + list(plan.exprs))
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# fused arithmetic (reference: `polars-plan/src/plans/optimizer/fused.rs`
+# FusedMultiplyAdd / Sub): a*b+c, c+a*b -> fma; a*b-c -> fms; c-a*b -> fsm.
+# On TPU each eager jnp op is its own executable — fusing removes one
+# kernel launch and one intermediate HBM array per site.
+# ---------------------------------------------------------------------------
+
+def _numeric(e: Expr, schema) -> bool:
+    dt = meta.output_dtype(e, schema)
+    return bool(dt.is_integer or dt.is_float)
+
+
+def _fuse_expr(e: Expr, schema) -> Expr:
+    if e.children:
+        ch = tuple(_fuse_expr(c, schema) for c in e.children)
+        if any(a is not b for a, b in zip(ch, e.children)):
+            e = Expr(e.kind, ch, **e.attrs)
+    if e.kind != "binary" or e.attrs.get("op") not in ("add", "sub"):
+        return e
+    op = e.attrs["op"]
+    l, r = e.children
+
+    def _is_mul(x: Expr) -> bool:
+        return x.kind == "binary" and x.attrs.get("op") == "mul"
+
+    if _is_mul(l):
+        a, b, c, fop = l.children[0], l.children[1], r, \
+            ("fma" if op == "add" else "fms")
+    elif _is_mul(r):
+        a, b, c, fop = r.children[0], r.children[1], l, \
+            ("fma" if op == "add" else "fsm")
+    else:
+        return e
+    try:
+        if not (_numeric(a, schema) and _numeric(b, schema)
+                and _numeric(c, schema)):
+            return e
+        name = meta.output_name(e)
+    except Exception:
+        return e
+    fused = Expr("fma", (a, b, c), op=fop)
+    # preserve the unfused leftmost-root output name
+    return Expr("alias", (fused,), name=name)
+
+
+def fuse_arithmetic(plan: L.Plan) -> L.Plan:
+    new_inputs = [fuse_arithmetic(p) for p in plan.inputs]
+    if plan.inputs:
+        plan = plan.with_inputs(new_inputs)
+    k = plan.kind
+    if k in ("select", "with_columns"):
+        schema = plan.input.schema()
+        exprs = [_fuse_expr(x, schema) for x in plan.exprs]
+        if any(a is not b for a, b in zip(exprs, plan.exprs)):
+            cls = L.Select if k == "select" else L.WithColumns
+            return cls(plan.input, exprs)
+    elif k == "group_by":
+        schema = plan.input.schema()
+        aggs = [_fuse_expr(x, schema) for x in plan.aggs]
+        if any(a is not b for a, b in zip(aggs, plan.aggs)):
+            return L.GroupBy(plan.input, list(plan.keys), aggs,
+                             plan.maintain_order)
+    return plan
 
 
 def simplify_plan_exprs(plan: L.Plan) -> L.Plan:
