@@ -295,6 +295,27 @@ class LazyFrame:
 
         class _Dyn:
             def agg(_s, *aggs, **named):
+                if (period is None or period == every) and closed == "left":
+                    # non-overlapping windows lower to a REAL group-by on
+                    # the truncated index + sort — the streaming engine's
+                    # two-phase agg and every optimizer pass see through
+                    # (mirrors the eager fast path in
+                    # ops/temporal_window.py dynamic_group_by)
+                    from ..ops.temporal_window import bucket_expr
+                    ins = outer._plan.schema()
+                    keys = _to_exprs((group_by,)) if group_by is not None \
+                        else []
+                    b = bucket_expr(index_column, ins[index_column], every,
+                                    offset).alias(index_column)
+                    gkeys = list(keys) + [b]
+                    es = meta.expand_exprs(_to_exprs(aggs, named), ins)
+                    gb = L.GroupBy(outer._plan, gkeys, list(es), False)
+                    names = [meta.output_name(k) for k in gkeys]
+                    srt = L.Sort(gb, [_col(n) for n in names],
+                                 [False] * len(names), [False] * len(names),
+                                 False, None)
+                    return LazyFrame._from_plan(srt)
+
                 def fn(t):
                     from ..ops.temporal_window import dynamic_group_by
                     keys = _to_exprs((group_by,)) if group_by is not None else []

@@ -115,6 +115,22 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         yield from _stream_join(plan)
         return
 
+    if k == "join" and plan.how == "full":
+        yield from _stream_full_join(plan)
+        return
+
+    if k == "map_function" and plan.streamable:
+        # exact per-batch host maps (e.g. asof-join probing a cached
+        # build side; reference: streamable map nodes in polars-stream)
+        from ..metrics import current
+        qm = current()
+        for t in _stream(plan.input):
+            if qm is not None:
+                with qm.timed(plan.label) as m:
+                    m.batches += 1
+            yield plan.fn(t)
+        return
+
     if k == "union":
         for p in plan.inputs:
             yield from _stream(p)
@@ -150,6 +166,10 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
             subset=plan.subset, keep=plan.keep,
             maintain_order=plan.maintain_order)
         yield out._table
+        return
+
+    if k == "sort" and plan.slice_ is None:
+        yield from _stream_sort_external(plan)
         return
 
     if k == "sort" and plan.slice_ is not None and plan.slice_[0] == 0:
@@ -280,6 +300,171 @@ def _stream_join(plan: L.Join) -> Iterator[Table]:
     build = allr[0] if len(allr) == 1 else \
         (vstack_tables(allr) if allr else _materialize(plan.right))
     yield from probe_loop(itertools.chain(lbuf, lit), build, False)
+
+
+def _stream_full_join(plan: L.Join) -> Iterator[Table]:
+    """Streaming FULL join: the right side is the materialized build, left
+    batches join with how='left' (full-join column semantics preserved via
+    the coalesce flag), and unmatched build rows are emitted once at the
+    end (reference: `equi_join.rs:1075` EmitUnmatchedBuild). Memory is
+    bounded by build + batch + the distinct left KEY set (tracked host-
+    side to decide unmatchedness, far smaller than the left table)."""
+    from ..api.frame import DataFrame
+    from ..ops.join import join_tables
+    coalesce = plan.coalesce if plan.coalesce is not None else False
+    build = _materialize(plan.right)
+    key_parts: List[Table] = []
+    seen_any = False
+    for t in _stream(plan.left):
+        seen_any = True
+        # left-join naming with the full join's coalesce flag is
+        # identical to full-join naming (coalesce=False keeps the
+        # suffixed right key columns in both)
+        yield join_tables(t, build, plan.left_on, plan.right_on, "left",
+                          plan.suffix, plan.join_nulls, coalesce)
+        # keep only this batch's DISTINCT key columns for the final
+        # unmatched-build pass
+        kdf = DataFrame._from_table(t).select(
+            [_col(n) for n in plan.left_on]).unique(maintain_order=False)
+        key_parts.append(kdf._table)
+    merged_keys = None
+    if key_parts:
+        kall = key_parts[0] if len(key_parts) == 1 else \
+            vstack_tables(key_parts)
+        merged_keys = DataFrame._from_table(kall) \
+            .unique(maintain_order=False)._table
+    if merged_keys is None or not seen_any:
+        lsch = plan.left.schema()
+        from ..batch import Table as _T
+        merged_keys = _T.empty([(n, lsch[n]) for n in plan.left_on])
+    # build rows whose key matches nothing on the left
+    unmatched = join_tables(build, merged_keys, plan.right_on, plan.left_on,
+                            "anti", plan.suffix, plan.join_nulls, None)
+    if unmatched.count_rows():
+        # right-only rows with nulls on the left: an empty-left full join
+        # produces exactly that shape with correct naming/coalescing
+        lsch = plan.left.schema()
+        from ..batch import Table as _T
+        empty_left = _T.empty([(n, lsch[n]) for n in lsch])
+        yield join_tables(empty_left, unmatched, plan.left_on, plan.right_on,
+                          "full", plan.suffix, plan.join_nulls, coalesce)
+
+
+def _stream_sort_external(plan: L.Sort) -> Iterator[Table]:
+    """External sample-sort: larger-than-memory ORDER BY in three passes
+    (reference capability: polars-stream's out-of-core sort planning via
+    spilling; design here is sample-sort, the natural fit for an engine
+    whose doctrine is 'everything is a sort').
+
+    Pass 1 streams input batches to spill files (arrow IPC) while
+    sampling an order-preserving uint64 keycode per row (ops/keycode
+    word encoding — exact for descending/nulls_last on the first key).
+    Splitters from the samples define row-disjoint key ranges; pass 2
+    re-reads each spill, routes rows to per-range bucket files; pass 3
+    sorts each bucket in-memory (full multi-key sort) and yields buckets
+    in range order. Peak device memory = one bucket (~batch_rows), not
+    the whole input. Stable: batch order is preserved into buckets and
+    the in-bucket sort is stable."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as paipc
+
+    from ..api.frame import DataFrame
+    from ..expr.eval import eval_expr
+    from ..io.arrow_interop import table_from_arrow, table_to_arrow
+    from ..ops.keycode import encode_key_words
+
+    if builtins_any(not meta.is_elementwise(e) for e in plan.by):
+        yield _materialize(plan)
+        return
+
+    def batch_keyword(t: Table):
+        """(n,) uint64 order code of the FIRST sort key for live rows."""
+        import jax.numpy as jnp
+        v = eval_expr(plan.by[0], t, "select")
+        words = encode_key_words(v.data, v.validity,
+                                 bool(plan.descending[0]),
+                                 bool(plan.nulls_last[0]))
+        w0 = words[0].astype(jnp.uint64)
+        acc = w0
+        if len(words) > 1:
+            acc = (acc << jnp.uint64(32)) | words[1].astype(jnp.uint64)
+        mask = t.row_mask()
+        return np.asarray(acc)[np.asarray(mask)]
+
+    tmp = tempfile.mkdtemp(prefix="pt_extsort_")
+    try:
+        spills: List[str] = []
+        samples: List[np.ndarray] = []
+        total = 0
+        for t in _stream(plan.input):
+            n = t.count_rows()
+            if n == 0:
+                continue
+            kw = batch_keyword(t)
+            stride = max(1, n // 64)
+            samples.append(kw[::stride])
+            at = table_to_arrow(t)
+            path = f"{tmp}/spill_{len(spills)}.arrow"
+            with paipc.new_file(pa.OSFile(path, "wb"), at.schema) as w:
+                w.write_table(at)
+            spills.append(path)
+            total += n
+        if not spills:
+            yield _materialize(plan)
+            return
+        bucket_rows = max(CONFIG.batch_rows, 1)
+        P = max(1, min(64, -(-total // bucket_rows)))
+        if P == 1 or len(spills) == 1:
+            at = pa.concat_tables([paipc.open_file(p).read_all()
+                                   for p in spills])
+            merged = table_from_arrow(at)
+            yield _materialize(L.Sort(L.DataFrameScan(merged), plan.by,
+                                      plan.descending, plan.nulls_last,
+                                      plan.maintain_order, None))
+            return
+        allsamp = np.sort(np.concatenate(samples))
+        qs = (np.arange(1, P) * len(allsamp)) // P
+        splitters = np.unique(allsamp[qs])
+        nb = len(splitters) + 1
+        writers = [None] * nb
+        schema = None
+        for path in spills:
+            at = paipc.open_file(path).read_all()
+            t = table_from_arrow(at)
+            kw = batch_keyword(t)
+            bid = np.searchsorted(splitters, kw, side="right")
+            if schema is None:
+                schema = at.schema
+            order = np.argsort(bid, kind="stable")
+            at_sorted = at.take(order)
+            counts = np.bincount(bid, minlength=nb)
+            off = 0
+            for b in range(nb):
+                c = int(counts[b])
+                if c == 0:
+                    continue
+                if writers[b] is None:
+                    writers[b] = paipc.new_file(
+                        pa.OSFile(f"{tmp}/bucket_{b}.arrow", "wb"), schema)
+                writers[b].write_table(at_sorted.slice(off, c))
+                off += c
+        for w in writers:
+            if w is not None:
+                w.close()
+        for b in range(nb):
+            bpath = f"{tmp}/bucket_{b}.arrow"
+            if writers[b] is None:
+                continue
+            part = table_from_arrow(paipc.open_file(bpath).read_all())
+            yield _materialize(L.Sort(L.DataFrameScan(part), plan.by,
+                                      plan.descending, plan.nulls_last,
+                                      plan.maintain_order, None))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --- stateful window streaming ---------------------------------------------

