@@ -95,7 +95,52 @@ def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
 
 def read_parquet_table(source, columns=None, filters=None,
                        n_rows=None) -> Table:
+    t = _read_parquet_table_overlapped(source, columns, filters, n_rows)
+    if t is not None:
+        return t
     return table_from_arrow(read_parquet_arrow(source, columns, filters, n_rows))
+
+
+def _read_parquet_table_overlapped(source, columns, filters,
+                                   n_rows) -> Optional[Table]:
+    """Eager single-file fast path: per-COLUMN decode + upload in a thread
+    pool, so pyarrow's C++ decompression (GIL released) overlaps the
+    async host->HBM enqueues of already-finished columns instead of
+    serializing full-decode-then-upload (reference: adaptive read
+    concurrency, `polars-io/src/pl_async.rs:162-205`). Falls back (None)
+    for multi-file/remote/filtered/dataset reads."""
+    import os as _os
+    if filters is not None or hasattr(source, "read") or \
+            isinstance(source, (bytes, bytearray)):
+        return None
+    s = str(source)
+    if "://" in s or any(ch in s for ch in "*?[") or _os.path.isdir(s):
+        return None
+    try:
+        md = pq.read_metadata(s)
+    except Exception:
+        return None
+    nrows_total = md.num_rows
+    schema = md.schema.to_arrow_schema()
+    names = list(columns) if columns else list(schema.names)
+    if len(names) < 2 or md.serialized_size == 0 or \
+            nrows_total * len(names) < (1 << 22):
+        return None  # small read: thread fan-out not worth it
+    n = nrows_total if n_rows is None else min(n_rows, nrows_total)
+    from ..config import capacity_for
+    from .arrow_interop import column_from_arrow
+    from ..batch import Table as _T
+    cap = capacity_for(n)
+
+    def one(nm: str):
+        col = pq.read_table(s, columns=[nm]).column(0)
+        if n != nrows_total:
+            col = col.slice(0, n)
+        return column_from_arrow(col, cap)
+
+    with _fut.ThreadPoolExecutor(max_workers=min(len(names), 8)) as ex:
+        conv = list(ex.map(one, names))
+    return _T(names, dict(zip(names, conv)), cap, n, None)
 
 
 def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
