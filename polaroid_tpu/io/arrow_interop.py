@@ -165,9 +165,8 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
             arr = arr.cast(pa.large_string())
         if pa.types.is_fixed_size_binary(arr.type):
             arr = arr.cast(pa.large_binary())
-        obj = arr.to_numpy(zero_copy_only=False)
-        codes, sdict = StringDict.encode(obj, mask if mask is not None
-                                         else np.ones(n, bool))
+        # no host object round-trip: C++ dict-encode + dict sort
+        codes, sdict = StringDict.encode_arrow(arr)
         out = np.full(capacity, NULL_CODE, np.int32)
         out[:n] = codes
         validity = None

@@ -52,24 +52,62 @@ class StringDict:
                ) -> Tuple[np.ndarray, "StringDict"]:
         """Encode an array of python/numpy strings (or bytes, for the
         Binary dtype — same sorted-dictionary design) to int32 codes."""
+        # ride arrow's C++ hash + sort: orders of magnitude faster than
+        # np.unique on object arrays at high cardinality. Arrow infers
+        # nulls from None directly (no host mask loop); binary stays
+        # bytes (never round-trip numpy "S"/str dtypes — both mangle
+        # embedded/trailing NULs) and sorts bytewise == python order.
+        import pyarrow as pa
         obj = np.asarray(strings, dtype=object)
-        if mask is None:
-            mask = np.array([s is not None for s in obj], dtype=bool)
-        first = next((s for s, m in zip(obj, mask) if m), None)
-        if isinstance(first, (bytes, bytearray)):
-            # bytes sort correctly as objects; never round-trip through
-            # numpy "S"/str dtypes (both mangle embedded/trailing NULs)
-            uniq_list = sorted({bytes(s) for s, m in zip(obj, mask) if m})
-            index = {s: i for i, s in enumerate(uniq_list)}
-            codes = np.array(
-                [index[bytes(s)] if m else NULL_CODE
-                 for s, m in zip(obj, mask)], dtype=np.int32)
-            return codes, StringDict(np.array(uniq_list, dtype=object))
-        filled = np.where(mask, obj, "")
-        uniq, inv = np.unique(filled.astype(str), return_inverse=True)
-        codes = inv.astype(np.int32)
-        codes[~mask] = NULL_CODE
-        return codes, StringDict(uniq)
+        if mask is not None and not mask.all():
+            obj = np.where(mask, obj, None)
+        try:
+            arr = pa.array(obj, from_pandas=True)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            arr = pa.array([bytes(s) if isinstance(s, (bytes, bytearray))
+                            else s for s in obj], from_pandas=True)
+        if pa.types.is_null(arr.type):
+            arr = arr.cast(pa.large_string())
+        elif pa.types.is_binary(arr.type) or \
+                pa.types.is_fixed_size_binary(arr.type):
+            arr = arr.cast(pa.large_binary())
+        elif not pa.types.is_large_binary(arr.type) and \
+                not pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_string())
+        return StringDict.encode_arrow(arr)
+
+    @staticmethod
+    def encode_arrow(arr) -> Tuple[np.ndarray, "StringDict"]:
+        """Encode a pyarrow string/binary array without a host object
+        round-trip: C++ dictionary_encode (hash) + C++ sort of the
+        (small) dictionary, then an O(unique) host remap of codes.
+        Byte-wise UTF-8 order == code-point order, so arrow's sort
+        matches python str comparisons exactly."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        d = arr.dictionary_encode()
+        dic = d.dictionary
+        idx = d.indices
+        k = len(dic)
+        if k == 0:
+            codes = np.full(len(arr), NULL_CODE, np.int32)
+            return codes, StringDict(np.array([], dtype=object))
+        perm = pc.array_sort_indices(dic).to_numpy()
+        rank = np.empty(k, np.int32)
+        rank[perm] = np.arange(k, dtype=np.int32)
+        if idx.null_count:
+            valid = ~np.asarray(idx.is_null())
+            raw = idx.fill_null(0).to_numpy().astype(np.int64)
+            codes = rank[raw]
+            codes[~valid] = NULL_CODE
+        else:
+            codes = rank[idx.to_numpy().astype(np.int64)]
+        values = dic.take(perm).to_numpy(zero_copy_only=False)
+        if values.dtype != object:
+            values = values.astype(object)
+        return codes.astype(np.int32, copy=False), StringDict(values)
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         out = np.empty(len(codes), dtype=object)

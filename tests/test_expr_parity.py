@@ -123,7 +123,9 @@ def test_bounds_reinterpret_physical(df):
     u = pl.DataFrame({"u": [1, 2]})
     assert one(u, pl.col("u").cast(pl.UInt64).reinterpret(signed=True)) == \
         [1, 2]
-    assert one(df, pl.col("s").to_physical()) == [1, 2, 1, None, 3]
+    # dictionary holds exactly the distinct non-null strings, sorted —
+    # codes are dense from 0 (nulls carry no dict entry)
+    assert one(df, pl.col("s").to_physical()) == [0, 1, 0, None, 2]
 
 
 def test_sample_shuffle(df):
