@@ -58,14 +58,22 @@ class StringDict:
         # bytes (never round-trip numpy "S"/str dtypes — both mangle
         # embedded/trailing NULs) and sorts bytewise == python order.
         import pyarrow as pa
-        obj = np.asarray(strings, dtype=object)
-        if mask is not None and not mask.all():
-            obj = np.where(mask, obj, None)
-        try:
-            arr = pa.array(obj, from_pandas=True)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
-            arr = pa.array([bytes(s) if isinstance(s, (bytes, bytearray))
-                            else s for s in obj], from_pandas=True)
+        raw = np.asarray(strings)
+        if raw.dtype.kind in "US":
+            # fixed-width numpy strings convert in C++ — never build
+            # millions of PyUnicode objects (np.unique on U-dtype is
+            # ~14x slower than arrow's hash path at 8M rows)
+            pamask = None if mask is None or bool(mask.all()) else ~mask
+            arr = pa.array(raw, mask=pamask)
+        else:
+            obj = np.asarray(strings, dtype=object)
+            if mask is not None and not mask.all():
+                obj = np.where(mask, obj, None)
+            try:
+                arr = pa.array(obj, from_pandas=True)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                arr = pa.array([bytes(s) if isinstance(s, (bytes, bytearray))
+                                else s for s in obj], from_pandas=True)
         if pa.types.is_null(arr.type):
             arr = arr.cast(pa.large_string())
         elif pa.types.is_binary(arr.type) or \
