@@ -178,23 +178,60 @@ def _fit(arr, ncap, fill):
     return jnp.concatenate([arr, jnp.full((ncap - cap,), fill, arr.dtype)])
 
 
+def _split_words(x):
+    """Bitcast an array to 1 (<=4B) or 2 (8B) uint32 word arrays
+    (TPU-legal forms; see keycode.col_to_u32_words)."""
+    from .keycode import col_to_u32_words
+    return col_to_u32_words(x)
+
+
+def _join_words(words, dtype):
+    from .keycode import col_from_u32_words
+    return col_from_u32_words(words, jnp.dtype(dtype))
+
+
+def _compact_at_ends(gid, ncap, arrays):
+    """Stably compact each array's values at segment-END slots to the
+    front (in gid order) with ONE multi-operand sort. On TPU a sort pass
+    is ~25ms for 8M rows while a random gather is ~80ms (f32) / ~160ms
+    (8-byte) — boundary extraction must never gather. Returns
+    (compacted arrays, ngroups)."""
+    cap = gid.shape[0]
+    live = gid < ncap
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_end = live & ((idx == cap - 1) | (jnp.roll(gid, -1) != gid))
+    ngroups = jnp.sum(is_end.astype(jnp.int32))
+    flag = (~is_end).astype(jnp.uint32)
+    words: list = []
+    splits: list = []
+    for a in arrays:
+        w = _split_words(a)
+        splits.append((len(w), a.dtype))
+        words.extend(w)
+    out = jax.lax.sort((flag,) + tuple(words), num_keys=1, is_stable=True)
+    res = []
+    pos = 1
+    for nw, dt in splits:
+        res.append(_join_words(list(out[pos:pos + nw]), dt))
+        pos += nw
+    return res, ngroups
+
+
 def _seg_sorted(data, gid, ncap, op, ident):
     """Per-group totals over a gid-sorted layout WITHOUT
     jax.lax.associative_scan — custom-combiner scans generate programs
     the axon remote compiler never returns from at multi-million-row
-    sizes (hard-won; see the verify skill). Primitive formulations:
+    sizes (hard-won; see the verify skill). Primitive formulations,
+    all gather-free (boundary values extracted by compaction sorts):
 
-      add      cumsum differencing: total_g = s[end_g-1] - s[start_g-1]
+      add      cumsum, then difference consecutive segment-END prefix
+               values (end_{g-1} is start_g - 1 in a contiguous layout)
       min/max  cummax over (gid<<32 | orderable value word) packings —
                gid is monotone in this layout, so the running max's low
-               bits inside segment g belong to segment g; 64-bit values
-               resolve hi then lo with a second masked pass
+               bits inside segment g belong to segment g
     """
-    newg, starts, ends, ngroups = _sorted_bounds(gid, ncap)
     cap = gid.shape[0]
     live = gid < ncap
-    e1 = jnp.clip(ends - 1, 0, cap - 1)
-    gvalid = jnp.arange(cap) < ngroups
     if op is jnp.add:
         acc = data.dtype
         if acc == jnp.float32 and jax.config.jax_enable_x64:
@@ -203,9 +240,10 @@ def _seg_sorted(data, gid, ncap, op, ident):
             # f64 eps (the engine's sum accumulators are f64 already)
         s = jnp.cumsum(jnp.where(live, data, jnp.zeros((), data.dtype)
                                  ).astype(acc))
-        lo = jnp.where(starts > 0, s[jnp.clip(starts - 1, 0, cap - 1)],
-                       jnp.zeros((), s.dtype))
-        out = jnp.where(gvalid, (s[e1] - lo).astype(data.dtype),
+        (e,), ngroups = _compact_at_ends(gid, ncap, [s])
+        prev = jnp.concatenate([jnp.zeros((1,), e.dtype), e[:-1]])
+        gvalid = jnp.arange(cap) < ngroups
+        out = jnp.where(gvalid, (e - prev).astype(data.dtype),
                         jnp.asarray(ident, data.dtype))
         return _fit(out, ncap, ident)
     if op is jnp.minimum or op is jnp.maximum:
@@ -216,22 +254,27 @@ def _seg_sorted(data, gid, ncap, op, ident):
         g64 = jnp.where(live, gid, 0).astype(jnp.uint64)
         if u.dtype.itemsize <= 4:
             pack = (g64 << jnp.uint64(32)) | u.astype(jnp.uint64)
-            best_u = (jax.lax.cummax(pack)[e1] &
-                      jnp.uint64(0xFFFFFFFF))
+            run = jax.lax.cummax(pack)
+            (best_pack,), ngroups = _compact_at_ends(gid, ncap, [run])
+            best_u = (best_pack & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         else:
-            # 64-bit values: one extra 3-word sort puts each segment's
-            # largest encoding at its end (gid ascends; dead gid == ncap
-            # sorts past every live segment)
+            # 64-bit values: one 3-word sort puts each segment's largest
+            # encoding at its end (gid ascends; dead gid == ncap sorts
+            # past every live segment)
             hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
             lo32 = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-            _, bh, bl = jax.lax.sort(
+            sgid, bh, bl = jax.lax.sort(
                 (gid.astype(jnp.int32), hi, lo32), num_keys=3)
-            best_u = ((bh[e1].astype(jnp.uint64) << jnp.uint64(32)) |
-                      bl[e1].astype(jnp.uint64))
+            (cbh, cbl), ngroups = _compact_at_ends(sgid, ncap, [bh, bl])
+            best_u = ((cbh.astype(jnp.uint64) << jnp.uint64(32)) |
+                      cbl.astype(jnp.uint64))
         from .keycode import decode_orderable
         val = decode_orderable(best_u, data.dtype, descending=is_min)
+        gvalid = jnp.arange(cap) < ngroups
         out = jnp.where(gvalid, val, jnp.asarray(ident, data.dtype))
         return _fit(out, ncap, ident)
+    newg, starts, ends, ngroups = _sorted_bounds(gid, ncap)
+    e1 = jnp.clip(ends - 1, 0, cap - 1)
     scanned = _segscan(jnp.where(live, data, jnp.asarray(ident, data.dtype)),
                        newg, op)
     out = jnp.where(jnp.arange(cap) < ngroups, scanned[e1],

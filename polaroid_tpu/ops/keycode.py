@@ -164,18 +164,20 @@ def col_to_u32_words(data) -> list:
         if u.dtype != jnp.uint32:
             u = u.astype(jnp.uint32)
         return [u]
-    u = jax.lax.bitcast_convert_type(data, jnp.uint64)
-    return [(u >> jnp.uint64(32)).astype(jnp.uint32),
-            (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
+    # 8-byte: bitcast straight to (n, 2) u32 words — the X64-rewrite
+    # pass on TPU (v5e has no native 64-bit) cannot legalize a
+    # bitcast INTO u64, but the widening/narrowing u32 form is native.
+    # Trailing index 0 holds the LOW 32 bits.
+    w = jax.lax.bitcast_convert_type(data, jnp.uint32)
+    return [w[..., 1], w[..., 0]]
 
 
 def col_from_u32_words(words, stor):
     """Inverse of _col_u32_words for a target numpy storage dtype."""
     stor = jnp.dtype(stor)
     if len(words) == 2:
-        u = (words[0].astype(jnp.uint64) << jnp.uint64(32)) | \
-            words[1].astype(jnp.uint64)
-        return jax.lax.bitcast_convert_type(u, stor)
+        return jax.lax.bitcast_convert_type(
+            jnp.stack([words[1], words[0]], axis=-1), stor)
     w = words[0]
     if stor == jnp.bool_:
         return w != 0

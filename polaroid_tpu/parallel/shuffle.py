@@ -53,20 +53,25 @@ def _segscan(v, flags, op):
     return sv
 
 
-def _group_bounds(newg, live):
-    """(starts, ends, ngroups): group g's sorted-slot range [start, end),
-    computed with one boundary-compaction sort (no scatters)."""
+def _group_bounds(newg, live, carry=()):
+    """(starts, ends, ngroups, carried): group g's sorted-slot range
+    [start, end), computed with one boundary-compaction sort (no
+    scatters/gathers). `carry` arrays are compacted at the boundary slot
+    too — the gather-free way to read per-group leading values (e.g.
+    group keys)."""
     cap = newg.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     ngroups = jnp.sum(newg.astype(jnp.int32))
     nlive = jnp.sum(live.astype(jnp.int32))
     border = (~newg).astype(jnp.uint32)
-    _, starts = jax.lax.sort((border, idx), num_keys=1, is_stable=True)
+    out = jax.lax.sort((border, idx) + tuple(carry), num_keys=1,
+                       is_stable=True)
+    starts = out[1]
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     next_start = jnp.concatenate([starts[1:],
                                   jnp.full((1,), cap, jnp.int32)])
     ends = jnp.where(g_arange < ngroups - 1, next_start, nlive)
-    return starts, ends, ngroups
+    return starts, ends, ngroups, list(out[2:])
 
 
 def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
@@ -84,24 +89,22 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     """
     cap = key.shape[0]
     dead = (~valid).astype(jnp.uint32)
-    # sort only (keys, row-id); payloads are gathered by the permutation —
-    # one gather pass instead of dragging every column through the sort.
-    # 64-bit keys split into u32 words: TPU v5e emulates 64-bit ops at a
-    # severe penalty, so everything on the sort path stays 32-bit.
-    idx0 = jnp.arange(cap, dtype=jnp.int32)
+    # ONE multi-operand sort carries the payload columns alongside the
+    # key words — on TPU an extra carried operand costs a fraction of a
+    # sort pass, while a post-sort random gather costs ~2x a whole sort
+    # (measured: 8M f32 gather 79ms vs 3-word sort 37ms). 64-bit keys
+    # split into u32 words: v5e emulates 64-bit ops at a severe penalty.
     if key.dtype.itemsize <= 4:
         k32 = key.astype(jnp.uint32) if key.dtype != jnp.uint32 else key
-        sdead, sk32, perm = jax.lax.sort((dead, k32, idx0), num_keys=2,
-                                         is_stable=True)
-        kwords = (sk32,)
+        out = jax.lax.sort((dead, k32) + tuple(vals), num_keys=2,
+                           is_stable=True)
+        sdead, kwords, svals = out[0], (out[1],), list(out[2:])
     else:
         khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
         klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        sdead, shi, slo, perm = jax.lax.sort((dead, khi, klo, idx0),
-                                             num_keys=3, is_stable=True)
-        kwords = (shi, slo)
-    svals = [v[perm] for v in vals]
-    skey = key[perm]
+        out = jax.lax.sort((dead, khi, klo) + tuple(vals), num_keys=3,
+                           is_stable=True)
+        sdead, kwords, svals = out[0], (out[1], out[2]), list(out[3:])
     live = sdead == 0
     idx = jnp.arange(cap, dtype=jnp.int32)
     newg = idx == 0
@@ -135,9 +138,10 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
         start = seg(jnp.where(live, idx, cap).astype(jnp.int32), "min")
         gcount = seg(live.astype(jnp.int32), "sum")
         gvalid = gcount > 0
+        skey = _key_from_words(kwords, key.dtype)
         gkey = skey[jnp.clip(start, 0, cap - 1)]
         return gkey, outs, gvalid
-    starts, ends, ngroups = _group_bounds(newg, live)
+    starts, ends, ngroups, gkw = _group_bounds(newg, live, kwords)
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     gcount = jnp.where(g_arange < ngroups, ends - starts, 0)
     # primitive-op segment totals (groupby._seg_sorted: cumsum
@@ -159,8 +163,18 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
         else:
             raise ValueError(f"agg {agg}")
     gvalid = g_arange < ngroups
-    gkey = skey[jnp.clip(starts, 0, cap - 1)]
+    gkey = _key_from_words(gkw, key.dtype)
     return gkey, outs, gvalid
+
+
+def _key_from_words(words, dtype):
+    """Reassemble a key array from its sorted u32 words (elementwise —
+    replaces a u64 gather that costs ~4x a whole sort pass on TPU)."""
+    if len(words) == 1:
+        return words[0].astype(dtype)
+    u = (words[0].astype(jnp.uint64) << jnp.uint64(32)) | \
+        words[1].astype(jnp.uint64)
+    return u.astype(dtype)
 
 
 def _ident(dt, kind):
@@ -431,7 +445,7 @@ def _merged_side_counts(lkey, lvalid, rkey, rvalid, want_ids: bool):
     idx = jnp.arange(capT)
     newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
             (slo != jnp.roll(slo, 1))) & live
-    starts, ends, ngroups = _group_bounds(newg, live)
+    starts, ends, ngroups, _ = _group_bounds(newg, live)
     e1 = jnp.clip(ends - 1, 0, capT - 1)
     cl_scan = _segscan(jnp.where(live & (stag == 0), 1, 0), newg, jnp.add)
     cr_scan = _segscan(jnp.where(live & (stag == 1), 1, 0), newg, jnp.add)
