@@ -17,6 +17,31 @@ from ..expr.expr import Expr, col as _col
 from ..plan import logical as L
 from ..plan.optimizer import optimize
 
+# Optimized-plan memo: interactive collect() re-optimizes the same plan
+# every call (reference re-optimizes per collect too, but its passes are
+# ~µs; ours are ~1 ms of Python). Keyed by structural fingerprint —
+# table objects fingerprint by id(), and the cached plan holds a strong
+# ref to them, so an id can never be recycled while its key is live.
+from collections import OrderedDict as _OrderedDict
+
+_OPT_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+
+
+def _optimize_cached(plan, eng):
+    try:
+        key = (plan.fingerprint(), eng)
+    except Exception:
+        return optimize(plan, eng)
+    hit = _OPT_CACHE.get(key)
+    if hit is None:
+        hit = optimize(plan, eng)
+        _OPT_CACHE[key] = hit
+        if len(_OPT_CACHE) > 256:
+            _OPT_CACHE.popitem(last=False)
+    else:
+        _OPT_CACHE.move_to_end(key)
+    return hit
+
 
 def _to_exprs(args, kwargs=None) -> List[Expr]:
     from .frame import _to_exprs as f
@@ -418,7 +443,7 @@ class LazyFrame:
         eng = engine if engine != "auto" else CONFIG.engine_affinity
         if streaming:
             eng = "streaming"
-        plan = optimize(self._plan, eng)
+        plan = _optimize_cached(self._plan, eng)
         if CONFIG.visualize_ir:
             print(plan.describe())
         if streaming or eng == "streaming":

@@ -120,20 +120,36 @@ def column_bit_width(x, validity) -> jax.Array:
 
 
 def pack_keys_single_word(columns, validities, bits: Sequence[int],
-                          mins) -> jax.Array:
+                          mins, nulls_last: Optional[Sequence[bool]] = None
+                          ) -> jax.Array:
     """Pack multiple key columns into ONE uint64 word given per-column bit
     budgets (host-known ints). Order-preserving within each column and
     lexicographic across columns (first column = most significant).
-    Null encodes as 0; valid values encode as (u - min + 1)."""
+
+    Null placement per column (the null_sentinel analogue of
+    `polars-row/src/row.rs:59-114`): nulls-first columns encode null as
+    code 0 and valid values as (u - min + 1); nulls-last columns encode
+    valid values as (u - min) and null as the max code (2^b - 1) — the
+    bit budget ceil(log2(span+2)) guarantees max valid code <= 2^b - 2,
+    so the sentinel never collides."""
     total = sum(bits)
     if total > 64:
         raise ValueError(f"bit budget {total} exceeds 64")
+    if nulls_last is None:
+        nulls_last = [False] * len(bits)
     acc = None
-    for x, valid, b, mn in zip(columns, validities, bits, mins):
+    for x, valid, b, mn, nl in zip(columns, validities, bits, mins,
+                                   nulls_last):
         u = encode_orderable(x).astype(jnp.uint64)
-        v = u - mn + jnp.uint64(1)
-        if valid is not None:
-            v = jnp.where(valid, v, jnp.uint64(0))
+        if nl:
+            v = u - mn
+            if valid is not None:
+                sentinel = (jnp.uint64(1) << jnp.uint64(b)) - jnp.uint64(1)
+                v = jnp.where(valid, v, sentinel)
+        else:
+            v = u - mn + jnp.uint64(1)
+            if valid is not None:
+                v = jnp.where(valid, v, jnp.uint64(0))
         acc = v if acc is None else ((acc << jnp.uint64(b)) | v)
     return acc
 

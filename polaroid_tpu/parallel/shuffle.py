@@ -397,6 +397,225 @@ def make_groupby_merge(mesh, aggs: Sequence[str], per_dest_cap: int):
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# exact (non-decomposable) distributed group-by: full-row shuffle by key
+# hash, then per-shard EXACT aggregation over complete groups — the
+# distributed path for median / quantile / n_unique / first / last
+# (VERDICT r2 #6; reference analogue: the streaming engine keeps these
+# in-engine via its generic Grouper, `polars-stream/src/nodes/group_by.rs`).
+# ---------------------------------------------------------------------------
+
+def _venc_words(x):
+    """Order-preserving u32 word(s) for a value column (sort operand)."""
+    from ..ops.keycode import encode_orderable
+    u = encode_orderable(x)
+    if u.dtype.itemsize == 8:
+        return [(u >> jnp.uint64(32)).astype(jnp.uint32),
+                (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
+    return [u.astype(jnp.uint32)]
+
+
+def _vdec(words, dtype):
+    """Decode sorted order-preserving words back to the value dtype."""
+    from ..ops.keycode import decode_orderable
+    if len(words) == 2:
+        u = (words[0].astype(jnp.uint64) << jnp.uint64(32)) | \
+            words[1].astype(jnp.uint64)
+    else:
+        u = words[0]
+    return decode_orderable(u, dtype, False)
+
+
+def local_groupby_exact(key, valid, rowidx, vals, vvalids, specs):
+    """Per-chip exact group-by on packed u64 keys over FULL rows.
+
+    Every group's rows are entirely on this chip (hash-routed), so
+    order-dependent and holistic aggregations are exact. specs: list of
+    dicts {kind, vi, q, interp, ddof} — kind in {len, count, null_count,
+    sum, min, max, mean, std, var, any, all, first, last, median,
+    quantile, n_unique}; vi indexes vals/vvalids (None for len).
+    rowidx = global original row index (orders first/last).
+
+    Returns (gkey, gvalid, outs) where outs alternates (data, out_valid)
+    per spec, each of capacity cap with group g's result at slot g.
+    """
+    cap = key.shape[0]
+    dead = (~valid).astype(jnp.uint32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    # base sort: rows ordered by (key, original row index); value columns
+    # and their validity ride along (one multi-operand sort, no gathers)
+    ops = (dead, khi, klo, rowidx.astype(jnp.int32)) + tuple(vals) + \
+        tuple(v.astype(jnp.uint8) for v in vvalids)
+    out = jax.lax.sort(ops, num_keys=4, is_stable=True)
+    sdead, shi, slo = out[0], out[1], out[2]
+    nv = len(vals)
+    svals = list(out[4:4 + nv])
+    svv = [v != 0 for v in out[4 + nv:]]
+    live = sdead == 0
+    newg = ((idx == 0) | (shi != jnp.roll(shi, 1)) |
+            (slo != jnp.roll(slo, 1))) & live
+    starts, ends, ngroups, gkw = _group_bounds(newg, live, (shi, slo))
+    g_arange = jnp.arange(cap, dtype=jnp.int32)
+    gvalid = g_arange < ngroups
+    gcount = jnp.where(gvalid, ends - starts, 0)
+    gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
+    gkey = _key_from_words(gkw, key.dtype)
+    s0 = jnp.clip(starts, 0, cap - 1)
+    e1 = jnp.clip(ends - 1, 0, cap - 1)
+
+    from ..ops.groupby import _seg_max, _seg_min, _seg_sum
+
+    # per-value-column cached quantities
+    nn_cache: dict = {}     # vi -> per-group non-null count
+    byval_cache: dict = {}  # vi -> (sorted venc words, sorted vnull)
+
+    def cnt_nn(vi):
+        if vi not in nn_cache:
+            nn_cache[vi] = _seg_sum(
+                jnp.where(live & svv[vi], 1, 0).astype(jnp.int32), gid, cap)
+        return nn_cache[vi]
+
+    def byval(vi):
+        """Second sort: within each group, valid values ascending with
+        nulls at the end (for quantile/median/n_unique). Group bounds are
+        identical to the base sort (same key operands)."""
+        if vi not in byval_cache:
+            vnull = jnp.where(vvalids[vi], jnp.uint32(0), jnp.uint32(1))
+            words = _venc_words(vals[vi])
+            sout = jax.lax.sort((dead, khi, klo, vnull) + tuple(words),
+                                num_keys=4 + len(words), is_stable=True)
+            byval_cache[vi] = (list(sout[4:]), sout[3])
+        return byval_cache[vi]
+
+    outs: List = []
+    for sp in specs:
+        kind = sp["kind"]
+        vi = sp.get("vi")
+        if kind == "len":
+            outs += [gcount.astype(jnp.int64), gvalid]
+            continue
+        if kind == "count":
+            outs += [cnt_nn(vi).astype(jnp.int64), gvalid]
+            continue
+        if kind == "null_count":
+            outs += [(gcount - cnt_nn(vi)).astype(jnp.int64), gvalid]
+            continue
+        if kind == "sum":
+            v = jnp.where(live & svv[vi], svals[vi],
+                          jnp.zeros((), svals[vi].dtype))
+            outs += [_seg_sum(v, gid, cap), gvalid]
+            continue
+        if kind in ("min", "max"):
+            red = _seg_min if kind == "min" else _seg_max
+            iv = _ident(svals[vi].dtype, kind)
+            v = jnp.where(live & svv[vi], svals[vi], iv)
+            outs += [red(v, gid, cap), gvalid & (cnt_nn(vi) > 0)]
+            continue
+        if kind in ("any", "all"):
+            red = _seg_max if kind == "any" else _seg_min
+            fill = 0 if kind == "any" else 1
+            v = jnp.where(live & svv[vi], svals[vi].astype(jnp.int32), fill)
+            outs += [red(v, gid, cap) != 0, gvalid]
+            continue
+        if kind in ("first", "last"):
+            slot = s0 if kind == "first" else e1
+            outs += [svals[vi][slot], gvalid & svv[vi][slot]]
+            continue
+        if kind in ("mean", "std", "var"):
+            c = cnt_nn(vi).astype(jnp.float64)
+            vf = svals[vi].astype(jnp.float64)
+            m = jnp.where(live & svv[vi], vf, 0.0)
+            s = _seg_sum(m, gid, cap)
+            if kind == "mean":
+                outs += [s / jnp.maximum(c, 1), gvalid & (cnt_nn(vi) > 0)]
+                continue
+            ddof = sp.get("ddof", 1)
+            s2 = _seg_sum(jnp.where(live & svv[vi], vf * vf, 0.0), gid, cap)
+            var = (s2 - s * s / jnp.maximum(c, 1)) / jnp.maximum(c - ddof, 1)
+            if kind == "std":
+                var = jnp.sqrt(jnp.maximum(var, 0.0))
+            outs += [var, gvalid & (cnt_nn(vi) > ddof)]
+            continue
+        if kind == "n_unique":
+            swords, svnull = byval(vi)
+            newpair = newg | (svnull != jnp.roll(svnull, 1))
+            for w in swords:
+                newpair = newpair | (w != jnp.roll(w, 1))
+            outs += [_seg_sum(jnp.where(live & newpair, 1, 0)
+                              .astype(jnp.int32), gid, cap)
+                     .astype(jnp.uint32), gvalid]
+            continue
+        if kind in ("median", "quantile"):
+            q = 0.5 if kind == "median" else float(sp.get("q", 0.5))
+            interp = "linear" if kind == "median" else \
+                sp.get("interp", "nearest")
+            swords, _ = byval(vi)
+            c = cnt_nn(vi)
+            pos = (c - 1).astype(jnp.float64) * q
+            if interp == "lower":
+                ilo = ihi = jnp.floor(pos)
+            elif interp == "higher":
+                ilo = ihi = jnp.ceil(pos)
+            elif interp == "nearest":
+                ilo = ihi = jnp.round(pos)
+            elif interp == "midpoint":
+                ilo, ihi = jnp.floor(pos), jnp.ceil(pos)
+            else:  # linear
+                ilo, ihi = jnp.floor(pos), jnp.ceil(pos)
+            lo_slot = jnp.clip(s0 + jnp.maximum(ilo, 0).astype(jnp.int32),
+                               0, cap - 1)
+            hi_slot = jnp.clip(s0 + jnp.maximum(ihi, 0).astype(jnp.int32),
+                               0, cap - 1)
+            dt = jnp.dtype(vals[vi].dtype)
+            vlo = _vdec([w[lo_slot] for w in swords], dt)
+            if interp == "linear":
+                vhi = _vdec([w[hi_slot] for w in swords], dt)
+                frac = pos - jnp.floor(pos)
+                res = vlo.astype(jnp.float64) * (1 - frac) + \
+                    vhi.astype(jnp.float64) * frac
+            elif interp == "midpoint":
+                vhi = _vdec([w[hi_slot] for w in swords], dt)
+                res = (vlo.astype(jnp.float64) +
+                       vhi.astype(jnp.float64)) * 0.5
+            else:
+                res = vlo
+            outs += [res, gvalid & (c > 0)]
+            continue
+        raise ValueError(f"exact agg kind {kind!r}")
+    return gkey, gvalid, outs
+
+
+def make_sharded_groupby_exact(mesh, specs, n_vals: int, per_dest_cap: int):
+    """jit-compiled exact distributed group-by: full rows (key + value
+    columns + validity + global row index) hash-shuffled, per-shard exact
+    aggregation. Output: (gkey, gvalid, dropped, outs...) where outs
+    alternates (data, out_valid) per spec."""
+    S = mesh.shape[AXIS]
+
+    def step(key, valid, rowidx, *vv):
+        vals = list(vv[:n_vals])
+        dest = _hash_u64(key) % jnp.uint32(S)
+        pays = [rowidx] + vals + [x.astype(jnp.uint8) for x in vv[n_vals:]]
+        k2, p2, v2, dropped = exchange_records(
+            dest, key, pays, valid, S, per_dest_cap, with_overflow=True)
+        ridx2 = p2[0]
+        vals2 = p2[1:1 + n_vals]
+        vv2 = [x != 0 for x in p2[1 + n_vals:]]
+        gkey, gvalid, outs = local_groupby_exact(
+            k2, v2, ridx2, vals2, vv2, specs)
+        return (gkey, gvalid, dropped[None]) + tuple(outs)
+
+    n_in = 3 + 2 * n_vals
+    n_out = 3 + 2 * len(specs)
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=tuple(P(AXIS) for _ in range(n_in)),
+                   out_specs=tuple(P(AXIS) for _ in range(n_out)))
+    return jax.jit(fn)
+
+
 def shuffle_rows_step(key, payloads, valid, num_shards: int,
                       per_dest_cap: int, axis: str = AXIS):
     """Row-level shuffle (for joins): every live row is routed to

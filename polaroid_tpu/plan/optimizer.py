@@ -28,7 +28,6 @@ def optimize(plan: L.Plan, engine: str = "in-memory") -> L.Plan:
         # sortedness is an in-memory-engine property: its sort-based
         # group-by emits key order; hash-sharded engines do not
         plan = elide_redundant_sorts(plan)
-    plan = fuse_topk(plan)
     plan = insert_common_subplan_caches(plan)
     return plan
 
@@ -581,11 +580,6 @@ def push_slice(plan: L.Plan) -> L.Plan:
             pushed = L.Slice(child.input, 0, n)
             return child.with_inputs([push_slice(pushed)])
     new_inputs = [push_slice(p) for p in plan.inputs]
-    return plan.with_inputs(new_inputs) if plan.inputs else plan
-
-
-def fuse_topk(plan: L.Plan) -> L.Plan:
-    new_inputs = [fuse_topk(p) for p in plan.inputs]
     return plan.with_inputs(new_inputs) if plan.inputs else plan
 
 

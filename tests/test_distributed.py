@@ -244,3 +244,87 @@ def test_dist_rolling_and_rank_global(data):
     a = lf.collect(engine="distributed")
     b = lf.collect(engine="in-memory")
     assert a.to_dict() == b.to_dict()
+
+
+# ---------------------------------------------------------------------------
+# exact (row-shuffle) distributed group-by: median/quantile/n_unique/
+# first/last run in-engine via full-row hash shuffle (VERDICT r2 #6)
+# ---------------------------------------------------------------------------
+
+def test_dist_groupby_exact_median_quantile(data):
+    lf = data.group_by("k").agg(
+        pl.col("v").median().alias("md"),
+        pl.col("v").quantile(0.25, "linear").alias("q25"),
+        pl.col("w").quantile(0.9, "lower").alias("q90l"),
+        pl.col("v").quantile(0.5, "midpoint").alias("qm"),
+        pl.col("v").quantile(0.75, "nearest").alias("qn"))
+    _cmp(lf, "k", float_cols=("md", "q25", "qm", "qn", "q90l"))
+
+
+def test_dist_groupby_exact_nunique_first_last(data):
+    lf = data.group_by("s").agg(
+        pl.col("w").n_unique().alias("nu"),
+        pl.col("v").first().alias("f"),
+        pl.col("v").last().alias("l"))
+    _cmp(lf, "s", float_cols=("f", "l"))
+
+
+def test_dist_groupby_exact_mixed_with_decomposable(data):
+    # one non-decomposable agg forces the whole agg set onto the exact
+    # row-shuffle path; sums/counts must still match
+    lf = data.group_by("k").agg(
+        pl.col("v").median().alias("md"),
+        pl.col("v").sum().alias("sv"),
+        pl.len().alias("n"),
+        pl.col("w").min().alias("mn"),
+        pl.col("v").mean().alias("mu"),
+        pl.col("v").std().alias("sd"))
+    _cmp(lf, "k", float_cols=("md", "sv", "mu", "sd"))
+
+
+def test_dist_groupby_exact_with_nulls():
+    rng = np.random.default_rng(11)
+    n = 2000
+    v = rng.normal(0, 5, n).tolist()
+    for i in range(0, n, 7):
+        v[i] = None
+    lf = pl.LazyFrame({"k": rng.integers(0, 16, n).tolist(), "v": v})
+    out = lf.group_by("k").agg(
+        pl.col("v").median().alias("md"),
+        pl.col("v").n_unique().alias("nu"),
+        pl.col("v").first().alias("f"))
+    _cmp(out, "k", float_cols=("md", "f"))
+
+
+def test_dist_sort_nulls_last():
+    rng = np.random.default_rng(7)
+    n = 1000
+    v = rng.integers(0, 50, n).tolist()
+    for i in range(0, n, 11):
+        v[i] = None
+    lf = pl.LazyFrame({"v": v, "x": list(range(n))})
+    for desc in (False, True):
+        out = lf.sort("v", descending=desc, nulls_last=True)
+        a = out.collect(engine="in-memory").to_dict()
+        b = out.collect(engine="distributed").to_dict()
+        # key column order must match exactly; payload ties may permute
+        assert a["v"] == b["v"]
+        assert sorted(a["x"]) == sorted(b["x"])
+
+
+def test_shuffle_overflow_refused(monkeypatch):
+    # force a tiny per-destination capacity: the exchange must REPORT the
+    # overflow and the executor must refuse (no silent row loss)
+    from polaroid_tpu.exec import distributed as D
+    from polaroid_tpu.errors import ComputeError
+    real = D.capacity_for
+
+    monkeypatch.setattr(D, "capacity_for", lambda n: 1)
+    rng = np.random.default_rng(3)
+    n = 512
+    lf = pl.LazyFrame({"k": rng.integers(0, 64, n),
+                       "v": rng.normal(0, 1, n)})
+    q = lf.group_by("k").agg(pl.col("v").median().alias("m"))
+    with pytest.raises(ComputeError, match="overflow"):
+        q.collect(engine="distributed")
+    monkeypatch.setattr(D, "capacity_for", real)
