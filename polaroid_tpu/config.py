@@ -54,6 +54,13 @@ class Config:
         # join sample limit for build-side selection
         # (POLARS_JOIN_SAMPLE_LIMIT, polars-stream/src/nodes/joins/mod.rs:20)
         self.join_sample_limit: int = _env_int("PT_JOIN_SAMPLE_LIMIT", 10_000_000)
+        # streaming join build-side row budget; past it the grace-hash
+        # partitioned spill join bounds memory (reference: per-partition
+        # BuildState, equi_join.rs:420)
+        self.join_build_budget_rows: int = _env_int(
+            "PT_JOIN_BUILD_BUDGET_ROWS", 10_000_000)
+        self.join_grace_partitions: int = _env_int(
+            "PT_JOIN_GRACE_PARTITIONS", 8)
         # group-by strategy: "auto" | "sort" | "hash"
         self.groupby_strategy: str = os.environ.get("PT_GROUPBY_STRATEGY", "auto")
         # collect per-node timing metrics (POLARS_TRACK_METRICS analogue)

@@ -677,3 +677,46 @@ def test_lazy_group_by_dynamic_lowers_and_streams(monkeypatch):
     e = lf.collect().sort("t").group_by_dynamic("t", every="1h").agg(
         pl.col("v").sum().alias("s"), pl.len().alias("n"))
     assert a.to_dict() == e.to_dict()
+
+
+def test_streaming_grace_hash_join(monkeypatch):
+    """A build side over the budget must spill to grace-hash partitions
+    and still match the in-memory result exactly (VERDICT r2 #7)."""
+    import numpy as np
+    from polaroid_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "batch_rows", 400)
+    monkeypatch.setattr(CONFIG, "join_build_budget_rows", 300)
+    monkeypatch.setattr(CONFIG, "join_grace_partitions", 4)
+    rng = np.random.default_rng(21)
+    n_l, n_r = 3000, 2500
+    lk = rng.integers(0, 500, n_l).tolist()
+    for i in range(0, n_l, 13):
+        lk[i] = None
+    lf = pl.LazyFrame({"k": lk, "lv": rng.normal(0, 1, n_l).tolist()})
+    rf = pl.LazyFrame({"k": rng.integers(0, 500, n_r).tolist(),
+                       "rv": rng.integers(-50, 50, n_r).tolist(),
+                       "s": rng.choice(["x", "y", "z"], n_r).tolist()})
+    for how in ("left", "inner", "semi", "anti", "full"):
+        q = lf.join(rf, on="k", how=how)
+        a = q.collect(engine="in-memory")
+        b = q.collect(engine="streaming")
+        cols = a.columns
+        sk = [c for c in cols]
+        ad, bd = a.sort(sk).to_dict(), b.sort(sk).to_dict()
+        assert ad == bd, how
+
+
+def test_streaming_grace_join_string_keys(monkeypatch):
+    import numpy as np
+    from polaroid_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "batch_rows", 300)
+    monkeypatch.setattr(CONFIG, "join_build_budget_rows", 200)
+    rng = np.random.default_rng(5)
+    keys = [f"k{int(i)}" for i in rng.integers(0, 200, 1500)]
+    lf = pl.LazyFrame({"k": keys, "v": list(range(1500))})
+    rf = pl.LazyFrame({"k": [f"k{i}" for i in range(0, 300, 2)],
+                       "w": list(range(150))})
+    q = lf.join(rf, on="k", how="left")
+    a = q.collect(engine="in-memory").sort(["k", "v"]).to_dict()
+    b = q.collect(engine="streaming").sort(["k", "v"]).to_dict()
+    assert a == b
