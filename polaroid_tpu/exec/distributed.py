@@ -44,12 +44,12 @@ from ..plan import logical as L
 
 def _shard_table(t: Table, mesh) -> Table:
     """Pad capacity to a multiple of mesh size and device_put row-sharded."""
-    S = mesh.shape[AXIS]
+    S = SH.total_shards(mesh)
     cap = t.capacity
     if cap % S != 0:
         cap = ((cap + S - 1) // S) * S
         t = C.grow_to(t, cap)
-    sh = NamedSharding(mesh, P(AXIS))
+    sh = NamedSharding(mesh, SH.mesh_spec(mesh))
     cols = {}
     for n in t.names:
         c = t.cols[n]
@@ -127,7 +127,8 @@ def _unpack_keys(packed, unpack_info, cap):
 class DistributedExecutor:
     def __init__(self, mesh=None):
         self.mesh = mesh or make_mesh()
-        self.S = self.mesh.shape[AXIS]
+        self.S = SH.total_shards(self.mesh)
+        self.spec = SH.mesh_spec(self.mesh)
 
     def execute(self, plan: L.Plan) -> Table:
         t = self._exec(plan)
@@ -268,7 +269,7 @@ class DistributedExecutor:
             out_names.append(meta.output_name(a))
             out_dtypes.append(meta.output_dtype(a, ins))
 
-        sh = NamedSharding(self.mesh, P(AXIS))
+        sh = NamedSharding(self.mesh, self.spec)
         packed = jax.device_put(packed, sh)
         maskd = jax.device_put(mask, sh)
         hist = SH.make_dest_hist(self.S, sh)
@@ -463,6 +464,7 @@ class DistributedExecutor:
                   for v in validities]
 
         S = self.S
+        route = SH._router(self.mesh, per_dest)
 
         def step(packed_l, mask_l, *rest):
             npay = len(payloads)
@@ -470,9 +472,9 @@ class DistributedExecutor:
             vls = list(rest[npay:])
             dest = jnp.clip(searchsorted(splitters, packed_l), 0, S - 1) \
                 .astype(jnp.uint32)
-            # reuse exchange with dest override: encode dest in place of hash
-            key2, pay2, valid2 = SH.exchange_records(
-                dest, packed_l, pls + vls, mask_l, S, per_dest)
+            # range partition: dest = target shard index (rides the
+            # 2-stage ICI+DCN exchange on a hosts x chips mesh)
+            key2, pay2, valid2 = route(dest, packed_l, pls + vls, mask_l)
             # local sort by key
             ops = (jnp.where(valid2, jnp.uint32(0), jnp.uint32(1)), key2) + \
                 tuple(pay2) + (valid2.astype(jnp.int32),)
@@ -482,8 +484,8 @@ class DistributedExecutor:
         from jax import shard_map
         n_out = 2 + len(payloads) + len(vflags)
         fn = shard_map(step, mesh=self.mesh,
-                       in_specs=tuple([P(AXIS)] * (2 + 2 * len(payloads))),
-                       out_specs=tuple([P(AXIS)] * n_out))
+                       in_specs=tuple([self.spec] * (2 + 2 * len(payloads))),
+                       out_specs=tuple([self.spec] * n_out))
         res = jax.jit(fn)(packed, mask, *payloads, *vflags)
         skey = res[0]
         spays = res[1:1 + len(payloads)]
@@ -525,12 +527,15 @@ class DistributedExecutor:
             from ..ops.groupby import unique_table
             return unique_table(C.compact(t), plan.subset, plan.keep,
                                 plan.maintain_order)
-        sh = NamedSharding(self.mesh, P(AXIS))
+        sh = NamedSharding(self.mesh, self.spec)
         valid = jax.device_put(t.row_mask(), sh)
         packed = jax.device_put(packed, sh)
         hist = SH.make_dest_hist(self.S, sh)
         h = np.asarray(hist(packed, valid))
         per_dest = capacity_for(max(int(h.max()), 1))
+        # survivors per shard <= incoming rows: compact + slice the
+        # exchange capacity down (r2 weak #8: S^2*per_dest output)
+        out_cap = capacity_for(max(int(h.sum(axis=0).max()), 1))
         rowidx = jax.device_put(jnp.arange(cap, dtype=jnp.int32), sh)
         pays, slots = [], []
         for n in t.names:
@@ -544,7 +549,7 @@ class DistributedExecutor:
                 pays.append(jax.device_put(c.validity.astype(jnp.uint8), sh))
             slots.append((n, c.dtype, c.sdict, hasv))
         uq = SH.make_sharded_unique(self.mesh, per_dest, plan.keep,
-                                    len(pays))
+                                    len(pays), out_cap=out_cap)
         outs = uq(packed, valid, rowidx, *pays)
         flag = outs[0]
         _check_no_drops(outs[1], "distinct")
@@ -563,8 +568,7 @@ class DistributedExecutor:
                 li += 1
             names.append(n)
             cols[n] = Column(dt, data, validity, sd)
-        # each shard's output = its exchanged arrays (S*per_dest rows)
-        out = Table(names, cols, self.S * self.S * per_dest, None, flag)
+        out = Table(names, cols, flag.shape[0], None, flag)
         if plan.maintain_order:
             from ..dtypes import Int64
             from ..ops.sort import sort_table
@@ -633,7 +637,7 @@ class DistributedExecutor:
         still be emitted (left/full/anti under join_nulls=False) bypass
         the shuffle and are appended from their origin shards."""
         mesh = self.mesh
-        S = mesh.shape[AXIS]
+        S = self.S
         how = "full" if plan.how == "outer" else plan.how
         coalesce = plan.coalesce if plan.coalesce is not None \
             else how != "full"
@@ -648,7 +652,7 @@ class DistributedExecutor:
             for v in rv:
                 if v.validity is not None:
                     rkeyv = rkeyv & v.validity
-        sh = NamedSharding(mesh, P(AXIS))
+        sh = NamedSharding(mesh, self.spec)
         lpacked = jax.device_put(lpacked, sh)
         rpacked = jax.device_put(rpacked, sh)
         lkeyv = jax.device_put(lkeyv, sh)
@@ -678,7 +682,9 @@ class DistributedExecutor:
 
         if how in ("semi", "anti"):
             pays, slots = side_payloads(lt, lt.names)
-            join = SH.make_sharded_semi(mesh, l_cap, r_cap, how, len(pays))
+            semi_out_cap = capacity_for(max(int(lh.sum(axis=0).max()), 1))
+            join = SH.make_sharded_semi(mesh, l_cap, r_cap, how, len(pays),
+                                        out_cap=semi_out_cap)
             outs = join(lpacked, lkeyv, rpacked, rkeyv, *pays)
             flag = outs[0]
             _check_no_drops(outs[1], how)
@@ -696,8 +702,7 @@ class DistributedExecutor:
                     li += 1
                 names.append(n)
                 cols[n] = Column(dt, data, validity, sd)
-            # each shard's output = its exchanged arrays (S*l_cap rows)
-            out = Table(names, cols, S * S * l_cap, None, flag)
+            out = Table(names, cols, flag.shape[0], None, flag)
             if how == "anti" and not plan.join_nulls:
                 # left rows with null keys match nothing: they SURVIVE the
                 # anti filter but never entered the shuffle — append them

@@ -155,9 +155,12 @@ def _stage_in_vmem(xs: List, d: int, bit: int, nk: int, pid_row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
     is_lo = (lane & jnp.int32(d)) == 0
-    # pltpu.roll needs non-negative shifts: roll by 128-d == roll by -d
-    partner = [jnp.where(is_lo, pltpu.roll(x, _LANES - d, axis=1),
-                         pltpu.roll(x, d, axis=1)) for x in xs]
+    # pltpu.roll needs non-negative shifts (roll by 128-d == roll by -d);
+    # shifts must be typed i32 — an untyped int traces as i64 under x64
+    # mode and Mosaic's dynamic_rotate verifier rejects it
+    partner = [jnp.where(is_lo,
+                         pltpu.roll(x, jnp.int32(_LANES - d), axis=1),
+                         pltpu.roll(x, jnp.int32(d), axis=1)) for x in xs]
     self_gt = _lex_gt(xs, partner, nk)
     partner_gt = _lex_gt(partner, xs, nk)
     # direction: bit of the element index; levels here have 2s > 2d >=
@@ -165,7 +168,9 @@ def _stage_in_vmem(xs: List, d: int, bit: int, nk: int, pid_row):
     # 2s >= 2*base >= 2^14, so bit >= 8 and the mask is lane-invariant
     dirm = (((pid_row + row) >> jnp.int32(bit - 7)) & jnp.int32(1)) != 0
     keep_min = is_lo ^ dirm
-    take_partner = jnp.where(keep_min, self_gt, partner_gt)
+    # boolean select via logic ops: jnp.where on i1 vectors lowers to an
+    # i8->i1 trunc Mosaic cannot compile
+    take_partner = (keep_min & self_gt) | (~keep_min & partner_gt)
     return [jnp.where(take_partner, p, x) for x, p in zip(xs, partner)]
 
 
@@ -190,7 +195,9 @@ def _chunk_pass(ops: List[jax.Array], stages, nk: int, M: int
     R = M // _LANES
     grid = (n // M,)
     arrs = [o.reshape(n // _LANES, _LANES) for o in ops]
-    spec = pl.BlockSpec((R, _LANES), lambda i: (i, 0),
+    # index_map literals must be typed i32: a bare 0 traces as i64 under
+    # x64 mode and Mosaic cannot legalize the scalar return
+    spec = pl.BlockSpec((R, _LANES), lambda i: (i, jnp.int32(0)),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, stages=tuple(stages), nk=nk,

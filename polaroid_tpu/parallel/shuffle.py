@@ -27,10 +27,51 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .mesh import AXIS
+from .mesh import AXIS, CHIP_AXIS, HOST_AXIS
 
 # agg kind -> (identity, combine) for segment reductions
 _MERGE_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def is_mesh_2d(mesh) -> bool:
+    return HOST_AXIS in mesh.shape and CHIP_AXIS in mesh.shape
+
+
+def mesh_spec(mesh) -> P:
+    """Row-sharding PartitionSpec for a 1-D (shards) or 2-D (hosts x
+    chips) mesh — global row-major order maps shard id to h*C + c, the
+    routing convention of exchange_records_2d."""
+    if is_mesh_2d(mesh):
+        return P((HOST_AXIS, CHIP_AXIS))
+    return P(AXIS)
+
+
+def total_shards(mesh) -> int:
+    if is_mesh_2d(mesh):
+        return mesh.shape[HOST_AXIS] * mesh.shape[CHIP_AXIS]
+    return mesh.shape[AXIS]
+
+
+def _router(mesh, per_dest_cap: int, with_overflow: bool = False):
+    """Exchange function bound to the mesh topology: one ICI all_to_all
+    on a flat mesh, the two-stage ICI+DCN schedule on a (hosts x chips)
+    mesh. Output capacity is S*per_dest_cap either way."""
+    if is_mesh_2d(mesh):
+        H = mesh.shape[HOST_AXIS]
+        C = mesh.shape[CHIP_AXIS]
+
+        def route(dest, key, pays, valid):
+            return exchange_records_2d(dest, key, pays, valid, H, C,
+                                       per_dest_cap, HOST_AXIS, CHIP_AXIS,
+                                       with_overflow=with_overflow)
+    else:
+        S = mesh.shape[AXIS]
+
+        def route(dest, key, pays, valid):
+            return exchange_records(dest, key, pays, valid, S,
+                                    per_dest_cap, axis=AXIS,
+                                    with_overflow=with_overflow)
+    return route
 
 
 def _hash_u64(k):
@@ -257,14 +298,21 @@ def exchange_records_2d(dest, key, payloads: Sequence, valid,
     `host_axis`, routed by h) between same-chip-index peers only — the
     two-stage schedule that keeps the slow DCN leg to one contiguous
     block per host pair (SURVEY §2.4 TPU mapping; scaling-book
-    hierarchy). Shapes stay static: stage 1 expands capacity by C,
-    stage 2 by H."""
+    hierarchy). Shapes stay static.
+
+    Capacity contract: `per_dest_cap` bounds the records any ONE source
+    shard sends to any ONE destination shard (the same contract as the
+    flat exchange). Stage 1 routes by chip index only, so one source can
+    hold records for ALL H hosts sharing that chip index — its capacity
+    is H*per_dest_cap; stage 2's per-host capacity is C*per_dest_cap
+    (all same-host source chips). Final capacity = H*C*per_dest_cap =
+    S*per_dest_cap, identical to the flat exchange."""
     C, H = n_chips, n_hosts
     c_d = (dest % jnp.uint32(C)).astype(jnp.uint32)
     h_d = (dest // jnp.uint32(C)).astype(jnp.uint32)
     # stage 1 (ICI): route by destination chip index; h_d rides along
     r1 = exchange_records(c_d, key, list(payloads) + [h_d], valid, C,
-                          per_dest_cap, axis=chip_axis,
+                          H * per_dest_cap, axis=chip_axis,
                           with_overflow=with_overflow)
     if with_overflow:
         k1, p1, v1, drop1 = r1
@@ -331,7 +379,9 @@ def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
 
 
 def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
-    """jit-compiled distributed group-by over row-sharded arrays.
+    """jit-compiled distributed group-by over row-sharded arrays (flat
+    or hosts x chips mesh — 2-D meshes ride the two-stage ICI+DCN
+    exchange).
 
     Inputs: key (uint64, sharded on rows), vals list, valid.
     Outputs: sharded (gkey, gvalid, dropped, outs...).
@@ -340,16 +390,21 @@ def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
     makes the post-exchange merge run at full-dataset size per shard —
     use the two-phase `make_groupby_partials` / `make_groupby_merge`
     pair with exact histogram sizing for scaling-critical paths."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route = _router(mesh, per_dest_cap, with_overflow=True)
 
     def step(key, valid, *vals):
-        gk, outs, gv, dropped = sharded_groupby_step(
-            key, list(vals), valid, aggs, S, per_dest_cap)
+        gkey, partials, gvalid = local_groupby(key, list(vals), valid, aggs)
+        dest = _hash_u64(gkey) % jnp.uint32(S)
+        rkey, rpart, rvalid, dropped = route(dest, gkey, partials, gvalid)
+        merge_aggs = [_MERGE_OF[a] for a in aggs]
+        gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
         return (gk, gv, dropped[None]) + tuple(outs)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
-                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
+                   in_specs=(spec, spec) + tuple(spec for _ in aggs),
+                   out_specs=tuple(spec for _ in range(3 + len(aggs))))
     return jax.jit(fn)
 
 
@@ -360,7 +415,8 @@ def make_groupby_partials(mesh, aggs: Sequence[str]):
     partitions by sampling, `nodes/group_by.rs` CardinalitySketch; we
     count exactly), so phase 2's merge runs at ~ngroups/S per shard
     instead of full-dataset size."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
 
     def step(key, valid, *vals):
         gkey, partials, gvalid = local_groupby(key, list(vals), valid, aggs)
@@ -372,28 +428,29 @@ def make_groupby_partials(mesh, aggs: Sequence[str]):
         return (gkey, gvalid, counts) + tuple(partials)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
-                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
+                   in_specs=(spec, spec) + tuple(spec for _ in aggs),
+                   out_specs=tuple(spec for _ in range(3 + len(aggs))))
     return jax.jit(fn)
 
 
 def make_groupby_merge(mesh, aggs: Sequence[str], per_dest_cap: int):
     """Phase 2: exchange the (already sharded) partial states by key
     hash with the histogram-sized capacity, merge locally."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route = _router(mesh, per_dest_cap, with_overflow=True)
     merge_aggs = [_MERGE_OF[a] for a in aggs]
 
     def step(gkey, gvalid, *partials):
         dest = _hash_u64(gkey) % jnp.uint32(S)
-        rkey, rpart, rvalid, dropped = exchange_records(
-            dest, gkey, list(partials), gvalid, S, per_dest_cap,
-            with_overflow=True)
+        rkey, rpart, rvalid, dropped = route(dest, gkey, list(partials),
+                                             gvalid)
         gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
         return (gk, gv, dropped[None]) + tuple(outs)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS)) + tuple(P(AXIS) for _ in aggs),
-                   out_specs=tuple(P(AXIS) for _ in range(3 + len(aggs))))
+                   in_specs=(spec, spec) + tuple(spec for _ in aggs),
+                   out_specs=tuple(spec for _ in range(3 + len(aggs))))
     return jax.jit(fn)
 
 
@@ -593,14 +650,15 @@ def make_sharded_groupby_exact(mesh, specs, n_vals: int, per_dest_cap: int):
     columns + validity + global row index) hash-shuffled, per-shard exact
     aggregation. Output: (gkey, gvalid, dropped, outs...) where outs
     alternates (data, out_valid) per spec."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route = _router(mesh, per_dest_cap, with_overflow=True)
 
     def step(key, valid, rowidx, *vv):
         vals = list(vv[:n_vals])
         dest = _hash_u64(key) % jnp.uint32(S)
         pays = [rowidx] + vals + [x.astype(jnp.uint8) for x in vv[n_vals:]]
-        k2, p2, v2, dropped = exchange_records(
-            dest, key, pays, valid, S, per_dest_cap, with_overflow=True)
+        k2, p2, v2, dropped = route(dest, key, pays, valid)
         ridx2 = p2[0]
         vals2 = p2[1:1 + n_vals]
         vv2 = [x != 0 for x in p2[1 + n_vals:]]
@@ -611,8 +669,8 @@ def make_sharded_groupby_exact(mesh, specs, n_vals: int, per_dest_cap: int):
     n_in = 3 + 2 * n_vals
     n_out = 3 + 2 * len(specs)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=tuple(P(AXIS) for _ in range(n_in)),
-                   out_specs=tuple(P(AXIS) for _ in range(n_out)))
+                   in_specs=tuple(spec for _ in range(n_in)),
+                   out_specs=tuple(spec for _ in range(n_out)))
     return jax.jit(fn)
 
 
@@ -788,15 +846,20 @@ def make_sharded_join_count(mesh, l_dest_cap: int, r_dest_cap: int,
                             how: str = "inner"):
     """jit: shuffle both key columns by hash, return per-shard output-row
     counts (host-synced by the caller to pick the output capacity)."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route_l = _router(mesh, l_dest_cap)
+    route_r = _router(mesh, r_dest_cap)
 
     def step(lkey, lvalid, rkey, rvalid):
-        lk, _, lv = exchange_by_hash(lkey, [], lvalid, S, l_dest_cap)
-        rk, _, rv = exchange_by_hash(rkey, [], rvalid, S, r_dest_cap)
+        lk, _, lv = route_l(_hash_u64(lkey) % jnp.uint32(S), lkey, [],
+                            lvalid)
+        rk, _, rv = route_r(_hash_u64(rkey) % jnp.uint32(S), rkey, [],
+                            rvalid)
         return local_join_count(lk, lv, rk, rv, how)
 
-    fn = shard_map(step, mesh=mesh, in_specs=(P(AXIS),) * 4,
-                   out_specs=P(AXIS))
+    fn = shard_map(step, mesh=mesh, in_specs=(spec,) * 4,
+                   out_specs=spec)
     return jax.jit(fn)
 
 
@@ -839,26 +902,27 @@ def make_sharded_join(mesh, n_lpay: int, n_rpay: int, per_dest_cap: int,
     `dropped` scalar per shard is the exchange-overflow count — the
     executor REFUSES the result if any records were dropped (shuffle
     safety: no silent row loss)."""
-    S = mesh.shape[AXIS]
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
     r_cap = r_per_dest_cap if r_per_dest_cap is not None else per_dest_cap
+    route_l = _router(mesh, per_dest_cap, with_overflow=True)
+    route_r = _router(mesh, r_cap, with_overflow=True)
 
     def step(lkey, lvalid, rkey, rvalid, *pays):
         lpay = list(pays[:n_lpay])
         rpay = list(pays[n_lpay:])
         ldest = _hash_u64(lkey) % jnp.uint32(S)
         rdest = _hash_u64(rkey) % jnp.uint32(S)
-        lk, lp, lv, ldrop = exchange_records(
-            ldest, lkey, lpay, lvalid, S, per_dest_cap, with_overflow=True)
-        rk, rp, rv, rdrop = exchange_records(
-            rdest, rkey, rpay, rvalid, S, r_cap, with_overflow=True)
+        lk, lp, lv, ldrop = route_l(ldest, lkey, lpay, lvalid)
+        rk, rp, rv, rdrop = route_r(rdest, rkey, rpay, rvalid)
         jk, lo, ro, jv, lm, rm = local_join(lk, lp, lv, rk, rp, rv,
                                             out_cap, how)
         return (jk, jv, lm, rm, (ldrop + rdrop)[None]) + tuple(lo) + tuple(ro)
 
     n_out = 5 + n_lpay + n_rpay
     fn = shard_map(step, mesh=mesh,
-                   in_specs=tuple(P(AXIS) for _ in range(4 + n_lpay + n_rpay)),
-                   out_specs=tuple(P(AXIS) for _ in range(n_out)))
+                   in_specs=tuple(spec for _ in range(4 + n_lpay + n_rpay)),
+                   out_specs=tuple(spec for _ in range(n_out)))
     return jax.jit(fn)
 
 
@@ -895,46 +959,63 @@ def local_unique(key, rowidx, valid, keep: str):
     return rep_w != 0
 
 
-def make_sharded_unique(mesh, per_dest_cap: int, keep: str, n_pay: int):
+def make_sharded_unique(mesh, per_dest_cap: int, keep: str, n_pay: int,
+                        out_cap: int = None):
     """jit-compiled distributed DISTINCT: rows + a global row index are
     hash-shuffled by the (packed) subset key, each shard flags its
-    representatives. Output: (flag, dropped, rowidx', pays...)."""
-    S = mesh.shape[AXIS]
+    representatives. Output: (flag, dropped, rowidx', pays...).
+
+    `out_cap` (host-sized from the routing histogram's per-destination
+    incoming totals) compacts each shard's survivors to a prefix and
+    slices the exchange capacity S*per_dest down to out_cap — without it
+    the global output capacity is S^2*per_dest (quadratic in shards)."""
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route = _router(mesh, per_dest_cap, with_overflow=True)
 
     def step(key, valid, rowidx, *pays):
         dest = _hash_u64(key) % jnp.uint32(S)
-        k2, p2, v2, dropped = exchange_records(
-            dest, key, [rowidx] + list(pays), valid, S, per_dest_cap,
-            with_overflow=True)
-        flag = local_unique(k2, p2[0], v2, keep)
-        return (flag & v2, dropped[None]) + tuple(p2)
+        k2, p2, v2, dropped = route(dest, key, [rowidx] + list(pays), valid)
+        flag = local_unique(k2, p2[0], v2, keep) & v2
+        if out_cap is not None and out_cap < k2.shape[0]:
+            outs = jax.lax.sort(((~flag).astype(jnp.uint32),) + tuple(p2),
+                                num_keys=1, is_stable=True)
+            flag = jax.lax.slice_in_dim(outs[0], 0, out_cap) == 0
+            p2 = [jax.lax.slice_in_dim(o, 0, out_cap) for o in outs[1:]]
+        return (flag, dropped[None]) + tuple(p2)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=tuple(P(AXIS) for _ in range(3 + n_pay)),
-                   out_specs=tuple(P(AXIS) for _ in range(3 + n_pay)))
+                   in_specs=tuple(spec for _ in range(3 + n_pay)),
+                   out_specs=tuple(spec for _ in range(3 + n_pay)))
     return jax.jit(fn)
 
 
 def make_sharded_semi(mesh, per_dest_cap: int, r_per_dest_cap: int,
-                      how: str, n_lpay: int):
+                      how: str, n_lpay: int, out_cap: int = None):
     """jit-compiled distributed semi/anti join: left rows + payloads are
     shuffled with the keys; output is the exchanged left rows with a
     survive-flag (semi: has a match; anti: has none), plus the overflow
-    count (refused on drop)."""
-    S = mesh.shape[AXIS]
+    count (refused on drop). `out_cap` compacts survivors per shard
+    (see make_sharded_unique)."""
+    S = total_shards(mesh)
+    spec = mesh_spec(mesh)
+    route_l = _router(mesh, per_dest_cap, with_overflow=True)
+    route_r = _router(mesh, r_per_dest_cap, with_overflow=True)
 
     def step(lkey, lvalid, rkey, rvalid, *lpay):
         ldest = _hash_u64(lkey) % jnp.uint32(S)
         rdest = _hash_u64(rkey) % jnp.uint32(S)
-        lk, lp, lv, ldrop = exchange_records(
-            ldest, lkey, list(lpay), lvalid, S, per_dest_cap,
-            with_overflow=True)
-        rk, _, rv, rdrop = exchange_records(
-            rdest, rkey, [], rvalid, S, r_per_dest_cap, with_overflow=True)
-        flag = local_semi_flags(lk, lv, rk, rv, how)
-        return (flag & lv, (ldrop + rdrop)[None]) + tuple(lp)
+        lk, lp, lv, ldrop = route_l(ldest, lkey, list(lpay), lvalid)
+        rk, _, rv, rdrop = route_r(rdest, rkey, [], rvalid)
+        flag = local_semi_flags(lk, lv, rk, rv, how) & lv
+        if out_cap is not None and out_cap < lk.shape[0]:
+            outs = jax.lax.sort(((~flag).astype(jnp.uint32),) + tuple(lp),
+                                num_keys=1, is_stable=True)
+            flag = jax.lax.slice_in_dim(outs[0], 0, out_cap) == 0
+            lp = [jax.lax.slice_in_dim(o, 0, out_cap) for o in outs[1:]]
+        return (flag, (ldrop + rdrop)[None]) + tuple(lp)
 
     fn = shard_map(step, mesh=mesh,
-                   in_specs=tuple(P(AXIS) for _ in range(4 + n_lpay)),
-                   out_specs=tuple(P(AXIS) for _ in range(2 + n_lpay)))
+                   in_specs=tuple(spec for _ in range(4 + n_lpay)),
+                   out_specs=tuple(spec for _ in range(2 + n_lpay)))
     return jax.jit(fn)

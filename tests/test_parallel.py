@@ -206,3 +206,92 @@ def test_sharded_groupby_2d_hierarchical():
     for k in want_s:
         assert got[k][1] == want_c[k]
         assert abs(got[k][0] - want_s[k]) < 1e-2 * max(1, abs(want_s[k]))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (hosts x chips) mesh: the generalized factories route exchanges
+# through the two-stage ICI+DCN schedule (VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+def test_sharded_groupby_2d_mesh_matches_1d():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from polaroid_tpu.config import capacity_for
+    from polaroid_tpu.parallel.mesh import make_mesh, make_mesh2
+    from polaroid_tpu.parallel import shuffle as SH
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    key = rng.integers(0, 97, n).astype(np.uint64)
+    val = rng.uniform(0, 10, n).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.1
+
+    def run(mesh):
+        sh = NamedSharding(mesh, SH.mesh_spec(mesh))
+        k = jax.device_put(jnp.asarray(key), sh)
+        v = jax.device_put(jnp.asarray(val), sh)
+        m = jax.device_put(jnp.asarray(valid), sh)
+        p1 = SH.make_groupby_partials(mesh, ["sum", "count"])
+        o1 = p1(k, m, v, v)
+        per_dest = capacity_for(max(int(np.asarray(o1[2]).max()), 1))
+        p2 = SH.make_groupby_merge(mesh, ["sum", "count"], per_dest)
+        gk, gv, dropped, s, c = p2(o1[0], o1[1], *o1[3:])
+        assert int(np.asarray(dropped).sum()) == 0
+        gvn = np.asarray(gv)
+        out = {}
+        for kk, ss, cc in zip(np.asarray(gk)[gvn], np.asarray(s)[gvn],
+                              np.asarray(c)[gvn]):
+            out[int(kk)] = (out.get(int(kk), (0.0, 0))[0] + float(ss),
+                            out.get(int(kk), (0.0, 0))[1] + int(cc))
+        return out
+
+    a = run(make_mesh(8))
+    b = run(make_mesh2(2, 4))
+    assert set(a) == set(b)
+    for kk in a:
+        assert abs(a[kk][0] - b[kk][0]) < 1e-3, kk
+        assert a[kk][1] == b[kk][1], kk
+    # host oracle
+    want = {}
+    for kk, vv, mm in zip(key, val, valid):
+        if mm:
+            s0, c0 = want.get(int(kk), (0.0, 0))
+            want[int(kk)] = (s0 + float(vv), c0 + 1)
+    assert set(b) == set(want)
+    for kk in want:
+        assert abs(b[kk][0] - want[kk][0]) < 1e-2
+
+
+def test_distributed_engine_on_2d_mesh():
+    import numpy as np
+    from polaroid_tpu.parallel.mesh import make_mesh2
+    import polaroid_tpu as pl
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    lf = pl.LazyFrame({"k": rng.integers(0, 50, n).tolist(),
+                       "v": rng.normal(0, 5, n).tolist()})
+    q = (lf.filter(pl.col("v") > -5)
+         .group_by("k").agg(pl.col("v").sum().alias("s"),
+                            pl.len().alias("c")))
+    a = q.collect(engine="in-memory").sort("k").to_dict()
+    b = q.collect(engine="distributed", mesh=make_mesh2(2, 4)) \
+        .sort("k").to_dict()
+    assert a["k"] == b["k"]
+    assert a["c"] == b["c"]
+    assert np.allclose(a["s"], b["s"], rtol=1e-6)
+
+    s = lf.sort("v", descending=True)
+    a = s.collect(engine="in-memory").to_dict()
+    b = s.collect(engine="distributed", mesh=make_mesh2(2, 4)).to_dict()
+    assert a["v"] == b["v"]
+
+    rf = pl.LazyFrame({"k": list(range(0, 100, 2)),
+                       "w": list(range(50))})
+    j = lf.join(rf, on="k", how="left")
+    a = j.collect(engine="in-memory").sort(["k", "v"]).to_dict()
+    b = j.collect(engine="distributed", mesh=make_mesh2(2, 4)) \
+        .sort(["k", "v"]).to_dict()
+    assert a == b
