@@ -56,7 +56,8 @@ def _carry_prefix(table: Table, mask, nrows: Optional[int],
             ws.append(c.validity.astype(jnp.uint32))
         layout.append((n, c, len(ws) - int(hasv), hasv))
         tails.extend(ws)
-    outs = jax.lax.sort(((~mask).astype(jnp.uint32),) + tuple(tails),
+    from .merge_sort import sort_ops as _ms_sort
+    outs = _ms_sort([(~mask).astype(jnp.uint32)] + list(tails),
                         num_keys=1, is_stable=True)
     sorted_tails = list(outs[1:])
     cols = {}

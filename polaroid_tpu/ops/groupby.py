@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .merge_sort import sort_ops as _mssort
+
 from ..batch import Column, Table, storage_numpy_dtype, width_for
 from ..dtypes import (Boolean, DataType, Date, Datetime, Duration, Float32,
                       Float64, Int64, UInt32)
@@ -148,7 +150,7 @@ def _sorted_bounds(gid, ncap):
     # compact boundary slots to the front: starts[g] = first slot of
     # group g (boundaries appear in increasing gid order)
     border = (~newg).astype(jnp.uint32)
-    _, starts = jax.lax.sort((border, idx), num_keys=1, is_stable=True)
+    _, starts = _mssort([border, idx], 1, is_stable=True)
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     next_start = jnp.concatenate([starts[1:],
                                   jnp.full((1,), cap, jnp.int32)])
@@ -208,7 +210,7 @@ def _compact_at_ends(gid, ncap, arrays):
         w = _split_words(a)
         splits.append((len(w), a.dtype))
         words.extend(w)
-    out = jax.lax.sort((flag,) + tuple(words), num_keys=1, is_stable=True)
+    out = _mssort([flag] + list(words), 1, is_stable=True)
     res = []
     pos = 1
     for nw, dt in splits:
@@ -263,8 +265,8 @@ def _seg_sorted(data, gid, ncap, op, ident):
             # past every live segment)
             hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
             lo32 = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-            sgid, bh, bl = jax.lax.sort(
-                (gid.astype(jnp.int32), hi, lo32), num_keys=3)
+            sgid, bh, bl = _mssort(
+                [gid.astype(jnp.int32), hi, lo32], 3, is_stable=False)
             (cbh, cbl), ngroups = _compact_at_ends(sgid, ncap, [bh, bl])
             best_u = ((cbh.astype(jnp.uint64) << jnp.uint64(32)) |
                       cbl.astype(jnp.uint64))
@@ -880,7 +882,7 @@ def _group_arg_extreme(v: Val, ctx: GroupContext, agg: str) -> Val:
     # (gid, slot) sort — works for both sorted and dense layouts
     g = jnp.where(present, ctx.gid, ncap).astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
-    sg, sslot = jax.lax.sort((g, slot), num_keys=1, is_stable=True)
+    sg, sslot = _mssort([g, slot], 1, is_stable=True)
     idx = jnp.arange(cap, dtype=jnp.int32)
     base = _seg_min(jnp.where(sg < ncap, idx, cap), sg, ncap, True)
     rank = idx - base[jnp.clip(sg, 0, ncap - 1)]
@@ -935,7 +937,7 @@ def _group_implode(v: Val, ctx: GroupContext, agg: str) -> Val:
     present = _group_present(v, ctx)
     g = jnp.where(present, ctx.gid, ncap).astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
-    sg, sslot = jax.lax.sort((g, slot), num_keys=1, is_stable=True)
+    sg, sslot = _mssort([g, slot], 1, is_stable=True)
     idx = jnp.arange(cap, dtype=jnp.int32)
     base = _seg_min(jnp.where(sg < ncap, idx, cap), sg, ncap, True)
     pos = idx - base[jnp.clip(sg, 0, ncap - 1)]
@@ -1375,7 +1377,7 @@ def unique_table(table: Table, subset: Optional[Sequence[str]],
         is_rep = gctx.newgrp & (cnt_row == 1)
     else:
         raise ComputeError(f"invalid keep strategy {keep!r}")
-    _, sel_w = jax.lax.sort(
-        (gctx.perm.astype(jnp.int32), is_rep.astype(jnp.uint32)),
-        num_keys=1)
+    _, sel_w = _mssort(
+        [gctx.perm.astype(jnp.int32), is_rep.astype(jnp.uint32)],
+        1, is_stable=False)
     return table.with_valid((sel_w != 0) & mask, None)

@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .merge_sort import sort_ops as _mssort
+
 from ..batch import Column, Table, storage_numpy_dtype
 from ..config import capacity_for
 from ..dtypes import supertype
@@ -204,8 +206,8 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
                 # past capL
                 wb = jnp.where(s_tag == 0, s_sideidx,
                                capL).astype(jnp.int32)
-                _, sel_w = jax.lax.sort((wb, lsel.astype(jnp.uint32)),
-                                        num_keys=1)
+                _, sel_w = _mssort([wb, lsel.astype(jnp.uint32)],
+                                   1, is_stable=False)
                 sel = jax.lax.slice_in_dim(sel_w, 0, capL) != 0
                 # anti join keeps left rows masked out by null keys too
                 if how == "anti" and not join_nulls:
@@ -831,8 +833,8 @@ def _m1_fill(capL: int, gid, live_sorted, s_tag, s_sideidx, perm, r_words):
     concat_words = [jnp.concatenate([pad, w]) for w in r_words]
     # 2. into sorted-slot order (single-word key sort)
     if concat_words:
-        sorted_ws = jax.lax.sort((inv,) + tuple(concat_words),
-                                 num_keys=1)[1:]
+        sorted_ws = _mssort([inv] + list(concat_words),
+                            1, is_stable=False)[1:]
     else:
         sorted_ws = ()
     # 3. reversed forward-fill: right row is LAST in its run
@@ -854,9 +856,9 @@ def _m1_fill(capL: int, gid, live_sorted, s_tag, s_sideidx, perm, r_words):
                        ).astype(jnp.uint32)[::-1])
     # 4. writeback: every left row appears exactly once; right rows dump
     wb_key = jnp.where(s_tag == 0, s_sideidx, capL).astype(jnp.int32)
-    outs = jax.lax.sort(
-        (wb_key, hit_sorted.astype(jnp.uint32)) + tuple(filled),
-        num_keys=1)
+    outs = _mssort(
+        [wb_key, hit_sorted.astype(jnp.uint32)] + list(filled),
+        1, is_stable=False)
     hit = jax.lax.slice_in_dim(outs[1], 0, capL) != 0
     fills = [jax.lax.slice_in_dim(o, 0, capL) for o in outs[2:]]
     return hit, tuple(fills)
@@ -947,7 +949,7 @@ def lookup_join_sorted(bkey, bval, pkey):
         jnp.zeros(npr, jnp.uint32)])
     idx = jnp.concatenate([jnp.full(nb, tot, jnp.int32),
                            jnp.arange(npr, dtype=jnp.int32)])
-    sk, st, sv, si = jax.lax.sort((key, tag, vbits, idx), num_keys=2)
+    sk, st, sv, si = _mssort([key, tag, vbits, idx], 2, is_stable=False)
     isb = st == 0
     lastk = jax.lax.cummax(jnp.where(isb, sk + jnp.uint64(1),
                                      jnp.uint64(0)))

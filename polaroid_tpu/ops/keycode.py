@@ -89,7 +89,8 @@ def lex_sort_indices(key_words: Sequence[jax.Array],
     cap = key_words[0].shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     ops = tuple(key_words) + tuple(tail_operands) + (idx,)
-    out = jax.lax.sort(ops, num_keys=len(key_words), is_stable=True)
+    from .merge_sort import sort_ops
+    out = sort_ops(list(ops), len(key_words), is_stable=True)
     keys = list(out[:len(key_words)])
     tails = list(out[len(key_words):-1])
     perm = out[-1]

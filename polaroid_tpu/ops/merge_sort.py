@@ -45,7 +45,12 @@ _LANES = 128
 
 
 def use_merge_sort() -> bool:
-    if os.environ.get("PT_MERGESORT", "1") == "0":
+    """Default OFF: measured on v5e (2026-08-21) the per-level pass
+    structure loses to XLA's sort (stable 2-op: 38.8 ms vs 21.6; W=6:
+    85 vs 40) — the VMEM budget forces ~26 HBM passes and the chunk
+    kernels run ~8x off bandwidth. Kept as an opt-in (PT_MERGESORT=1)
+    until the strided multi-level fusion lands."""
+    if os.environ.get("PT_MERGESORT", "0") != "1":
         return False
     return jax.default_backend() == "tpu"
 
@@ -62,11 +67,11 @@ def _chunk_rows(n: int, w: int) -> int:
     """VMEM chunk size: keep the resident chunk (w words x M rows x 4 B)
     around ~2-4 MB so the double-buffered pipeline fits comfortably."""
     if w <= 2:
-        m = 1 << 19
-    elif w <= 4:
         m = 1 << 18
-    else:
+    elif w <= 4:
         m = 1 << 17
+    else:
+        m = 1 << 16
     return min(m, n)
 
 
@@ -132,7 +137,10 @@ def _stage_in_vmem(xs: List, d: int, bit: int, nk: int, pid_row):
     (R, 128) word arrays. `pid_row` = global row index of the chunk's
     first row (traced scalar, int32)."""
     R = xs[0].shape[0]
-    if d >= _LANES:
+    if d >= 8 * _LANES:
+        # big sublane distances: pair-halves via a rank-4 reshape (one
+        # compare per PAIR); dr >= 8 keeps Mosaic's (dr, 128) tiling
+        # clean — smaller dr goes through the roll path below
         dr = d // _LANES
         q = R // (2 * dr)
         a4 = [x.reshape(q, 2, dr, _LANES) for x in xs]
@@ -151,21 +159,27 @@ def _stage_in_vmem(xs: List, d: int, bit: int, nk: int, pid_row):
             hi = jnp.where(swap, ai, bi)
             out.append(jnp.stack([lo, hi], axis=1).reshape(R, _LANES))
         return out
-    # lane stage: partner = lane XOR d via rolls
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    # roll stages: partner = pos XOR dist along sublanes (128 <= d <
+    # 1024) or lanes (d < 128). pltpu.roll needs non-negative typed-i32
+    # shifts (an untyped int traces as i64 under x64 mode and Mosaic's
+    # dynamic_rotate verifier rejects it); roll by size-amt == roll
+    # by -amt.
     row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
-    is_lo = (lane & jnp.int32(d)) == 0
-    # pltpu.roll needs non-negative shifts (roll by 128-d == roll by -d);
-    # shifts must be typed i32 — an untyped int traces as i64 under x64
-    # mode and Mosaic's dynamic_rotate verifier rejects it
+    if d >= _LANES:
+        amt, axis, size = d // _LANES, 0, R
+        pos = row
+    else:
+        amt, axis, size = d, 1, _LANES
+        pos = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    is_lo = (pos & jnp.int32(amt)) == 0
     partner = [jnp.where(is_lo,
-                         pltpu.roll(x, jnp.int32(_LANES - d), axis=1),
-                         pltpu.roll(x, jnp.int32(d), axis=1)) for x in xs]
+                         pltpu.roll(x, jnp.int32(size - amt), axis=axis),
+                         pltpu.roll(x, jnp.int32(amt), axis=axis))
+               for x in xs]
     self_gt = _lex_gt(xs, partner, nk)
     partner_gt = _lex_gt(partner, xs, nk)
-    # direction: bit of the element index; levels here have 2s > 2d >=
-    # 2, and stages with d < 128 only occur inside levels with
-    # 2s >= 2*base >= 2^14, so bit >= 8 and the mask is lane-invariant
+    # direction: bit of the element index; every level here has
+    # 2s >= 2^14, so bit >= 8 and the mask is lane-invariant
     dirm = (((pid_row + row) >> jnp.int32(bit - 7)) & jnp.int32(1)) != 0
     keep_min = is_lo ^ dirm
     # boolean select via logic ops: jnp.where on i1 vectors lowers to an
@@ -207,6 +221,9 @@ def _chunk_pass(ops: List[jax.Array], stages, nk: int, M: int
         out_specs=[spec] * len(ops),
         out_shape=[jax.ShapeDtypeStruct((n // _LANES, _LANES), o.dtype)
                    for o in arrs],
+        # in-place chunks: without aliasing the in+out buffer pair
+        # (x pipeline double-buffering) blows the 16 MB VMEM budget
+        input_output_aliases={i: i for i in range(len(ops))},
         interpret=_interpret(),
     )(*arrs)
     return [o.reshape(n) for o in out]
@@ -215,6 +232,63 @@ def _chunk_pass(ops: List[jax.Array], stages, nk: int, M: int
 # ---------------------------------------------------------------------------
 # orchestrator
 # ---------------------------------------------------------------------------
+
+def sort_ops(operands: Sequence[jax.Array], num_keys: int,
+             is_stable: bool = True) -> List[jax.Array]:
+    """Drop-in `lax.sort` replacement for equal-length 1-D operands.
+
+    On TPU with power-of-two length >= 2^16, rides the hierarchical
+    merge sort: key operands are mapped to order-preserving u32 words
+    (`keycode.encode_orderable`), payloads bitcast to u32 words, and
+    everything is decoded back after the sort. Anything else falls
+    through to `lax.sort`.
+    """
+    n = operands[0].shape[0]
+    if (not use_merge_sort()) or n < (1 << 16) or (n & (n - 1)):
+        return list(jax.lax.sort(tuple(operands), num_keys=num_keys,
+                                 is_stable=is_stable))
+    from .keycode import (col_from_u32_words, col_to_u32_words,
+                          decode_orderable, encode_orderable)
+    words: List[jax.Array] = []
+    layout = []  # (kind, dtype, n_words) per operand
+    for i, o in enumerate(operands):
+        if i < num_keys:
+            u = encode_orderable(o)
+            if u.dtype.itemsize == 8:
+                words.append((u >> jnp.uint64(32)).astype(jnp.uint32))
+                words.append((u & jnp.uint64(0xFFFFFFFF))
+                             .astype(jnp.uint32))
+                layout.append(("key", o.dtype, 2))
+            else:
+                words.append(u.astype(jnp.uint32))
+                layout.append(("key", o.dtype, 1))
+        else:
+            ws = col_to_u32_words(o)
+            words.extend(ws)
+            layout.append(("pay", o.dtype, len(ws)))
+    nk_words = sum(nw for kind, _, nw in layout if kind == "key")
+    sorted_words = merge_sort_words(words, nk_words, stable=is_stable)
+    out: List[jax.Array] = []
+    wi = 0
+    idx_off = 1 if is_stable else 0
+    for kind, dt, nw in layout:
+        ws = sorted_words[wi:wi + nw]
+        # the injected stability index sits right after the key words
+        if wi >= nk_words:
+            ws = sorted_words[wi + idx_off:wi + idx_off + nw]
+        wi += nw
+        if kind == "key":
+            if nw == 2:
+                u = (ws[0].astype(jnp.uint64) << jnp.uint64(32)) | \
+                    ws[1].astype(jnp.uint64)
+            else:
+                u = ws[0]
+            out.append(decode_orderable(u, dt, False))
+        else:
+            from ..batch import storage_numpy_dtype
+            out.append(col_from_u32_words(ws, jnp.dtype(dt)))
+    return out
+
 
 def merge_sort_words(operands: Sequence[jax.Array], num_keys: int,
                      stable: bool = True, use_pallas: bool = True
@@ -242,22 +316,32 @@ def merge_sort_words(operands: Sequence[jax.Array], num_keys: int,
     if n == s0:
         return ops
     M = _chunk_rows(n, len(ops))
-    # levels fused inside one chunk pass: 2s = 2*s0 .. M
-    if M > s0:
-        stages = []
-        two_s = 2 * s0
-        while two_s <= M:
-            bit = _log2(two_s)
-            d = two_s // 2
-            while d >= 1:
-                stages.append((d, bit))
-                d //= 2
-            two_s *= 2
+
+    def apply_stages(ops, stages):
+        if not stages:
+            return ops
         if use_pallas:
-            ops = _chunk_pass(ops, stages, nk, M)
-        else:
-            for d, bit in stages:
-                ops = _bfly_xla(ops, d, bit, nk)
+            # one pallas_call per level: an unrolled many-level kernel
+            # compiles for tens of minutes through the remote Mosaic
+            # path; per-level kernels (<= 19 stages) compile in seconds
+            # and recur across sizes, at the cost of one extra HBM pass
+            # per level
+            return _chunk_pass(ops, stages, nk, M)
+        for d, bit in stages:
+            ops = _bfly_xla(ops, d, bit, nk)
+        return ops
+
+    # in-chunk levels: 2s = 2*s0 .. M, one fused VMEM pass per level
+    two_s = 2 * s0
+    while two_s <= M:
+        bit = _log2(two_s)
+        stages = []
+        d = two_s // 2
+        while d >= 1:
+            stages.append((d, bit))
+            d //= 2
+        ops = apply_stages(ops, stages)
+        two_s *= 2
     # cross-chunk levels: 2s = 2M .. n
     two_s = 2 * M
     while two_s <= n:
@@ -272,10 +356,6 @@ def merge_sort_words(operands: Sequence[jax.Array], num_keys: int,
         while dd >= 1:
             stages.append((dd, bit))
             dd //= 2
-        if use_pallas:
-            ops = _chunk_pass(ops, stages, nk, M)
-        else:
-            for d2, b2 in stages:
-                ops = _bfly_xla(ops, d2, b2, nk)
+        ops = apply_stages(ops, stages)
         two_s *= 2
     return ops

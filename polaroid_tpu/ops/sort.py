@@ -35,8 +35,9 @@ def sort_perm(key_vals, descending: Sequence[bool], nulls_last: Sequence[bool],
             validity = jnp.broadcast_to(validity, (cap,))
         words.extend(encode_key_words(data, validity, d, nl))
     idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
-    out = jax.lax.sort(tuple(words) + (idx,), num_keys=len(words),
-                       is_stable=maintain_order)
+    from .merge_sort import sort_ops
+    out = sort_ops(list(words) + [idx], len(words),
+                   is_stable=maintain_order)
     return out[-1]
 
 
@@ -93,8 +94,9 @@ def _sort_table_carried(table: Table, key_vals, descending, nulls_last,
             ws.append(c.validity.astype(jnp.uint32))
         layout.append((n, c, len(ws) - int(hasv), hasv))
         tails.extend(ws)
-    outs = jax.lax.sort(tuple(words) + tuple(tails), num_keys=len(words),
-                        is_stable=maintain_order)
+    from .merge_sort import sort_ops
+    outs = sort_ops(list(words) + list(tails), len(words),
+                    is_stable=maintain_order)
     sorted_tails = list(outs[len(words):])
     cols = {}
     wi = 0

@@ -16,6 +16,8 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
+from .merge_sort import sort_ops as _mssort
+
 from ..batch import Table
 from ..dtypes import Boolean, Float64, UInt32
 from ..errors import InvalidOperationError

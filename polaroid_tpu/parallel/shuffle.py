@@ -28,6 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .mesh import AXIS, CHIP_AXIS, HOST_AXIS
+from ..ops.merge_sort import sort_ops as _ms_sort
 
 # agg kind -> (identity, combine) for segment reductions
 _MERGE_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -105,8 +106,7 @@ def _group_bounds(newg, live, carry=()):
     ngroups = jnp.sum(newg.astype(jnp.int32))
     nlive = jnp.sum(live.astype(jnp.int32))
     border = (~newg).astype(jnp.uint32)
-    out = jax.lax.sort((border, idx) + tuple(carry), num_keys=1,
-                       is_stable=True)
+    out = _ms_sort([border, idx] + list(carry), 1, is_stable=True)
     starts = out[1]
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     next_start = jnp.concatenate([starts[1:],
@@ -137,14 +137,12 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
     # split into u32 words: v5e emulates 64-bit ops at a severe penalty.
     if key.dtype.itemsize <= 4:
         k32 = key.astype(jnp.uint32) if key.dtype != jnp.uint32 else key
-        out = jax.lax.sort((dead, k32) + tuple(vals), num_keys=2,
-                           is_stable=True)
+        out = _ms_sort([dead, k32] + list(vals), 2, is_stable=True)
         sdead, kwords, svals = out[0], (out[1],), list(out[2:])
     else:
         khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
         klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        out = jax.lax.sort((dead, khi, klo) + tuple(vals), num_keys=3,
-                           is_stable=True)
+        out = _ms_sort([dead, khi, klo] + list(vals), 3, is_stable=True)
         sdead, kwords, svals = out[0], (out[1], out[2]), list(out[3:])
     live = sdead == 0
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -504,9 +502,9 @@ def local_groupby_exact(key, valid, rowidx, vals, vvalids, specs):
 
     # base sort: rows ordered by (key, original row index); value columns
     # and their validity ride along (one multi-operand sort, no gathers)
-    ops = (dead, khi, klo, rowidx.astype(jnp.int32)) + tuple(vals) + \
-        tuple(v.astype(jnp.uint8) for v in vvalids)
-    out = jax.lax.sort(ops, num_keys=4, is_stable=True)
+    ops = [dead, khi, klo, rowidx.astype(jnp.int32)] + list(vals) + \
+        [v.astype(jnp.uint8) for v in vvalids]
+    out = _ms_sort(ops, 4, is_stable=True)
     sdead, shi, slo = out[0], out[1], out[2]
     nv = len(vals)
     svals = list(out[4:4 + nv])
@@ -712,11 +710,11 @@ def _merged_side_counts(lkey, lvalid, rkey, rvalid, want_ids: bool):
     if want_ids:
         sidx = jnp.concatenate([jnp.arange(capL, dtype=jnp.int32),
                                 jnp.arange(capR, dtype=jnp.int32)])
-        sdead, shi, slo, stag, ssid, skey64 = jax.lax.sort(
-            (dead, khi, klo, tag, sidx, key), num_keys=4, is_stable=True)
+        sdead, shi, slo, stag, ssid, skey64 = _ms_sort(
+            [dead, khi, klo, tag, sidx, key], 4, is_stable=True)
     else:
-        sdead, shi, slo, stag = jax.lax.sort(
-            (dead, khi, klo, tag), num_keys=4, is_stable=True)
+        sdead, shi, slo, stag = _ms_sort(
+            [dead, khi, klo, tag], 4, is_stable=True)
         ssid = skey64 = None
     live = sdead == 0
     idx = jnp.arange(capT)
@@ -938,8 +936,8 @@ def local_unique(key, rowidx, valid, keep: str):
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (key & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    sdead, shi, slo, sridx, spos = jax.lax.sort(
-        (dead, khi, klo, rowidx.astype(jnp.int32), pos), num_keys=4,
+    sdead, shi, slo, sridx, spos = _ms_sort(
+        [dead, khi, klo, rowidx.astype(jnp.int32), pos], 4,
         is_stable=True)
     live = sdead == 0
     idx = jnp.arange(cap)
