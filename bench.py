@@ -315,11 +315,19 @@ def _run_benches(d: dict) -> None:
     # just a lazy mask). One multi-operand carry sort moves every column.
     from polaroid_tpu.ops.keycode import col_to_u32_words
 
+    from polaroid_tpu.ops.pallas_partition import (compact_words,
+                                                   use_partition_kernel)
+
     @jax.jit
     def op_filter(price, volume, sym, valid):
         live = valid & (volume > 1000) & (price > 50.0)
         words = [w for col in (price, volume, sym)
                  for w in col_to_u32_words(col)]
+        if use_partition_kernel():
+            res = compact_words(live, words)
+            if res is not None:
+                outs, cnt = res
+                return outs[0], outs[1], outs[2], cnt
         outs = jax.lax.sort(((~live).astype(jnp.uint32),) + tuple(words),
                             num_keys=1, is_stable=True)
         return outs[1], outs[2], outs[3], jnp.sum(live)

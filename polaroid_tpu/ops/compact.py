@@ -56,10 +56,19 @@ def _carry_prefix(table: Table, mask, nrows: Optional[int],
             ws.append(c.validity.astype(jnp.uint32))
         layout.append((n, c, len(ws) - int(hasv), hasv))
         tails.extend(ws)
-    from .merge_sort import sort_ops as _ms_sort
-    outs = _ms_sort([(~mask).astype(jnp.uint32)] + list(tails),
+    # fast path: the Pallas block-partition kernel (batched block sort +
+    # sequential prefix-concat DMA) — ~5x the carry sort on v5e
+    from .pallas_partition import compact_words, use_partition_kernel
+    sorted_tails = None
+    if use_partition_kernel():
+        res = compact_words(mask, tails)
+        if res is not None:
+            sorted_tails = res[0]
+    if sorted_tails is None:
+        from .merge_sort import sort_ops as _ms_sort
+        outs = _ms_sort([(~mask).astype(jnp.uint32)] + list(tails),
                         num_keys=1, is_stable=True)
-    sorted_tails = list(outs[1:])
+        sorted_tails = list(outs[1:])
     cols = {}
     wi = 0
     for n, c, nwords, hasv in layout:

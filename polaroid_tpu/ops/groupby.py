@@ -163,14 +163,10 @@ def _sorted_bounds(gid, ncap):
 
 
 def _segscan(v, flags, op):
-    """Segmented inclusive scan (log-depth, vectorized)."""
-    def comb(a, b):
-        va, ba = a
-        vb, bb = b
-        return jnp.where(bb, vb, op(va, vb)), ba | bb
-
-    sv, _ = jax.lax.associative_scan(comb, (v, flags))
-    return sv
+    """Segmented inclusive scan (log-doubling over primitive rolls —
+    see _seg_scan_doubling for why not associative_scan on TPU)."""
+    gid = jnp.cumsum(flags.astype(jnp.int32))
+    return _seg_scan_doubling(v, gid, op)
 
 
 def _fit(arr, ncap, fill):
@@ -219,46 +215,56 @@ def _compact_at_ends(gid, ncap, arrays):
     return res, ngroups
 
 
-def _seg_sorted(data, gid, ncap, op, ident):
-    """Per-group totals over a gid-sorted layout WITHOUT
-    jax.lax.associative_scan — custom-combiner scans generate programs
-    the axon remote compiler never returns from at multi-million-row
-    sizes (hard-won; see the verify skill). Primitive formulations,
-    all gather-free (boundary values extracted by compaction sorts):
+def _seg_scan_doubling(v, gid, combine):
+    """Segmented inclusive scan via log-doubling over primitive rolls.
 
-      add      cumsum, then difference consecutive segment-END prefix
-               values (end_{g-1} is start_g - 1 in a contiguous layout)
-      min/max  cummax over (gid<<32 | orderable value word) packings —
-               gid is monotone in this layout, so the running max's low
-               bits inside segment g belong to segment g
-    """
+    Replaces (a) `jax.lax.associative_scan` with custom combiners — the
+    remote compiler never returns at multi-million-row sizes — and
+    (b) the 64-bit (gid<<32 | value) cummax / f64 cumsum packings, which
+    v5e EMULATES word-by-word through reduce_window (the r2 bench's
+    688 ms sort-path group-by was almost entirely this). log2(cap)
+    unrolled steps of roll + compare + select, all 32-bit-native.
+
+    Float sums get pairwise-tree accumulation order (error grows with
+    the scan DEPTH, not the global prefix magnitude) — the same quality
+    as the reference's pairwise float_sum (`polars-compute/src/
+    float_sum.rs`)."""
+    cap = v.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    k = 1
+    while k < cap:
+        vs = jnp.roll(v, k)
+        gs = jnp.roll(gid, k)
+        ok = (gs == gid) & (idx >= k)
+        v = jnp.where(ok, combine(v, vs), v)
+        k <<= 1
+    return v
+
+
+def _seg_sorted(data, gid, ncap, op, ident):
+    """Per-group totals over a gid-sorted layout: segmented log-doubling
+    scan (`_seg_scan_doubling`) leaves each group's total at its END
+    slot; one boundary-compaction sort moves end slots to the front in
+    gid order (gather-free — a sort pass is ~25 ms for 8M rows while a
+    random gather is ~80 ms)."""
     cap = gid.shape[0]
     live = gid < ncap
     if op is jnp.add:
-        acc = data.dtype
-        if acc == jnp.float32 and jax.config.jax_enable_x64:
-            acc = jnp.float64  # differencing error scales with the
-            # GLOBAL prefix magnitude; a wide accumulator keeps it at
-            # f64 eps (the engine's sum accumulators are f64 already)
-        s = jnp.cumsum(jnp.where(live, data, jnp.zeros((), data.dtype)
-                                 ).astype(acc))
-        (e,), ngroups = _compact_at_ends(gid, ncap, [s])
-        prev = jnp.concatenate([jnp.zeros((1,), e.dtype), e[:-1]])
+        x = jnp.where(live, data, jnp.zeros((), data.dtype))
+        scanned = _seg_scan_doubling(x, gid, jnp.add)
+        (tot,), ngroups = _compact_at_ends(gid, ncap, [scanned])
         gvalid = jnp.arange(cap) < ngroups
-        out = jnp.where(gvalid, (e - prev).astype(data.dtype),
-                        jnp.asarray(ident, data.dtype))
+        out = jnp.where(gvalid, tot, jnp.asarray(ident, data.dtype))
         return _fit(out, ncap, ident)
     if op is jnp.minimum or op is jnp.maximum:
         from .keycode import encode_orderable
         is_min = op is jnp.minimum
         x = jnp.where(live, data, jnp.asarray(ident, data.dtype))
         u = encode_orderable(x, descending=is_min)  # max of u == op-best
-        g64 = jnp.where(live, gid, 0).astype(jnp.uint64)
         if u.dtype.itemsize <= 4:
-            pack = (g64 << jnp.uint64(32)) | u.astype(jnp.uint64)
-            run = jax.lax.cummax(pack)
-            (best_pack,), ngroups = _compact_at_ends(gid, ncap, [run])
-            best_u = (best_pack & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            scanned = _seg_scan_doubling(u.astype(jnp.uint32), gid,
+                                         jnp.maximum)
+            (best_u,), ngroups = _compact_at_ends(gid, ncap, [scanned])
         else:
             # 64-bit values: one 3-word sort puts each segment's largest
             # encoding at its end (gid ascends; dead gid == ncap sorts
@@ -275,11 +281,10 @@ def _seg_sorted(data, gid, ncap, op, ident):
         gvalid = jnp.arange(cap) < ngroups
         out = jnp.where(gvalid, val, jnp.asarray(ident, data.dtype))
         return _fit(out, ncap, ident)
-    newg, starts, ends, ngroups = _sorted_bounds(gid, ncap)
-    e1 = jnp.clip(ends - 1, 0, cap - 1)
-    scanned = _segscan(jnp.where(live, data, jnp.asarray(ident, data.dtype)),
-                       newg, op)
-    out = jnp.where(jnp.arange(cap) < ngroups, scanned[e1],
+    scanned = _seg_scan_doubling(
+        jnp.where(live, data, jnp.asarray(ident, data.dtype)), gid, op)
+    (tot,), ngroups = _compact_at_ends(gid, ncap, [scanned])
+    out = jnp.where(jnp.arange(cap) < ngroups, tot,
                     jnp.asarray(ident, data.dtype))
     return _fit(out, ncap, ident)
 

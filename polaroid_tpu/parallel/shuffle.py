@@ -84,15 +84,12 @@ def _hash_u64(k):
 
 def _segscan(v, flags, op):
     """Segmented inclusive scan: at slot i, the reduction of v over
-    [segment_start(i), i]. Log-depth, fully vectorized — TPU scatters
-    serialize, this does not."""
-    def comb(a, b):
-        va, ba = a
-        vb, bb = b
-        return jnp.where(bb, vb, op(va, vb)), ba | bb
-
-    sv, _ = jax.lax.associative_scan(comb, (v, flags))
-    return sv
+    [segment_start(i), i]. Log-doubling over primitive rolls — no
+    associative_scan (custom-combiner scans hang the remote compiler at
+    size) and no 64-bit packings (emulated on v5e)."""
+    from ..ops.groupby import _seg_scan_doubling
+    gid = jnp.cumsum(flags.astype(jnp.int32))
+    return _seg_scan_doubling(v, gid, op)
 
 
 def _group_bounds(newg, live, carry=()):

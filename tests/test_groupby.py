@@ -232,3 +232,43 @@ def test_group_head_tail_all_having():
         pl.col("v").sum().alias("s")).collect().to_dict()["k"] == ["b"]
     assert lf.group_by("k").map_groups(lambda d: d.head(1)) \
         .collect().to_dict()["v"] == [1, 4]
+
+
+def test_seg_sorted_accelerator_path_oracle(monkeypatch):
+    """Force the accelerator segment-reduction path (log-doubling scans,
+    normally TPU-only) on CPU and differential-check vs numpy."""
+    import numpy as np
+    import jax.numpy as jnp
+    from polaroid_tpu.ops import groupby as G
+
+    monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    rng = np.random.default_rng(0)
+    cap = 4096
+    ncap = cap
+    # sorted gid with dead tail
+    ngroups = 37
+    gid_np = np.sort(rng.integers(0, ngroups, cap - 300)).astype(np.int32)
+    gid_np = np.concatenate([gid_np, np.full(300, ncap, np.int32)])
+    gid = jnp.asarray(gid_np)
+    live = gid_np < ncap
+    for dt in (np.float32, np.int32, np.int64, np.float64):
+        if np.issubdtype(dt, np.floating):
+            v_np = rng.normal(0, 10, cap).astype(dt)
+        else:
+            v_np = rng.integers(-50, 50, cap).astype(dt)
+        v = jnp.asarray(v_np)
+        s = np.asarray(G._seg_sum(v, gid, ncap))
+        mn = np.asarray(G._seg_min(v, gid, ncap))
+        mx = np.asarray(G._seg_max(v, gid, ncap))
+        for g in range(ngroups):
+            vals = v_np[live & (gid_np == g)]
+            if len(vals) == 0:
+                continue
+            # float error scales with sum(|v|), not the (possibly
+            # cancelled) total — same bound as pairwise summation
+            tol = 1e-5 * max(np.abs(vals.astype(np.float64)).sum(), 1.0) \
+                if np.issubdtype(dt, np.floating) else 0.0
+            assert np.allclose(s[g], vals.sum(dtype=np.float64),
+                               rtol=1e-6, atol=tol), (dt, g)
+            assert mn[g] == vals.min(), (dt, g)
+            assert mx[g] == vals.max(), (dt, g)

@@ -7,7 +7,10 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)  # match the engine's config
+
+import jax.numpy as jnp  # noqa: E402
 
 try:
     jax.config.update("jax_compilation_cache_dir",
