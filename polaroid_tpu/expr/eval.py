@@ -1211,12 +1211,14 @@ def _eval_window(e: Expr, v: Val, fillv: Val, table: Table,
         B = jnp.where(xv, jnp.where(first, f,
                                     (alpha_t.astype(stor)) * f), 0.0)
 
-        def comb(p, q):
-            (Ap, Bp) = p
-            (Aq, Bq) = q
+        from ..ops.groupby import _seg_scan_doubling_multi
+
+        def comb(prev, cur):
+            (Ap, Bp), (Aq, Bq) = prev, cur
             return (Ap * Aq, Bp * Aq + Bq)
 
-        _, y = jax.lax.associative_scan(comb, (A, B))
+        _, y = _seg_scan_doubling_multi(
+            [A, B], jnp.zeros(A.shape[0], jnp.int32), comb)
         seen = jnp.cumsum(xv.astype(jnp.int32)) > 0
         return back(y, xv & seen, out_dt)
 
@@ -1356,13 +1358,15 @@ def _ewm_var_std(e: Expr, v: Val, x, xv, back) -> Val:
     d2 = d * d
 
     # scans: sum w, sum w^2, sum w x, sum w x^2 with decay d (w) / d2 (w^2)
+    from ..ops.groupby import _seg_scan_doubling_multi
+    _zero_gid = jnp.zeros(f.shape[0], jnp.int32)
+
     def scan(decay, contrib):
-        def c2(p, q):
-            (Ap, Sp) = p
-            (Aq, Sq) = q
+        def c2(prev, cur):
+            (Ap, Sp), (Aq, Sq) = prev, cur
             return (Ap * Aq, Sp * Aq + Sq)
-        _, s = jax.lax.associative_scan(
-            c2, (decay, jnp.where(xv, contrib, 0.0)))
+        _, s = _seg_scan_doubling_multi(
+            [decay, jnp.where(xv, contrib, 0.0)], _zero_gid, c2)
         return s
 
     one = jnp.ones_like(f)
@@ -1620,12 +1624,14 @@ def _ewm_mean(e: Expr, v: Val, x, xv, back) -> Val:
     bn = jnp.where(xv, f, 0.0)
     bd = jnp.where(xv, one, 0.0)
 
-    def comb(a, b):
-        (Aa, Na, Da) = a
-        (Ab, Nb, Db) = b
+    from ..ops.groupby import _seg_scan_doubling_multi
+
+    def comb(prev, cur):
+        (Aa, Na, Da), (Ab, Nb, Db) = prev, cur
         return (Aa * Ab, Na * Ab + Nb, Da * Ab + Db)
 
-    A, N, D = jax.lax.associative_scan(comb, (decay, bn, bd))
+    A, N, D = _seg_scan_doubling_multi(
+        [decay, bn, bd], jnp.zeros(f.shape[0], jnp.int32), comb)
     cnt = jnp.cumsum(xv.astype(jnp.int32))
     data = N / jnp.maximum(D, 1e-300 if f.dtype == jnp.float64 else 1e-30)
     validity = xv & (cnt >= min_p)

@@ -33,35 +33,25 @@ def _row_gid(gctx: GroupContext):
 
 
 def _segmented_cummax(values, reset):
-    """Per-segment running max; `reset` marks segment starts."""
-
-    def comb(a, b):
-        ra, va = a
-        rb, vb = b
-        return (ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb)))
-
-    _, out = jax.lax.associative_scan(comb, (reset, values))
-    return out
+    """Per-segment running max; `reset` marks segment starts.
+    Log-doubling over primitive rolls — associative_scan with custom
+    combiners hangs the remote TPU compiler at size (see
+    groupby._seg_scan_doubling)."""
+    from .groupby import _seg_scan_doubling
+    gid = jnp.cumsum(reset.astype(jnp.int32))
+    return _seg_scan_doubling(values, gid, jnp.maximum)
 
 
 def _segmented_cumsum(values, reset):
-    def comb(a, b):
-        ra, va = a
-        rb, vb = b
-        return (ra | rb, jnp.where(rb, vb, va + vb))
-
-    _, out = jax.lax.associative_scan(comb, (reset, values))
-    return out
+    from .groupby import _seg_scan_doubling
+    gid = jnp.cumsum(reset.astype(jnp.int32))
+    return _seg_scan_doubling(values, gid, jnp.add)
 
 
 def _segmented_cummin(values, reset):
-    def comb(a, b):
-        ra, va = a
-        rb, vb = b
-        return (ra | rb, jnp.where(rb, vb, jnp.minimum(va, vb)))
-
-    _, out = jax.lax.associative_scan(comb, (reset, values))
-    return out
+    from .groupby import _seg_scan_doubling
+    gid = jnp.cumsum(reset.astype(jnp.int32))
+    return _seg_scan_doubling(values, gid, jnp.minimum)
 
 
 def eval_over(e: Expr, table: Table, ctx: str) -> Val:
@@ -279,13 +269,10 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         if op == "cum_sum":
             data = _segmented_cumsum(jnp.where(xv, x, 0), reset)
         elif op == "cum_prod":
-            # log-domain would lose sign; use scan with multiply
-            def comb(a, b):
-                ra, va = a
-                rb, vb = b
-                return (ra | rb, jnp.where(rb, vb, va * vb))
-            _, data = jax.lax.associative_scan(
-                comb, (reset, jnp.where(xv, x, 1)))
+            from .groupby import _seg_scan_doubling
+            gidr = jnp.cumsum(reset.astype(jnp.int32))
+            data = _seg_scan_doubling(jnp.where(xv, x, 1), gidr,
+                                      jnp.multiply)
         else:
             lo, hi = _type_bounds(x.dtype)
             ident = hi if op == "cum_min" else lo
@@ -360,16 +347,14 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         bn = jnp.where(xv, f, 0.0)
         bd = jnp.where(xv, jnp.ones_like(f), 0.0)
 
-        def comb(a, b):
-            (Ra, Aa, Na, Da) = a
-            (Rb, Ab, Nb, Db) = b
-            return (Ra | Rb,
-                    jnp.where(Rb, Ab, Aa * Ab),
-                    jnp.where(Rb, Nb, Na * Ab + Nb),
-                    jnp.where(Rb, Db, Da * Ab + Db))
+        from .groupby import _seg_scan_doubling_multi
+        gidr = jnp.cumsum(reset.astype(jnp.int32))
 
-        _, _, N, D = jax.lax.associative_scan(
-            comb, (reset, decay, bn, bd))
+        def comb(prev, cur):
+            (Aa, Na, Da), (Ab, Nb, Db) = prev, cur
+            return (Aa * Ab, Na * Ab + Nb, Da * Ab + Db)
+
+        _, N, D = _seg_scan_doubling_multi([decay, bn, bd], gidr, comb)
         data = N / jnp.maximum(D, 1e-30)
         cnt = _segmented_cumsum(xv.astype(jnp.int32), reset)
         validity = xv & (cnt >= min_p)

@@ -102,8 +102,17 @@ def _group_bounds(newg, live, carry=()):
     idx = jnp.arange(cap, dtype=jnp.int32)
     ngroups = jnp.sum(newg.astype(jnp.int32))
     nlive = jnp.sum(live.astype(jnp.int32))
-    border = (~newg).astype(jnp.uint32)
-    out = _ms_sort([border, idx] + list(carry), 1, is_stable=True)
+    # boundary compaction is a 1-bit stable partition — ride the Pallas
+    # partition kernel when available (~3x the carry sort)
+    from ..ops.pallas_partition import compact_words, use_partition_kernel
+    out = None
+    if use_partition_kernel():
+        res_k = compact_words(newg, [idx] + list(carry))
+        if res_k is not None:
+            out = [None] + res_k[0]
+    if out is None:
+        border = (~newg).astype(jnp.uint32)
+        out = _ms_sort([border, idx] + list(carry), 1, is_stable=True)
     starts = out[1]
     g_arange = jnp.arange(cap, dtype=jnp.int32)
     next_start = jnp.concatenate([starts[1:],

@@ -241,14 +241,16 @@ def test_seg_sorted_accelerator_path_oracle(monkeypatch):
     import jax.numpy as jnp
     from polaroid_tpu.ops import groupby as G
 
+    from polaroid_tpu.ops import pallas_partition as PP
     monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    monkeypatch.setattr(PP, "use_partition_kernel", lambda: True)
     rng = np.random.default_rng(0)
-    cap = 4096
+    cap = 1 << 14
     ncap = cap
     # sorted gid with dead tail
     ngroups = 37
     gid_np = np.sort(rng.integers(0, ngroups, cap - 300)).astype(np.int32)
-    gid_np = np.concatenate([gid_np, np.full(300, ncap, np.int32)])
+    gid_np = np.concatenate([gid_np, np.full(300, np.int32(ncap), np.int32)])
     gid = jnp.asarray(gid_np)
     live = gid_np < ncap
     for dt in (np.float32, np.int32, np.int64, np.float64):
