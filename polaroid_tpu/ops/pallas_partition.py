@@ -10,13 +10,16 @@ the partition in ~bandwidth time instead:
      spot (`tools/sort_probe2.py`: 6.3 ms for 4 operands, vs 29.9 for
      the same operands in one monolithic sort) — giving each block a
      stable live-prefix;
-  2. ONE sequential-grid Pallas pass concatenates the live prefixes:
-     block b DMAs its full S-row block to dynamic offset
-     offs[b] = sum of live counts before b. Because offs[b] <= b*S and
-     the TPU grid executes sequentially, block b+1's write starts
-     exactly at offs[b] + live_b and overwrites block b's garbage tail —
-     no dynamic-size DMA needed, and the output aliases the input
-     (writes never touch unread blocks: offs[b] + S <= (b+1)*S).
+  2. ONE sequential-grid Pallas pass concatenates the live prefixes.
+     Block b's rows belong at element offset offs[b] = sum of live
+     counts before b. TPU DMA slices at 128-lane row granularity only
+     (element-granular dynamic offsets fail Mosaic verification), so
+     the kernel rotates the block by offs[b] % 128 lanes in VMEM
+     (`tpu.dynamic_rotate`), merges the straddle row with the
+     previously-written output row (read-modify-write, safe because
+     the TPU grid executes sequentially), and writes R+1 aligned rows.
+     Later blocks overwrite earlier garbage tails — no dynamic-size
+     DMA anywhere.
 
 Rows past the returned live count are garbage and must be masked dead
 by the caller (the engine's masked-capacity contract).
@@ -37,13 +40,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_S = 8192  # rows per block (fits the combined key's 13 index bits)
+_S = 8192           # rows per block (fits the combined key's 13 index bits)
+_LANES = 128
+_R = _S // _LANES   # 64 sublane rows per block
+
+
+_KERNEL_STATE: List = [None]  # None = untested, True = ok, False = broken
 
 
 def use_partition_kernel() -> bool:
     if os.environ.get("PT_PARTITION", "1") == "0":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if _KERNEL_STATE[0] is None:
+        # one-shot lowering selftest: a Mosaic verification failure on
+        # this backend must disable the kernel (fall back to the carry
+        # sort) rather than crash every group-by/filter
+        try:
+            import numpy as np
+            m = jnp.asarray(np.arange(2 * _S) % 3 != 0)
+            res = compact_words(m, [jnp.arange(2 * _S, dtype=jnp.uint32)])
+            ok = int(np.asarray(res[1])) == int(np.asarray(m).sum())
+            _KERNEL_STATE[0] = bool(ok)
+        except Exception:
+            _KERNEL_STATE[0] = False
+    return _KERNEL_STATE[0]
 
 
 def _interpret() -> bool:
@@ -52,45 +74,89 @@ def _interpret() -> bool:
 
 def _concat_kernel(offs_ref, *refs, n_ops: int):
     in_refs = refs[:n_ops]
-    out_refs = refs[n_ops:n_ops * 2]
-    sem = refs[-1]
+    out_refs = refs[n_ops:2 * n_ops]
+    stage = refs[2 * n_ops]      # VMEM (n_ops, R+1, 128) staging
+    prev = refs[2 * n_ops + 1]   # VMEM (n_ops, 1, 128) straddle-row readback
+    sems = refs[2 * n_ops + 2]   # DMA sems (n_ops, 2)
     b = pl.program_id(0)
     off = offs_ref[b]
+    row0 = off // jnp.int32(_LANES)
+    k = off % jnp.int32(_LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_R + 1, _LANES), 1)
+
+    # read back the straddle rows (previous block's write already
+    # completed — sequential grid + end-of-body waits)
+    # scratch indices must be typed i32: a python int traces as i64
+    # under x64 mode and tpu.memref_slice rejects it
+    wi = [jnp.int32(w) for w in range(n_ops)]
     for w in range(n_ops):
-        pltpu.make_async_copy(
-            in_refs[w],
-            out_refs[w].at[pl.ds(off, _S)],
-            sem.at[w],
-        ).start()
-    # wait before the next grid step: step b+1 overwrites this block's
-    # garbage tail, so its writes must not overtake ours
+        pltpu.make_async_copy(out_refs[w].at[pl.ds(row0, 1)],
+                              prev.at[wi[w]],
+                              sems.at[wi[w], jnp.int32(0)]).start()
     for w in range(n_ops):
-        pltpu.make_async_copy(in_refs[w], out_refs[w].at[pl.ds(off, _S)],
-                              sem.at[w]).wait()
+        pltpu.make_async_copy(out_refs[w].at[pl.ds(row0, 1)],
+                              prev.at[wi[w]],
+                              sems.at[wi[w], jnp.int32(0)]).wait()
+
+    for w in range(n_ops):
+        x = in_refs[w][:]                       # (R, 128)
+        xr = pltpu.roll(x, k, axis=1)           # dynamic lane rotation
+        zero = jnp.zeros((1, _LANES), x.dtype)
+        top = jnp.concatenate([zero, xr], axis=0)     # top[r] = xr[r-1]
+        bot = jnp.concatenate([xr, zero], axis=0)     # bot[r] = xr[r]
+        staged = jnp.where(lane < k, top, bot)        # (R+1, 128)
+        head = jnp.where((lane[:1] < k) & (jnp.int32(0) < k),
+                         prev[wi[w]], staged[:1])
+        stage[wi[w], :, :] = jnp.concatenate([head, staged[1:]], axis=0)
+    for w in range(n_ops):
+        pltpu.make_async_copy(stage.at[wi[w]],
+                              out_refs[w].at[pl.ds(row0, _R + 1)],
+                              sems.at[wi[w], jnp.int32(1)]).start()
+    # wait before the next grid step: it reads our straddle row and
+    # overwrites our garbage tail, so our writes must land first
+    for w in range(n_ops):
+        pltpu.make_async_copy(stage.at[wi[w]],
+                              out_refs[w].at[pl.ds(row0, _R + 1)],
+                              sems.at[wi[w], jnp.int32(1)]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_ops",))
 def _prefix_concat(offs, *words, n_ops: int):
     n = words[0].shape[0]
     B = n // _S
+    rows = n // _LANES
+    # one shared u32 staging dtype (callers mix u32/i32/f32 words)
+    dts = [w.dtype for w in words]
+    words = [w if w.dtype == jnp.uint32 else
+             jax.lax.bitcast_convert_type(w, jnp.uint32) for w in words]
+    arrs = [w.reshape(rows, _LANES) for w in words]
+    # +1 pad row: the last block's rotated write spans R+1 rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((_S,), lambda b, offs: (b,),
+        in_specs=[pl.BlockSpec((_R, _LANES),
+                               lambda b, offs: (b, jnp.int32(0)),
                                memory_space=pltpu.VMEM)
                   for _ in range(n_ops)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
                    for _ in range(n_ops)],
-        scratch_shapes=[pltpu.SemaphoreType.DMA((n_ops,))],
+        scratch_shapes=[
+            pltpu.VMEM((n_ops, _R + 1, _LANES), words[0].dtype),
+            pltpu.VMEM((n_ops, 1, _LANES), words[0].dtype),
+            pltpu.SemaphoreType.DMA((n_ops, 2)),
+        ],
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_concat_kernel, n_ops=n_ops),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n,), w.dtype) for w in words],
-        input_output_aliases={i + 1: i for i in range(n_ops)},
+        out_shape=[jax.ShapeDtypeStruct((rows + 1, _LANES), jnp.uint32)
+                   for _ in words],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(offs, *words)
+    )(offs, *arrs)
+    flat = [o[:rows].reshape(n) for o in outs]
+    return [f if dt == jnp.uint32 else jax.lax.bitcast_convert_type(f, dt)
+            for f, dt in zip(flat, dts)]
 
 
 def compact_words(mask: jax.Array, words: List[jax.Array]
@@ -101,6 +167,8 @@ def compact_words(mask: jax.Array, words: List[jax.Array]
     the kernel (caller falls back to the carry sort)."""
     n = mask.shape[0]
     if n % _S != 0 or n < 2 * _S:
+        return None
+    if any(w.dtype.itemsize != 4 for w in words):
         return None
     B = n // _S
     lidx = jax.lax.broadcasted_iota(jnp.uint32, (B, _S), 1)
