@@ -430,6 +430,51 @@ def _run_benches(d: dict) -> None:
     _roofline(d, "join", t_join, (2 * 3 * 2 + 2) * (npr + nb) * 4,
               note="scan-free two-sort lookup join")
 
+    # --- H2O.ai db-benchmark group-by suite (reference:
+    # `py-polars/tests/benchmark/test_group_by.py` q1-q10; VERDICT r3
+    # ask #2 — the real general-group-by workload incl. 1M-unique id3).
+    # Reduced row count keeps first-compile within the bench budget.
+    _phase("H2O group-by suite")
+    nh = 1 << 22
+    k = 100
+    id3_u = nh // 10
+    hdf = pl.DataFrame({
+        "id1": np.asarray(rng.integers(0, k, nh), np.int32),
+        "id2": np.asarray(rng.integers(0, k, nh), np.int32),
+        "id3": np.asarray(rng.integers(0, id3_u, nh), np.int32),
+        "id4": np.asarray(rng.integers(0, k, nh), np.int32),
+        "id6": np.asarray(rng.integers(0, id3_u, nh), np.int32),
+        "v1": np.asarray(rng.integers(1, 6, nh), np.int32),
+        "v2": np.asarray(rng.integers(1, 16, nh), np.int32),
+        "v3": np.asarray(rng.uniform(0, 100, nh), np.float32)})
+    h2o_queries = {
+        "q1": hdf.lazy().group_by("id1").agg(pl.col("v1").sum()),
+        "q2": hdf.lazy().group_by("id1", "id2").agg(pl.col("v1").sum()),
+        "q3": hdf.lazy().group_by("id3").agg(
+            pl.col("v1").sum(), pl.col("v3").mean()),
+        "q4": hdf.lazy().group_by("id4").agg(
+            pl.col("v1").mean(), pl.col("v2").mean(), pl.col("v3").mean()),
+        "q5": hdf.lazy().group_by("id6").agg(
+            pl.col("v1").sum(), pl.col("v2").sum(), pl.col("v3").sum()),
+        "q7": hdf.lazy().group_by("id3").agg(
+            (pl.col("v1").max() - pl.col("v2").min()).alias("range_v1_v2")),
+        "q10": hdf.lazy().group_by("id1", "id2", "id4").agg(
+            pl.col("v3").sum().alias("v3"), pl.len().alias("count")),
+    }
+    h2o_total = 0.0
+    for qn, lfq in h2o_queries.items():
+        _phase(f"H2O {qn}")
+        try:
+            lfq.collect()  # compile
+            tq, _lat = _bench_collect(lfq, iters=3)
+        except Exception as exc:
+            d[f"h2o_{qn}_error"] = f"{type(exc).__name__}: {exc}"[:160]
+            continue
+        d[f"h2o_{qn}_ms"] = round(tq * 1e3, 3)
+        h2o_total += tq
+    d["h2o_total_ms"] = round(h2o_total * 1e3, 3)
+    d["h2o_rows"] = nh
+
     # --- engine-level join e2e (BASELINE advanced-notebook pipeline:
     # 2M orders x 1M users inner join -> group_by -> agg, host collect
     # included) ---

@@ -940,8 +940,20 @@ def lookup_join_sorted(bkey, bval, pkey):
     to probe order is a sort by probe index (sort-as-scatter)."""
     nb, npr = bkey.shape[0], pkey.shape[0]
     tot = nb + npr
-    key = jnp.concatenate([bkey.astype(jnp.uint64),
-                           pkey.astype(jnp.uint64)])
+    # 32-bit-native formulation (v5e emulates 64-bit word-by-word:
+    # u64 sort operand +30%, u64 cummax 14.4 ms/pass — tools/agg_probe):
+    # u32 keys sort as one word; wider keys split into hi/lo words.
+    from .keycode import encode_orderable
+    kb = encode_orderable(bkey)
+    kp = encode_orderable(pkey)
+    if kb.dtype.itemsize <= 4:
+        kwords = [jnp.concatenate([kb.astype(jnp.uint32),
+                                   kp.astype(jnp.uint32)])]
+    else:
+        k64 = jnp.concatenate([kb.astype(jnp.uint64),
+                               kp.astype(jnp.uint64)])
+        kwords = [(k64 >> jnp.uint64(32)).astype(jnp.uint32),
+                  (k64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
     tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
                            jnp.ones(npr, jnp.int32)])
     vbits = jnp.concatenate([
@@ -949,17 +961,32 @@ def lookup_join_sorted(bkey, bval, pkey):
         jnp.zeros(npr, jnp.uint32)])
     idx = jnp.concatenate([jnp.full(nb, tot, jnp.int32),
                            jnp.arange(npr, dtype=jnp.int32)])
-    sk, st, sv, si = _mssort([key, tag, vbits, idx], 2, is_stable=False)
+    nk = len(kwords)
+    out = _mssort(kwords + [tag, vbits, idx], nk + 1, is_stable=False)
+    skw = out[:nk]
+    st, sv, si = out[nk], out[nk + 1], out[nk + 2]
     isb = st == 0
-    lastk = jax.lax.cummax(jnp.where(isb, sk + jnp.uint64(1),
-                                     jnp.uint64(0)))
-    hit = (lastk == sk + jnp.uint64(1)) & ~isb
-    cnt = jnp.cumsum(isb.astype(jnp.uint32)).astype(jnp.uint64)
-    pack = jnp.where(isb, (cnt << jnp.uint64(32)) | sv.astype(jnp.uint64),
-                     jnp.uint64(0))
-    fill = jax.lax.cummax(pack)
-    outv = jax.lax.bitcast_convert_type(
-        (fill & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32)
+    # key-run ids: build rows sort FIRST within a run, so a probe row
+    # hits iff its run starts with a build row; the build VALUE
+    # propagates by segmented max (unique build keys -> one build row
+    # per run, and any u32 >= 0). Both ride one fused doubling scan.
+    pos = jnp.arange(tot, dtype=jnp.int32)
+    newk = pos == 0
+    for w in skw:
+        newk = newk | (w != jnp.roll(w, 1))
+    rid = jnp.cumsum(newk.astype(jnp.int32))
+    from .groupby import _seg_scan_doubling_multi
+
+    def comb(prev, cur):
+        (ha, va), (hb, vb) = prev, cur
+        return (jnp.maximum(ha, hb), jnp.maximum(va, vb))
+
+    hasb, vfill = _seg_scan_doubling_multi(
+        [isb.astype(jnp.int32), jnp.where(isb, sv, jnp.uint32(0))],
+        rid, comb)
+    hit = (hasb > 0) & ~isb
+    outv = jax.lax.bitcast_convert_type(vfill, jnp.float32)
     outv = jnp.where(hit, outv, jnp.float32(0))
-    _, rv, rh = jax.lax.sort((si, outv, hit.astype(jnp.int32)), num_keys=1)
+    _, rv, rh = _mssort([si, outv, hit.astype(jnp.int32)], 1,
+                        is_stable=False)
     return rv[:npr], rh[:npr].astype(jnp.bool_)
