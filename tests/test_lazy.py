@@ -720,3 +720,31 @@ def test_streaming_grace_join_string_keys(monkeypatch):
     a = q.collect(engine="in-memory").sort(["k", "v"]).to_dict()
     b = q.collect(engine="streaming").sort(["k", "v"]).to_dict()
     assert a == b
+
+
+def test_streaming_distinct_keep_none_cross_batch(monkeypatch):
+    """keep='none' must drop a key duplicated ACROSS batches — per-batch
+    pre-dedupe loses that information, so the streaming engine has to
+    see the whole input."""
+    from polaroid_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "batch_rows", 100)
+    ks = list(range(250)) + [7, 123, 249]  # dups land in other batches
+    lf = pl.LazyFrame({"k": ks, "v": list(range(len(ks)))})
+    q = lf.unique(subset=["k"], keep="none")
+    a = q.collect(engine="in-memory").sort("k").to_dict()
+    b = q.collect(engine="streaming").sort("k").to_dict()
+    assert a == b
+    assert 7 not in b["k"] and 123 not in b["k"] and 249 not in b["k"]
+
+
+def test_streaming_distinct_incremental_fold(monkeypatch):
+    from polaroid_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "batch_rows", 128)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    n = 3000
+    lf = pl.LazyFrame({"k": rng.integers(0, 2500, n).tolist()})
+    q = lf.unique(subset=["k"], keep="first", maintain_order=True)
+    a = q.collect(engine="in-memory").to_dict()
+    b = q.collect(engine="streaming").to_dict()
+    assert a == b
