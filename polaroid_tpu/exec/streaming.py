@@ -115,6 +115,10 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         yield from _stream_join(plan)
         return
 
+    if k == "join" and plan.how == "right" and not plan.join_nulls:
+        yield from _stream_right_join(plan)
+        return
+
     if k == "join" and plan.how == "full":
         yield from _stream_full_join(plan)
         return
@@ -339,6 +343,30 @@ def _stream_join(plan: L.Join) -> Iterator[Table]:
     yield from probe_loop(itertools.chain(lbuf, lit), build, False)
 
 
+def _stream_right_join(plan: L.Join) -> Iterator[Table]:
+    """Streaming RIGHT join: every right row emits exactly once (with
+    its matches) and unmatched-left rows never emit, so right-joining
+    each right batch against the whole left side is exact. The left
+    side builds under the grace budget; past it, both sides spill to
+    hash partitions."""
+    from ..ops.join import join_tables
+    budget = CONFIG.join_build_budget_rows
+    lit = _stream(plan.left)
+    lbuf: List[Table] = []
+    rows = 0
+    for t in lit:
+        lbuf.append(t)
+        rows += t.count_rows()
+        if rows > budget:
+            yield from _grace_join(plan, [], _stream(plan.right),
+                                   lbuf, lit)
+            return
+    build = lbuf[0] if len(lbuf) == 1 else         (vstack_tables(lbuf) if lbuf else _materialize(plan.left))
+    for t in _stream(plan.right):
+        yield join_tables(build, t, plan.left_on, plan.right_on, "right",
+                          plan.suffix, plan.join_nulls, plan.coalesce)
+
+
 def _key_hash_spec(plan: L.Join):
     """Per-key-position normalization dtype so equal values hash equally
     across sides regardless of storage width (int32 left vs int64
@@ -446,9 +474,25 @@ def _grace_join(plan: L.Join, rbuf: List[Table], rit,
         rsch = plan.right.schema()
         lsch = plan.left.schema()
         empty_right = _T.empty([(n, rsch[n]) for n in rsch])
+        empty_left = _T.empty([(n, lsch[n]) for n in lsch])
         for p in range(P):
             have_l = lpaths[p] is not None
             have_r = rpaths[p] is not None
+            if plan.how == "right":
+                # stream right partition batches against the whole left
+                # partition (right rows each emit exactly once)
+                if not have_r:
+                    continue
+                build_l = table_from_arrow(
+                    paipc.open_file(lpaths[p]).read_all()) if have_l                     else empty_left
+                rd = paipc.open_file(rpaths[p])
+                for bi in range(rd.num_record_batches):
+                    rt = table_from_arrow(
+                        pa.Table.from_batches([rd.get_batch(bi)]))
+                    yield join_tables(build_l, rt, plan.left_on,
+                                      plan.right_on, "right", plan.suffix,
+                                      plan.join_nulls, plan.coalesce)
+                continue
             if not have_l and not (plan.how == "full" and have_r):
                 continue
             if have_r:
@@ -463,7 +507,7 @@ def _grace_join(plan: L.Join, rbuf: List[Table], rit,
                     lt = table_from_arrow(
                         paipc.open_file(lpaths[p]).read_all())
                 else:
-                    lt = _T.empty([(n, lsch[n]) for n in lsch])
+                    lt = empty_left
                 yield join_tables(lt, build, plan.left_on, plan.right_on,
                                   "full", plan.suffix, plan.join_nulls,
                                   plan.coalesce)

@@ -748,3 +748,24 @@ def test_streaming_distinct_incremental_fold(monkeypatch):
     a = q.collect(engine="in-memory").to_dict()
     b = q.collect(engine="streaming").to_dict()
     assert a == b
+
+
+def test_streaming_right_join(monkeypatch):
+    import numpy as np
+    from polaroid_tpu.config import CONFIG
+    monkeypatch.setattr(CONFIG, "batch_rows", 300)
+    rng = np.random.default_rng(9)
+    lf = pl.LazyFrame({"k": rng.integers(0, 100, 900).tolist(),
+                       "lv": list(range(900))})
+    rf = pl.LazyFrame({"k": rng.integers(0, 150, 1100).tolist(),
+                       "rv": list(range(1100))})
+    q = lf.join(rf, on="k", how="right")
+    a = q.collect(engine="in-memory")
+    cols = a.columns
+    a = a.sort(cols).to_dict()
+    b = q.collect(engine="streaming").sort(cols).to_dict()
+    assert a == b
+    # grace path (left over budget)
+    monkeypatch.setattr(CONFIG, "join_build_budget_rows", 200)
+    b2 = q.collect(engine="streaming").sort(cols).to_dict()
+    assert a == b2
