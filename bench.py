@@ -264,6 +264,18 @@ def _run_benches(d: dict) -> None:
     d["engine_q1_e2e_ms"] = round(t_eng * 1e3, 3)
     d["engine_q1_latency_ms"] = round(t_lat * 1e3, 3)
     d["engine_q1_rows_per_s"] = round(n / t_eng, 1)
+    # single-query latency includes ONE device->host fence; over the
+    # axon tunnel that round-trip is tens of ms of pure transport.
+    # Measure it on a tiny resident array so the latency number can be
+    # attributed (net = host+device work, rtt = tunnel tax).
+    tiny = jnp.zeros(8, jnp.int32) + 1
+    _sync(tiny)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _sync(tiny)
+    rtt = (time.perf_counter() - t0) / 3
+    d["device_fence_rtt_ms"] = round(rtt * 1e3, 3)
+    d["engine_q1_latency_net_ms"] = round((t_lat - rtt) * 1e3, 3)
 
     _phase("parquet scan phase")
     # --- parquet scan throughput (host decode + device upload) ---

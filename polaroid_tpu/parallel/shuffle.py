@@ -186,28 +186,93 @@ def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
         skey = _key_from_words(kwords, key.dtype)
         gkey = skey[jnp.clip(start, 0, cap - 1)]
         return gkey, outs, gvalid
-    starts, ends, ngroups, gkw = _group_bounds(newg, live, kwords)
+    # accelerator path: segmented log-doubling scans leave every
+    # group's totals (and its running count) at the group's END slot;
+    # ONE boundary compaction then extracts keys + counts + every
+    # aggregate together — a single partition-kernel pass instead of
+    # one per aggregate plus a bounds pass
+    from ..ops.groupby import (_compact_at_ends, _seg_scan_doubling,
+                               _seg_scan_doubling2)
+    from ..ops.keycode import decode_orderable, encode_orderable
     g_arange = jnp.arange(cap, dtype=jnp.int32)
-    gcount = jnp.where(g_arange < ngroups, ends - starts, 0)
-    # primitive-op segment totals (groupby._seg_sorted: cumsum
-    # differencing / gid-packed cummax — NO associative_scan; custom-
-    # combiner scans generate programs the axon remote compiler never
-    # returns from at these sizes)
     gid = jnp.where(live, jnp.cumsum(newg.astype(jnp.int32)) - 1, cap)
-    from ..ops.groupby import _seg_max, _seg_min, _seg_sum
-    outs = []
+    carry: list = list(kwords)
+    slots: list = []  # per agg: (kind, extra) to decode compacted words
+    cnt_scan = _seg_scan_doubling(live.astype(jnp.int32), gid, jnp.add)
+    carry.append(cnt_scan)
     for sv, agg in zip(svals, aggs):
         if agg == "count":
-            outs.append(gcount)
+            slots.append(("count", None))
         elif agg == "sum":
-            outs.append(_seg_sum(sv, gid, cap))
-        elif agg == "min":
-            outs.append(_seg_min(sv, gid, cap))
-        elif agg == "max":
-            outs.append(_seg_max(sv, gid, cap))
+            if sv.dtype == jnp.float32 and jax.config.jax_enable_x64:
+                x = jnp.where(live, sv, jnp.float32(0))
+                hi, lo = _seg_scan_doubling2(x, jnp.zeros_like(x), gid)
+                carry.extend([hi, lo])
+                slots.append(("sum2", sv.dtype))
+            else:
+                x = jnp.where(live, sv, jnp.zeros((), sv.dtype))
+                carry.append(_seg_scan_doubling(x, gid, jnp.add))
+                slots.append(("sum", sv.dtype))
+        elif agg in ("min", "max"):
+            is_min = agg == "min"
+            iv = _ident(sv.dtype, agg)
+            x = jnp.where(live, sv, iv)
+            u = encode_orderable(x, descending=is_min)
+            if u.dtype.itemsize > 4:
+                uh = (u >> jnp.uint64(32)).astype(jnp.uint32)
+                ul = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+                def comb2(prev, cur):
+                    (ph, pl_), (ch, cl) = prev, cur
+                    take_p = (ph > ch) | ((ph == ch) & (pl_ > cl))
+                    return (jnp.where(take_p, ph, ch),
+                            jnp.where(take_p, pl_, cl))
+
+                from ..ops.groupby import _seg_scan_doubling_multi
+                sh_, sl_ = _seg_scan_doubling_multi([uh, ul], gid, comb2)
+                carry.extend([sh_, sl_])
+                slots.append(("minmax64", (sv.dtype, is_min)))
+            else:
+                carry.append(_seg_scan_doubling(u.astype(jnp.uint32), gid,
+                                                jnp.maximum))
+                slots.append(("minmax", (sv.dtype, is_min)))
         else:
             raise ValueError(f"agg {agg}")
+    compacted, ngroups = _compact_at_ends(gid, cap, carry)
     gvalid = g_arange < ngroups
+    nkw = len(kwords)
+    gkw = compacted[:nkw]
+    gcount = jnp.where(gvalid, compacted[nkw], 0)
+    outs = []
+    wi = nkw + 1
+    for kind, extra in slots:
+        if kind == "count":
+            outs.append(gcount)
+        elif kind == "sum":
+            outs.append(jnp.where(gvalid, compacted[wi],
+                                  jnp.zeros((), extra)))
+            wi += 1
+        elif kind == "sum2":
+            tot = (compacted[wi].astype(jnp.float64) +
+                   compacted[wi + 1].astype(jnp.float64)).astype(extra)
+            outs.append(jnp.where(gvalid, tot, jnp.zeros((), extra)))
+            wi += 2
+        elif kind == "minmax":
+            dt, is_min = extra
+            val = decode_orderable(compacted[wi], dt, descending=is_min)
+            outs.append(jnp.where(gvalid, val, _ident(jnp.dtype(dt),
+                                                      "min" if is_min
+                                                      else "max")))
+            wi += 1
+        else:  # minmax64
+            dt, is_min = extra
+            u = (compacted[wi].astype(jnp.uint64) << jnp.uint64(32)) | \
+                compacted[wi + 1].astype(jnp.uint64)
+            val = decode_orderable(u, dt, descending=is_min)
+            outs.append(jnp.where(gvalid, val, _ident(jnp.dtype(dt),
+                                                      "min" if is_min
+                                                      else "max")))
+            wi += 2
     gkey = _key_from_words(gkw, key.dtype)
     return gkey, outs, gvalid
 

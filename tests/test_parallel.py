@@ -295,3 +295,36 @@ def test_distributed_engine_on_2d_mesh():
     b = j.collect(engine="distributed", mesh=make_mesh2(2, 4)) \
         .sort(["k", "v"]).to_dict()
     assert a == b
+
+
+def test_local_groupby_accelerator_branch_oracle():
+    """Force the accelerator (single-compaction doubling-scan) branch of
+    local_groupby on CPU and check against a host oracle."""
+    import unittest.mock as M
+    import jax
+    import jax.numpy as jnp
+    from polaroid_tpu.parallel import shuffle as SH
+
+    rng = np.random.default_rng(4)
+    cap = 4096
+    key = rng.integers(0, 61, cap).astype(np.uint64)
+    valid = rng.uniform(size=cap) > 0.15
+    vf = rng.normal(0, 10, cap).astype(np.float32)
+    vi = rng.integers(-50, 50, cap).astype(np.int32)
+    with M.patch.object(jax, "default_backend", lambda: "tpu"):
+        gkey, (s, c, mn, mx), gvalid = SH.local_groupby(
+            jnp.asarray(key), [jnp.asarray(vf), jnp.asarray(vf),
+                               jnp.asarray(vi), jnp.asarray(vi)],
+            jnp.asarray(valid), ["sum", "count", "min", "max"])
+    gv = np.asarray(gvalid)
+    gk = np.asarray(gkey)[gv]
+    ss, cc = np.asarray(s)[gv], np.asarray(c)[gv]
+    mns, mxs = np.asarray(mn)[gv], np.asarray(mx)[gv]
+    keys_live = sorted(set(key[valid].tolist()))
+    assert gk.tolist() == keys_live
+    for i, kk in enumerate(keys_live):
+        rows = valid & (key == kk)
+        assert cc[i] == rows.sum()
+        assert abs(ss[i] - vf[rows].astype(np.float64).sum()) < 1e-3
+        assert mns[i] == vi[rows].min()
+        assert mxs[i] == vi[rows].max()
