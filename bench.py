@@ -391,10 +391,16 @@ def _run_benches(d: dict) -> None:
     uniq = np.char.add("id", rng.integers(0, 1 << 20, 1 << 20)
                        .astype("U7"))
     codes_h = rng.integers(0, len(uniq), n).astype(np.int32)
+    strs = uniq[codes_h]
+    v1h = np.asarray(rng.integers(0, 5, n), np.int32)
     t0 = time.perf_counter()
-    sdf = _pl.DataFrame({"id3": uniq[codes_h],
-                         "v1": np.asarray(rng.integers(0, 5, n), np.int32)})
+    sdf = _pl.DataFrame({"id3": strs, "v1": v1h})
     d["string_dict_build_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    # second frame from the same strings: the content-fingerprint encode
+    # cache should reduce the build to ~fingerprint cost
+    t0 = time.perf_counter()
+    _pl.DataFrame({"id3": strs, "v1": v1h})
+    d["string_dict_build2_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
     slf = (sdf.lazy().group_by("id3")
            .agg(_pl.col("v1").sum().alias("s")))
     slf.collect()  # compile
