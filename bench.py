@@ -329,13 +329,17 @@ def _run_benches(d: dict) -> None:
 
     from polaroid_tpu.ops.pallas_partition import (compact_words,
                                                    use_partition_kernel)
+    # evaluate (and selftest) the kernel availability EAGERLY — the
+    # selftest must never run inside a trace
+    part_kernel = use_partition_kernel()
+    d["partition_kernel"] = part_kernel
 
     @jax.jit
     def op_filter(price, volume, sym, valid):
         live = valid & (volume > 1000) & (price > 50.0)
         words = [w for col in (price, volume, sym)
                  for w in col_to_u32_words(col)]
-        if use_partition_kernel():
+        if part_kernel:
             res = compact_words(live, words)
             if res is not None:
                 outs, cnt = res

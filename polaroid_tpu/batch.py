@@ -633,6 +633,16 @@ def _coerce_host_values(values, dtype: Optional[DataType]):
                 values = values.astype(f"timedelta64[{tu}]").astype(np.int64)
         return values, mask, dt, None
 
+    if isinstance(values, np.ndarray) and values.dtype.kind in ("U", "S"):
+        # fixed-width numpy string arrays: straight to the zero-copy
+        # dictionary encode — list(values) would build millions of
+        # PyUnicode objects before the slow object-array path
+        from .dtypes import Binary as _Bin, String as _Str
+        dt = dtype or (_Str if values.dtype.kind == "U" else _Bin())
+        if dt.is_string or isinstance(dt, _Bin):
+            codes, sdict = StringDict.encode(values, None)
+            return codes, None, dt, sdict
+
     seq = list(values) if not isinstance(values, np.ndarray) else list(values)
     mask = np.array([v is not None and v is not np.nan or isinstance(v, float)
                      for v in seq], dtype=bool)

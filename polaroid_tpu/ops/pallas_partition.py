@@ -54,6 +54,16 @@ def use_partition_kernel() -> bool:
     if jax.default_backend() != "tpu":
         return False
     if _KERNEL_STATE[0] is None:
+        # never run the selftest while TRACING another computation
+        # (eager pallas dispatch inside a trace can deadlock the remote
+        # compile path); report False for this call but leave the state
+        # untested so a later eager call still enables the kernel
+        try:
+            if not jax.core.trace_state_clean():
+                return False
+        except Exception:
+            pass
+    if _KERNEL_STATE[0] is None:
         # one-shot lowering selftest: a Mosaic verification failure on
         # this backend must disable the kernel (fall back to the carry
         # sort) rather than crash every group-by/filter
