@@ -274,3 +274,27 @@ def test_seg_sorted_accelerator_path_oracle(monkeypatch):
                                rtol=1e-6, atol=tol), (dt, g)
             assert mn[g] == vals.min(), (dt, g)
             assert mx[g] == vals.max(), (dt, g)
+
+
+def test_seg_sum_unsorted_dense_oracle(monkeypatch):
+    import numpy as np
+    import jax.numpy as jnp
+    from polaroid_tpu.ops import groupby as G
+
+    monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    rng = np.random.default_rng(1)
+    cap, ng = 5000, 300
+    gid_np = rng.integers(0, ng, cap).astype(np.int32)
+    gid_np[::17] = ng + 5  # dead rows
+    for dt in (np.int64, np.int32, np.float32):
+        if np.issubdtype(dt, np.floating):
+            v = rng.normal(0, 10, cap).astype(dt)
+        else:
+            v = rng.integers(-1000, 1000, cap).astype(dt)
+        s = np.asarray(G._seg_sum_unsorted_dense(
+            jnp.asarray(v), jnp.asarray(gid_np), ng))
+        assert s.shape[0] == ng
+        for g in range(ng):
+            rows = v[gid_np == g]
+            exp = rows.sum() if len(rows) else 0
+            assert abs(float(s[g]) - float(exp)) < 1e-3, (dt, g)
