@@ -57,10 +57,16 @@ class GroupContext:
     """
 
     __slots__ = ("perm", "gid", "newgrp", "live_sorted", "ngroups", "cap",
-                 "_group_start", "group_count", "out_cap", "sorted_ids")
+                 "_group_start", "group_count", "out_cap", "sorted_ids",
+                 "sorted_cache")
 
     def __init__(self, perm, gid, newgrp, live_sorted, ngroups, cap,
                  group_start, group_count, out_cap=None, sorted_ids=True):
+        # id(row-order column data) -> (sorted data, sorted validity|None):
+        # bare-column agg inputs carried through the ONE build sort so
+        # _sorted_val skips its per-agg permutation gather (~30 ms per
+        # column at 4M rows on TPU)
+        self.sorted_cache = {}
         self.perm = perm
         self.gid = gid
         self.newgrp = newgrp
@@ -104,15 +110,29 @@ def key_words_for(key_vals: Sequence[Val], cap: int) -> List[jax.Array]:
 
 
 def build_groups(key_vals: Sequence[Val], mask: jax.Array,
-                 extra_words: Sequence[jax.Array] = ()) -> GroupContext:
+                 extra_words: Sequence[jax.Array] = (),
+                 carry_cols=()) -> GroupContext:
+    """`extra_words`: additional sort-key words ordering rows WITHIN
+    groups (over(order_by)). `carry_cols`: (key, data, validity|None)
+    triples carried through the build sort as tail operands, landing in
+    ctx.sorted_cache (skips per-agg permutation gathers)."""
     cap = mask.shape[0]
     dead = (~mask).astype(jnp.uint32)
     words = [dead] + key_words_for(key_vals, cap) + list(extra_words)
-    skeys, _, perm = lex_sort_indices(words)
+    n_grp_words = len(words) - len(extra_words)
+    tails, layout = [], []
+    from .keycode import col_from_u32_words, col_to_u32_words
+    for ck, cdata, cval in carry_cols:
+        ws = col_to_u32_words(cdata)
+        tails.extend(ws)
+        if cval is not None:
+            tails.append(cval.astype(jnp.uint32))
+        layout.append((ck, cdata.dtype, len(ws), cval is not None))
+    skeys, stails, perm = lex_sort_indices(words, tuple(tails))
     live_sorted = skeys[0] == 0
     idx = jnp.arange(cap)
     newgrp = idx == 0
-    for w in skeys[1:len(words) - len(extra_words)]:
+    for w in skeys[1:n_grp_words]:
         newgrp = newgrp | (w != jnp.roll(w, 1))
     newgrp = newgrp & live_sorted
     gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
@@ -122,8 +142,20 @@ def build_groups(key_vals: Sequence[Val], mask: jax.Array,
     group_count = _seg_sum(ones, gid, cap)
     group_start = _seg_min(jnp.where(live_sorted, idx, cap).astype(jnp.int32),
                            gid, cap)
-    return GroupContext(perm, gid, newgrp, live_sorted, ngroups, cap,
-                        group_start, group_count)
+    ctx = GroupContext(perm, gid, newgrp, live_sorted, ngroups, cap,
+                       group_start, group_count)
+    wi = 0
+    from ..batch import storage_numpy_dtype as _snd
+    for ck, cdt, nw, hasv in layout:
+        sdata = col_from_u32_words(list(stails[wi:wi + nw]),
+                                   jnp.dtype(cdt))
+        wi += nw
+        svalid = None
+        if hasv:
+            svalid = stails[wi] != 0
+            wi += 1
+        ctx.sorted_cache[ck] = (sdata, svalid)
+    return ctx
 
 
 # --- segment reduction helpers (dump-slot pattern: ids == ncap are dropped
@@ -655,6 +687,12 @@ def _sorted_val(v: Val, ctx: GroupContext) -> Tuple[jax.Array, jax.Array]:
         part = part & v.live
     if not ctx.sorted_ids:
         return data, part & ctx.live_sorted
+    hit = ctx.sorted_cache.get(id(data)) if v.live is None else None
+    if hit is not None:
+        sdata, svalid = hit
+        p = ctx.live_sorted if svalid is None else \
+            (svalid & ctx.live_sorted)
+        return sdata, p
     return data[ctx.perm], part[ctx.perm] & ctx.live_sorted
 
 
@@ -1335,10 +1373,44 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         from ..config import CONFIG as _CFG
         if prod_span > max(4 * cap, 1 << 20):
             spans = None  # domain too large to scatter densely
+        elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT:
+            # accelerator: beyond the MXU one-hot limit every dense-path
+            # aggregate pays its own (gid, value) sort, while the sorted
+            # layout shares ONE sort — H2O q10 (1M-slot domain at 4M
+            # rows): 339 ms dense vs ~80 ms sorted
+            spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
     else:
-        gctx = build_groups(key_vals, mask)
+        # carry bare-column agg inputs through the build sort (skips the
+        # per-agg permutation gather on accelerators)
+        carry = []
+        if _use_segscan():
+            seen_cols = set()
+
+            def _collect(e):
+                if e.kind == "agg" and e.children:
+                    c = e.children[0]
+                    while c.kind == "alias":
+                        c = c.children[0]
+                    if c.kind == "col":
+                        nm = c.attrs.get("name")
+                        colo = table.cols.get(nm)
+                        if nm not in seen_cols and colo is not None and \
+                                colo.data is not None and \
+                                colo.lengths is None and \
+                                colo.fields is None and \
+                                colo.data.shape[0] == cap and \
+                                len(carry) < 6:
+                            seen_cols.add(nm)
+                            carry.append((id(colo.data), colo.data,
+                                          colo.validity))
+                for ch in e.children:
+                    _collect(ch)
+
+            for e in agg_exprs:
+                _collect(e)
+        gctx = build_groups(key_vals, mask, carry_cols=carry)
     ocap = gctx.out_cap
 
     # group keys

@@ -298,3 +298,35 @@ def test_seg_sum_unsorted_dense_oracle(monkeypatch):
             rows = v[gid_np == g]
             exp = rows.sum() if len(rows) else 0
             assert abs(float(s[g]) - float(exp)) < 1e-3, (dt, g)
+
+
+def test_groupby_carried_columns_accel_path(monkeypatch):
+    """Force the accelerator sorted path (carried agg columns through the
+    build sort) and compare against the default CPU path."""
+    import numpy as np
+    from polaroid_tpu.ops import groupby as G
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    v = rng.normal(0, 10, n).tolist()
+    for i in range(0, n, 11):
+        v[i] = None
+    df = pl.DataFrame({"k": rng.integers(0, 37, n).tolist(),
+                       "k2": rng.integers(0, 5, n).tolist(),
+                       "v": v,
+                       "w": rng.integers(-100, 100, n).tolist()})
+    q = lambda d: d.group_by("k", "k2").agg(
+        pl.col("v").sum().alias("s"), pl.col("v").mean().alias("m"),
+        pl.col("w").min().alias("mn"), pl.col("w").max().alias("mx"),
+        pl.col("v").first().alias("f"), pl.col("v").last().alias("l"),
+        pl.len().alias("n")).sort(["k", "k2"]).to_dict()
+    want = q(df)
+    monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    got = q(df)
+    assert got.keys() == want.keys()
+    for c in want:
+        for a, b in zip(got[c], want[c]):
+            if isinstance(a, float) and a is not None and b is not None:
+                assert abs(a - b) < 1e-6, c
+            else:
+                assert a == b, c
