@@ -416,56 +416,61 @@ def _use_segscan() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _seg_sum_unsorted_dense(v, gid, ncap: int):
-    """Exact segment sum over an UNSORTED dense-code gid on accelerator:
-    sort (gid, value-words) and run the sorted doubling sum. Sentinel
-    rows (one identity per group slot) keep empty groups in their dense
-    slots — the MXU one-hot path covers floats, this covers integer
-    sums exactly (a TPU scatter-based segment_sum serializes: H2O q1 at
-    4M rows measured 293 ms via scatters vs ~25 ms here)."""
+def _seg_unsorted_dense(v, gid, ncap: int, op, ident):
+    """Exact segment reduction over an UNSORTED dense-code gid on
+    accelerator: sort (gid, value-words) and run the sorted doubling
+    path. Sentinel rows (one identity per group slot) keep empty groups
+    in their dense slots. Replaces TPU scatter-based segment ops, which
+    serialize (H2O q1 at 4M rows: 293 ms via scatters vs ~25 ms here).
+    """
     cap = gid.shape[0]
     from .keycode import col_from_u32_words, col_to_u32_words
     g_ext = jnp.concatenate([jnp.where(gid < ncap, gid, ncap + 1)
                              .astype(jnp.int32),
                              jnp.arange(ncap, dtype=jnp.int32)])
-    v_ext = jnp.concatenate([v, jnp.zeros(ncap, v.dtype)])
+    v_ext = jnp.concatenate([v, jnp.full(ncap, ident, v.dtype)])
     words = col_to_u32_words(v_ext)
     out = jax.lax.sort((g_ext,) + tuple(words), num_keys=1,
                        is_stable=False)
     g2 = out[0]
     v2 = col_from_u32_words(list(out[1:]), jnp.dtype(v.dtype))
-    s = _seg_sorted(v2, jnp.where(g2 < ncap, g2, cap + ncap).astype(
-        jnp.int32), ncap, jnp.add, 0)
-    return s
+    return _seg_sorted(v2, jnp.where(g2 < ncap, g2, cap + ncap).astype(
+        jnp.int32), ncap, op, ident)
 
 
 def _seg_sum(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids and _use_segscan():
-        return _seg_sorted(data, gid, ncap, jnp.add, 0)
+    if _use_segscan():
+        if sorted_ids:
+            return _seg_sorted(data, gid, ncap, jnp.add, 0)
+        return _seg_unsorted_dense(data, gid, ncap, jnp.add, 0)
     out = jax.ops.segment_sum(data, gid, num_segments=ncap + 1,
                               indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_min(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids and _use_segscan():
+    if _use_segscan():
         if jnp.issubdtype(data.dtype, jnp.floating):
             ident = jnp.inf
         else:
             ident = jnp.iinfo(data.dtype).max
-        return _seg_sorted(data, gid, ncap, jnp.minimum, ident)
+        if sorted_ids:
+            return _seg_sorted(data, gid, ncap, jnp.minimum, ident)
+        return _seg_unsorted_dense(data, gid, ncap, jnp.minimum, ident)
     out = jax.ops.segment_min(data, gid, num_segments=ncap + 1,
                               indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
 
 
 def _seg_max(data, gid, ncap, sorted_ids: bool = True):
-    if sorted_ids and _use_segscan():
+    if _use_segscan():
         if jnp.issubdtype(data.dtype, jnp.floating):
             ident = -jnp.inf
         else:
             ident = jnp.iinfo(data.dtype).min
-        return _seg_sorted(data, gid, ncap, jnp.maximum, ident)
+        if sorted_ids:
+            return _seg_sorted(data, gid, ncap, jnp.maximum, ident)
+        return _seg_unsorted_dense(data, gid, ncap, jnp.maximum, ident)
     out = jax.ops.segment_max(data, gid, num_segments=ncap + 1,
                               indices_are_sorted=sorted_ids)
     return jax.lax.slice_in_dim(out, 0, ncap)
@@ -780,13 +785,6 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                          s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
         acc = _acc_dtype(dt)
         out_dt = _sum_dtype(dt)
-        if not sids and _use_segscan():
-            # unsorted dense codes + integer values: exact sorted-path
-            # sum instead of a serialized TPU scatter
-            s = _seg_sum_unsorted_dense(
-                jnp.where(spart, sx, 0).astype(acc), gid, ncap)
-            return asval(out_dt,
-                         s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
         s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         return asval(out_dt, s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
     if agg == "product":
@@ -1373,11 +1371,14 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         from ..config import CONFIG as _CFG
         if prod_span > max(4 * cap, 1 << 20):
             spans = None  # domain too large to scatter densely
-        elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT:
-            # accelerator: beyond the MXU one-hot limit every dense-path
+        elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT and \
+                len(agg_exprs) > 2:
+            # accelerator, beyond the MXU one-hot limit: each dense-path
             # aggregate pays its own (gid, value) sort, while the sorted
-            # layout shares ONE sort — H2O q10 (1M-slot domain at 4M
-            # rows): 339 ms dense vs ~80 ms sorted
+            # layout shares ONE build sort — dense still wins for 1-2
+            # aggregates because its gid is free (dict codes / mixed-
+            # radix), e.g. the 1M-unique string group-by: 209 ms dense
+            # vs 411 ms sorted at 8.4M rows
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)

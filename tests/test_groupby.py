@@ -291,8 +291,16 @@ def test_seg_sum_unsorted_dense_oracle(monkeypatch):
             v = rng.normal(0, 10, cap).astype(dt)
         else:
             v = rng.integers(-1000, 1000, cap).astype(dt)
-        s = np.asarray(G._seg_sum_unsorted_dense(
-            jnp.asarray(v), jnp.asarray(gid_np), ng))
+        s = np.asarray(G._seg_unsorted_dense(
+            jnp.asarray(v), jnp.asarray(gid_np), ng, jnp.add, 0))
+        mx = np.asarray(G._seg_unsorted_dense(
+            jnp.asarray(v), jnp.asarray(gid_np), ng, jnp.maximum,
+            np.iinfo(dt).min if np.issubdtype(dt, np.integer)
+            else -np.inf))
+        for g in range(ng):
+            rows = v[gid_np == g]
+            if len(rows):
+                assert mx[g] == rows.max(), (dt, g, "max")
         assert s.shape[0] == ng
         for g in range(ng):
             rows = v[gid_np == g]
