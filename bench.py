@@ -47,7 +47,7 @@ def _supervise() -> None:
     backend *init* can hang when the tunnel grant is stuck, so the
     supervisor itself must not touch jax."""
     import subprocess
-    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
+    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "1500"))
     env = dict(os.environ, PT_BENCH_CHILD="1")
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                          env=env, stdout=subprocess.PIPE, text=True)
@@ -557,10 +557,10 @@ def main():
         # readback to drain within the remaining budget, then exit.
         t = _SELFTEST_THREAD[0]
         if t is not None:
-            t.join(float(os.environ.get("PT_BENCH_BUDGET_S", "540")))
+            t.join(float(os.environ.get("PT_BENCH_BUDGET_S", "1500")))
         os._exit(0)
 
-    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "540"))
+    budget = float(os.environ.get("PT_BENCH_BUDGET_S", "1500"))
     shared: dict = {"platform": jax.default_backend(), "n_rows": N_ROWS}
     done = threading.Event()
 
