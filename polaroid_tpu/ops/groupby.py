@@ -1383,11 +1383,17 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
     else:
-        # carry bare-column agg inputs through the build sort (skips the
-        # per-agg permutation gather on accelerators)
+        # carry bare-column agg inputs AND the key columns through the
+        # build sort (skips per-agg and per-key permutation gathers on
+        # accelerators)
         carry = []
         if _use_segscan():
             seen_cols = set()
+            for kv in key_vals:
+                if kv.data is not None and kv.data.ndim == 1 and \
+                        kv.data.shape[0] == cap and \
+                        id(kv.data) not in {c[0] for c in carry}:
+                    carry.append((id(kv.data), kv.data, kv.validity))
 
             def _collect(e):
                 if e.kind == "agg" and e.children:
@@ -1442,21 +1448,74 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
             names.append(name)
             cols[name] = Column(kv.dtype, data, svalid, kv.sdict)
     else:
-        # sorted layout: value at each group's first row
-        start = jnp.clip(gctx.group_start, 0, cap - 1)
-        for ke, kv in zip(key_exprs, key_vals):
-            name = meta.output_name(ke)
-            src = kv.data[gctx.perm]
-            sdata = src[start]
-            svalid = None
-            if kv.validity is not None:
-                svalid = kv.validity[gctx.perm][start] & gvalid_rows
-            out_v = Val(kv.dtype, sdata, svalid, kv.sdict, False)
-            key_outputs[name] = out_v
-            if name in cols:
-                raise DuplicateError(f"duplicate key name {name!r}")
-            names.append(name)
-            cols[name] = Column(kv.dtype, sdata, svalid, kv.sdict)
+        # sorted layout: value at each group's first row. On
+        # accelerators all keys extract together with ONE boundary
+        # compaction over the carried (already-sorted) columns — the
+        # per-key permutation gathers cost ~30 ms each at 4M rows.
+        key_rows = None
+        if _use_segscan() and gctx.newgrp is not None:
+            from .keycode import col_to_u32_words as _cw, \
+                col_from_u32_words as _cfw
+            words, lay = [], []
+            ok = True
+            for kv in key_vals:
+                hit = gctx.sorted_cache.get(id(kv.data)) \
+                    if kv.data is not None else None
+                if hit is None:
+                    ok = False
+                    break
+                sdata, svalid = hit
+                ws = _cw(sdata)
+                words.extend(ws)
+                if svalid is not None:
+                    words.append(svalid.astype(jnp.uint32))
+                lay.append((kv.dtype, sdata.dtype, len(ws),
+                            svalid is not None))
+            if ok and words:
+                from .pallas_partition import (compact_words,
+                                               use_partition_kernel)
+                if use_partition_kernel():
+                    res_k = compact_words(gctx.newgrp, words)
+                    if res_k is not None:
+                        key_rows = res_k[0]
+                if key_rows is None:
+                    outw = _mssort(
+                        [(~gctx.newgrp).astype(jnp.uint32)] + words, 1,
+                        is_stable=True)
+                    key_rows = list(outw[1:])
+        if key_rows is not None:
+            wi = 0
+            for ke, kv, (dt_k, stor_k, nw, hasv) in zip(key_exprs,
+                                                        key_vals, lay):
+                name = meta.output_name(ke)
+                from .keycode import col_from_u32_words as _cfw2
+                sdata = _cfw2(key_rows[wi:wi + nw], jnp.dtype(stor_k))
+                wi += nw
+                svalid = None
+                if hasv:
+                    svalid = (key_rows[wi] != 0) & gvalid_rows
+                    wi += 1
+                out_v = Val(kv.dtype, sdata, svalid, kv.sdict, False)
+                key_outputs[name] = out_v
+                if name in cols:
+                    raise DuplicateError(f"duplicate key name {name!r}")
+                names.append(name)
+                cols[name] = Column(kv.dtype, sdata, svalid, kv.sdict)
+        else:
+            start = jnp.clip(gctx.group_start, 0, cap - 1)
+            for ke, kv in zip(key_exprs, key_vals):
+                name = meta.output_name(ke)
+                src = kv.data[gctx.perm]
+                sdata = src[start]
+                svalid = None
+                if kv.validity is not None:
+                    svalid = kv.validity[gctx.perm][start] & gvalid_rows
+                out_v = Val(kv.dtype, sdata, svalid, kv.sdict, False)
+                key_outputs[name] = out_v
+                if name in cols:
+                    raise DuplicateError(f"duplicate key name {name!r}")
+                names.append(name)
+                cols[name] = Column(kv.dtype, sdata, svalid, kv.sdict)
 
     for ae in agg_exprs:
         name = meta.output_name(ae)

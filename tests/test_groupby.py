@@ -338,3 +338,31 @@ def test_groupby_carried_columns_accel_path(monkeypatch):
                 assert abs(a - b) < 1e-6, c
             else:
                 assert a == b, c
+
+
+def test_groupby_key_compaction_accel_path(monkeypatch):
+    """Force the accelerator path and check the boundary-compacted key
+    extraction (nullable int, string, f64 keys) matches the CPU path."""
+    import numpy as np
+    import unittest.mock as M
+    from polaroid_tpu.ops import groupby as G
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    k1 = rng.integers(0, 29, n).tolist()
+    for i in range(0, n, 13):
+        k1[i] = None
+    df = pl.DataFrame({"k1": k1,
+                       "s": rng.choice(["aa", "bb", "cc"], n).tolist(),
+                       "f": rng.normal(0, 1, n).astype(np.float64),
+                       "v": rng.integers(-9, 9, n).tolist()})
+
+    def q():
+        return df.group_by("k1", "s", "f").agg(
+            pl.col("v").sum().alias("sv"), pl.len().alias("n")) \
+            .sort(["k1", "s", "f"]).to_dict()
+
+    want = q()
+    with M.patch.object(G, "_use_segscan", lambda: True):
+        got = q()
+    assert got == want
