@@ -367,8 +367,11 @@ def _run_benches(d: dict) -> None:
     # model: ideal 4-pass LSD radix over (4B key + 4B payload), r+w
     _roofline(d, "sort", t_sort, 4 * 2 * n * 8,
               note="ideal = 4-pass radix; XLA lax.sort is a general "
-                   "comparison sort — known gap, pallas radix sort is "
-                   "the planned fix")
+                   "comparison sort. The hierarchical Pallas merge sort "
+                   "(ops/merge_sort.py) measured SLOWER under the VMEM "
+                   "pass budget and ships opt-in (PT_MERGESORT=1); the "
+                   "hot paths route around full sorts instead (partition "
+                   "kernel + doubling scans)")
 
     # sort-based general group-by (was skipped in r1 for a remote-compile
     # hang with associative_scan formulations; local_groupby now lowers
