@@ -114,7 +114,9 @@ def _ensure_groupby_stats(nodes: List[L.Plan], table: Table) -> None:
             if mx < mn:
                 mn, mx = 0, 0
             # bucket bounds so stats stay stable across similar batches
-            B = 1024
+            # (B=16: a 100-value key inflates to span 113, not 1025 —
+            # the old B=1024 ballooned 2-key dense domains 100x)
+            B = 16
             c.stats = {"min": (mn // B) * B, "max": ((mx // B) + 1) * B - 1}
 
 

@@ -1372,13 +1372,14 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         if prod_span > max(4 * cap, 1 << 20):
             spans = None  # domain too large to scatter densely
         elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT and \
-                len(agg_exprs) > 2:
+                (len(agg_exprs) > 2 or prod_span > max(cap // 4, 1 << 14)):
             # accelerator, beyond the MXU one-hot limit: each dense-path
-            # aggregate pays its own (gid, value) sort, while the sorted
-            # layout shares ONE build sort — dense still wins for 1-2
-            # aggregates because its gid is free (dict codes / mixed-
-            # radix), e.g. the 1M-unique string group-by: 209 ms dense
-            # vs 411 ms sorted at 8.4M rows
+            # aggregate pays its own (gid+sentinels, value) sort, while
+            # the sorted layout shares ONE build sort — dense still wins
+            # for 1-2 aggregates over domains well under the row count
+            # (its gid is free: dict codes / mixed-radix), e.g. the
+            # 1M-unique string group-by at 8.4M rows: 168 ms dense vs
+            # 411 ms sorted
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
