@@ -9,12 +9,20 @@ operators use partial states:
   * group_by: per-batch partial aggregate states (sum/count/min/max/...)
     are vstacked and re-aggregated with a merge agg — the two-phase
     combine of `nodes/group_by.rs` without hash tables;
-  * sort/join/distinct on streamed inputs fall back to materialize
-    (the reference does the same for sort via InMemoryMap,
-    `to_graph.rs:749-783`).
+  * joins: sampled build-side selection with probe replay; builds past
+    the row budget switch to grace-hash partitioned spill joins
+    (inner/left/right/semi/anti/full — per-partition exact);
+  * sort: external sample-sort with spill files, gated by a memory
+    budget (inputs that fit sort in memory with zero disk traffic);
+  * distinct: per-batch uniques with incremental folds (memory bounded
+    by output cardinality); keep="none" materializes (cross-batch
+    duplicate information cannot be pre-deduped);
+  * stateful window exprs stream exactly (bounded-lookback tail replay,
+    cum_* via carried device scalars); early-stop for head().
 
-v0 keeps a conservative operator set; anything unsupported materializes
-the child and delegates to the in-memory engine.
+Anything else materializes the child and delegates to the in-memory
+engine (the reference does the same for non-streamable nodes via
+InMemoryMap, `to_graph.rs:749-783`).
 """
 
 from __future__ import annotations
