@@ -58,7 +58,7 @@ class GroupContext:
 
     __slots__ = ("perm", "gid", "newgrp", "live_sorted", "ngroups", "cap",
                  "_group_start", "group_count", "out_cap", "sorted_ids",
-                 "sorted_cache")
+                 "sorted_cache", "mxu_stash")
 
     def __init__(self, perm, gid, newgrp, live_sorted, ngroups, cap,
                  group_start, group_count, out_cap=None, sorted_ids=True):
@@ -67,6 +67,10 @@ class GroupContext:
         # _sorted_val skips its per-agg permutation gather (~30 ms per
         # column at 4M rows on TPU)
         self.sorted_cache = {}
+        # dense MXU layout: batched one-hot reductions, one kernel pass
+        # for ALL simple aggregates (keyed ("len",) / ("count"|"sum",
+        # id(col.data)))
+        self.mxu_stash = {}
         self.perm = perm
         self.gid = gid
         self.newgrp = newgrp
@@ -740,6 +744,10 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         return asval(UInt32, cnt)
     if agg == "count":
         if mxu:
+            st = ctx.mxu_stash.get(("count", id(v.data))) \
+                if v.live is None else None
+            if st is not None:
+                return asval(UInt32, st.astype(jnp.uint32))
             (c,) = _onehot_seg_sum_f32([jnp.ones(cap, jnp.float32)], gid,
                                        ncap, spart)
             return asval(UInt32, c.astype(jnp.uint32))
@@ -779,8 +787,13 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             s = _seg_sum(jnp.where(spart & sx, jnp.uint32(1), jnp.uint32(0)), gid, ncap, sids)
             return asval(UInt32, s)
         if mxu and dt.is_float:
-            (s,) = _onehot_seg_sum_f32([sx], gid, ncap, spart)
             out_dt = _sum_dtype(dt)
+            st = ctx.mxu_stash.get(("sum", id(v.data))) \
+                if v.live is None else None
+            if st is not None:
+                return asval(out_dt, st.astype(
+                    jnp.dtype(storage_numpy_dtype(out_dt))))
+            (s,) = _onehot_seg_sum_f32([sx], gid, ncap, spart)
             return asval(out_dt,
                          s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
         acc = _acc_dtype(dt)
@@ -801,9 +814,17 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         return asval(dt, total.astype(sx.dtype))
     if agg == "mean":
         if mxu and (dt.is_float or dt.is_integer or dt.is_bool):
+            out_dt = _float_dt(dt)
+            ss = ctx.mxu_stash.get(("sum", id(v.data))) \
+                if v.live is None else None
+            nn = ctx.mxu_stash.get(("count", id(v.data))) \
+                if v.live is None else None
+            if ss is not None and nn is not None:
+                m = ss / jnp.maximum(nn, 1)
+                return asval(out_dt, m.astype(jnp.dtype(
+                    storage_numpy_dtype(out_dt))), nn > 0)
             s, n = _onehot_seg_sum_f32([sx, jnp.ones(cap, jnp.float32)],
                                        gid, ncap, spart)
-            out_dt = _float_dt(dt)
             m = s / jnp.maximum(n, 1)
             return asval(out_dt, m.astype(jnp.dtype(
                 storage_numpy_dtype(out_dt))), n > 0)
@@ -1383,6 +1404,70 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
+        if _dense_mxu_ok(gctx):
+            # batch every simple one-hot reduction into ONE Pallas pass:
+            # per-agg kernel launches each re-read gid and rebuild the
+            # one-hots (the bench q1 engine pipeline paid 3 passes over
+            # 8.4M rows for len+sum+mean)
+            reqs = {}
+
+            def _collect_mxu(e):
+                if e.kind == "table_len":
+                    reqs.setdefault(("len",), None)
+                elif e.kind == "agg" and e.children:
+                    c = e.children[0]
+                    while c.kind == "alias":
+                        c = c.children[0]
+                    kind = e.attrs.get("agg")
+                    if c.kind == "col":
+                        colo = table.cols.get(c.attrs.get("name"))
+                        if colo is not None and colo.data is not None and \
+                                colo.lengths is None and \
+                                colo.fields is None and \
+                                colo.data.ndim == 1 and \
+                                colo.data.shape[0] == cap:
+                            did = id(colo.data)
+                            if kind == "len":
+                                reqs.setdefault(("len",), None)
+                            elif kind in ("count", "mean") or \
+                                    (kind == "sum" and
+                                     colo.dtype.is_float):
+                                if kind in ("count", "mean"):
+                                    reqs.setdefault(("count", did), colo)
+                                if (kind == "sum" and
+                                        colo.dtype.is_float) or \
+                                        (kind == "mean" and
+                                         (colo.dtype.is_float or
+                                          colo.dtype.is_integer or
+                                          colo.dtype.is_bool)):
+                                    reqs.setdefault(("sum", did), colo)
+                for ch in e.children:
+                    _collect_mxu(ch)
+
+            for e in agg_exprs:
+                _collect_mxu(e)
+            if len(reqs) > 1:
+                keys_l, rows = [], []
+                ones = jnp.ones(cap, jnp.float32)
+                for rk, colo in reqs.items():
+                    keys_l.append(rk)
+                    if rk[0] == "len":
+                        rows.append(ones)
+                    elif rk[0] == "count":
+                        rows.append(ones if colo.validity is None else
+                                    colo.validity.astype(jnp.float32))
+                    else:  # sum
+                        v = colo.data.astype(jnp.float32)
+                        if colo.validity is not None:
+                            v = jnp.where(colo.validity, v,
+                                          jnp.float32(0))
+                        rows.append(v)
+                # gid already routes dead rows to the dump slot; only
+                # per-column validity needed masking above
+                outs_mxu = _onehot_seg_sum_f32(
+                    rows, gctx.gid, gctx.out_cap,
+                    jnp.ones(cap, jnp.bool_))
+                gctx.mxu_stash = dict(zip(keys_l, outs_mxu))
     else:
         # carry bare-column agg inputs AND the key columns through the
         # build sort (skips per-agg and per-key permutation gathers on

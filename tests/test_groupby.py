@@ -366,3 +366,38 @@ def test_groupby_key_compaction_accel_path(monkeypatch):
     with M.patch.object(G, "_use_segscan", lambda: True):
         got = q()
     assert got == want
+
+
+def test_groupby_dense_mxu_batched_stash(monkeypatch):
+    """Force the dense MXU layout (batched one-hot stash) on CPU and
+    compare against the default path, nulls included."""
+    import numpy as np
+    import unittest.mock as M
+    import jax as _jax
+    from polaroid_tpu.ops import groupby as G
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    v = rng.normal(0, 10, n).tolist()
+    for i in range(0, n, 9):
+        v[i] = None
+    df = pl.DataFrame({"k": rng.integers(0, 50, n).tolist(),
+                       "v": v,
+                       "w": rng.integers(-5, 5, n).tolist()})
+
+    def q():
+        return df.group_by("k").agg(
+            pl.len().alias("n"), pl.col("v").sum().alias("s"),
+            pl.col("v").mean().alias("m"), pl.col("v").count().alias("c"),
+            pl.col("w").mean().alias("wm")).sort("k").to_dict()
+
+    want = q()
+    with M.patch.object(_jax, "default_backend", lambda: "tpu"):
+        got = q()
+    assert got.keys() == want.keys()
+    for cname in want:
+        for a, b in zip(got[cname], want[cname]):
+            if isinstance(a, float) and a is not None and b is not None:
+                assert abs(a - b) < 1e-4, cname
+            else:
+                assert a == b, cname
