@@ -427,26 +427,6 @@ def make_sharded_groupby_2d(mesh, aggs: Sequence[str], per_dest_cap: int,
     return jax.jit(fn)
 
 
-def sharded_groupby_step(key, vals, valid, aggs: Sequence[str],
-                         num_shards: int, per_dest_cap: int,
-                         axis: str = AXIS):
-    """Full distributed group-by (runs inside shard_map):
-    local partial agg -> hash all_to_all -> local merge.
-    Output: per-shard (gkey, outs, gvalid, dropped) of capacity
-    S*per_dest_cap, each shard owning a disjoint hash range of keys.
-    `dropped` counts exchange-overflow records (0 by construction when
-    per_dest_cap >= the local shard capacity: a chip holds at most that
-    many partial states)."""
-    gkey, partials, gvalid = local_groupby(key, vals, valid, aggs)
-    dest = _hash_u64(gkey) % jnp.uint32(num_shards)
-    rkey, rpart, rvalid, dropped = exchange_records(
-        dest, gkey, partials, gvalid, num_shards, per_dest_cap, axis,
-        with_overflow=True)
-    merge_aggs = [_MERGE_OF[a] for a in aggs]
-    gk, outs, gv = local_groupby(rkey, rpart, rvalid, merge_aggs)
-    return gk, outs, gv, dropped
-
-
 def make_sharded_groupby(mesh, aggs: Sequence[str], per_dest_cap: int):
     """jit-compiled distributed group-by over row-sharded arrays (flat
     or hosts x chips mesh — 2-D meshes ride the two-stage ICI+DCN
@@ -875,13 +855,6 @@ def local_join(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int,
     lout = [p[lidx] for p in lpay]
     rout = [p[ridx] for p in rpay]
     return jkey, lout, rout, jvalid, lmatch, rmatch
-
-
-def local_join_inner(lkey, lpay, lvalid, rkey, rpay, rvalid, out_cap: int):
-    """Back-compat wrapper: inner join (see local_join)."""
-    jk, lo, ro, jv, _, _ = local_join(lkey, lpay, lvalid, rkey, rpay,
-                                      rvalid, out_cap, "inner")
-    return jk, lo, ro, jv
 
 
 def local_semi_flags(lkey, lvalid, rkey, rvalid, how: str):
