@@ -420,38 +420,6 @@ def _use_segscan() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _dense_batched_reduce(gid, ncap: int, items):
-    """Batched segment reductions over an UNSORTED dense-code gid: ONE
-    (gid+sentinels, values...) sort + per-item doubling scans + ONE
-    boundary compaction — instead of one sort per aggregate
-    (`_seg_unsorted_dense`). items: list of (kind, data, ident) with
-    kind in {"add", "max"}; data already masked/encoded by the caller
-    (u32/i32/f32 single-word). Returns per-slot result arrays."""
-    cap = gid.shape[0]
-    g_ext = jnp.concatenate([jnp.where(gid < ncap, gid, ncap + 1)
-                             .astype(jnp.int32),
-                             jnp.arange(ncap, dtype=jnp.int32)])
-    vals_ext = [jnp.concatenate([d, jnp.full(ncap, ident, d.dtype)])
-                for (_, d, ident) in items]
-    out = jax.lax.sort((g_ext,) + tuple(vals_ext), num_keys=1,
-                       is_stable=False)
-    g2 = jnp.where(out[0] < ncap, out[0], cap + ncap).astype(jnp.int32)
-    scans = []
-    for (kind, _, _), sv in zip(items, out[1:]):
-        op = jnp.add if kind == "add" else jnp.maximum
-        live = g2 < ncap
-        x = sv if kind == "add" else sv  # already identity-filled
-        scans.append(_seg_scan_doubling(x, g2, op))
-    compacted, ngroups = _compact_at_ends(g2, ncap, scans)
-    gvalid = jnp.arange(cap + ncap) < ngroups
-    outs = []
-    for (kind, d, ident), tot in zip(items, compacted):
-        outs.append(_fit(jnp.where(gvalid, tot,
-                                   jnp.asarray(ident, tot.dtype)),
-                         ncap, ident))
-    return outs
-
-
 def _seg_unsorted_dense(v, gid, ncap: int, op, ident):
     """Exact segment reduction over an UNSORTED dense-code gid on
     accelerator: sort (gid, value-words) and run the sorted doubling
@@ -772,16 +740,9 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             (c,) = _onehot_seg_sum_f32([jnp.ones(cap, jnp.float32)], gid,
                                        ncap, present)
             return asval(UInt32, c.astype(jnp.uint32))
-        st = ctx.mxu_stash.get(("dlen",)) if v.live is None else None
-        if st is not None and not sids:
-            return asval(UInt32, st.astype(jnp.uint32))
         cnt = _seg_sum(present.astype(jnp.uint32), gid, ncap, sids)
         return asval(UInt32, cnt)
     if agg == "count":
-        if not mxu and not sids and v.live is None:
-            st = ctx.mxu_stash.get(("dcount", id(v.data)))
-            if st is not None:
-                return asval(UInt32, st.astype(jnp.uint32))
         if mxu:
             st = ctx.mxu_stash.get(("count", id(v.data))) \
                 if v.live is None else None
@@ -837,11 +798,6 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                          s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
         acc = _acc_dtype(dt)
         out_dt = _sum_dtype(dt)
-        if not sids and v.live is None:
-            st = ctx.mxu_stash.get(("dsum", id(v.data)))
-            if st is not None:
-                return asval(out_dt, st.astype(
-                    jnp.dtype(storage_numpy_dtype(out_dt))))
         s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         return asval(out_dt, s.astype(jnp.dtype(storage_numpy_dtype(out_dt))))
     if agg == "product":
@@ -872,17 +828,6 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             m = s / jnp.maximum(n, 1)
             return asval(out_dt, m.astype(jnp.dtype(
                 storage_numpy_dtype(out_dt))), n > 0)
-        if not sids and v.live is None:
-            ss = ctx.mxu_stash.get(("dsum", id(v.data)))
-            nn = ctx.mxu_stash.get(("dcount", id(v.data)))
-            if ss is not None and nn is not None:
-                out_dt2 = dt if (isinstance(dt, (Datetime, Duration)) or
-                                 dt == Date) else _float_dt(dt)
-                m = ss / jnp.maximum(nn, 1)
-                data2 = m.astype(sx.dtype) if out_dt2 == dt and \
-                    not dt.is_float else m.astype(
-                        jnp.dtype(storage_numpy_dtype(out_dt2)))
-                return asval(out_dt2, data2, nn > 0)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(dt)
         s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
@@ -893,14 +838,6 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
             m.astype(jnp.dtype(storage_numpy_dtype(out_dt)))
         return asval(out_dt, data, n > 0)
     if agg in ("min", "max"):
-        if not mxu and not sids and v.live is None and not dt.is_string:
-            stm = ctx.mxu_stash.get(
-                ("dmin" if agg == "min" else "dmax", id(v.data)))
-            stc = ctx.mxu_stash.get(("dcount", id(v.data)))
-            if stm is not None and stc is not None:
-                from .keycode import decode_orderable as _dec
-                val = _dec(stm, sx.dtype, descending=agg == "min")
-                return asval(dt, val, stc > 0)
         if mxu:
             has = _masked_seg_minmax(spart.astype(jnp.int32), gid, ncap,
                                      jnp.ones(cap, jnp.bool_), True, 0) > 0
@@ -1467,86 +1404,6 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
-        if _use_segscan() and not _dense_mxu_ok(gctx):
-            # large dense domain (beyond the MXU one-hot limit): batch
-            # every simple reduction into ONE shared sort instead of one
-            # sort per aggregate (H2O q3/q7 paid 2-4 sorts each)
-            from .keycode import encode_orderable as _enc
-            items, ikeys = [], []
-
-            def _add_item(k, kind, data, ident):
-                if k in ikeys or len(items) >= 8:
-                    return
-                ikeys.append(k)
-                items.append((kind, data, ident))
-
-            def _collect_dense(e):
-                if e.kind == "table_len":
-                    _add_item(("dlen",), "add",
-                              jnp.ones(cap, jnp.int32), 0)
-                elif e.kind == "agg" and e.children:
-                    c = e.children[0]
-                    while c.kind == "alias":
-                        c = c.children[0]
-                    kind = e.attrs.get("agg")
-                    colo = table.cols.get(c.attrs.get("name")) \
-                        if c.kind == "col" else None
-                    if colo is not None and colo.data is not None and \
-                            colo.lengths is None and \
-                            colo.fields is None and \
-                            colo.data.ndim == 1 and \
-                            colo.data.shape[0] == cap:
-                        did = id(colo.data)
-                        valid_c = colo.validity
-                        dt_c = colo.dtype
-                        if kind == "len":
-                            _add_item(("dlen",), "add",
-                                      jnp.ones(cap, jnp.int32), 0)
-                        if kind in ("count", "mean", "min", "max"):
-                            ones = jnp.ones(cap, jnp.int32) \
-                                if valid_c is None else \
-                                valid_c.astype(jnp.int32)
-                            _add_item(("dcount", did), "add", ones, 0)
-                        if kind in ("sum", "mean") and \
-                                (dt_c.is_float or dt_c.is_integer or
-                                 dt_c.is_bool) and not dt_c.is_string:
-                            acc = _acc_dtype(dt_c)
-                            vv = colo.data
-                            if vv.dtype == jnp.bool_:
-                                vv = vv.astype(jnp.int32)
-                            vv = vv.astype(acc)
-                            if valid_c is not None:
-                                vv = jnp.where(valid_c, vv,
-                                               jnp.zeros((), acc))
-                            _add_item(("dsum", did), "add", vv, 0)
-                        if kind in ("min", "max") and \
-                                not dt_c.is_string and \
-                                colo.data.dtype.itemsize <= 4 and \
-                                colo.data.dtype != jnp.bool_:
-                            is_min = kind == "min"
-                            if dt_c.is_float:
-                                ident_raw = jnp.inf if is_min else -jnp.inf
-                            else:
-                                info = jnp.iinfo(colo.data.dtype)
-                                ident_raw = info.max if is_min else info.min
-                            x = colo.data
-                            if valid_c is not None:
-                                x = jnp.where(valid_c, x,
-                                              jnp.asarray(ident_raw,
-                                                          x.dtype))
-                            u = _enc(x, descending=is_min).astype(
-                                jnp.uint32)
-                            _add_item(("dmin" if is_min else "dmax", did),
-                                      "max", u, 0)
-                for ch in e.children:
-                    _collect_dense(ch)
-
-            for e in agg_exprs:
-                _collect_dense(e)
-            if len(items) > 1:
-                outs_b = _dense_batched_reduce(gctx.gid, gctx.out_cap,
-                                               items)
-                gctx.mxu_stash = dict(zip(ikeys, outs_b))
         if _dense_mxu_ok(gctx):
             # batch every simple one-hot reduction into ONE Pallas pass:
             # per-agg kernel launches each re-read gid and rebuild the

@@ -401,42 +401,3 @@ def test_groupby_dense_mxu_batched_stash(monkeypatch):
                 assert abs(a - b) < 1e-4, cname
             else:
                 assert a == b, cname
-
-
-def test_groupby_dense_batched_sort_stash(monkeypatch):
-    """Force a LARGE dense domain (beyond the MXU limit) so the
-    sort-batched reduction stash engages, and compare to the default.
-    (Patch _use_segscan, not the backend: flipping default_backend()
-    mid-test changes Float64 storage width and corrupts columns built
-    under the real backend.)"""
-    import numpy as np
-    import unittest.mock as M
-    from polaroid_tpu.ops import groupby as G
-    _ = np
-
-    rng = np.random.default_rng(12)
-    n = 6000
-    v = rng.normal(0, 10, n).tolist()
-    for i in range(0, n, 7):
-        v[i] = None
-    df = pl.DataFrame({"k": rng.integers(0, 5000, n).tolist(),  # > MXU 4096
-                       "v": v,
-                       "w": rng.integers(-100, 100, n).tolist()})
-
-    def q():
-        return df.group_by("k").agg(
-            pl.len().alias("n"), pl.col("v").sum().alias("s"),
-            pl.col("v").mean().alias("m"), pl.col("v").count().alias("c"),
-            pl.col("w").min().alias("mn"), pl.col("w").max().alias("mx"),
-            pl.col("v").min().alias("vmn")).sort("k").to_dict()
-
-    want = q()
-    with M.patch.object(G, "_use_segscan", lambda: True):
-        got = q()
-    assert got.keys() == want.keys()
-    for cname in want:
-        for a, b in zip(got[cname], want[cname]):
-            if isinstance(a, float) and a is not None and b is not None:
-                assert abs(a - b) < 1e-4, cname
-            else:
-                assert a == b, cname
