@@ -122,18 +122,39 @@ def _group_bounds(newg, live, carry=()):
 
 
 def local_groupby(key, vals: Sequence, valid, aggs: Sequence[str]):
-    """Per-chip sort-based group-by over packed u64 keys.
+    """Per-chip group-by over packed keys.
 
-    Returns (gkey[cap], outs list[cap], gvalid[cap]) where group g's state
-    sits at slot g. `aggs[i]` applies to vals[i]; "count" ignores vals[i]
+    Returns (gkey[M], outs list[M], gvalid[M]) — a masked partial-group
+    table (M >= cap; live slots marked by gvalid, slot positions
+    unspecified). `aggs[i]` applies to vals[i]; "count" ignores vals[i]
     and counts valid rows.
 
-    Scatter-free: one key sort, segmented associative scans for the
-    reductions, and a second (cheap) sort that compacts group-boundary
-    slots to the front so group g's [start, end) is a plain gather.
-    (The previous segment_sum/scatter formulation serialized on TPU:
-    ~500ms for 8M rows; this runs the same shapes in ~35ms.)
+    Accelerator u32-key path is runtime-adaptive (ops/hgroup.py):
+    dense MXU one-hot when the live key range < 8192, hash-exchange
+    (fmix32 + Pallas bucket exchange + per-bucket batched sorts)
+    otherwise, with a `lax.cond` fallback to the carry sort on bucket
+    overflow. u64 keys and 8-byte values use the carry sort: ONE
+    multi-operand stable sort + segmented log-doubling scans.
     """
+    cap = key.shape[0]
+    if (jax.default_backend() != "cpu"
+            and key.dtype.itemsize <= 4
+            and cap >= (1 << 14) and cap < (1 << 24)
+            and all(getattr(v, "dtype", None) is not None
+                    and v.dtype.itemsize == 4 for v in vals)
+            and all(a in ("sum", "count", "min", "max") for a in aggs)):
+        from ..ops.hgroup import adaptive_local_groupby
+        gk, outs, gv = adaptive_local_groupby(
+            key, list(vals), valid, aggs,
+            lambda: _local_groupby_carry(key, vals, valid, aggs))
+        if key.dtype != jnp.uint32:
+            gk = gk.astype(key.dtype)
+        return gk, list(outs), gv
+    return _local_groupby_carry(key, vals, valid, aggs)
+
+
+def _local_groupby_carry(key, vals: Sequence, valid, aggs: Sequence[str]):
+    """The carry-sort group-by (all dtypes; exact u64 keys)."""
     cap = key.shape[0]
     dead = (~valid).astype(jnp.uint32)
     # ONE multi-operand sort carries the payload columns alongside the
