@@ -100,6 +100,11 @@ def _map_axis0(c: Column, fn) -> Column:
 _COMPACT_CACHE: dict = {}
 
 
+def _in_trace() -> bool:
+    from .pallas_partition import trace_state_clean
+    return not trace_state_clean()
+
+
 def compact(table: Table) -> Table:
     """Return a compact-state table (live rows form a front prefix, same
     capacity) WITHOUT any host sync: the row count stays on device as
@@ -115,6 +120,13 @@ def compact(table: Table) -> Table:
     slower and fragile)."""
     if table.valid is None:
         return table
+    # run the partition-kernel selftest NOW (eager context): inside the
+    # jit trace below `use_partition_kernel()` skips the selftest and
+    # reports False, which would permanently compile the ~5x slower
+    # carry-sort compaction into the cached program
+    if not _in_trace():
+        from .pallas_partition import use_partition_kernel
+        use_partition_kernel()
     from ..exec.compiled import _flatten_table, _table_key, _unflatten_table
     in_flat, in_meta = _flatten_table(table)
     key = _table_key(table)

@@ -1385,6 +1385,21 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         if not any(v.live is not None for v in key_vals) else None
     if spans is not None and _aggs_need_sorted_layout(agg_exprs):
         spans = None
+
+    # large dense-coded domains with simple aggregates: hash-exchange
+    # pipeline (ops/hgroup.py) — beyond the MXU one-hot limit the dense
+    # path pays per-agg big-domain segment ops (~168 ms at 1M unique
+    # keys / 8.4M rows) while the exchange runs ~36 ms G-independent
+    if spans is not None and not maintain_order and _use_segscan() \
+            and cap >= (1 << 14) and cap < (1 << 24):
+        _ps = 1
+        for s, _ in spans:
+            _ps *= s
+        if _MXU_GROUP_LIMIT < _ps <= (1 << 32):
+            t_fast = _hash_groupby_fast(table, key_exprs, agg_exprs,
+                                        key_vals, spans, mask, cap)
+            if t_fast is not None:
+                return t_fast
     prod_span = 1
     if spans is not None:
         for s, _ in spans:
@@ -1701,3 +1716,220 @@ def unique_table(table: Table, subset: Optional[Sequence[str]],
         [gctx.perm.astype(jnp.int32), is_rep.astype(jnp.uint32)],
         1, is_stable=False)
     return table.with_valid((sel_w != 0) & mask, None)
+
+
+# ---------------------------------------------------------------------------
+# hash-exchange fast path for large dense-coded domains (ops/hgroup.py)
+# ---------------------------------------------------------------------------
+
+_SIMPLE_AGGS = ("sum", "mean", "min", "max", "count", "len")
+
+
+def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
+    """Static walk: every output must be a simple aggregate of a bare
+    4-byte numeric column (or len). Returns [(name, kind, col|None)] or
+    None when any output disqualifies."""
+    plan = []
+    for e in agg_exprs:
+        name = meta.output_name(e)
+        ee = e
+        while ee.kind == "alias":
+            ee = ee.children[0]
+        if ee.kind == "table_len":
+            plan.append((name, "len", None))
+            continue
+        if ee.kind != "agg" or ee.attrs.get("agg") not in _SIMPLE_AGGS:
+            return None
+        kind = ee.attrs["agg"]
+        if kind == "len" and not ee.children:
+            plan.append((name, "len", None))
+            continue
+        if not ee.children:
+            return None
+        c = ee.children[0]
+        while c.kind == "alias":
+            c = c.children[0]
+        if c.kind != "col":
+            return None
+        colo = table.cols.get(c.attrs.get("name"))
+        if colo is None or colo.data is None or colo.lengths is not None \
+                or colo.fields is not None or colo.data.ndim != 1 \
+                or colo.data.shape[0] != cap \
+                or colo.data.dtype.itemsize != 4:
+            return None
+        dt = colo.dtype
+        if not (dt.is_float or dt.is_integer or dt.is_bool):
+            return None
+        if kind == "len":
+            plan.append((name, "len", None))
+        else:
+            plan.append((name, kind, c.attrs["name"]))
+    return plan
+
+
+def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
+                       spans, mask, cap: int) -> Optional[Table]:
+    """Group-by over a large dense-coded key domain via the
+    hash-exchange pipeline (ops/hgroup.py): O(n) in the domain size with
+    a lax.cond carry-sort fallback on bucket overflow. Covers simple
+    aggregates only; returns None (caller keeps its normal paths) when
+    the query shape disqualifies."""
+    plan = _hash_groupby_plan(table, agg_exprs, cap)
+    if plan is None:
+        return None
+    from .hgroup import hash_groupby_u32, precheck, out_capacity
+    from ..parallel.shuffle import _local_groupby_carry, _ident
+
+    # mixed-radix u32 key code (slot 0 per key = null), first key most
+    # significant — matches the dense path's decode order
+    code = jnp.zeros(cap, jnp.uint32)
+    for kv, (span, base) in zip(key_vals, spans):
+        code = code * jnp.uint32(span) + \
+            _dense_code(kv, span, base, cap).astype(jnp.uint32)
+
+    # build the (vals, aggs, scan_dtypes) request: one shared count for
+    # len; per-column participation counts for mean/validity
+    vals: list = []
+    aggs: list = []
+    scans: list = []
+    slot_of: dict = {}
+
+    def _want(tag, maker):
+        if tag not in slot_of:
+            slot_of[tag] = len(vals)
+            v, a, s = maker()
+            vals.append(v)
+            aggs.append(a)
+            scans.append(s)
+        return slot_of[tag]
+
+    def _col(nm):
+        return table.cols[nm]
+
+    def _masked(colo, fill):
+        d = colo.data
+        if colo.validity is not None:
+            d = jnp.where(colo.validity, d, jnp.asarray(fill, d.dtype))
+        return d
+
+    for name, kind, nm in plan:
+        if kind == "len":
+            _want(("len",), lambda: (mask.astype(jnp.float32), "count",
+                                     None))
+        elif kind == "count":
+            colo = _col(nm)
+            if colo.validity is None:
+                _want(("len",), lambda: (mask.astype(jnp.float32),
+                                         "count", None))
+            else:
+                _want(("cnt", nm), lambda: (
+                    colo.validity.astype(jnp.float32), "sum", None))
+        elif kind in ("sum", "mean"):
+            colo = _col(nm)
+            dt = colo.dtype
+            if dt.is_bool:
+                _want(("sum", nm), lambda: (
+                    _masked(colo, 0).astype(jnp.float32), "sum", None))
+            elif dt.is_float:
+                _want(("sum", nm), lambda: (_masked(colo, 0.0), "sum",
+                                            None))
+            else:
+                acc = jnp.dtype(_acc_dtype(dt))
+                _want(("sum", nm), lambda: (_masked(colo, 0), "sum", acc))
+            if kind == "mean":
+                if colo.validity is None:
+                    _want(("len",), lambda: (mask.astype(jnp.float32),
+                                             "count", None))
+                else:
+                    _want(("cnt", nm), lambda: (
+                        colo.validity.astype(jnp.float32), "sum", None))
+        else:  # min / max
+            colo = _col(nm)
+            ident = _ident(colo.data.dtype, kind)
+            _want((kind, nm), lambda: (_masked(colo, ident), kind, None))
+            if colo.validity is not None:
+                _want(("cnt", nm), lambda: (
+                    colo.validity.astype(jnp.float32), "sum", None))
+
+    M = out_capacity(cap)
+
+    def fast_br(_):
+        gk, outs, gv, _ok = hash_groupby_u32(code, vals, mask, aggs,
+                                             scan_dtypes=scans)
+        return gk, tuple(outs), gv
+
+    def slow_br(_):
+        gk, outs, gv = _local_groupby_carry(
+            code, [v if s is None else v.astype(s)
+                   for v, s in zip(vals, scans)], mask, aggs)
+        pad = M - gk.shape[0]
+        gk = jnp.concatenate([gk.astype(jnp.uint32),
+                              jnp.zeros(pad, jnp.uint32)])
+        outs = tuple(jnp.concatenate([o, jnp.zeros(pad, o.dtype)])
+                     for o in outs)
+        gv = jnp.concatenate([gv, jnp.zeros(pad, bool)])
+        return gk, outs, gv
+
+    gkey, outs, gvalid = jax.lax.cond(precheck(code, mask), fast_br,
+                                      slow_br, None)
+
+    # decode group keys (mixed radix, reversed)
+    names: List[str] = []
+    cols = {}
+    slot = gkey
+    key_codes = []
+    for (span, base) in reversed(spans):
+        key_codes.append((slot % jnp.uint32(span)).astype(jnp.int64))
+        slot = slot // jnp.uint32(span)
+    key_codes.reverse()
+    for ke, kv, kc, (span, base) in zip(key_exprs, key_vals, key_codes,
+                                        spans):
+        name = meta.output_name(ke)
+        data, kvalid = _dense_decode(kc, kv, span, base)
+        svalid = (kvalid & gvalid) if kv.validity is not None else None
+        if name in cols:
+            raise DuplicateError(f"duplicate key name {name!r}")
+        names.append(name)
+        cols[name] = Column(kv.dtype, data, svalid, kv.sdict)
+
+    def _out(tag):
+        return outs[slot_of[tag]]
+
+    for name, kind, nm in plan:
+        if name in cols:
+            raise DuplicateError(f"duplicate column name {name!r}")
+        names.append(name)
+        if kind == "len":
+            cols[name] = Column(UInt32, _out(("len",)).astype(jnp.uint32),
+                                None, None)
+        elif kind == "count":
+            colo = _col(nm)
+            tag = ("len",) if colo.validity is None else ("cnt", nm)
+            cols[name] = Column(UInt32, _out(tag).astype(jnp.uint32),
+                                None, None)
+        elif kind == "sum":
+            colo = _col(nm)
+            dt = colo.dtype
+            out_dt = UInt32 if dt.is_bool else _sum_dtype(dt)
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            cols[name] = Column(out_dt, _out(("sum", nm)).astype(stor),
+                                None, None)
+        elif kind == "mean":
+            colo = _col(nm)
+            out_dt = _float_dt(colo.dtype)
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            ctag = ("len",) if colo.validity is None else ("cnt", nm)
+            n = _out(ctag).astype(jnp.float32)
+            m = _out(("sum", nm)).astype(jnp.float32) / jnp.maximum(n, 1)
+            cols[name] = Column(out_dt, m.astype(stor), n > 0, None)
+        else:  # min / max
+            colo = _col(nm)
+            v = _out((kind, nm))
+            validity = None
+            if colo.validity is not None:
+                validity = _out(("cnt", nm)) > 0
+            cols[name] = Column(colo.dtype, v, validity, None)
+
+    # rows are NOT a live prefix (group slots sit at run ends in the
+    # bucket-major layout) — keep the mask; collect() compacts lazily
+    return Table(names, cols, M, None, gvalid)

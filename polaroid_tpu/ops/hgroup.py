@@ -76,13 +76,19 @@ def _encode_val(v, agg: str):
 
 
 def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
-                     valid: jax.Array, aggs: Sequence[str]):
+                     valid: jax.Array, aggs: Sequence[str],
+                     scan_dtypes=None):
     """Fast-path group-by for u32-storable keys and 4-byte values.
 
     Returns (gkey u32 (M,), outs, gvalid (M,), ok bool) with
     M = ceil(n/S)*K*CAP. When ``ok`` is False the outputs are garbage
     and the caller must use its fallback (lax.cond on ``ok`` —
     ``precheck`` computes it without running the pipeline).
+
+    scan_dtypes[i] (optional) overrides the accumulator dtype of a
+    "sum" val: values transport as their exact 4-byte words but the
+    post-exchange segmented scan upcasts (e.g. int32 -> int64 so sums
+    match the engine's Int64 semantics instead of wrapping at 32 bits).
     """
     n = key.shape[0]
     B = -(-n // S)
@@ -184,8 +190,10 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
         if agg == "sum":
             scan_slot[i] = len(scan_in)
-            scan_in.append(
-                jax.lax.bitcast_convert_type(so, v.dtype).reshape(-1))
+            x = jax.lax.bitcast_convert_type(so, v.dtype).reshape(-1)
+            if scan_dtypes is not None and scan_dtypes[i] is not None:
+                x = x.astype(scan_dtypes[i])
+            scan_in.append(x)
     if scan_in:
         scanned = _seg_scan_doubling_multi(
             scan_in, gid, lambda p, c: [a + b for a, b in zip(p, c)])
@@ -194,8 +202,10 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         if agg == "count":
             outs.append(jnp.where(gvalid, scanned[scan_slot["count"]], 0))
         elif agg == "sum":
+            sdt = v.dtype if scan_dtypes is None or scan_dtypes[i] is None \
+                else scan_dtypes[i]
             outs.append(jnp.where(gvalid, scanned[scan_slot[i]],
-                                  jnp.zeros((), v.dtype)))
+                                  jnp.zeros((), sdt)))
         else:  # min / max at the run end, encoded
             val = decode_orderable(so.reshape(-1), v.dtype,
                                    descending=(agg == "min"))

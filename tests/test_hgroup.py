@@ -179,3 +179,52 @@ def test_adaptive_dispatcher_all_tiers(rng):
         for k in ref:
             assert abs(got[k][0] - ref[k][0]) < 1e-2, (name, k)
             assert got[k][1] == ref[k][1], (name, k)
+
+
+def test_engine_hash_groupby_fast(rng, monkeypatch):
+    """Force the engine's large-domain fast path (CPU backends skip it)
+    and check it against the normal engine path."""
+    import polaroid_tpu as pl
+    import polaroid_tpu.ops.groupby as G
+
+    n = 2 * EX.S
+    nuniq = 6000  # dense-coded span > _MXU_GROUP_LIMIT via dict strings
+    uniq = np.array([f"k{i:05d}" for i in range(nuniq)])
+    codes = rng.integers(0, nuniq, n)
+    strs = uniq[codes]
+    v1 = rng.integers(0, 100, n).astype(np.int32)
+    v2 = rng.normal(0, 5, n).astype(np.float32)
+    df = pl.DataFrame({"id": strs.tolist(), "v1": v1, "v2": v2})
+    q = (df.lazy().group_by("id")
+         .agg(pl.col("v1").sum().alias("s1"),
+              pl.col("v2").mean().alias("m2"),
+              pl.col("v2").min().alias("lo"),
+              pl.len().alias("n")))
+    base = q.collect().to_dict()
+
+    called = {}
+    orig = G._hash_groupby_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        called["hit"] = r is not None
+        return r
+
+    import polaroid_tpu.exec.compiled as CC
+    CC._CACHE.clear()
+    monkeypatch.setattr(G, "_hash_groupby_fast", spy)
+    monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    fast = q.collect().to_dict()
+    CC._CACHE.clear()
+    assert called.get("hit"), "fast path did not engage"
+
+    want = dict(zip(base["id"],
+                    zip(base["s1"], base["m2"], base["lo"], base["n"])))
+    got = dict(zip(fast["id"],
+                   zip(fast["s1"], fast["m2"], fast["lo"], fast["n"])))
+    assert set(got) == set(want)
+    for k in want:
+        assert int(got[k][0]) == int(want[k][0]), k
+        assert abs(got[k][1] - want[k][1]) < 1e-3, k
+        assert got[k][2] == pytest.approx(want[k][2]), k
+        assert int(got[k][3]) == int(want[k][3]), k
