@@ -143,12 +143,41 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     # dense fast path: small key domains -> direct-indexed lookup join;
     # only the build (right) side is sorted, probes are O(1) gathers
+    spans = None
     if how in ("inner", "left", "semi", "anti") and not join_nulls:
         spans = _dense_join_spans(lv, rv, lmask, rmask, capL, capR,
                                   left, right, left_on, right_on)
-        if spans is not None:
-            return _dense_join(left, right, left_on, right_on, how, suffix,
-                               coalesce, lv, rv, lmask, rmask, spans)
+
+    # collocated hash join (ops/hjoin.py): single-word 31-bit keys,
+    # inner/left, right side unique — output rows in collocated order
+    # (join order is unspecified). Preferred over the dense path when
+    # the key span is large (the dense probe is a per-row gather,
+    # ~8 ns/element on v5e — 2M probes over a 1M span cost ~60 ms while
+    # the exchange runs ~12). `ok` is read ONCE here, at the same point
+    # the sort-merge path below pays its count-phase readback; ok=False
+    # (wide keys / bucket overflow / m:m right side / deep fill) falls
+    # through.
+    _span_prod = 1
+    if spans is not None:
+        for _s, _b in spans:
+            _span_prod *= _s
+    if (how in ("inner", "left") and not join_nulls
+            and maintain_order in (None, "none")
+            and jax.default_backend() != "cpu"
+            and capL + capR >= (1 << 15)
+            and (spans is None or _span_prod > (1 << 16))):
+        from .hjoin import collocated_join
+        res = collocated_join(left, right, left_on, right_on, how, suffix,
+                              coalesce, lv, rv, lmask, rmask)
+        if res is not None:
+            t_fast, okd = res
+            import numpy as _np
+            if bool(_np.asarray(okd)):
+                return t_fast
+
+    if spans is not None:
+        return _dense_join(left, right, left_on, right_on, how, suffix,
+                           coalesce, lv, rv, lmask, rmask, spans)
 
     def side_words(vals, mask, cap):
         ws = []
