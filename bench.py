@@ -232,10 +232,16 @@ def _run_benches(d: dict) -> None:
     import polaroid_tpu as pl
 
     def _fence_df(dfr):
+        # force BOTH the deferred count and a data column: a sort's
+        # nrows_dev (sum of the input mask) does not depend on the
+        # sorted data, so fencing it alone would not time the sort
         t = dfr._table
-        leaf = t.nrows_dev if t.nrows_dev is not None \
-            else t.cols[t.names[0]].data
-        np.asarray(leaf).reshape(-1)[:1]
+        if t.nrows_dev is not None:
+            np.asarray(t.nrows_dev).reshape(-1)[:1]
+        col = t.cols[t.names[0]]
+        leaf = col.data if col.data is not None else col.validity
+        if leaf is not None:
+            np.asarray(leaf.reshape(-1)[:1])
 
     def _bench_collect(lfr, iters=5):
         _fence_df(lfr.collect())  # warm
@@ -356,9 +362,16 @@ def _run_benches(d: dict) -> None:
     _roofline(d, "filter", t_filter, n * (13 + 12),
               note="compaction via carry sort; ideal = 1 r/w pass")
 
+    from polaroid_tpu.ops.fused_sort import fused_argsort, fused_sort_kv
+
     @jax.jit
     def op_sort(sym, price):
-        return jax.lax.sort((sym, price), num_keys=1, is_stable=True)
+        # the engine's sort primitive: (key u32, payload f32) packed
+        # into ONE u64 word, single-operand lax.sort (ops/fused_sort.py;
+        # 7.8 ms vs 21.8 for the 2-op stable sort at 8.4M rows)
+        pw = jax.lax.bitcast_convert_type(price, jnp.uint32)
+        sk, sc = fused_sort_kv(sym, pw)
+        return sk, jax.lax.bitcast_convert_type(sc, jnp.float32)
 
     _phase("compiling op_sort")
     t_sort = _bench(op_sort, (sym, price))
@@ -366,12 +379,21 @@ def _run_benches(d: dict) -> None:
     d["sort_rows_per_s"] = round(n / t_sort, 1)
     # model: ideal 4-pass LSD radix over (4B key + 4B payload), r+w
     _roofline(d, "sort", t_sort, 4 * 2 * n * 8,
-              note="ideal = 4-pass radix; XLA lax.sort is a general "
-                   "comparison sort. The hierarchical Pallas merge sort "
-                   "(ops/merge_sort.py) measured SLOWER under the VMEM "
-                   "pass budget and ships opt-in (PT_MERGESORT=1); the "
-                   "hot paths route around full sorts instead (partition "
-                   "kernel + doubling scans)")
+              note="fused-u64 single-operand sort (ops/fused_sort.py): "
+                   "key+payload packed into one word; ideal = 4-pass "
+                   "radix. Radix/scatter formulations measured slower "
+                   "(tools/apply_probe.py): v5e has no fast scatter, "
+                   "and lax.sort cost scales with operand count, not "
+                   "width")
+
+    @jax.jit
+    def op_argsort(sym):
+        # stable argsort ([dead|key|idx] packed), the group-by/window
+        # building block
+        return fused_argsort(sym)
+
+    t_asort = _bench(op_argsort, (sym,))
+    d["argsort_8m_ms"] = round(t_asort * 1e3, 3)
 
     # sort-based general group-by (was skipped in r1 for a remote-compile
     # hang with associative_scan formulations; local_groupby now lowers
@@ -408,15 +430,29 @@ def _run_benches(d: dict) -> None:
     t0 = time.perf_counter()
     _pl.DataFrame({"id3": strs, "v1": v1h})
     d["string_dict_build2_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    # cold build from dictionary-encoded parquet (VERDICT r3 #3): the
+    # reader takes the file's dictionary pages as-is and only sorts the
+    # O(unique) dictionary (strings.StringDict.encode_dictionary)
+    spq = os.path.join(tmp, "strings.parquet")
+    sdf.write_parquet(spq, compression="zstd", compression_level=1)
+    t0 = time.perf_counter()
+    _pl.read_parquet(spq)
+    d["string_parquet_read_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
     slf = (sdf.lazy().group_by("id3")
            .agg(_pl.col("v1").sum().alias("s")))
     slf.collect()  # compile
 
     def _fence_df(dfr):
+        # force BOTH the deferred count and a data column: a sort's
+        # nrows_dev (sum of the input mask) does not depend on the
+        # sorted data, so fencing it alone would not time the sort
         t = dfr._table
-        leaf = t.nrows_dev if t.nrows_dev is not None \
-            else t.cols[t.names[0]].data
-        np.asarray(leaf).reshape(-1)[:1]
+        if t.nrows_dev is not None:
+            np.asarray(t.nrows_dev).reshape(-1)[:1]
+        col = t.cols[t.names[0]]
+        leaf = col.data if col.data is not None else col.validity
+        if leaf is not None:
+            np.asarray(leaf.reshape(-1)[:1])
 
     t0 = time.perf_counter()
     outs = [slf.collect() for _ in range(3)]
@@ -468,6 +504,7 @@ def _run_benches(d: dict) -> None:
         "id2": np.asarray(rng.integers(0, k, nh), np.int32),
         "id3": np.asarray(rng.integers(0, id3_u, nh), np.int32),
         "id4": np.asarray(rng.integers(0, k, nh), np.int32),
+        "id5": np.asarray(rng.integers(0, k, nh), np.int32),
         "id6": np.asarray(rng.integers(0, id3_u, nh), np.int32),
         "v1": np.asarray(rng.integers(1, 6, nh), np.int32),
         "v2": np.asarray(rng.integers(1, 16, nh), np.int32),
@@ -481,8 +518,16 @@ def _run_benches(d: dict) -> None:
             pl.col("v1").mean(), pl.col("v2").mean(), pl.col("v3").mean()),
         "q5": hdf.lazy().group_by("id6").agg(
             pl.col("v1").sum(), pl.col("v2").sum(), pl.col("v3").sum()),
+        "q6": hdf.lazy().group_by("id4", "id5").agg(
+            pl.col("v3").median().alias("median_v3"),
+            pl.col("v3").std().alias("sd_v3")),
         "q7": hdf.lazy().group_by("id3").agg(
             (pl.col("v1").max() - pl.col("v2").min()).alias("range_v1_v2")),
+        "q8": hdf.lazy().with_columns(
+            pl.col("v3").rank("ordinal", descending=True).over("id6")
+            .alias("r")).filter(pl.col("r") <= 2).select("id6", "v3"),
+        "q9": hdf.lazy().group_by("id2", "id4").agg(
+            (pl.corr("v1", "v2") ** 2).alias("r2")),
         "q10": hdf.lazy().group_by("id1", "id2", "id4").agg(
             pl.col("v3").sum().alias("v3"), pl.len().alias("count")),
     }

@@ -538,7 +538,8 @@ class DataFrame:
         nl = nulls_last if isinstance(nulls_last, (list, tuple)) else [nulls_last] * nk
         t = self._table
         vals = [eval_expr(k, t, "select") for k in keys]
-        return DataFrame._from_table(S.sort_table(t, vals, desc, nl, True))
+        return DataFrame._from_table(
+            S.sort_table(t, vals, desc, nl, maintain_order))
 
     def top_k(self, k: int, by, descending=False) -> "DataFrame":
         keys = _to_exprs((by,) if not isinstance(by, (list, tuple)) else tuple(by))

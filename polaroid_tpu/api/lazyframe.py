@@ -138,7 +138,7 @@ class LazyFrame:
         nl = nulls_last if isinstance(nulls_last, (list, tuple)) \
             else [nulls_last] * nk
         return LazyFrame._from_plan(
-            L.Sort(self._plan, keys, list(desc), list(nl), True))
+            L.Sort(self._plan, keys, list(desc), list(nl), maintain_order))
 
     def top_k(self, k: int, by, descending=False) -> "LazyFrame":
         keys = _to_exprs((by,) if not isinstance(by, (list, tuple)) else tuple(by))

@@ -45,7 +45,8 @@ def plan_chain_fingerprint(nodes: List[L.Plan]) -> str:
         elif n.kind == "sort":
             parts.append(
                 f"S({';'.join(e.fingerprint() for e in n.by)}|"
-                f"{n.descending}|{n.nulls_last})")
+                f"{n.descending}|{n.nulls_last}|{n.maintain_order}|"
+                f"{n.slice_})")
         else:
             raise ComputeError(f"unfusable node {n.kind}")
     return "→".join(parts)

@@ -135,14 +135,24 @@ def _plain_numeric_fast(arr, dt: DataType, capacity: int) -> Column:
     return Column(dt, _dput(out), None, None)
 
 
-def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
+def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int,
+                      as_string: bool = False) -> Column:
     t = arr.type
     if arr.null_count == 0 and t in _PA_TO_DT and \
             (pa.types.is_floating(t) or pa.types.is_integer(t)):
         return _plain_numeric_fast(arr, _PA_TO_DT[t], capacity)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    dt = dtype_from_arrow(arr.type)
+    if as_string and pa.types.is_dictionary(arr.type):
+        # dictionary encoding FORCED by the parquet reader (read_
+        # dictionary) on a plain string/binary column: the logical
+        # dtype stays String/Binary — only the transport is dict-coded
+        from ..dtypes import Binary as _Bin, String as _Str
+        vt = arr.type.value_type
+        dt = _Bin() if (pa.types.is_binary(vt) or pa.types.is_large_binary(vt)
+                        or pa.types.is_fixed_size_binary(vt)) else _Str
+    else:
+        dt = dtype_from_arrow(arr.type)
     n = len(arr)
     mask = None
     if arr.null_count:
@@ -161,12 +171,15 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int) -> Column:
             validity = _dput(v)
         return Column(dt, None, validity, fields=fields)
     if dt.is_string:
-        if pa.types.is_dictionary(arr.type):
-            arr = arr.cast(pa.large_string())
         if pa.types.is_fixed_size_binary(arr.type):
             arr = arr.cast(pa.large_binary())
-        # no host object round-trip: C++ dict-encode + dict sort
-        codes, sdict = StringDict.encode_arrow(arr)
+        if pa.types.is_dictionary(arr.type):
+            # parquet dictionary pages come back pre-encoded: sort only
+            # the O(unique) dictionary, remap codes — no row re-hash
+            codes, sdict = StringDict.encode_dictionary(arr)
+        else:
+            # no host object round-trip: C++ dict-encode + dict sort
+            codes, sdict = StringDict.encode_arrow(arr)
         out = np.full(capacity, NULL_CODE, np.int32)
         out[:n] = codes
         validity = None
@@ -261,7 +274,8 @@ def _physical_arrow(t: pa.DataType) -> pa.DataType:
     return pa.int64()
 
 
-def table_from_arrow(at: pa.Table, capacity: Optional[int] = None) -> Table:
+def table_from_arrow(at: pa.Table, capacity: Optional[int] = None,
+                     string_cols: frozenset = frozenset()) -> Table:
     n = at.num_rows
     cap = capacity or capacity_for(n)
     names = list(at.column_names)
@@ -270,11 +284,12 @@ def table_from_arrow(at: pa.Table, capacity: Optional[int] = None) -> Table:
         # releases the GIL and device uploads are async enqueues
         import concurrent.futures as _f
         with _f.ThreadPoolExecutor(max_workers=min(len(names), 8)) as ex:
-            conv = list(ex.map(lambda nm: column_from_arrow(at.column(nm),
-                                                            cap), names))
+            conv = list(ex.map(lambda nm: column_from_arrow(
+                at.column(nm), cap, nm in string_cols), names))
         cols = dict(zip(names, conv))
     else:
-        cols = {nm: column_from_arrow(at.column(nm), cap) for nm in names}
+        cols = {nm: column_from_arrow(at.column(nm), cap,
+                                      nm in string_cols) for nm in names}
     return Table(names, cols, cap, n, None)
 
 

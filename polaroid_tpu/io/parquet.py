@@ -42,21 +42,58 @@ def _expand_paths(source) -> List[str]:
     return [s]
 
 
-def _read_one(p: str, columns, filters) -> pa.Table:
+def _dict_read_cols(schema: pa.Schema, cols) -> List[str]:
+    """String/binary columns to read as DictionaryArray: parquet data
+    pages are dictionary-encoded by default, so requesting the encoded
+    form skips the O(rows) re-hash in the sorted-dict build
+    (strings.StringDict.encode_dictionary)."""
+    names = cols if cols else schema.names
+    out = []
+    for nm in names:
+        idx = schema.get_field_index(nm)
+        if idx < 0:
+            continue
+        t = schema.field(idx).type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+                pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            out.append(nm)
+    return out
+
+
+def _read_one(p: str, columns, filters, forced_out=None) -> pa.Table:
     cols = list(columns) if columns else None
+
+    def _rd(src, **kw):
+        try:
+            sch = pq.read_schema(src, **{k: v for k, v in kw.items()
+                                         if k == "filesystem"})
+            rd = _dict_read_cols(sch, cols)
+        except Exception:
+            rd = None
+        try:
+            t = pq.read_table(src, columns=cols, filters=filters,
+                              read_dictionary=rd or None, **kw)
+            if rd and forced_out is not None:
+                forced_out.extend(rd)
+            return t
+        except (pa.ArrowException, OSError):
+            if not rd:
+                raise
+            return pq.read_table(src, columns=cols, filters=filters, **kw)
+
     if "://" in p:
         from .remote import localize, resolve_filesystem
         local = localize(p)  # remote-file cache when PT_FILE_CACHE=1
         if "://" not in local:
-            return pq.read_table(local, columns=cols, filters=filters)
+            return _rd(local)
         fs, inner = resolve_filesystem(p)
-        return pq.read_table(inner, columns=cols, filters=filters,
-                             filesystem=fs)
-    return pq.read_table(p, columns=cols, filters=filters)
+        return _rd(inner, filesystem=fs)
+    return _rd(p)
 
 
 def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
-                       filters=None, n_rows: Optional[int] = None) -> pa.Table:
+                       filters=None, n_rows: Optional[int] = None,
+                       forced_out=None) -> pa.Table:
     import os as _os
     if hasattr(source, "read") or isinstance(source, (bytes, bytearray)):
         if isinstance(source, (bytes, bytearray)):
@@ -80,12 +117,13 @@ def read_parquet_arrow(source, columns: Optional[Sequence[str]] = None,
         return t
     paths = _expand_paths(source)
     if len(paths) == 1:
-        t = _read_one(paths[0], columns, filters)
+        t = _read_one(paths[0], columns, filters, forced_out)
     else:
         # concurrent multi-file read (reference: batch read 4.1x speedup,
         # docs/ADVANCED_ASYNC.md:297-302) — thread pool over pyarrow C++.
         with _fut.ThreadPoolExecutor(max_workers=min(len(paths), 16)) as ex:
-            parts = list(ex.map(lambda p: _read_one(p, columns, filters),
+            parts = list(ex.map(lambda p: _read_one(p, columns, filters,
+                                                    forced_out),
                                 paths))
         t = pa.concat_tables(parts, promote_options="permissive")
     if n_rows is not None:
@@ -98,7 +136,9 @@ def read_parquet_table(source, columns=None, filters=None,
     t = _read_parquet_table_overlapped(source, columns, filters, n_rows)
     if t is not None:
         return t
-    return table_from_arrow(read_parquet_arrow(source, columns, filters, n_rows))
+    forced: list = []
+    at = read_parquet_arrow(source, columns, filters, n_rows, forced)
+    return table_from_arrow(at, string_cols=frozenset(forced))
 
 
 def _read_parquet_table_overlapped(source, columns, filters,
@@ -133,10 +173,17 @@ def _read_parquet_table_overlapped(source, columns, filters,
     cap = capacity_for(n)
 
     def one(nm: str):
-        col = pq.read_table(s, columns=[nm]).column(0)
+        rd = _dict_read_cols(schema, [nm])
+        forced = bool(rd)
+        try:
+            col = pq.read_table(s, columns=[nm],
+                                read_dictionary=rd or None).column(0)
+        except (pa.ArrowException, OSError):
+            forced = False
+            col = pq.read_table(s, columns=[nm]).column(0)
         if n != nrows_total:
             col = col.slice(0, n)
-        return column_from_arrow(col, cap)
+        return column_from_arrow(col, cap, as_string=forced)
 
     with _fut.ThreadPoolExecutor(max_workers=min(len(names), 8)) as ex:
         conv = list(ex.map(one, names))
@@ -253,10 +300,22 @@ def write_parquet(df, file, compression: str = "zstd",
             file_options=pads.ParquetFileFormat().make_write_options(
                 compression=compression))
         return
+    if row_group_size is None:
+        # default pyarrow writers split string-heavy tables into 128k-row
+        # groups; per-group dictionary pages then cost a 64-way dictionary
+        # unification on read (1.8 s at 8.4M rows / 1M unique). 4M-row
+        # groups keep streaming granularity while making the
+        # read_dictionary fast path one-or-two-chunk.
+        row_group_size = 1 << 22
     kwargs = dict(compression=compression,
                   compression_level=compression_level,
                   write_statistics=statistics,
-                  row_group_size=row_group_size)
+                  row_group_size=row_group_size,
+                  # keep large dictionaries dictionary-encoded instead of
+                  # falling back to plain pages mid-column
+                  dictionary_pagesize_limit=kw.pop(
+                      "dictionary_pagesize_limit", 1 << 26),
+                  data_page_size=kw.pop("data_page_size", 1 << 21))
     if hasattr(file, "write"):
         pq.write_table(at, file, **kwargs)
         return

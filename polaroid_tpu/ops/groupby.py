@@ -132,7 +132,16 @@ def build_groups(key_vals: Sequence[Val], mask: jax.Array,
         if cval is not None:
             tails.append(cval.astype(jnp.uint32))
         layout.append((ck, cdata.dtype, len(ws), cval is not None))
-    skeys, stails, perm = lex_sort_indices(words, tuple(tails))
+    if not tails and len(words) == 2 and cap < (1 << 31):
+        # single-word key, no carries: ONE fused-u64 single-operand
+        # sort ([dead:1|key:32|idx:31], ops/fused_sort.py) instead of
+        # the 3-operand stable sort — the group-layout sort is the
+        # fixed cost of every window/over and general group-by
+        from .fused_sort import fused_argsort_dead_key
+        dead_s, key_s, perm = fused_argsort_dead_key(words[0], words[1])
+        skeys, stails = [dead_s, key_s], ()
+    else:
+        skeys, stails, perm = lex_sort_indices(words, tuple(tails))
     live_sorted = skeys[0] == 0
     idx = jnp.arange(cap)
     newgrp = idx == 0
@@ -1196,17 +1205,29 @@ def _group_n_unique(v: Val, ctx: GroupContext, table: Table) -> Val:
 
 def _group_quantile(v: Val, ctx: GroupContext, q: float, interp: str) -> Val:
     """Per-group quantile: re-sort rows by (gid, value) so each group's
-    values are contiguous sorted runs, then index by offset."""
+    values are contiguous sorted runs, then select the quantile rows.
+
+    4-byte values ride the gather-free fast path: ONE fused-u64
+    single-operand sort (hi=gid, lo=encoded value — ops/fused_sort.py),
+    then per-row run geometry from cumulative min/max scans, and the
+    picks land as a masked segment-sum (each row knows its rank r and
+    its group size nn; the rows with r == floor/ceil(q*(nn-1))
+    contribute the interpolation terms). The r3 path cost two
+    multi-operand sorts plus TWO ncap-sized XLA gathers (~7 ns/element
+    — the dominant term of H2O q6 at 114 ms); this path has no gathers
+    at all. 8-byte values keep the general multi-word sort."""
     cap = ctx.cap
     ncap = ctx.out_cap
     sx, spart = _sorted_val(v, ctx)
+    n = _seg_sum(spart.astype(jnp.int32), ctx.gid, ncap,
+                 ctx.sorted_ids)
+    if sx.dtype.itemsize <= 4 and ncap < (1 << 31):
+        return _group_quantile_fused(v, ctx, q, interp, sx, spart, n)
     vw = encode_key_words(sx, spart, False, True)  # nulls last within group
     gkey = jnp.where(spart, ctx.gid, ncap).astype(jnp.uint32)
     words = [gkey] + vw
     _, tails, _ = lex_sort_indices(words, (sx,))
     sorted_vals = tails[0]
-    n = _seg_sum(spart.astype(jnp.int32), ctx.gid, ncap,
-                 ctx.sorted_ids)
     # positions of valid rows in the second sort are exactly rank order:
     # valid rows sort before nulls/dead within ascending gid, so the k-th
     # valid row overall sits at slot k.
@@ -1240,6 +1261,61 @@ def _group_quantile(v: Val, ctx: GroupContext, q: float, interp: str) -> Val:
     if isinstance(dt, (Datetime, Duration)) or dt == Date:
         return Val(out_dt, val.astype(sx.dtype), n > 0)
     return Val(out_dt, val.astype(jnp.dtype(storage_numpy_dtype(out_dt))), n > 0)
+
+
+def _group_quantile_fused(v: Val, ctx: GroupContext, q: float, interp: str,
+                          sx, spart, n) -> Val:
+    """Gather-free per-group quantile for 4-byte values (see
+    _group_quantile docstring)."""
+    from .fused_sort import fused_sort_kv
+    from .keycode import decode_orderable, encode_orderable
+    cap = ctx.cap
+    ncap = ctx.out_cap
+    dt = v.dtype
+    gkey = jnp.where(spart, ctx.gid.astype(jnp.uint32), jnp.uint32(ncap))
+    valw = encode_orderable(sx).astype(jnp.uint32)
+    g_s, val_s = fused_sort_kv(gkey, valw, live=spart)
+    # dead rows became (~0, ~0): they share the sentinel group ~0 with
+    # nothing live (gkey <= ncap < 2^31), so real runs are unpolluted
+    j = jnp.arange(cap, dtype=jnp.int32)
+    live = g_s != jnp.uint32(0xFFFFFFFF)
+    g_i = g_s.astype(jnp.int32)
+    newg = (j == 0) | (g_s != jnp.roll(g_s, 1))
+    is_last = (j == cap - 1) | (g_s != jnp.roll(g_s, -1))
+    start = jax.lax.cummax(jnp.where(newg, j, 0))
+    end = jax.lax.cummin(jnp.where(is_last, j, cap), reverse=True)
+    nn = end - start + 1
+    r = j - start
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pos = q * (nn.astype(fdt) - 1)
+    vv = decode_orderable(val_s, jnp.dtype(storage_numpy_dtype(dt)),
+                          False).astype(fdt)
+    if interp == "linear":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        frac = (pos - i0.astype(fdt))
+        contrib = jnp.where(r == i0, vv * (1 - frac), 0) + \
+            jnp.where(r == i1, vv * frac, 0)
+    elif interp == "lower":
+        contrib = jnp.where(r == jnp.floor(pos).astype(jnp.int32), vv, 0)
+    elif interp == "higher":
+        contrib = jnp.where(r == jnp.ceil(pos).astype(jnp.int32), vv, 0)
+    elif interp == "midpoint":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        contrib = jnp.where(r == i0, vv / 2, 0) + \
+            jnp.where(r == i1, vv / 2, 0)
+    else:  # nearest
+        contrib = jnp.where(r == jnp.round(pos).astype(jnp.int32), vv, 0)
+    contrib = jnp.where(live, contrib, 0)
+    val = _seg_sum(contrib, jnp.where(live, g_i, ncap), ncap,
+                   sorted_ids=True)
+    out_dt = dt if (isinstance(dt, (Datetime, Duration)) or dt == Date) \
+        else _float_dt(dt)
+    if isinstance(dt, (Datetime, Duration)) or dt == Date:
+        return Val(out_dt, val.astype(sx.dtype), n > 0)
+    return Val(out_dt, val.astype(jnp.dtype(storage_numpy_dtype(out_dt))),
+               n > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1280,6 +1356,15 @@ def eval_group_expr(e: Expr, table: Table, ctx: GroupContext,
         r = eval_group_expr(e.children[1], table, ctx, key_names, key_outputs)
         fake = Table([], {}, ctx.cap, None, None)
         return _eval_binary(e.attrs["op"], l, r, fake)
+    if k == "fma":
+        # fused arithmetic over per-group values (the optimizer's fma
+        # pass also rewrites agg-combination exprs like corr(a,b)**2)
+        from ..expr.eval import _eval_fma
+        a = eval_group_expr(e.children[0], table, ctx, key_names, key_outputs)
+        b = eval_group_expr(e.children[1], table, ctx, key_names, key_outputs)
+        c = eval_group_expr(e.children[2], table, ctx, key_names, key_outputs)
+        fake = Table([], {}, ctx.cap, None, None)
+        return _eval_fma(e.attrs["op"], a, b, c, fake)
     if k == "unary":
         return _eval_unary(e.attrs["op"],
                            eval_group_expr(e.children[0], table, ctx,

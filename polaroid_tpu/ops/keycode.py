@@ -37,11 +37,14 @@ def encode_orderable(x, descending: bool = False):
     if dt == jnp.bool_:
         u = x.astype(jnp.uint32)
     elif jnp.issubdtype(dt, jnp.floating):
-        if dt.itemsize == 8:
+        if dt.itemsize == 8 and jax.default_backend() == "cpu":
             b = jax.lax.bitcast_convert_type(x, jnp.uint64)
             sign = b >> jnp.uint64(63)
             u = jnp.where(sign == 1, ~b, b | jnp.uint64(1) << jnp.uint64(63))
         else:
+            # f64 on accelerator: the chip computes f64 as f32 anyway
+            # (X64 rewrite) and cannot legalize the f64 bitcast — order
+            # by the f32 encoding (identical order up to f32 ulp)
             b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
             sign = b >> jnp.uint32(31)
             u = jnp.where(sign == 1, ~b, b | (jnp.uint32(1) << jnp.uint32(31)))
@@ -171,6 +174,14 @@ def col_to_u32_words(data) -> list:
     dt = data.dtype
     if dt == jnp.bool_:
         return [data.astype(jnp.uint32)]
+    if dt == jnp.float64 and jax.default_backend() != "cpu":
+        # v5e has no f64: XLA's X64 rewriter demotes f64 compute to f32
+        # and cannot legalize `bitcast f64 -> u32[n,2]` at all ("While
+        # rewriting computation to not contain X64 element types ...
+        # not implemented"). Transport as ONE f32 word — lossless
+        # relative to what the chip actually computes.
+        return [jax.lax.bitcast_convert_type(
+            data.astype(jnp.float32), jnp.uint32)]
     if dt.itemsize <= 4:
         if dt.itemsize < 4:
             data = data.astype(
@@ -192,6 +203,11 @@ def col_to_u32_words(data) -> list:
 def col_from_u32_words(words, stor):
     """Inverse of _col_u32_words for a target numpy storage dtype."""
     stor = jnp.dtype(stor)
+    if stor == jnp.float64 and len(words) == 1:
+        # f64 transported as one f32 word on accelerators (see
+        # col_to_u32_words)
+        return jax.lax.bitcast_convert_type(
+            words[0], jnp.float32).astype(jnp.float64)
     if len(words) == 2:
         return jax.lax.bitcast_convert_type(
             jnp.stack([words[1], words[0]], axis=-1), stor)
@@ -212,6 +228,16 @@ def decode_orderable(u, dtype, descending: bool):
         u = ~u  # encode_orderable(desc) is NOT of the ascending encoding
     if stor.kind == "f":
         if stor.itemsize == 8:
+            if jax.default_backend() != "cpu":
+                # f64 keys encode as f32 words on accelerators (see
+                # encode_orderable) — decode the low 32 bits
+                u32 = u.astype(jnp.uint32)
+                sign = (u32 >> jnp.uint32(31)) & jnp.uint32(1)
+                raw = jnp.where(sign == 1,
+                                u32 ^ (jnp.uint32(1) << jnp.uint32(31)),
+                                ~u32)
+                return lax.bitcast_convert_type(
+                    raw, jnp.float32).astype(jnp.float64)
             sign = (u >> jnp.uint64(63)) & jnp.uint64(1)
             raw = jnp.where(sign == 1,
                             u ^ (jnp.uint64(1) << jnp.uint64(63)), ~u)

@@ -27,9 +27,10 @@ from .groupby import GroupContext, build_groups, eval_group_expr
 
 
 def _row_gid(gctx: GroupContext):
-    """gid per ORIGINAL row position."""
-    inv = jnp.argsort(gctx.perm, stable=True)
-    return gctx.gid[inv]
+    """gid per ORIGINAL row position (fused-sort writeback, no gather)."""
+    from .fused_sort import apply_perm_u32
+    return apply_perm_u32(gctx.perm,
+                          gctx.gid.astype(jnp.uint32)).astype(jnp.int32)
 
 
 def _segmented_cummax(values, reset):
@@ -218,20 +219,60 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
     v = eval_expr(e.children[0], table, ctx)
     fillv = eval_expr(e.children[1], table, ctx)
     cap = table.capacity
-    # sorted layout: groups contiguous, original order within group
-    x = (v.data if v.data.shape[0] == cap
-         else jnp.broadcast_to(v.data, (cap,)))[gctx.perm]
-    xv = (v.valid_or_true() if v.validity is not None
-          else jnp.ones(cap, jnp.bool_))
-    xv = (xv if xv.shape[0] == cap else jnp.broadcast_to(xv, (cap,)))[gctx.perm]
-    xv = xv & gctx.live_sorted
+    from ..batch import storage_numpy_dtype as _snd2
+    from .fused_sort import apply_perm_u32, fused_argsort
+    from .keycode import col_from_u32_words, col_to_u32_words
+    fused_perm = cap < (1 << 31)
+
+    def _permute(words_src, perm_w):
+        """Apply a permutation to u32 words via fused-sort writebacks
+        (no XLA gathers: ~7 ns/element vs one fused sort per word)."""
+        return [apply_perm_u32(perm_w, w) for w in words_src]
+
+    x_full = (v.data if v.data.shape[0] == cap
+              else jnp.broadcast_to(v.data, (cap,)))
+    xv_full = (v.valid_or_true() if v.validity is not None
+               else jnp.ones(cap, jnp.bool_))
+    xv_full = (xv_full if xv_full.shape[0] == cap
+               else jnp.broadcast_to(xv_full, (cap,)))
+    if fused_perm:
+        # inv = argsort(perm); xs[i] = x[perm[i]] = writeback along inv
+        _, inv = fused_argsort(gctx.perm.astype(jnp.uint32))
+        xw = col_to_u32_words(x_full)
+        sw = _permute(xw + [xv_full.astype(jnp.uint32)], inv)
+        x = col_from_u32_words(sw[:len(xw)], jnp.dtype(x_full.dtype))
+        xv = (sw[-1] != 0) & gctx.live_sorted
+    else:
+        inv = jnp.argsort(gctx.perm, stable=True)
+        x = x_full[gctx.perm]
+        xv = xv_full[gctx.perm] & gctx.live_sorted
     idx = jnp.arange(cap)
-    gstart = gctx.group_start[jnp.clip(gctx.gid, 0, cap - 1)]
+    # group start per sorted row: a running max of boundary positions —
+    # no ncap-sized gather
+    gstart = jax.lax.cummax(
+        jnp.where(gctx.newgrp, idx.astype(jnp.int32), 0))
     reset = gctx.newgrp
-    inv = jnp.argsort(gctx.perm, stable=True)
+
+    def _gcount_row():
+        """Run length per sorted row (scan, not an ncap gather). A run
+        ends before the next group start OR the dead tail."""
+        nxt = gctx.newgrp | ~gctx.live_sorted
+        is_last = jnp.roll(nxt, -1).at[-1].set(True)
+        glast = jax.lax.cummin(
+            jnp.where(is_last, idx.astype(jnp.int32), cap), reverse=True)
+        return glast - gstart + 1
 
     def back(data, validity, out_dt=None, sdict=None):
         out_dt = out_dt or v.dtype
+        if fused_perm and data.dtype.itemsize <= 4:
+            dw = col_to_u32_words(data)
+            vw = [] if validity is None else [validity.astype(jnp.uint32)]
+            ow = _permute(dw + vw, gctx.perm)
+            data_o = col_from_u32_words(ow[:len(dw)], jnp.dtype(data.dtype))
+            val_o = (ow[-1] != 0) if validity is not None else None
+            return Val(out_dt, data_o, val_o,
+                       sdict if sdict is not None else v.sdict, False,
+                       v.live)
         return Val(out_dt, data[inv],
                    validity[inv] if validity is not None else None,
                    sdict if sdict is not None else v.sdict, False, v.live)
@@ -242,7 +283,7 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         inb = (src >= gstart) & (src >= 0) & (src < cap) & gctx.live_sorted
         # shifting backward (n<0): stay within group end
         if n < 0:
-            gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+            gcount = _gcount_row()
             inb = (src < gstart + gcount) & (src >= 0) & gctx.live_sorted
         srcc = jnp.clip(src, 0, cap - 1)
         prev = x[srcc]
@@ -361,7 +402,7 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         return back(data, validity, out_dt)
 
     if op == "reverse":
-        gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+        gcount = _gcount_row()
         src = jnp.clip(gstart + (gcount - 1) - (idx - gstart), 0, cap - 1)
         return back(x[src], xv[src])
 
@@ -374,7 +415,7 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
         byv = eval_expr(e.children[2], table, ctx)
         b = (byv.data if byv.data.shape[0] == cap
              else jnp.broadcast_to(byv.data, (cap,)))[gctx.perm]
-        gcount = gctx.group_count[jnp.clip(gctx.gid, 0, cap - 1)]
+        gcount = _gcount_row()
         gend = gstart + gcount
         # dead rows get an empty segment so their windows resolve empty
         gs = jnp.where(gctx.live_sorted, gstart, idx)
@@ -393,12 +434,22 @@ def _rank_over(e: Expr, v: Val, x, xv, gctx: GroupContext, back):
     cap = x.shape[0]
     from .keycode import encode_key_words
     from .keycode import lex_sort_indices
+    from .fused_sort import _pack2, _unpack2, apply_perm_u32
     gkey = jnp.where(xv, gctx.gid, cap).astype(jnp.uint32)
     vw = encode_key_words(x, None, desc, False)
-    words = [gkey] + vw
     idx32 = jnp.arange(cap, dtype=jnp.int32)
-    skeys, tails, perm2 = lex_sort_indices(words, (idx32,))
-    sgid = skeys[0].astype(jnp.int32)
+    if len(vw) == 1 and cap < (1 << 31):
+        # 4-byte values: (gid, value) fused into ONE u64 operand, the
+        # row position as a second key word (deterministic ordinal
+        # tiebreak == original order within the group-sorted layout)
+        ws, perm2 = jax.lax.sort((_pack2(gkey, vw[0]), idx32),
+                                 num_keys=2, is_stable=False)
+        shi, slo = _unpack2(ws)
+        skeys = [shi, slo]
+        sgid = shi.astype(jnp.int32)
+    else:
+        skeys, tails, perm2 = lex_sort_indices([gkey] + vw, (idx32,))
+        sgid = skeys[0].astype(jnp.int32)
     idx = jnp.arange(cap)
     # group starts in the second sort
     g_new = (idx == 0) | (sgid != jnp.roll(sgid, 1))
@@ -416,20 +467,29 @@ def _rank_over(e: Expr, v: Val, x, xv, gctx: GroupContext, back):
     next_stop = jnp.concatenate([sufmin[1:], jnp.array([cap], jnp.int32)])
     tie_end = next_stop - 1 - base
     cnv = jnp.cumsum(new_val.astype(jnp.int32))
-    dense = cnv - cnv[jnp.clip(base, 0, cap - 1)] + 1
+    # cnv at the group start, broadcast per row by a running max (the
+    # old cnv[base] gather costs ~7 ns/element on TPU)
+    cnv0 = jax.lax.cummax(jnp.where(g_new, cnv, 0))
+    dense = cnv - cnv0 + 1
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # integer rank transport (exact); the float form is computed AFTER
+    # the writeback so the cargo stays one u32 word
     if method == "ordinal":
-        r = (pos + 1).astype(fdt)
+        ri = pos + 1
     elif method == "min":
-        r = (tie_start + 1).astype(fdt)
+        ri = tie_start + 1
     elif method == "max":
-        r = (tie_end + 1).astype(fdt)
+        ri = tie_end + 1
     elif method == "dense":
-        r = dense.astype(fdt)
-    else:  # average
-        r = (tie_start + tie_end).astype(fdt) / 2 + 1
-    # writeback via sort (TPU scatters serialize at table size)
-    _, out_sorted2 = jax.lax.sort((perm2.astype(jnp.int32), r), num_keys=1)
+        ri = dense
+    else:  # average: transport 2*rank = tie_start + tie_end + 2
+        ri = tie_start + tie_end + 2
+    # writeback via fused sort (TPU scatters serialize at table size)
+    out_int = apply_perm_u32(perm2, ri.astype(jnp.uint32))
     out_dt = Float64 if method == "average" else UInt32
-    data = out_sorted2.astype(_stor(out_dt))
+    if method == "average":
+        data = out_int.astype(fdt) / 2
+        data = data.astype(_stor(out_dt))
+    else:
+        data = out_int.astype(_stor(out_dt))
     return back(data, xv, out_dt)

@@ -47,20 +47,37 @@ def _arrow_fingerprint(arr) -> bytes:
 
 
 class StringDict:
-    """Immutable sorted dictionary of unique strings."""
+    """Immutable sorted dictionary of unique strings.
 
-    __slots__ = ("values", "_index", "version")
+    Values may be held as a pyarrow array and converted to a numpy
+    object array lazily: device group-by/join/sort work on codes only,
+    so a scan → aggregate pipeline never materializes python strings
+    (the conversion alone costs ~0.4 s at 1M unique)."""
 
-    def __init__(self, values: np.ndarray):
+    __slots__ = ("_values", "_values_pa", "_len", "_index", "version")
+
+    def __init__(self, values: Optional[np.ndarray] = None,
+                 values_pa=None):
         # values must be sorted unique, dtype=object or str
-        self.values = values
+        self._values = values
+        self._values_pa = values_pa
+        self._len = len(values) if values is not None else len(values_pa)
         self._index: Optional[dict] = None
         # monotonic id for compile-cache keys (id() can be reused by GC)
         _DICT_COUNTER[0] += 1
         self.version = _DICT_COUNTER[0]
 
+    @property
+    def values(self) -> np.ndarray:
+        if self._values is None:
+            v = self._values_pa.to_numpy(zero_copy_only=False)
+            if v.dtype != object:
+                v = v.astype(object)
+            self._values = v
+        return self._values
+
     def __len__(self) -> int:
-        return len(self.values)
+        return self._len
 
     def __repr__(self) -> str:
         return f"StringDict(n={len(self.values)})"
@@ -163,6 +180,65 @@ class StringDict:
         return codes, sdict
 
     @staticmethod
+    def encode_dictionary(arr) -> Tuple[np.ndarray, "StringDict"]:
+        """Encode a pyarrow DictionaryArray (e.g. a parquet
+        dictionary-encoded column read with `read_dictionary`) WITHOUT
+        re-hashing the rows: only the O(unique) dictionary is sorted
+        (C++), the O(rows) work is one int remap. The reference decodes
+        parquet dictionaries straight into its categorical reprs
+        (`polars-parquet/src/arrow/read/`); this is the sorted-dict
+        analogue."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if isinstance(arr, pa.ChunkedArray):
+            # unifies per-chunk dictionaries (per-row-group parquet dicts)
+            arr = arr.combine_chunks()
+        fp = None
+        if len(arr) >= (1 << 20):
+            fp = _arrow_fingerprint(arr)
+            hit = _ENCODE_CACHE.get(fp)
+            if hit is not None:
+                _ENCODE_CACHE.move_to_end(fp)
+                codes, sdict = hit
+                return codes.copy(), sdict
+        dic = arr.dictionary
+        idx = arr.indices
+        k = len(dic)
+        if k == 0:
+            return (np.full(len(arr), NULL_CODE, np.int32),
+                    StringDict(np.array([], dtype=object)))
+        if dic.null_count:
+            # nulls belong in the index validity, not the dictionary;
+            # fall back to the row-level encoder for this odd layout
+            return StringDict.encode_arrow(arr.cast(pa.large_string()))
+        dd = dic.dictionary_encode()  # dedupe (cross-row-group unions)
+        uniq = dd.dictionary
+        if len(uniq) != k:
+            first = dd.indices.to_numpy().astype(np.int64)
+            k2 = len(uniq)
+        else:
+            uniq, first, k2 = dic, None, k
+        perm = pc.array_sort_indices(uniq).to_numpy()  # bytes == str order
+        rank = np.empty(k2, np.int32)
+        rank[perm] = np.arange(k2, dtype=np.int32)
+        if first is not None:
+            rank = rank[first]  # old dict slot -> sorted unique code
+        if idx.null_count:
+            valid = ~np.asarray(idx.is_null())
+            raw = idx.fill_null(0).to_numpy().astype(np.int64)
+            codes = rank[raw]
+            codes[~valid] = NULL_CODE
+        else:
+            codes = rank[idx.to_numpy().astype(np.int64)]
+        sdict = StringDict(values_pa=uniq.take(pa.array(perm)))
+        codes = codes.astype(np.int32, copy=False)
+        if fp is not None:
+            _ENCODE_CACHE[fp] = (codes.copy(), sdict)
+            if len(_ENCODE_CACHE) > 8:
+                _ENCODE_CACHE.popitem(last=False)
+        return codes, sdict
+
+    @staticmethod
     def encode_arrow(arr) -> Tuple[np.ndarray, "StringDict"]:
         """Encode a pyarrow string/binary array without a host object
         round-trip: C++ dictionary_encode (hash) + C++ sort of the
@@ -215,10 +291,8 @@ class StringDict:
             codes[~valid] = NULL_CODE
         else:
             codes = rank[idx.to_numpy().astype(np.int64)]
-        values = dic.take(perm).to_numpy(zero_copy_only=False)
-        if values.dtype != object:
-            values = values.astype(object)
-        return codes.astype(np.int32, copy=False), StringDict(values)
+        return (codes.astype(np.int32, copy=False),
+                StringDict(values_pa=dic.take(pa.array(perm))))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         out = np.empty(len(codes), dtype=object)

@@ -218,3 +218,22 @@ def test_join_benchmark_shape(h2o):
            .groupby("id4", dropna=False, as_index=False)["wv"].sum()
            .sort_values("wv", ascending=False).head(10))
     assert np.allclose(out.to_dict()["wv"], ref["wv"].values)
+
+
+def test_q9_corr_lazy_fma(h2o):
+    # the optimizer's fused-arithmetic pass rewrites corr(a,b)**2 into
+    # an fma node inside the agg tree; the group evaluator must accept
+    # it (regression: r4 bench q9 "expression kind 'fma' not supported")
+    df, pdf = h2o
+    out = df.lazy().group_by("id2", "id4").agg(
+        (pl.corr("v1", "v2") ** 2).alias("r2")).collect()
+    ref = df.group_by("id2", "id4").agg(
+        (pl.corr("v1", "v2") ** 2).alias("r2"))
+    a = out.sort(["id2", "id4"]).to_dict()
+    b = ref.sort(["id2", "id4"]).to_dict()
+    assert a["id2"] == b["id2"] and a["id4"] == b["id4"]
+    for x, y in zip(a["r2"], b["r2"]):
+        if y is None or (isinstance(y, float) and y != y):
+            assert x is None or x != x
+        else:
+            assert abs(x - y) < 1e-9

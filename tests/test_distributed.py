@@ -116,8 +116,11 @@ def test_dist_sharded_join_matches_inmemory():
         "user_id": rng.choice(4000, m, replace=False).tolist(),
         "country": rng.choice(["CH", "DE", "FR"], m).tolist()})
     lf = orders.lazy().join(users.lazy(), on="user_id", how="inner")
-    out = lf.collect(engine="distributed").sort(["user_id", "amount"])
-    ref = lf.collect(engine="in-memory").sort(["user_id", "amount"])
+    # canonicalize on ALL columns: ties in a key prefix may order
+    # differently across engines (sort default is maintain_order=False)
+    allc = ["user_id", "amount", "flag", "country"]
+    out = lf.collect(engine="distributed").sort(allc)
+    ref = lf.collect(engine="in-memory").sort(allc)
     assert out.height == ref.height
     assert out.columns == ref.columns
     da, db = out.to_dict(), ref.to_dict()
@@ -237,7 +240,9 @@ def test_dist_window_over_partition(data):
 
 
 def test_dist_rolling_and_rank_global(data):
-    lf = data.sort("w").with_columns(
+    # maintain_order=True: the rolling ops downstream are order-
+    # dependent, so the sort must be deterministic across engines
+    lf = data.sort("w", maintain_order=True).with_columns(
         pl.col("v").rolling_mean(7).alias("rm"),
         pl.col("v").rank("dense").alias("dr"),
         pl.col("v").cum_max().alias("cm"))

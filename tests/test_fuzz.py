@@ -288,8 +288,11 @@ def test_fuzz_join_m1_vs_pandas(seed):
     out = pl.DataFrame(left).join(pl.DataFrame(right), on="k", how=how)
     ref = pd.DataFrame(left).merge(pd.DataFrame(right), on="k", how=how)
     assert out.height == len(ref), (how, unique_right)
-    oc = out.sort(["k", "v", "w"], nulls_last=True).to_dict()
-    rc = ref.sort_values(["k", "v", "w"], na_position="last", kind="stable")
+    # canonicalize on every column: ties in (k, v, w) may order
+    # differently (sort default leaves tie order unspecified)
+    oc = out.sort(["k", "v", "w", "u"], nulls_last=True).to_dict()
+    rc = ref.sort_values(["k", "v", "w", "u"], na_position="last",
+                         kind="stable")
     assert np.allclose(
         [np.nan if x is None else x for x in oc["v"]], rc["v"].values,
         equal_nan=True)

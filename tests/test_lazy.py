@@ -635,7 +635,10 @@ def test_streaming_external_sort(monkeypatch, tmp_path):
     for by, desc, nl in [(["a", "f"], [False, True], [False, False]),
                          (["f"], [True], [True]),
                          (["s", "a"], [False, False], [True, True])]:
-        lf = pl.scan_parquet(p).sort(by, descending=desc, nulls_last=nl)
+        # maintain_order=True: tie order must match across ENGINES for
+        # the differential assert (default False leaves it unspecified)
+        lf = pl.scan_parquet(p).sort(by, descending=desc, nulls_last=nl,
+                                     maintain_order=True)
         a = lf.collect(engine="streaming")
         b = lf.collect(engine="in-memory")
         assert a.to_dict() == b.to_dict(), (by, desc, nl)

@@ -44,9 +44,14 @@ def test_sort_floats_with_nan():
 
 
 def test_sort_stability():
+    # maintain_order=True guarantees tie stability (polars semantics:
+    # the default maintain_order=False leaves tie order unspecified)
     df = pl.DataFrame({"k": [1, 1, 1, 0, 0], "i": [0, 1, 2, 3, 4]})
-    out = df.sort("k")
+    out = df.sort("k", maintain_order=True)
     assert out.to_dict()["i"] == [3, 4, 0, 1, 2]
+    out2 = df.sort("k")
+    assert sorted(out2.to_dict()["i"][:2]) == [3, 4]
+    assert sorted(out2.to_dict()["i"][2:]) == [0, 1, 2]
 
 
 def test_sort_by_expression():
