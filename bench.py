@@ -326,6 +326,35 @@ def _run_benches(d: dict) -> None:
     d["parquet_vs_ceiling"] = round(
         (pq_bytes / t_read) / max(data_bytes / t_put, 1), 3)
 
+    # --- streaming engine q1 over parquet vs in-memory over parquet
+    # (VERDICT r3 #7): the scan prefetch thread + async device dispatch
+    # should hide decode behind compute across the whole plan
+    _phase("streaming q1 over parquet")
+
+    def _q1_lazy(src):
+        return (src.filter(pl.col("volume") > 1000)
+                .with_columns((pl.col("price") * pl.col("volume"))
+                              .alias("notional"))
+                .group_by("symbol")
+                .agg(pl.len().alias("n"),
+                     pl.col("notional").sum().alias("total"),
+                     pl.col("price").mean().alias("avg")))
+
+    try:
+        slf = _q1_lazy(pl.scan_parquet(pq_path))
+        slf.collect(engine="streaming")  # compile
+        t0 = time.perf_counter()
+        _fence_df(slf.collect(engine="streaming"))
+        t_sq1 = time.perf_counter() - t0
+        d["streaming_q1_parquet_ms"] = round(t_sq1 * 1e3, 3)
+        t0 = time.perf_counter()
+        _fence_df(_q1_lazy(pl.read_parquet(pq_path).lazy()).collect())
+        t_mq1 = time.perf_counter() - t0
+        d["inmem_q1_parquet_ms"] = round(t_mq1 * 1e3, 3)
+        d["streaming_vs_inmem_parquet"] = round(t_mq1 / max(t_sq1, 1e-9), 3)
+    except Exception as exc:
+        d["streaming_q1_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     _phase("compiling op_filter")
     # --- operator microbenches ---
     # honest filter: predicate + device compaction to a live prefix +

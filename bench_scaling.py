@@ -49,8 +49,12 @@ def child(k: int) -> None:
     def sync(out):
         return np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
 
-    o1 = p1(key, valid, val, val)
-    per_dest = capacity_for(max(int(np.asarray(o1[2]).max()), 1))
+    # CONSTANT per-dest capacity across mesh sizes (VERDICT r3 #8: the
+    # r3 legs silently shrank 1024 -> 256 with mesh size, so the
+    # rows-routed-per-destination workload was not actually constant).
+    # capacity_for(NGROUPS) is a safe bound: every shard's merge input
+    # is at most the global group count per source.
+    per_dest = capacity_for(NGROUPS)
     p2 = make_groupby_merge(mesh, ["sum", "count"], per_dest)
 
     def run():
@@ -95,7 +99,26 @@ def child(k: int) -> None:
         xo = xfn(o1c[0], o1c[1], *o1c[3:])
     sync(xo)
     dt_exchange = (time.perf_counter() - t0) / reps
+
+    # collective-only CONTROL (VERDICT r3 #8): one router pass over a
+    # CONSTANT-size buffer (NGROUPS rows/shard, 3 words) with a uniform
+    # destination pattern — isolates the all_to_all collective cost from
+    # host-core contention so exchange growth is attributable
+    ctl_rows = NGROUPS
+    ckey = jax.device_put(
+        rng.integers(0, NGROUPS, ctl_rows * S).astype(np.uint64), sh)
+    cs = jax.device_put(rng.uniform(0, 1, ctl_rows * S).astype(np.float32),
+                        sh)
+    cc = jax.device_put(np.ones(ctl_rows * S, np.int32), sh)
+    cvalid = jax.device_put(np.ones(ctl_rows * S, bool), sh)
+    sync(xfn(ckey, cvalid, cs, cc))  # compile (same program, new shapes ok?)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        co = xfn(ckey, cvalid, cs, cc)
+    sync(co)
+    dt_control = (time.perf_counter() - t0) / reps
     print(json.dumps({"mesh": k, "rows": n, "per_dest_cap": per_dest,
+                      "collective_control_ms": round(dt_control * 1e3, 2),
                       "groupby_rows_per_s": round(n / dt, 1),
                       "phase_ms": {"total": round(dt * 1e3, 2),
                                    "local_partials": round(dt_partials * 1e3, 2),
@@ -174,9 +197,19 @@ def main() -> None:
         results.append(rec)
         print(lines[-1], flush=True)
     base = results[0]["groupby_rows_per_s"] if results else 1.0
+    base_net = None
     for r in results:
         r["weak_scaling_efficiency"] = round(
             r["groupby_rows_per_s"] / (base * r["mesh"]), 3)
+        # efficiency net of the measured collective-control cost: remove
+        # the constant-buffer all_to_all share before comparing compute
+        tot_s = r["phase_ms"]["total"] / 1e3
+        ctl_s = r.get("collective_control_ms", 0.0) / 1e3
+        net = r["rows"] / max(tot_s - ctl_s, 1e-9)
+        if base_net is None:
+            base_net = net / r["mesh"]
+        r["weak_scaling_efficiency_net_collectives"] = round(
+            net / (base_net * r["mesh"]), 3)
     # 2-D hierarchical leg on the 8-device mesh (2 hosts x 4 chips)
     env = dict(os.environ, PT_SCALING_MESH2D="2x4", JAX_PLATFORMS="cpu")
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +

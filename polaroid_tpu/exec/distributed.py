@@ -81,6 +81,66 @@ def _pack_key_vals(key_vals: List[Val], cap: int) -> Tuple[jax.Array, list]:
     return packed, list(zip(key_vals, bits, mins))
 
 
+def _pack_key_vals_wide(key_vals: List[Val], cap: int):
+    """Two-word (≤128-bit) exact packing: key columns split greedily
+    into a (hi, lo) u64 pair, lexicographic hi-then-lo. Returns
+    (hi, lo, unpack_info_hi, unpack_info_lo)."""
+    cols, valids, bits, mins = [], [], [], []
+    for v in key_vals:
+        data = v.data if v.data.shape[0] == cap else \
+            jnp.broadcast_to(v.data, (cap,))
+        cols.append(data)
+        valids.append(v.validity)
+        b, mn = column_bit_width(data, v.validity)
+        bits.append(int(b))
+        mins.append(jnp.uint64(int(mn)))
+    split = 0
+    used = 0
+    for b in bits:
+        if used + b > 64:
+            break
+        used += b
+        split += 1
+    if split == 0 or sum(bits[split:]) > 64:
+        raise InvalidOperationError(
+            f"distributed group keys need {sum(bits)} bits (> 128, or a "
+            "single column over 64); reduce key cardinality or use the "
+            "single-chip engine")
+    hi = pack_keys_single_word(cols[:split], valids[:split], bits[:split],
+                               mins[:split])
+    lo = pack_keys_single_word(cols[split:], valids[split:], bits[split:],
+                               mins[split:])
+    return (hi, lo,
+            list(zip(key_vals[:split], bits[:split], mins[:split])),
+            list(zip(key_vals[split:], bits[split:], mins[split:])))
+
+
+def _mix128to64(hi, lo, salt: int):
+    """Salted 128 -> 64 bit mix (splitmix64 finalizers). Not injective;
+    callers verify collision-freedom on the actual data and re-salt."""
+    def fmix64(x):
+        x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+        return x ^ (x >> jnp.uint64(31))
+    s = jnp.uint64(0x9E3779B97F4A7C15 * (salt + 1) & 0xFFFFFFFFFFFFFFFF)
+    return fmix64(hi ^ s) ^ jnp.uint64(0xA5A5A5A5A5A5A5A5) ^ \
+        fmix64(lo + (s << jnp.uint64(1)))
+
+
+def _collision_free(key64, hi, lo, mask) -> bool:
+    """Exact check that key64 is injective over the live (hi, lo) pairs:
+    sort by key64 and compare neighbours. Dead rows take identical
+    sentinel words, so they never flag."""
+    full = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    k = jnp.where(mask, key64, full)
+    h = jnp.where(mask, hi, full)
+    l2 = jnp.where(mask, lo, full)
+    sk, sh, sl = jax.lax.sort((k, h, l2), num_keys=3, is_stable=False)
+    adj = sk[1:] == sk[:-1]
+    bad = adj & ((sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]))
+    return not bool(jnp.any(bad))
+
+
 def _unpack_keys(packed, unpack_info, cap):
     """Recover key columns (data + validity) from packed u64 group keys."""
     from ..ops.keycode import unpack_keys_single_word
@@ -165,6 +225,16 @@ class DistributedExecutor:
             ts = [self._exec(p) for p in plan.inputs]
             return _shard_table(vstack_tables([C.compact(t) for t in ts]),
                                 self.mesh)
+        if k == "map_function" and getattr(plan, "streamable", False):
+            # streamable maps are exact per left batch by contract
+            # (e.g. join_asof: row-wise lookup into the full right
+            # side). Distributed form = broadcast-build: the left stays
+            # sharded, the map's internal build side is replicated —
+            # the same shape as the reference's streaming asof, which
+            # materializes the full right table per pipeline
+            # (ops/asof.py asof_join_plan).
+            t = self._exec(plan.input)
+            return plan.fn(t)
         if k == "rename":
             return self._exec(plan.input).rename(plan.mapping, strict=False)
         if k == "drop":
@@ -197,9 +267,14 @@ class DistributedExecutor:
             return self._exec_group_by_sharded(plan, t, keys, partials,
                                                finals)
         except InvalidOperationError:
-            from ..ops.groupby import group_by_agg
-            return group_by_agg(C.compact(t), keys, aggs,
-                                plan.maintain_order)
+            # e.g. >64-bit key packing: the exact row-shuffle path
+            # carries wide keys (salted mix + collision check)
+            try:
+                return self._exec_group_by_exact(plan, t, keys, aggs)
+            except InvalidOperationError:
+                from ..ops.groupby import group_by_agg
+                return group_by_agg(C.compact(t), keys, aggs,
+                                    plan.maintain_order)
 
     _EXACT_KINDS = {"sum", "min", "max", "count", "null_count", "any",
                     "all", "first", "last", "mean", "std", "var",
@@ -215,7 +290,26 @@ class DistributedExecutor:
         cap = t.capacity
         mask = t.row_mask()
         key_vals = [eval_expr(kx, t, "select") for kx in keys]
-        packed, unpack_info = _pack_key_vals(key_vals, cap)
+        wide = None
+        try:
+            packed, unpack_info = _pack_key_vals(key_vals, cap)
+        except InvalidOperationError:
+            # >64-bit key set: exact two-word packing, shuffled by a
+            # salted 128->64 mix verified collision-free on the data
+            # (re-salt on the ~2^-40 event of a collision); original
+            # key words ride as `first` aggregates for reconstruction
+            hi, lo, info_hi, info_lo = _pack_key_vals_wide(key_vals, cap)
+            packed = None
+            for salt in range(8):
+                cand = _mix128to64(hi, lo, salt)
+                if _collision_free(cand, hi, lo, mask):
+                    packed = cand
+                    break
+            if packed is None:
+                raise InvalidOperationError(
+                    "distributed wide-key group-by: no collision-free "
+                    "salt found")
+            wide = (hi, lo, info_hi, info_lo)
 
         ins = dict(t.schema)
         specs, out_names, out_dtypes = [], [], []
@@ -269,6 +363,18 @@ class DistributedExecutor:
             out_names.append(meta.output_name(a))
             out_dtypes.append(meta.output_dtype(a, ins))
 
+        n_user = len(specs)
+        if wide is not None:
+            # the four u32 key words ride as first-aggregates (constant
+            # within a group once collision-freedom is verified)
+            for w64 in (wide[0], wide[1]):
+                for shift in (32, 0):
+                    word = ((w64 >> jnp.uint64(shift)) &
+                            jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                    vals.append(word)
+                    vvalids.append(jnp.ones(cap, jnp.uint8))
+                    specs.append({"kind": "first", "vi": len(vals) - 1})
+
         sh = NamedSharding(self.mesh, self.spec)
         packed = jax.device_put(packed, sh)
         maskd = jax.device_put(mask, sh)
@@ -286,7 +392,15 @@ class DistributedExecutor:
         flat = list(outs[3:])
 
         out_cap = gkey.shape[0]
-        key_out_vals = _unpack_keys(gkey, unpack_info, out_cap)
+        if wide is not None:
+            ws = [flat[2 * j].astype(jnp.uint64)
+                  for j in range(n_user, n_user + 4)]
+            hi_g = (ws[0] << jnp.uint64(32)) | ws[1]
+            lo_g = (ws[2] << jnp.uint64(32)) | ws[3]
+            key_out_vals = (_unpack_keys(hi_g, wide[2], out_cap) +
+                            _unpack_keys(lo_g, wide[3], out_cap))
+        else:
+            key_out_vals = _unpack_keys(gkey, unpack_info, out_cap)
         names, cols = [], {}
         for kx, kv in zip(keys, key_out_vals):
             nm = meta.output_name(kx)
@@ -581,9 +695,44 @@ class DistributedExecutor:
         how = "full" if plan.how == "outer" else plan.how
         coalesce = plan.coalesce if plan.coalesce is not None \
             else how != "full"
-        if how not in ("inner", "left", "right", "full", "semi", "anti") \
-                or (how == "full" and coalesce):
-            # cross / asof / coalescing-full: single-device fallback
+        if how == "cross":
+            # broadcast cross product: left stays sharded, right
+            # replicated — each shard emits its left rows x full right
+            from .executor import execute as exec_local
+            from ..ops.join import cross_join
+            lt = self._exec(plan.left)
+            rt = exec_local(plan.right)
+            return cross_join(lt, rt, plan.suffix)
+        if how == "full" and coalesce:
+            # run the sharded full join uncoalesced, then merge each
+            # key pair (left key where the left side matched, else the
+            # right key) and drop the right key columns
+            uncoalesced = L.Join(plan.left, plan.right, plan.left_on,
+                                 plan.right_on, "full", plan.suffix,
+                                 plan.join_nulls, False,
+                                 getattr(plan, "maintain_order", None))
+            t = self._exec_join(uncoalesced)
+            lnames = list(plan.left.schema().keys())
+            cols = dict(t.cols)
+            names = list(t.names)
+            for lo, ro in zip(plan.left_on, plan.right_on):
+                rname = ro if (ro not in lnames and ro != lo) \
+                    else f"{ro}{plan.suffix}"
+                lc, rc = cols[lo], cols[rname]
+                lv = lc.validity if lc.validity is not None else \
+                    jnp.ones(t.capacity, jnp.bool_)
+                rv = rc.validity if rc.validity is not None else \
+                    jnp.ones(t.capacity, jnp.bool_)
+                data = jnp.where(lv, lc.data,
+                                 rc.data.astype(lc.data.dtype))
+                cols[lo] = Column(lc.dtype, data, (lv | rv), lc.sdict)
+                del cols[rname]
+                names.remove(rname)
+            out = Table(names, cols, t.capacity, t._nrows, t.valid)
+            out.nrows_dev = getattr(t, "nrows_dev", None)
+            return out
+        if how not in ("inner", "left", "right", "full", "semi", "anti"):
+            # unknown join kind: single-device fallback
             from .executor import execute as exec_local
             return exec_local(plan)
         lt = self._exec(plan.left)

@@ -72,11 +72,45 @@ def execute_streaming(plan: L.Plan) -> Table:
         return out
 
 
+def _pipeline_prefetch(it: Iterator[Table], depth: int = 2
+                       ) -> Iterator[Table]:
+    """Run a source iterator on a worker thread with a bounded queue:
+    the host decodes/uploads batch k+1 while the device executes the
+    downstream plan on batch k. This is the engine-wide analogue of the
+    reference's num_pipelines lanes (`polars-stream/src/execute.rs:301`)
+    — on TPU one decode lane suffices because device compute is enqueued
+    asynchronously; the host-side pyarrow decode is the only blocking
+    stage. Bounded depth keeps the larger-than-RAM contract."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    DONE = object()
+
+    def worker():
+        try:
+            for t in it:
+                q.put(t)
+            q.put(DONE)
+        except BaseException as e:  # propagate to the consumer
+            q.put(("__pipeline_error__", e))
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and \
+                item[0] == "__pipeline_error__":
+            raise item[1]
+        yield item
+
+
 def _stream(plan: L.Plan) -> Iterator[Table]:
     k = plan.kind
 
     if k == "scan":
-        yield from _stream_scan(plan)
+        yield from _pipeline_prefetch(_stream_scan(plan))
         return
 
     if k in ("select", "with_columns", "filter"):

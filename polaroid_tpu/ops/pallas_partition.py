@@ -176,7 +176,7 @@ def _prefix_concat(offs, *words, n_ops: int):
                                lambda b, offs: (b, jnp.int32(0)),
                                memory_space=pltpu.VMEM)
                   for _ in range(n_ops)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
                    for _ in range(n_ops)],
         scratch_shapes=[
             pltpu.VMEM((n_ops, _R + 1, _LANES), words[0].dtype),

@@ -333,3 +333,81 @@ def test_shuffle_overflow_refused(monkeypatch):
     with pytest.raises(ComputeError, match="overflow"):
         q.collect(engine="distributed")
     monkeypatch.setattr(D, "capacity_for", real)
+
+
+# ---------------------------------------------------------------------------
+# r4: cross / asof / coalescing-full no longer fall back to one device
+# ---------------------------------------------------------------------------
+
+def test_dist_cross_join():
+    l = pl.LazyFrame({"a": [1, 2, 3, 4, 5], "b": ["x", "y", "z", "w", "v"]})
+    r = pl.LazyFrame({"c": [10, 20, 30]})
+    lf = l.join(r, how="cross")
+    a = lf.collect(engine="distributed").sort(["a", "c"]).to_dict()
+    b = lf.collect(engine="in-memory").sort(["a", "c"]).to_dict()
+    assert a == b
+    assert len(a["a"]) == 15
+
+
+def test_dist_full_join_coalesced(join_sides):
+    lf_l, lf_r = join_sides
+    lf = lf_l.join(lf_r, on="k", how="full", coalesce=True)
+    _cmp_join(lf)
+
+
+def test_dist_asof_join():
+    rng = np.random.default_rng(9)
+    n, m = 5000, 800
+    quotes_t = np.sort(rng.integers(0, 100000, m))
+    trades_t = np.sort(rng.integers(0, 100000, n))
+    trades = pl.LazyFrame({"t": trades_t.tolist(),
+                           "qty": rng.integers(1, 100, n).tolist()})
+    quotes = pl.LazyFrame({"t": quotes_t.tolist(),
+                           "px": rng.uniform(1, 100, m).round(3).tolist()})
+    lf = trades.join_asof(quotes, on="t", strategy="backward")
+    a = lf.collect(engine="distributed").to_dict()
+    b = lf.collect(engine="in-memory").to_dict()
+    assert a == b
+
+
+def test_dist_asof_join_by():
+    rng = np.random.default_rng(10)
+    n, m = 4000, 900
+    syms = ["A", "B", "C"]
+    trades = pl.DataFrame({
+        "s": rng.choice(syms, n).tolist(),
+        "t": np.sort(rng.integers(0, 50000, n)).tolist(),
+        "qty": rng.integers(1, 100, n).tolist()}).sort("t")
+    quotes = pl.DataFrame({
+        "s": rng.choice(syms, m).tolist(),
+        "t": np.sort(rng.integers(0, 50000, m)).tolist(),
+        "px": rng.uniform(1, 100, m).round(3).tolist()}).sort("t")
+    lf = trades.lazy().join_asof(quotes.lazy(), on="t", by="s",
+                                 strategy="backward")
+    a = lf.collect(engine="distributed").to_dict()
+    b = lf.collect(engine="in-memory").to_dict()
+    assert a == b
+
+
+def test_dist_groupby_wide_keys():
+    # >64-bit packed key set: two ~41-bit columns -> the salted-mix
+    # two-word path (collision-checked) instead of the r3 refusal
+    rng = np.random.default_rng(12)
+    n = 6000
+    base = (1 << 40)
+    k1 = (rng.integers(0, 1 << 12, n).astype(np.int64) * (base // (1 << 12)))
+    k2 = (rng.integers(0, 1 << 12, n).astype(np.int64) * (base // (1 << 12))
+          + base)
+    lf = pl.LazyFrame({"k1": k1.tolist(), "k2": k2.tolist(),
+                       "v": rng.normal(0, 5, n).tolist()}) \
+        .group_by("k1", "k2").agg(pl.col("v").sum().alias("s"),
+                                  pl.len().alias("n"),
+                                  pl.col("v").median().alias("m"))
+    a = lf.collect(engine="distributed").sort(["k1", "k2"]).to_dict()
+    b = lf.collect(engine="in-memory").sort(["k1", "k2"]).to_dict()
+    assert a["k1"] == b["k1"] and a["k2"] == b["k2"]
+    assert a["n"] == b["n"]
+    for x, y in zip(a["s"], b["s"]):
+        assert abs(x - y) < 1e-6
+    for x, y in zip(a["m"], b["m"]):
+        assert abs(x - y) < 1e-9
