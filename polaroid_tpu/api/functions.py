@@ -287,7 +287,12 @@ def corr(a, b, ddof: int = 1) -> Expr:
     pairwise-complete under nulls."""
     a, b = _wrap_col(a), _wrap_col(b)
     pair = a.is_not_null() & b.is_not_null()
-    ax, bx = a.filter(pair), b.filter(pair)
+    from ..dtypes import Float64
+    # float accumulation up front: the result is float anyway, and int
+    # inputs would otherwise drag emulated-int64 segment ladders through
+    # the group path (f32 sums accumulate compensated two-float,
+    # ~49 exact bits)
+    ax, bx = a.filter(pair).cast(Float64), b.filter(pair).cast(Float64)
     n = ax.count()
     sx, sy = ax.sum(), bx.sum()
     sxx, syy = (ax * ax).sum(), (bx * bx).sum()
@@ -300,7 +305,12 @@ def corr(a, b, ddof: int = 1) -> Expr:
 def cov(a, b, ddof: int = 1) -> Expr:
     a, b = _wrap_col(a), _wrap_col(b)
     pair = a.is_not_null() & b.is_not_null()
-    ax, bx = a.filter(pair), b.filter(pair)
+    from ..dtypes import Float64
+    # float accumulation up front: the result is float anyway, and int
+    # inputs would otherwise drag emulated-int64 segment ladders through
+    # the group path (f32 sums accumulate compensated two-float,
+    # ~49 exact bits)
+    ax, bx = a.filter(pair).cast(Float64), b.filter(pair).cast(Float64)
     n = ax.count()
     return (((ax * bx).sum() - ax.sum() * bx.sum() / n)
             / (n - ddof)).alias("cov")

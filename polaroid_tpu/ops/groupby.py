@@ -233,6 +233,34 @@ def _join_words(words, dtype):
     return col_from_u32_words(words, jnp.dtype(dtype))
 
 
+def _bcast_end_rows(seed_vals, gid, ncap):
+    """Broadcast each run's END-slot value to all of its rows via a
+    reversed segmented max scan (no ncap-sized gather — XLA gathers
+    cost ~7 ns/element on TPU). seed_vals: list of (incl_scan, ident)
+    where ident must compare below every real value."""
+    cap = gid.shape[0]
+    live = gid < ncap
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_end = live & ((idx == cap - 1) | (jnp.roll(gid, -1) != gid))
+    out = []
+    for incl, ident in seed_vals:
+        out.append(_seg_scan_doubling(
+            jnp.where(is_end, incl, ident)[::-1], gid[::-1],
+            jnp.maximum)[::-1])
+    return out
+
+
+def _group_mean_rows(sx, spart, gid, ncap):
+    """Per-row group mean over a gid-sorted layout, gather-free: two
+    segmented inclusive scans + end-slot broadcasts."""
+    xf = jnp.where(spart, sx, 0).astype(jnp.float32)
+    s_incl = _seg_scan_doubling(xf, gid, jnp.add)
+    c_incl = _seg_scan_doubling(spart.astype(jnp.int32), gid, jnp.add)
+    tot_row, cnt_row = _bcast_end_rows(
+        [(s_incl, -jnp.inf), (c_incl, -1)], gid, ncap)
+    return tot_row / jnp.maximum(cnt_row, 1).astype(jnp.float32)
+
+
 def _compact_at_ends(gid, ncap, arrays):
     """Stably compact each array's values at segment-END slots to the
     front (in gid order) with ONE multi-operand sort. On TPU a sort pass
@@ -839,6 +867,12 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                 storage_numpy_dtype(out_dt))), n > 0)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(dt)
+        if _use_segscan() and not (isinstance(dt, (Datetime, Duration))
+                                   or dt == Date) and not dt.is_float:
+            # int means: accumulate as compensated f32 pairs (~49 exact
+            # bits through _seg_sorted's two-float ladder) instead of an
+            # emulated-int64 ladder — the result is float anyway
+            acc = jnp.float32
         s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
         out_dt = dt if (isinstance(dt, (Datetime, Duration)) or dt == Date) \
             else _float_dt(dt)
@@ -890,11 +924,15 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                 storage_numpy_dtype(out_dt))), nf > ddof)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(_float_dt(dt))
-        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
-        m = s / jnp.maximum(n, 1)
-        # two-pass for stability: gather group mean back to rows
-        mrow = m[jnp.clip(gid, 0, ncap - 1)]
-        dev = jnp.where(spart, (sx.astype(acc) - mrow) ** 2, 0)
+        if sids and _use_segscan():
+            mrow = _group_mean_rows(sx, spart, gid, ncap)
+        else:
+            s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap,
+                         sids)
+            m = s / jnp.maximum(n, 1)
+            # two-pass for stability: gather group mean back to rows
+            mrow = m[jnp.clip(gid, 0, ncap - 1)]
+        dev = jnp.where(spart, (sx.astype(acc) - mrow.astype(acc)) ** 2, 0)
         ss = _seg_sum(dev, gid, ncap, sids)
         var = ss / jnp.maximum(n - ddof, 1)
         out = jnp.sqrt(var) if agg == "std" else var
@@ -949,9 +987,13 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         # polars-compute/src/moment.rs under group_by)
         acc = _acc_dtype(_float_dt(dt))
         n = _seg_sum(spart.astype(acc), gid, ncap, sids)
-        s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap, sids)
-        m = s / jnp.maximum(n, 1)
-        mrow = m[jnp.clip(gid, 0, ncap - 1)]
+        if sids and _use_segscan():
+            mrow = _group_mean_rows(sx, spart, gid, ncap).astype(acc)
+        else:
+            s = _seg_sum(jnp.where(spart, sx, 0).astype(acc), gid, ncap,
+                         sids)
+            m = s / jnp.maximum(n, 1)
+            mrow = m[jnp.clip(gid, 0, ncap - 1)]
         dev = jnp.where(spart, sx.astype(acc) - mrow, 0)
         m2 = _seg_sum(dev * dev, gid, ncap, sids) / jnp.maximum(n, 1)
         out_dt = Float64
@@ -1021,8 +1063,14 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
         xf = jnp.where(spart, sx, 0).astype(acc)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         if normalize:
-            tot = _seg_sum(xf, gid, ncap, sids)
-            trow = tot[jnp.clip(gid, 0, ncap - 1)]
+            if sids and _use_segscan():
+                s_incl = _seg_scan_doubling(xf.astype(jnp.float32), gid,
+                                            jnp.add)
+                (trow,) = _bcast_end_rows([(s_incl, -jnp.inf)], gid, ncap)
+                trow = trow.astype(xf.dtype)
+            else:
+                tot = _seg_sum(xf, gid, ncap, sids)
+                trow = tot[jnp.clip(gid, 0, ncap - 1)]
             p = xf / jnp.where(trow == 0, 1, trow)
         else:
             p = xf
