@@ -232,14 +232,15 @@ def _run_benches(d: dict) -> None:
     import polaroid_tpu as pl
 
     def _fence_df(dfr):
-        # force BOTH the deferred count and a data column: a sort's
-        # nrows_dev (sum of the input mask) does not depend on the
-        # sorted data, so fencing it alone would not time the sort
+        # ONE readback (each costs a full tunnel RTT): fence a data
+        # column — a sort's nrows_dev is an input-only sum that does
+        # not depend on the sorted data, while fetching the data column
+        # forces every program enqueued before it on the device stream
         t = dfr._table
-        if t.nrows_dev is not None:
-            np.asarray(t.nrows_dev).reshape(-1)[:1]
         col = t.cols[t.names[0]]
         leaf = col.data if col.data is not None else col.validity
+        if leaf is None:
+            leaf = t.nrows_dev
         if leaf is not None:
             np.asarray(leaf.reshape(-1)[:1])
 
@@ -343,6 +344,7 @@ def _run_benches(d: dict) -> None:
     try:
         slf = _q1_lazy(pl.scan_parquet(pq_path))
         slf.collect(engine="streaming")  # compile
+        _fence_df(_q1_lazy(pl.read_parquet(pq_path).lazy()).collect())  # compile
         t0 = time.perf_counter()
         _fence_df(slf.collect(engine="streaming"))
         t_sq1 = time.perf_counter() - t0
@@ -467,19 +469,30 @@ def _run_benches(d: dict) -> None:
     t0 = time.perf_counter()
     _pl.read_parquet(spq)
     d["string_parquet_read_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    # encode-only (the VERDICT r3 #3 "dict build" cost): dictionary
+    # pages straight to sorted codes, no device upload
+    import pyarrow.parquet as _pq2
+    col = _pq2.read_table(spq, columns=["id3"],
+                          read_dictionary=["id3"]).column(0)
+    from polaroid_tpu.strings import StringDict as _SD
+    t0 = time.perf_counter()
+    _SD.encode_dictionary(col)
+    d["string_dict_encode_parquet_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 3)
     slf = (sdf.lazy().group_by("id3")
            .agg(_pl.col("v1").sum().alias("s")))
     slf.collect()  # compile
 
     def _fence_df(dfr):
-        # force BOTH the deferred count and a data column: a sort's
-        # nrows_dev (sum of the input mask) does not depend on the
-        # sorted data, so fencing it alone would not time the sort
+        # ONE readback (each costs a full tunnel RTT): fence a data
+        # column — a sort's nrows_dev is an input-only sum that does
+        # not depend on the sorted data, while fetching the data column
+        # forces every program enqueued before it on the device stream
         t = dfr._table
-        if t.nrows_dev is not None:
-            np.asarray(t.nrows_dev).reshape(-1)[:1]
         col = t.cols[t.names[0]]
         leaf = col.data if col.data is not None else col.validity
+        if leaf is None:
+            leaf = t.nrows_dev
         if leaf is not None:
             np.asarray(leaf.reshape(-1)[:1])
 
@@ -501,16 +514,15 @@ def _run_benches(d: dict) -> None:
     bval = jnp.asarray(rng.uniform(0, 1, nb).astype(np.float32))
     pkey = jnp.asarray(rng.integers(0, nb, npr).astype(np.uint32))
 
-    from polaroid_tpu.ops.join import lookup_join_sorted
+    from polaroid_tpu.ops.hjoin import lookup_join_collocated
 
     @jax.jit
     def op_join(bkey, bval, pkey):
-        # scan-free two-sort lookup join: sorts + primitive cumops only.
-        # TPU probe data (tools/join_probe_variants.py, 2026-08-19):
-        # gather 4M<-1M = 34.7ms but sort 8.4Mx2 = 21.8ms — sorts are the
-        # fast primitive, so the probe side rides two sorts instead of
-        # searchsorted + gathers (178ms -> 61.5ms on the same shapes).
-        return lookup_join_sorted(bkey, bval, pkey)
+        # collocated hash join kernel (ops/hjoin.py): bijective 31-bit
+        # mix + Pallas bucket exchange collocates build and probe rows,
+        # right values broadcast-fill via a depth-8 doubling ladder —
+        # 11-14 ms vs 32.5 for the r3 two-sort lookup join
+        return lookup_join_collocated(bkey, bval, pkey)
 
     _phase("compiling op_join")
     t_join = _bench(op_join, (bkey, bval, pkey))

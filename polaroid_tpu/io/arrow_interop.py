@@ -141,7 +141,11 @@ def column_from_arrow(arr: pa.ChunkedArray | pa.Array, capacity: int,
     if arr.null_count == 0 and t in _PA_TO_DT and \
             (pa.types.is_floating(t) or pa.types.is_integer(t)):
         return _plain_numeric_fast(arr, _PA_TO_DT[t], capacity)
-    if isinstance(arr, pa.ChunkedArray):
+    if isinstance(arr, pa.ChunkedArray) and \
+            not pa.types.is_dictionary(arr.type):
+        # dictionary columns stay chunked: encode_dictionary merges
+        # chunks by dictionary identity (combine_chunks here would
+        # re-unify 64 per-batch dictionaries, ~3.5 s at 1M unique)
         arr = arr.combine_chunks()
     if as_string and pa.types.is_dictionary(arr.type):
         # dictionary encoding FORCED by the parquet reader (read_

@@ -261,12 +261,23 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
         # order preservation (the order-preserving encode flips the
         # sign bit, pushing every non-negative int past the 31-bit
         # limit). Keys whose live values exceed 2^31-1 are refused at
-        # runtime (folded into `ok` by collocate).
+        # runtime (folded into `ok` by collocate; 8-byte int keys get
+        # an explicit pre-truncation range check in `core` — engine
+        # Int64 keys are the common case under x64).
         data = v.data if v.data.shape[0] == cap else \
             jnp.broadcast_to(v.data, (cap,))
-        if data.dtype.itemsize != 4:
+        if data.dtype.itemsize == 4:
+            return data
+        if data.dtype.itemsize == 8 and \
+                jnp.issubdtype(data.dtype, jnp.integer):
+            # measured on v5e (tools r4): engaging here for the 2Mx1M
+            # engine join costs MORE end-to-end than the dense-span
+            # fallback (174 vs 89 ms) — the two extra i64 payload words
+            # and the larger collocated output capacity outweigh the
+            # kernel win, and the `ok` readback serializes on the
+            # tunnel RTT. Keep 8-byte keys on the dense/sort paths.
             return None
-        return data
+        return None
 
     pk = key_data(lv[0], capL)
     bk = key_data(rv[0], capR)
@@ -309,6 +320,7 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
     lkey_f = bool(jnp.issubdtype(pk.dtype, jnp.floating))
     rkey_f = bool(jnp.issubdtype(bk.dtype, jnp.floating))
     sig = ("cj", how, capL, capR, NL, NR, lkey_f, rkey_f,
+           str(pk.dtype), str(bk.dtype),
            tuple((s, nw, hasv, str(storage_numpy_dtype(c.dtype)))
                  for s, n, c, nw, hasv in out_specs))
     jf = _JOIN_JIT_CACHE.get(sig)
@@ -320,16 +332,28 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
 
         def core(bk, pk, lmask, rmask, *words):
             import numpy as _np
+            ok_keys = jnp.bool_(True)
+
+            def int_key_word(k, mask):
+                # 8-byte int keys: range-check BEFORE truncation (a
+                # truncated alias would silently pass collocate's
+                # 31-bit check)
+                nonlocal ok_keys
+                if k.dtype.itemsize == 8:
+                    bad = mask & ((k < 0) | (k > k.dtype.type(_M31)))
+                    ok_keys = ok_keys & ~jnp.any(bad)
+                return k.astype(jnp.uint32)
+
             if rkey_f:
                 bk2 = jnp.where(bk == 0, jnp.zeros_like(bk), bk)
                 bw_ = jax.lax.bitcast_convert_type(bk2, jnp.uint32)
             else:
-                bw_ = bk.astype(jnp.uint32)
+                bw_ = int_key_word(bk, rmask)
             if lkey_f:
                 pk2 = jnp.where(pk == 0, jnp.zeros_like(pk), pk)
                 pw_ = jax.lax.bitcast_convert_type(pk2, jnp.uint32)
             else:
-                pw_ = pk.astype(jnp.uint32)
+                pw_ = int_key_word(pk, lmask)
             lws = list(words[:NL])
             rws = list(words[NL:])
             nf = min(NL, NR)
@@ -339,6 +363,7 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
             wfin, outs, ok = collocate(bw_, pw_, bonly, ponly,
                                        bvalid=rmask, pvalid=lmask,
                                        fused_pay=pairs or None)
+            ok = ok & ok_keys
             b_tr = list(outs[:nf]) + list(outs[nf:nf + len(bonly)])
             p_tr = list(outs[:nf]) + list(outs[nf + len(bonly):])
 

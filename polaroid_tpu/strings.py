@@ -180,6 +180,67 @@ class StringDict:
         return codes, sdict
 
     @staticmethod
+    def _merge_dictionary_chunks(carr):
+        """Merge a chunked DictionaryArray whose chunks share few
+        distinct dictionaries (identified by buffer address): returns
+        (indices int32 ndarray, valid bool ndarray | None, dictionary)
+        with indices already remapped into the merged dictionary, or
+        None when the layout is unexpected. Avoids combine_chunks'
+        full re-unification (~1.8 s at 64 chunks x 660k entries)."""
+        import pyarrow as pa
+        try:
+            chunks = [c for c in carr.chunks if len(c)]
+            if not chunks:
+                return None
+            distinct: list = []       # list of dictionary arrays
+            slot_of: dict = {}        # buffer address -> index in distinct
+            chunk_slot = []
+            for c in chunks:
+                dic = c.dictionary
+                if dic.null_count:
+                    return None
+                bufs = dic.buffers()
+                addr = tuple(b.address for b in bufs if b is not None)
+                if addr not in slot_of:
+                    slot_of[addr] = len(distinct)
+                    distinct.append(dic)
+                chunk_slot.append(slot_of[addr])
+            if len(distinct) == 1:
+                dic = distinct[0]
+                remaps = [None]
+            else:
+                # union the few distinct dictionaries (O(total entries))
+                offs = np.cumsum([0] + [len(d) for d in distinct])
+                alld = pa.concat_arrays(
+                    [d.cast(distinct[0].type) for d in distinct])
+                dd = alld.dictionary_encode()
+                slots = dd.indices.to_numpy()
+                dic = dd.dictionary
+                remaps = [np.asarray(slots[offs[i]:offs[i + 1]], np.int32)
+                          for i in range(len(distinct))]
+            n = sum(len(c) for c in chunks)
+            out = np.empty(n, np.int32)
+            valid = None
+            pos = 0
+            for c, sl in zip(chunks, chunk_slot):
+                idx = c.indices
+                if idx.null_count:
+                    if valid is None:
+                        valid = np.ones(n, bool)
+                    valid[pos:pos + len(c)] = ~np.asarray(idx.is_null())
+                    raw = idx.fill_null(0).to_numpy()
+                else:
+                    raw = idx.to_numpy()
+                if remaps[sl] is None:
+                    out[pos:pos + len(c)] = raw
+                else:
+                    out[pos:pos + len(c)] = remaps[sl][raw]
+                pos += len(c)
+            return out, valid, dic
+        except (pa.ArrowException, ValueError, TypeError):
+            return None
+
+    @staticmethod
     def encode_dictionary(arr) -> Tuple[np.ndarray, "StringDict"]:
         """Encode a pyarrow DictionaryArray (e.g. a parquet
         dictionary-encoded column read with `read_dictionary`) WITHOUT
@@ -188,33 +249,72 @@ class StringDict:
         parquet dictionaries straight into its categorical reprs
         (`polars-parquet/src/arrow/read/`); this is the sorted-dict
         analogue."""
+        import hashlib
         import pyarrow as pa
         import pyarrow.compute as pc
-        if isinstance(arr, pa.ChunkedArray):
-            # unifies per-chunk dictionaries (per-row-group parquet dicts)
-            arr = arr.combine_chunks()
+        idx_np = valid_np = None
+        fp_src = arr
+        n_rows = len(arr)
         fp = None
-        if len(arr) >= (1 << 20):
-            fp = _arrow_fingerprint(arr)
+        if n_rows >= (1 << 20):
+            # hash indices per chunk but each DISTINCT dictionary once:
+            # DictionaryArray.buffers() includes the dictionary buffers,
+            # which chunks share (hashing them per chunk costs ~2 s at
+            # 64 chunks x 11 MB)
+            h = hashlib.blake2b(digest_size=16)
+            chunks = fp_src.chunks if isinstance(fp_src, pa.ChunkedArray) \
+                else [fp_src]
+            seen_bufs = set()
+            for c in chunks:
+                h.update(str(c.type).encode())
+                h.update(len(c).to_bytes(8, "little"))
+                h.update(int(c.offset).to_bytes(8, "little"))
+                # chunks are SLICES over shared buffers (indices) and
+                # share dictionary buffers: hash each distinct buffer
+                # once — rehashing per chunk costs ~1.6 s at 64 chunks
+                for b in list(c.indices.buffers()) + \
+                        list(c.dictionary.buffers()):
+                    if b is not None and b.address not in seen_bufs:
+                        seen_bufs.add(b.address)
+                        h.update(b)
+            fp = h.digest()
             hit = _ENCODE_CACHE.get(fp)
             if hit is not None:
                 _ENCODE_CACHE.move_to_end(fp)
                 codes, sdict = hit
                 return codes.copy(), sdict
-        dic = arr.dictionary
-        idx = arr.indices
+        if isinstance(arr, pa.ChunkedArray) and arr.num_chunks > 1:
+            # pyarrow splits a row group into many record batches that
+            # SHARE one dictionary; combine_chunks would re-unify all of
+            # them (~1.8 s at 64 chunks x 660k entries). Group chunks by
+            # the dictionary's buffer address: typically 1-2 distinct
+            # dictionaries (one per row group) remain to merge, and the
+            # indices stay int32 numpy end to end.
+            merged = StringDict._merge_dictionary_chunks(arr)
+            if merged is not None:
+                idx_np, valid_np, dic = merged
+            else:
+                arr = arr.combine_chunks()
+        elif isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if idx_np is None:
+            dic = arr.dictionary
         k = len(dic)
         if k == 0:
-            return (np.full(len(arr), NULL_CODE, np.int32),
+            return (np.full(n_rows, NULL_CODE, np.int32),
                     StringDict(np.array([], dtype=object)))
         if dic.null_count:
             # nulls belong in the index validity, not the dictionary;
             # fall back to the row-level encoder for this odd layout
+            if idx_np is not None:
+                arr = pa.DictionaryArray.from_arrays(
+                    pa.array(idx_np, mask=None if valid_np is None
+                             else ~valid_np), dic)
             return StringDict.encode_arrow(arr.cast(pa.large_string()))
         dd = dic.dictionary_encode()  # dedupe (cross-row-group unions)
         uniq = dd.dictionary
         if len(uniq) != k:
-            first = dd.indices.to_numpy().astype(np.int64)
+            first = dd.indices.to_numpy()
             k2 = len(uniq)
         else:
             uniq, first, k2 = dic, None, k
@@ -223,15 +323,18 @@ class StringDict:
         rank[perm] = np.arange(k2, dtype=np.int32)
         if first is not None:
             rank = rank[first]  # old dict slot -> sorted unique code
-        if idx.null_count:
-            valid = ~np.asarray(idx.is_null())
-            raw = idx.fill_null(0).to_numpy().astype(np.int64)
-            codes = rank[raw]
-            codes[~valid] = NULL_CODE
-        else:
-            codes = rank[idx.to_numpy().astype(np.int64)]
+        if idx_np is None:
+            idx = arr.indices
+            if idx.null_count:
+                valid_np = ~np.asarray(idx.is_null())
+                idx_np = idx.fill_null(0).to_numpy()
+            else:
+                idx_np = idx.to_numpy()
+        codes = rank[idx_np]
+        if valid_np is not None:
+            codes[~valid_np] = NULL_CODE
         sdict = StringDict(values_pa=uniq.take(pa.array(perm)))
-        codes = codes.astype(np.int32, copy=False)
+        codes = np.asarray(codes, np.int32)
         if fp is not None:
             _ENCODE_CACHE[fp] = (codes.copy(), sdict)
             if len(_ENCODE_CACHE) > 8:
