@@ -474,14 +474,30 @@ def _run_benches(d: dict) -> None:
     import pyarrow.parquet as _pq2
     col = _pq2.read_table(spq, columns=["id3"],
                           read_dictionary=["id3"]).column(0)
-    from polaroid_tpu.strings import StringDict as _SD
+    from polaroid_tpu import strings as _strings
+    _strings._ENCODE_CACHE.clear()  # measure a genuinely COLD build
     t0 = time.perf_counter()
-    _SD.encode_dictionary(col)
+    _strings.StringDict.encode_dictionary(col)
     d["string_dict_encode_parquet_ms"] = round(
         (time.perf_counter() - t0) * 1e3, 3)
+    # record which group-by tier the engine picks (hash-exchange vs
+    # dense vs carry) — a fresh process measures ~53 ms via the hash
+    # route; slower numbers here have shown process-state sensitivity
+    import polaroid_tpu.ops.groupby as _G
+    _route = []
+    _orig_hgf = _G._hash_groupby_fast
+
+    def _spy_hgf(*a, **k):
+        r = _orig_hgf(*a, **k)
+        _route.append(r is not None)
+        return r
+
+    _G._hash_groupby_fast = _spy_hgf
     slf = (sdf.lazy().group_by("id3")
            .agg(_pl.col("v1").sum().alias("s")))
     slf.collect()  # compile
+    d["string_groupby_hash_route"] = bool(_route and _route[-1])
+    _G._hash_groupby_fast = _orig_hgf
 
     def _fence_df(dfr):
         # ONE readback (each costs a full tunnel RTT): fence a data

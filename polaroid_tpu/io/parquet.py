@@ -198,30 +198,72 @@ def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
     (reference: async source prefetching in `polars-stream/src/nodes/
     io_sources/parquet/`)."""
     paths = _expand_paths(source)
-    if paths and "://" in str(paths[0]):
-        from .remote import resolve_filesystem
-        fs, _ = resolve_filesystem(paths[0])
-        inner = [str(p).split("://", 1)[1] for p in paths]
-        ds = pads.dataset(inner, format="parquet", filesystem=fs)
-    else:
-        ds = pads.dataset(paths, format="parquet")
-    scanner = ds.scanner(columns=list(columns) if columns else None,
-                         filter=filters, batch_size=batch_rows)
-    it = scanner.to_batches()
+    import os as _os
+    local_simple = (filters is None and len(paths) == 1
+                    and "://" not in str(paths[0])
+                    and not _os.path.isdir(str(paths[0])))
+    if local_simple:
+        # local single file: read row groups directly with pyarrow's
+        # column-parallel reader (the dataset scanner decodes batches
+        # with less parallelism — measured 2.9 s vs 1.8 s for the same
+        # 100 MB q1 scan) and request dictionary-coded string columns
+        pf = pq.ParquetFile(paths[0])
+        try:
+            rd = _dict_read_cols(pf.schema_arrow, columns)
+        except Exception:
+            rd = None
+        if rd:
+            pf = pq.ParquetFile(paths[0], read_dictionary=rd)
 
-    def gen():
-        buf: List[pa.RecordBatch] = []
-        rows = 0
-        for b in it:
-            if b.num_rows == 0:
-                continue
-            buf.append(b)
-            rows += b.num_rows
-            if rows >= batch_rows:
+        def gen():
+            buf: List[pa.Table] = []
+            rows = 0
+            for i in range(pf.metadata.num_row_groups):
+                t = pf.read_row_group(
+                    i, columns=list(columns) if columns else None,
+                    use_threads=True)
+                # row groups may exceed batch_rows (the writer defaults
+                # to 4M-row groups): re-slice so the streaming engine
+                # keeps its batch-size contract (zero-copy slices)
+                off = 0
+                while off < t.num_rows:
+                    piece = t.slice(off, batch_rows - rows)
+                    off += piece.num_rows
+                    if piece.num_rows == 0:
+                        break
+                    buf.append(piece)
+                    rows += piece.num_rows
+                    if rows >= batch_rows:
+                        yield (pa.concat_tables(buf) if len(buf) > 1
+                               else buf[0])
+                        buf, rows = [], 0
+            if buf:
+                yield pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+    else:
+        if paths and "://" in str(paths[0]):
+            from .remote import resolve_filesystem
+            fs, _ = resolve_filesystem(paths[0])
+            inner = [str(p).split("://", 1)[1] for p in paths]
+            ds = pads.dataset(inner, format="parquet", filesystem=fs)
+        else:
+            ds = pads.dataset(paths, format="parquet")
+        scanner = ds.scanner(columns=list(columns) if columns else None,
+                             filter=filters, batch_size=batch_rows)
+        it = scanner.to_batches()
+
+        def gen():
+            buf: List[pa.RecordBatch] = []
+            rows = 0
+            for b in it:
+                if b.num_rows == 0:
+                    continue
+                buf.append(b)
+                rows += b.num_rows
+                if rows >= batch_rows:
+                    yield pa.Table.from_batches(buf)
+                    buf, rows = [], 0
+            if buf:
                 yield pa.Table.from_batches(buf)
-                buf, rows = [], 0
-        if buf:
-            yield pa.Table.from_batches(buf)
 
     # simple prefetch pipeline
     import queue as _q
