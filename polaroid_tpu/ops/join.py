@@ -177,7 +177,8 @@ def join_tables(left: Table, right: Table, left_on: Sequence[str],
 
     if spans is not None:
         return _dense_join(left, right, left_on, right_on, how, suffix,
-                           coalesce, lv, rv, lmask, rmask, spans)
+                           coalesce, lv, rv, lmask, rmask, spans,
+                           join_nulls)
 
     def side_words(vals, mask, cap):
         ws = []
@@ -509,7 +510,7 @@ def _dense_codes(vals, mask, cap, spans, prod):
 
 
 def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
-                lv, rv, lmask, rmask, spans):
+                lv, rv, lmask, rmask, spans, join_nulls=False):
     """Direct-indexed join over a small dense key domain, compiled as two
     cached XLA programs (count phase -> ONE host sync for the output
     size -> assemble phase). Through the remote tunnel every eager op
@@ -587,13 +588,18 @@ def _dense_join(left, right, left_on, right_on, how, suffix, coalesce,
     # readback alone costs a ~25 ms round trip per query. The memo keeps
     # strong refs to the exact arrays and compares by identity, so a
     # recycled id() can never alias.
-    # row_mask() builds a fresh arange when `valid` is None, so key on
-    # its stable components (valid / nrows_dev arrays by identity, the
-    # host nrows by value) rather than the derived mask object
-    rm_extra = tuple(a for a in (left.valid, left.nrows_dev)
-                     if a is not None)
-    refs = tuple(lk) + tuple(rk) + (lmask, rmask) + rm_extra
-    memo_key = base_key + (left._nrows, len(rm_extra)) + \
+    # lmask/rmask are freshly-built arrays per query (row_mask() makes
+    # a new arange when `valid` is None), so key on the STABLE inputs
+    # they derive from: key arrays, key validities, and each side's
+    # valid/nrows_dev arrays by identity plus host nrows by value
+    rm_extra = tuple(
+        a for a in (left.valid, left.nrows_dev, right.valid,
+                    right.nrows_dev) if a is not None) + tuple(
+        v.validity for v in (list(lv) + list(rv))
+        if v.validity is not None)
+    refs = tuple(lk) + tuple(rk) + rm_extra
+    memo_key = base_key + (left._nrows, right._nrows, len(rm_extra),
+                           bool(join_nulls)) + \
         tuple(id(a) for a in refs)
     hit = _DENSE_DECISION_MEMO.get(memo_key)
     if hit is not None and len(hit[0]) == len(refs) and \
