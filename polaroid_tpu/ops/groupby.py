@@ -924,6 +924,12 @@ def reduce_group(agg: str, v: Val, ctx: GroupContext, attrs: dict,
                 storage_numpy_dtype(out_dt))), nf > ddof)
         n = _seg_sum(spart.astype(jnp.int32), gid, ncap, sids)
         acc = _acc_dtype(_float_dt(dt))
+        if _use_segscan():
+            # accelerator: f32 + the compensated two-float ladder in
+            # _seg_sorted (~49 exact bits) — the chip demotes f64
+            # arithmetic to f32 anyway, so an emulated-f64 dev/ss chain
+            # only adds conversion passes (q6 std 62 ms -> this path)
+            acc = jnp.float32
         if sids and _use_segscan():
             mrow = _group_mean_rows(sx, spart, gid, ncap)
         else:
