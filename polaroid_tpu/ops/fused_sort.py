@@ -11,7 +11,7 @@ into ONE 64-bit word and sorted in a single-operand `lax.sort`, whose
 vectorized in-VMEM sorter is the one reorder primitive this toolchain
 runs near speed-of-light.
 
-Measured on v5e under x64 (tools/sort_truth probe + bucket_probe*.py,
+Measured on v5e under x64 (tools/sort_truth_probe.py + bucket_probe*.py,
 2026-08-21, 8.4M rows):
 
   lax.sort (key,payload) stable 2-op    21.8 ms   (the r3 sort path)
