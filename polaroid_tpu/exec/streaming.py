@@ -114,6 +114,33 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         return
 
     if k in ("select", "with_columns", "filter"):
+        # pure-elementwise chains compile to ONE cached program applied
+        # per batch (exec/compiled.run_fused): each eager op dispatch
+        # costs ~1-3 ms through the remote tunnel, and a filter ->
+        # with_columns -> select ladder pays it per op per batch
+        chain = []
+        node = plan
+
+        def _elem_ok(nd):
+            if nd.kind == "filter":
+                return meta.is_elementwise(nd.predicate)
+            return all(meta.is_elementwise(e) for e in nd.exprs)
+
+        while node.kind in ("select", "with_columns", "filter") and \
+                _elem_ok(node):
+            chain.append(node)
+            node = node.input
+        if chain:
+            chain.reverse()
+            from ..metrics import current as _cur
+            from .compiled import run_fused
+            qm = _cur()
+            for t in _stream(node):
+                if qm is not None:
+                    with qm.timed(k) as m:
+                        m.batches += 1
+                yield run_fused(chain, t)
+            return
         from ..api.frame import DataFrame
         from ..metrics import current
         qm = current()
