@@ -222,15 +222,18 @@ def scan_row_groups(source, columns: Optional[Sequence[str]] = None,
                 t = pf.read_row_group(
                     i, columns=list(columns) if columns else None,
                     use_threads=True)
-                # row groups may exceed batch_rows (the writer defaults
-                # to 4M-row groups): re-slice so the streaming engine
-                # keeps its batch-size contract (zero-copy slices)
-                off = 0
-                while off < t.num_rows:
-                    piece = t.slice(off, batch_rows - rows)
-                    off += piece.num_rows
+                # batch_rows is a TARGET, not a hard cap: keep whole row
+                # groups up to 2x the target (fewer per-batch dispatch +
+                # upload rounds), re-slice only beyond that so the
+                # larger-than-RAM contract still bounds memory
+                if t.num_rows <= 2 * batch_rows:
+                    pieces = [t]
+                else:
+                    pieces = [t.slice(o, batch_rows)
+                              for o in range(0, t.num_rows, batch_rows)]
+                for piece in pieces:
                     if piece.num_rows == 0:
-                        break
+                        continue
                     buf.append(piece)
                     rows += piece.num_rows
                     if rows >= batch_rows:
