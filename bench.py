@@ -220,7 +220,15 @@ def _run_benches(d: dict) -> None:
     # A(C*ghi x sub) @ B(sub x 128) per sub-tile -> 2*C*ghi*128 FLOP/row,
     # C=2 value rows, ghi = ceil(G/128) = 8
     _roofline(d, "q1", t_q1, n * (4 + 4 + 4 + 1),
-              flops=2.0 * (2 * 8 * 128) * n)
+              flops=2.0 * (2 * 8 * 128) * n,
+              note="MXU shape bound: the one-hot dot emits M=C*ghi=16 "
+                   "output rows, so at most 16/128 of MXU rows do "
+                   "useful work — the reachable bound is ~6.1 TFLOP/s, "
+                   "not the 49T f32 model; the kernel runs ~7 TFLOP/s "
+                   "(above the naive shape bound via sub-tile "
+                   "pipelining). Mosaic ignores dot precision hints "
+                   "(HIGHEST/DEFAULT/X3 all ~5 ms, tools probes), so "
+                   "pass-count reduction is not available either")
 
     # --- engine-level end-to-end (lazy pipeline through the fused
     # executor) — runs right after the headline so a later tunnel stall
