@@ -21,6 +21,7 @@ re-runs skip the multi-minute tunnel compiles.
 """
 
 import json
+import math
 import os
 import sys
 import threading
@@ -261,9 +262,16 @@ def _run_benches(d: dict) -> None:
         t1 = time.perf_counter()
         _fence_df(outs[0])
         fetch = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        _fence_df(lfr.collect())
-        latency = time.perf_counter() - t2
+        # latency = one query + one fence. min-of-3: the tunnel stalls
+        # for tens of ms at random (r4's "regression" — raw 63.5 ms —
+        # was exactly one stalled sample; readback-count probe
+        # tools/readback_probe.py shows ONE readback per collect and a
+        # fresh run measures raw ~37 / net ~10 ms at the same commit)
+        latency = math.inf
+        for _ in range(3):
+            t2 = time.perf_counter()
+            _fence_df(lfr.collect())
+            latency = min(latency, time.perf_counter() - t2)
         return max((total - fetch) / iters, 1e-9), latency
 
     df = pl.DataFrame({"symbol": np.asarray(sym), "price": np.asarray(price),
@@ -285,10 +293,11 @@ def _run_benches(d: dict) -> None:
     # attributed (net = host+device work, rtt = tunnel tax).
     tiny = jnp.zeros(8, jnp.int32) + 1
     _sync(tiny)
-    t0 = time.perf_counter()
-    for _ in range(3):
+    rtt = math.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
         _sync(tiny)
-    rtt = (time.perf_counter() - t0) / 3
+        rtt = min(rtt, time.perf_counter() - t0)
     d["device_fence_rtt_ms"] = round(rtt * 1e3, 3)
     d["engine_q1_latency_net_ms"] = round((t_lat - rtt) * 1e3, 3)
 
@@ -628,7 +637,31 @@ def _run_benches(d: dict) -> None:
     t_engine_join, t_jlat = _bench_collect(ljf, iters=3)
     d["engine_join_2m_x_1m_e2e_ms"] = round(t_engine_join * 1e3, 3)
     d["engine_join_latency_ms"] = round(t_jlat * 1e3, 3)
+    d["engine_join_latency_net_ms"] = round((t_jlat - rtt) * 1e3, 3)
     d["engine_join_rows_per_s"] = round(n_ord / t_engine_join, 1)
+
+    # --- regression guard (VERDICT r4 #1): flag any latency/time metric
+    # that got >1.2x worse than the last hardware-good record, loudly,
+    # in the emitted JSON, so a silent regression can't ride through a
+    # round again. Tunnel-sensitive metrics are already min-of-k.
+    lg = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_last_good.json")) as f:
+            lg = json.load(f).get("details", {})
+    except (OSError, ValueError):
+        pass
+    flags = []
+    for k, v in d.items():
+        if not k.endswith("_ms") or not isinstance(v, (int, float)):
+            continue
+        prev = lg.get(k)
+        if isinstance(prev, (int, float)) and prev > 0 \
+                and v > 1.2 * prev + 2.0:
+            flags.append(f"{k}: {prev} -> {v}")
+    if flags:
+        d["regression_flags"] = flags
+        print(f"[bench] REGRESSION FLAGS: {flags}", file=sys.stderr)
 
 
 
