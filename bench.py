@@ -470,9 +470,14 @@ def _run_benches(d: dict) -> None:
     codes_h = rng.integers(0, len(uniq), n).astype(np.int32)
     strs = uniq[codes_h]
     v1h = np.asarray(rng.integers(0, 5, n), np.int32)
-    t0 = time.perf_counter()
-    sdf = _pl.DataFrame({"id3": strs, "v1": v1h})
-    d["string_dict_build_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    from polaroid_tpu import strings as _strings0
+    t_b = math.inf
+    for _ in range(2):  # min-of-2: host-load variance swings these 1.5x
+        _strings0._ENCODE_CACHE.clear()
+        t0 = time.perf_counter()
+        sdf = _pl.DataFrame({"id3": strs, "v1": v1h})
+        t_b = min(t_b, time.perf_counter() - t0)
+    d["string_dict_build_ms"] = round(t_b * 1e3, 3)
     # second frame from the same strings: the content-fingerprint encode
     # cache should reduce the build to ~fingerprint cost
     t0 = time.perf_counter()
@@ -492,11 +497,13 @@ def _run_benches(d: dict) -> None:
     col = _pq2.read_table(spq, columns=["id3"],
                           read_dictionary=["id3"]).column(0)
     from polaroid_tpu import strings as _strings
-    _strings._ENCODE_CACHE.clear()  # measure a genuinely COLD build
-    t0 = time.perf_counter()
-    _strings.StringDict.encode_dictionary(col)
-    d["string_dict_encode_parquet_ms"] = round(
-        (time.perf_counter() - t0) * 1e3, 3)
+    t_e = math.inf
+    for _ in range(2):  # min-of-2 (host-load variance), cold each time
+        _strings._ENCODE_CACHE.clear()
+        t0 = time.perf_counter()
+        _strings.StringDict.encode_dictionary(col)
+        t_e = min(t_e, time.perf_counter() - t0)
+    d["string_dict_encode_parquet_ms"] = round(t_e * 1e3, 3)
     # record which group-by tier the engine picks (hash-exchange vs
     # dense vs carry) — a fresh process measures ~53 ms via the hash
     # route; slower numbers here have shown process-state sensitivity
@@ -529,14 +536,21 @@ def _run_benches(d: dict) -> None:
         if leaf is not None:
             np.asarray(leaf.reshape(-1)[:1])
 
-    t0 = time.perf_counter()
-    outs = [slf.collect() for _ in range(3)]
-    _fence_df(outs[-1])
-    tt = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    _fence_df(outs[0])
-    fetch = time.perf_counter() - t1
-    t_sg = max((tt - fetch) / 3, 1e-9)
+    # fence the compile/spy backlog: their device executions are still
+    # in flight and would otherwise land inside the measured window
+    # (r4's 131.7 ms and one r5 run's 361 ms both carried that backlog;
+    # a fresh fenced process measures ~53 ms — tools/string_probe_r5.py)
+    _fence_df(slf.collect())
+    t_sg = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [slf.collect() for _ in range(3)]
+        _fence_df(outs[-1])
+        tt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        _fence_df(outs[0])
+        fetch = time.perf_counter() - t1
+        t_sg = min(t_sg, max((tt - fetch) / 3, 1e-9))
     d["string_groupby_1m_unique_ms"] = round(t_sg * 1e3, 3)
     d["string_groupby_rows_per_s"] = round(n / t_sg, 1)
 

@@ -106,6 +106,12 @@ def _pipeline_prefetch(it: Iterator[Table], depth: int = 2
         yield item
 
 
+def _elem_ok(nd) -> bool:
+    if nd.kind == "filter":
+        return meta.is_elementwise(nd.predicate)
+    return all(meta.is_elementwise(e) for e in nd.exprs)
+
+
 def _stream(plan: L.Plan) -> Iterator[Table]:
     k = plan.kind
 
@@ -120,12 +126,6 @@ def _stream(plan: L.Plan) -> Iterator[Table]:
         # with_columns -> select ladder pays it per op per batch
         chain = []
         node = plan
-
-        def _elem_ok(nd):
-            if nd.kind == "filter":
-                return meta.is_elementwise(nd.predicate)
-            return all(meta.is_elementwise(e) for e in nd.exprs)
-
         while node.kind in ("select", "with_columns", "filter") and \
                 _elem_ok(node):
             chain.append(node)
@@ -1201,17 +1201,32 @@ def _stream_group_by(plan: L.GroupBy) -> Optional[Table]:
     partials, merges, finals = dec
     key_names = [meta.output_name(k) for k in keys]
 
+    # fold any pure-elementwise chain feeding the group-by INTO the
+    # per-batch partial-agg program: one compiled dispatch per batch
+    # instead of a fused chain dispatch + ~dozens of eager group-by ops
+    # (each eager op costs ~1-3 ms through the remote tunnel, which
+    # serialized host dispatch against device compute — VERDICT r4 #2)
+    from .compiled import run_fused
+    chain: List[L.Plan] = []
+    src = plan.input
+    while src.kind in ("select", "with_columns", "filter") and \
+            _elem_ok(src):
+        chain.append(src)
+        src = src.input
+    chain.reverse()
+    gnode = L.GroupBy(plan.input, list(keys), list(partials), False)
     partial_tables: List[Table] = []
-    for t in _stream(plan.input):
-        partial_tables.append(group_by_agg(t, keys, partials, False))
+    for t in _stream(src):
+        partial_tables.append(run_fused(chain + [gnode], t))
     if not partial_tables:
         return None
     if len(partial_tables) == 1:
         merged = partial_tables[0]
     else:
         stacked = vstack_tables(partial_tables)
-        merged = group_by_agg(stacked, [_col(n) for n in key_names], merges,
-                              False)
+        merged = run_fused(
+            [L.GroupBy(plan.input, [_col(n) for n in key_names],
+                       list(merges), False)], stacked)
     from ..api.frame import DataFrame
     df = DataFrame._from_table(merged)
     out = df.select([_col(n) for n in key_names] + finals)

@@ -256,27 +256,40 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
         return None
     capL, capR = left.capacity, right.capacity
 
+    # 8-byte int keys ride as ONE offset u32 word when the live range
+    # fits 31 bits (r4 refused them: two extra i64 payload words + the
+    # `ok` readback RTT measured 174 vs 89 ms e2e; both costs are now
+    # gone — the key column itself is reconstructed from the offset
+    # word, and join.py memoizes the readback by input identity)
+    key_base = 0
+    if lv[0].data.dtype.itemsize == 8 and \
+            jnp.issubdtype(lv[0].data.dtype, jnp.integer) and \
+            rv[0].data.dtype.itemsize == 8 and \
+            jnp.issubdtype(rv[0].data.dtype, jnp.integer):
+        from .join import _int_key_stats
+        lmn, lmx = _int_key_stats(left, left_on[0] if left_on else None,
+                                  lv[0], lmask, capL)
+        rmn, rmx = _int_key_stats(right, right_on[0] if right_on else None,
+                                  rv[0], rmask, capR)
+        mn, mx = min(lmn, rmn), max(lmx, rmx)
+        if mn < 0 or mx > _M31:
+            if mx - mn > _M31:
+                return None  # range provably too wide for 31-bit mixing
+            key_base = mn
+
     def key_data(v, cap):
         # raw-bits key word: equality joins need bijectivity only, not
         # order preservation (the order-preserving encode flips the
         # sign bit, pushing every non-negative int past the 31-bit
-        # limit). Keys whose live values exceed 2^31-1 are refused at
-        # runtime (folded into `ok` by collocate; 8-byte int keys get
-        # an explicit pre-truncation range check in `core` — engine
-        # Int64 keys are the common case under x64).
+        # limit). Keys whose live values exceed base + 2^31-1 are
+        # refused at runtime (range check in `core` folds into `ok`).
         data = v.data if v.data.shape[0] == cap else \
             jnp.broadcast_to(v.data, (cap,))
         if data.dtype.itemsize == 4:
             return data
         if data.dtype.itemsize == 8 and \
                 jnp.issubdtype(data.dtype, jnp.integer):
-            # measured on v5e (tools r4): engaging here for the 2Mx1M
-            # engine join costs MORE end-to-end than the dense-span
-            # fallback (174 vs 89 ms) — the two extra i64 payload words
-            # and the larger collocated output capacity outweigh the
-            # kernel win, and the `ok` readback serializes on the
-            # tunnel RTT. Keep 8-byte keys on the dense/sort paths.
-            return None
+            return data
         return None
 
     pk = key_data(lv[0], capL)
@@ -284,51 +297,64 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
     if pk is None or bk is None:
         return None
 
-    def side_words(t, skip):
+    def side_words(t, skip, key_name):
         words, layout = [], []
         for n in t.names:
             if n in skip:
                 continue
             c = t.cols[n]
-            ws = col_to_u32_words(c.data)
+            enc = None
+            if n == key_name and c.data is not None \
+                    and c.data.dtype.itemsize == 8 \
+                    and jnp.issubdtype(c.data.dtype, jnp.integer):
+                # the join key itself: one offset word instead of two
+                # raw words — values are known 31-bit (range check folds
+                # into `ok`), and the original column rebuilds as
+                # base + word
+                ws = [(c.data - c.data.dtype.type(key_base))
+                      .astype(jnp.uint32)]
+                enc = "off64"
+            else:
+                ws = col_to_u32_words(c.data)
             hasv = c.validity is not None
             if hasv:
                 ws.append(c.validity.astype(jnp.uint32))
-            layout.append((n, c, len(ws) - int(hasv), hasv))
+            layout.append((n, c, len(ws) - int(hasv), hasv, enc))
             words.extend(ws)
         return words, layout
 
-    lwords, llay = side_words(left, set())
+    lwords, llay = side_words(left, set(), left_on[0] if left_on else None)
     rskip = set(right_on) if coalesce else set()
-    rwords, rlay = side_words(right, rskip)
+    rwords, rlay = side_words(right, rskip,
+                              right_on[0] if right_on else None)
 
     # output naming (static); bail on unresolvable collisions
     names = []
     out_specs = []       # (side, layout-entry)
     seen = set()
-    for n, c, nw, hasv in llay:
+    for n, c, nw, hasv, enc in llay:
         names.append(n); seen.add(n)
-        out_specs.append(("l", n, c, nw, hasv))
-    for n, c, nw, hasv in rlay:
+        out_specs.append(("l", n, c, nw, hasv, enc))
+    for n, c, nw, hasv, enc in rlay:
         name = n if n not in seen else f"{n}{suffix}"
         if name in seen:
             return None
         names.append(name); seen.add(name)
-        out_specs.append(("r", n, c, nw, hasv))
+        out_specs.append(("r", n, c, nw, hasv, enc))
 
     NL, NR = len(lwords), len(rwords)
     lkey_f = bool(jnp.issubdtype(pk.dtype, jnp.floating))
     rkey_f = bool(jnp.issubdtype(bk.dtype, jnp.floating))
-    sig = ("cj", how, capL, capR, NL, NR, lkey_f, rkey_f,
+    sig = ("cj", how, capL, capR, NL, NR, lkey_f, rkey_f, key_base,
            str(pk.dtype), str(bk.dtype),
-           tuple((s, nw, hasv, str(storage_numpy_dtype(c.dtype)))
-                 for s, n, c, nw, hasv in out_specs))
+           tuple((s, nw, hasv, enc, str(storage_numpy_dtype(c.dtype)))
+                 for s, n, c, nw, hasv, enc in out_specs))
     jf = _JOIN_JIT_CACHE.get(sig)
     if jf is None:
-        llay_s = [(nw, hasv, str(storage_numpy_dtype(c.dtype)))
-                  for n, c, nw, hasv in llay]
-        rlay_s = [(nw, hasv, str(storage_numpy_dtype(c.dtype)))
-                  for n, c, nw, hasv in rlay]
+        llay_s = [(nw, hasv, str(storage_numpy_dtype(c.dtype)), enc)
+                  for n, c, nw, hasv, enc in llay]
+        rlay_s = [(nw, hasv, str(storage_numpy_dtype(c.dtype)), enc)
+                  for n, c, nw, hasv, enc in rlay]
 
         def core(bk, pk, lmask, rmask, *words):
             import numpy as _np
@@ -337,11 +363,14 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
             def int_key_word(k, mask):
                 # 8-byte int keys: range-check BEFORE truncation (a
                 # truncated alias would silently pass collocate's
-                # 31-bit check)
+                # 31-bit check); key_base shifts stat-bounded live
+                # ranges (negative / large keys) into the 31-bit window
                 nonlocal ok_keys
                 if k.dtype.itemsize == 8:
-                    bad = mask & ((k < 0) | (k > k.dtype.type(_M31)))
+                    b = k.dtype.type(key_base)
+                    bad = mask & ((k < b) | (k - b > k.dtype.type(_M31)))
                     ok_keys = ok_keys & ~jnp.any(bad)
+                    return (k - b).astype(jnp.uint32)
                 return k.astype(jnp.uint32)
 
             if rkey_f:
@@ -382,11 +411,17 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
             hit_flat = (has_build & is_probe).reshape(-1)
             is_probe_f = is_probe.reshape(-1)
 
+            def decode_words(ws, stor, enc):
+                if enc == "off64":
+                    d = ws[0].astype(jnp.int64) + jnp.int64(key_base)
+                    return d.astype(_np.dtype(stor))
+                return col_from_u32_words(ws, _np.dtype(stor))
+
             datas, valids = [], []
             wi = 0
-            for nw, hasv, stor in llay_s:
+            for nw, hasv, stor, enc in llay_s:
                 ws = [p_tr[wi + j].reshape(-1) for j in range(nw)]
-                datas.append(col_from_u32_words(ws, _np.dtype(stor)))
+                datas.append(decode_words(ws, stor, enc))
                 if hasv:
                     valids.append((p_tr[wi + nw].reshape(-1) != 0) &
                                   is_probe_f)
@@ -394,9 +429,9 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
                     valids.append(None)
                 wi += nw + int(hasv)
             wi = 0
-            for nw, hasv, stor in rlay_s:
+            for nw, hasv, stor, enc in rlay_s:
                 ws = [filled[wi + j].reshape(-1) for j in range(nw)]
-                datas.append(col_from_u32_words(ws, _np.dtype(stor)))
+                datas.append(decode_words(ws, stor, enc))
                 if hasv:
                     valids.append(hit_flat &
                                   (filled[wi + nw].reshape(-1) != 0))
@@ -419,7 +454,7 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
     cols = {}
     M = out_valid.shape[0]
     side_iter = list(zip(names, out_specs))
-    for (name, (s, n, c, nw, hasv)), data in zip(side_iter, datas):
+    for (name, (s, n, c, nw, hasv, enc)), data in zip(side_iter, datas):
         validity = None
         if hasv or s == "r":
             validity = valids_flat[vi]

@@ -46,31 +46,206 @@ def _arrow_fingerprint(arr) -> bytes:
     return h.digest()
 
 
+# ---------------------------------------------------------------------------
+# prefix-word lexicographic sort: strings order as two big-endian u64
+# words over their first 16 bytes, so the O(unique) dictionary sort runs
+# as integer sorts (torch's parallel sort when present — ~4x numpy's
+# comparison argsort on this 2-core host) instead of arrow's string
+# comparator (`pc.array_sort_indices` measured 194 ms at 663k uniques).
+# Ties beyond the prefix are rare (only strings sharing 16 leading
+# bytes) and are fixed up per run. UTF-8 byte order == codepoint order,
+# so the same words serve String and Binary.
+# ---------------------------------------------------------------------------
+
+def _warm_sort_backend() -> None:
+    """Import torch and spin up its thread pool off the critical path:
+    the first torch sort in a process costs ~0.5 s of one-time setup
+    that otherwise lands inside the first dictionary build."""
+    try:
+        import torch
+        torch.argsort(torch.zeros(4, dtype=torch.int64), stable=True)
+    except Exception:
+        pass
+
+
+def _start_warm_thread() -> None:
+    import os
+    import threading
+    if os.environ.get("PT_WARM_TORCH", "1") != "0":
+        threading.Thread(target=_warm_sort_backend, daemon=True).start()
+
+
+_start_warm_thread()
+
+
+def _stable_argsort_u64(x: np.ndarray) -> np.ndarray:
+    """Stable ascending argsort of uint64 (torch parallel sort; numpy
+    fallback). Order-preserving sign-flip maps u64 onto int64."""
+    xi = (x ^ np.uint64(1 << 63)).view(np.int64)
+    try:
+        import torch
+        return torch.argsort(torch.from_numpy(xi), stable=True).numpy()
+    except Exception:
+        return np.argsort(xi, kind="stable")
+
+
+def _argsort_u64_pair(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort by (hi, lo): stable sort by the minor key,
+    then stable sort by the major key."""
+    p1 = _stable_argsort_u64(lo)
+    p2 = _stable_argsort_u64(hi[p1])
+    return p1[p2]
+
+
+def _be_words(pad16: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(K, 16) u8 rows -> (hi, lo) native u64 with big-endian byte
+    significance (byte order == integer order)."""
+    hi = np.ascontiguousarray(pad16[:, :8]).view(">u8").ravel() \
+        .astype(np.uint64)
+    lo = np.ascontiguousarray(pad16[:, 8:]).view(">u8").ravel() \
+        .astype(np.uint64)
+    return hi, lo
+
+
+def _fix_tie_runs(perm: np.ndarray, hi: np.ndarray, lo: np.ndarray,
+                  value_of) -> np.ndarray:
+    """Reorder entries whose 16-byte prefixes tie by their full values.
+    `value_of(indices) -> list` returns comparable py values (str or
+    bytes) for the given original indices."""
+    shi, slo = hi[perm], lo[perm]
+    eq = (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])
+    if not bool(eq.any()):
+        return perm
+    starts = np.flatnonzero(~np.concatenate(([False], eq)))
+    bounds = np.concatenate((starts, [len(perm)]))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s > 1:
+            sub = perm[s:e]
+            vals = value_of(sub)
+            order = sorted(range(len(sub)), key=lambda i: vals[i])
+            perm[s:e] = sub[np.asarray(order)]
+    return perm
+
+
+def _prefix_argsort_fixed(mat: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort of fixed-width byte rows (K, W) u8."""
+    K, W = mat.shape
+    if W == 16:
+        pad = np.ascontiguousarray(mat)
+    elif W < 16:
+        pad = np.zeros((K, 16), np.uint8)
+        pad[:, :W] = mat
+    else:
+        pad = np.ascontiguousarray(mat[:, :16])
+    hi, lo = _be_words(pad)
+    perm = _argsort_u64_pair(hi, lo)
+    if W > 16:
+        sview = np.ascontiguousarray(mat).view(f"S{W}").ravel()
+        perm = _fix_tie_runs(perm, hi, lo, lambda idx: list(sview[idx]))
+    return perm
+
+
+def _prefix_sort_indices(arr) -> Optional[np.ndarray]:
+    """Lexicographic argsort (int32) of a null-free pyarrow string or
+    binary array; None when the layout is unsupported."""
+    import pyarrow as pa
+    t = arr.type
+    if arr.null_count:
+        return None
+    K = len(arr)
+    if K == 0:
+        return np.empty(0, np.int32)
+    if pa.types.is_fixed_size_binary(t):
+        b = arr.buffers()[1]
+        mat = np.frombuffer(b, np.uint8, count=K * t.byte_width,
+                            offset=arr.offset * t.byte_width) \
+            .reshape(K, t.byte_width)
+        return _prefix_argsort_fixed(mat).astype(np.int32, copy=False)
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    else:
+        return None
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], odt)[arr.offset:arr.offset + K + 1] \
+        .astype(np.int64, copy=False)
+    data = np.frombuffer(bufs[2], np.uint8)
+    lens = np.diff(offs)
+    maxlen = int(lens.max())
+    minlen = int(lens.min())
+    W = min(maxlen, 16)
+    # column-wise extraction: W gathers of K bytes each beats a (K, W)
+    # fancy index matrix by ~4x at 1M entries
+    out = np.zeros((16, K), np.uint8)
+    base = offs[:-1]
+    for j in range(W):
+        if j < minlen:
+            out[j] = data[base + j]
+        else:
+            m = lens > j
+            out[j, m] = data[(base + j)[m]]
+    pad = np.ascontiguousarray(out.T)
+    hi, lo = _be_words(pad)
+    if maxlen <= 15:
+        # byte 15 is uniformly zero-padding: fold the length into the
+        # minor word so trailing-NUL ties ("a" vs "a\x00") order and
+        # compare correctly without a third sort pass
+        lo = lo | lens.astype(np.uint64)
+        perm = _argsort_u64_pair(hi, lo)
+    else:
+        perm = _argsort_u64_pair(hi, lo)
+
+        def value_of(idx):
+            import pyarrow as pa
+            return arr.take(pa.array(np.asarray(idx, np.int64))) \
+                .to_pylist()
+
+        perm = _fix_tie_runs(perm, hi, lo, value_of)
+    return perm.astype(np.int32, copy=False)
+
+
 class StringDict:
     """Immutable sorted dictionary of unique strings.
 
-    Values may be held as a pyarrow array and converted to a numpy
-    object array lazily: device group-by/join/sort work on codes only,
-    so a scan → aggregate pipeline never materializes python strings
-    (the conversion alone costs ~0.4 s at 1M unique)."""
+    Values may be held as a pyarrow array — or an unevaluated thunk
+    producing one — and converted to a numpy object array lazily:
+    device group-by/join/sort work on codes only, so a scan → aggregate
+    pipeline never materializes python strings (the conversion alone
+    costs ~0.4 s at 1M unique)."""
 
-    __slots__ = ("_values", "_values_pa", "_len", "_index", "version")
+    __slots__ = ("_values", "_values_pa", "_values_fn", "_len", "_index",
+                 "version")
 
     def __init__(self, values: Optional[np.ndarray] = None,
-                 values_pa=None):
+                 values_pa=None, values_fn=None, length: int = -1):
         # values must be sorted unique, dtype=object or str
         self._values = values
         self._values_pa = values_pa
-        self._len = len(values) if values is not None else len(values_pa)
+        self._values_fn = values_fn
+        if values is not None:
+            self._len = len(values)
+        elif values_pa is not None:
+            self._len = len(values_pa)
+        else:
+            assert length >= 0, "values_fn requires explicit length"
+            self._len = length
         self._index: Optional[dict] = None
         # monotonic id for compile-cache keys (id() can be reused by GC)
         _DICT_COUNTER[0] += 1
         self.version = _DICT_COUNTER[0]
 
     @property
+    def values_pa(self):
+        if self._values_pa is None and self._values_fn is not None:
+            self._values_pa = self._values_fn()
+            self._values_fn = None
+        return self._values_pa
+
+    @property
     def values(self) -> np.ndarray:
         if self._values is None:
-            v = self._values_pa.to_numpy(zero_copy_only=False)
+            v = self.values_pa.to_numpy(zero_copy_only=False)
             if v.dtype != object:
                 v = v.astype(object)
             self._values = v
@@ -139,54 +314,153 @@ class StringDict:
         import pyarrow as pa
         n = len(raw)
         itn = raw.dtype.itemsize
-        byte_view = raw.view(np.uint8)
+        ncp = itn // 4
+        # Latin-1 narrowing: when every codepoint fits a byte (the
+        # common case), hash/encode n*ncp bytes instead of 4x that —
+        # arrow's row hash and the fingerprint dominate this path
+        # (dictionary_encode on 300 MB UCS4 measured ~1.4 s vs ~0.4 s
+        # narrowed at the 8.4M x U9 bench shape)
+        u32v = raw.view(np.uint32).reshape(n, ncp) if n else None
+        maxcp = 0
+        if n:
+            try:
+                import torch
+                maxcp = int(torch.from_numpy(u32v.reshape(-1)
+                                             .view(np.int32)).max())
+                if maxcp < 0:  # >= 2^31 codepoints can't occur in UCS4,
+                    maxcp = 0x110000   # but stay safe on garbage input
+            except Exception:
+                maxcp = int(u32v.max())
+        if 0 < maxcp <= 0xFF:
+            enc_bytes = u32v.astype(np.uint8)  # (n, ncp) contiguous
+            width = ncp
+            tag = b"u8nar"
+        else:
+            enc_bytes = raw.view(np.uint8).reshape(n, itn) if n else None
+            width = itn
+            tag = b"ucs4"
+        if n == 0:
+            return (np.full(0, NULL_CODE, np.int32),
+                    StringDict(np.array([], dtype=object)))
         fp = None
+        d = None
+        enc_thread = None
+        enc_box: list = [None, None]
+
+        def _make_chunks():
+            # two chunks let arrow's row hash use both cores
+            # (pc.dictionary_encode parallelizes across chunks:
+            # measured 2.1 s vs 4.7 s single at 8.4M x 9B)
+            if n >= (1 << 21):
+                half = n // 2
+                parts = [enc_bytes[:half], enc_bytes[half:]]
+            else:
+                parts = [enc_bytes]
+            import pyarrow.compute as _pc
+            arrs = [pa.Array.from_buffers(
+                pa.binary(width), len(p),
+                [None, pa.py_buffer(np.ascontiguousarray(p))])
+                for p in parts]
+            return _pc.dictionary_encode(pa.chunked_array(arrs))
+
         if n >= (1 << 20):
+            # arrow's row hash runs speculatively in a worker (it
+            # releases the GIL) while the fingerprint hashes on the main
+            # thread; a cache hit returns at fingerprint cost and
+            # abandons the worker, a miss overlaps the two fully
+            def _enc_work():
+                try:
+                    enc_box[0] = _make_chunks()
+                except BaseException as e:  # re-raised on join
+                    enc_box[1] = e
+
+            import threading as _threading
+            enc_thread = _threading.Thread(target=_enc_work, daemon=True)
+            enc_thread.start()
             h = hashlib.blake2b(digest_size=16)
-            h.update(b"ucs4")
+            h.update(tag)
             h.update(str(raw.dtype).encode())
-            h.update(byte_view)
+            h.update(enc_bytes)
             fp = h.digest()
             hit = _ENCODE_CACHE.get(fp)
             if hit is not None:
                 _ENCODE_CACHE.move_to_end(fp)
                 codes, sdict = hit
-                return codes.copy(), sdict
-        arr = pa.Array.from_buffers(pa.binary(itn), n,
-                                    [None, pa.py_buffer(byte_view)])
-        d = arr.dictionary_encode()
-        dic = d.dictionary
-        k = len(dic)
-        if k == 0:
-            return (np.full(n, NULL_CODE, np.int32),
-                    StringDict(np.array([], dtype=object)))
-        if dic.offset != 0:  # defensive: frombuffer assumes offset 0
-            dic = dic.combine_chunks() if hasattr(dic, "combine_chunks") \
-                else dic
-        dbytes = np.frombuffer(dic.buffers()[1], dtype=np.uint8,
-                               count=k * itn)
-        du = dbytes.view(raw.dtype).reshape(k)
-        perm = np.argsort(du, kind="stable")  # code-point == str order
-        rank = np.empty(k, np.int32)
-        rank[perm] = np.arange(k, dtype=np.int32)
-        codes = rank[d.indices.to_numpy().astype(np.int64)] \
-            .astype(np.int32, copy=False)
-        values = du[perm].astype(object)
-        sdict = StringDict(values)
+                return codes, sdict
+            enc_thread.join()
+            if enc_box[1] is not None:
+                raise enc_box[1]
+            d = enc_box[0]
+        else:
+            d = _make_chunks()
+
+        def _sort_dic_bytes(dbytes):
+            if tag == b"u8nar":
+                # narrowed bytes order == codepoint order directly
+                perm = _prefix_argsort_fixed(dbytes)
+                du = dbytes.astype(np.uint32).reshape(-1).view(raw.dtype)
+            else:
+                du = dbytes.reshape(-1).view(raw.dtype)
+                perm = np.argsort(du, kind="stable")  # cp == str order
+            return perm, du
+
+        merged = StringDict._merge_dictionary_chunks(d) \
+            if d.num_chunks > 1 else None
+        if merged is None:
+            dd = d.combine_chunks() if d.num_chunks != 1 else d.chunk(0)
+            dic = dd.dictionary
+            k = len(dic)
+            if k == 0:
+                return (np.full(n, NULL_CODE, np.int32),
+                        StringDict(np.array([], dtype=object)))
+            if dic.offset != 0:  # defensive: frombuffer assumes offset 0
+                dic = dic.combine_chunks() \
+                    if hasattr(dic, "combine_chunks") else dic
+            dbytes = np.frombuffer(dic.buffers()[1], dtype=np.uint8,
+                                   count=k * width).reshape(k, width)
+            perm, du = _sort_dic_bytes(dbytes)
+            rank = np.empty(k, np.int32)
+            rank[perm] = np.arange(k, dtype=np.int32)
+            codes = rank[dd.indices.to_numpy()].astype(np.int32,
+                                                       copy=False)
+        else:
+            chunks, chunk_slot, remaps, dic = merged
+            k = len(dic)
+            dbytes = np.frombuffer(
+                dic.buffers()[1], dtype=np.uint8,
+                count=k * width, offset=dic.offset * width).reshape(
+                    k, width)
+            perm, du = _sort_dic_bytes(dbytes)
+            rank = np.empty(k, np.int32)
+            rank[perm] = np.arange(k, dtype=np.int32)
+            tables = [rank if r is None else rank[r] for r in remaps]
+            codes = np.empty(n, np.int32)
+            pos = 0
+            for c, sl in zip(chunks, chunk_slot):
+                codes[pos:pos + len(c)] = tables[sl][c.indices.to_numpy()]
+                pos += len(c)
+        sdict = StringDict(values_fn=lambda: pa.array(du[perm]), length=k)
         if fp is not None:
-            _ENCODE_CACHE[fp] = (codes.copy(), sdict)
+            # cached arrays are returned as-is: freeze instead of paying
+            # a 34 MB copy per build (measured 143 ms on this host)
+            codes.setflags(write=False)
+            _ENCODE_CACHE[fp] = (codes, sdict)
             if len(_ENCODE_CACHE) > 8:
                 _ENCODE_CACHE.popitem(last=False)
         return codes, sdict
 
     @staticmethod
     def _merge_dictionary_chunks(carr):
-        """Merge a chunked DictionaryArray whose chunks share few
-        distinct dictionaries (identified by buffer address): returns
-        (indices int32 ndarray, valid bool ndarray | None, dictionary)
-        with indices already remapped into the merged dictionary, or
-        None when the layout is unexpected. Avoids combine_chunks'
-        full re-unification (~1.8 s at 64 chunks x 660k entries)."""
+        """Union the few distinct dictionaries of a chunked
+        DictionaryArray (identified by buffer address): returns
+        (chunks, chunk_slot, remaps, dic) where `remaps[slot]` maps
+        that distinct dictionary's entries into the union `dic` (None =
+        identity), or None when the layout is unexpected. Row indices
+        are NOT touched — the caller composes the final
+        slot->sorted-code table per distinct dictionary and remaps each
+        row exactly once (a second O(rows) gather measured ~38 ms at
+        8.4M rows). Avoids combine_chunks' full re-unification (~1.8 s
+        at 64 chunks x 660k entries)."""
         import pyarrow as pa
         try:
             chunks = [c for c in carr.chunks if len(c)]
@@ -218,25 +492,7 @@ class StringDict:
                 dic = dd.dictionary
                 remaps = [np.asarray(slots[offs[i]:offs[i + 1]], np.int32)
                           for i in range(len(distinct))]
-            n = sum(len(c) for c in chunks)
-            out = np.empty(n, np.int32)
-            valid = None
-            pos = 0
-            for c, sl in zip(chunks, chunk_slot):
-                idx = c.indices
-                if idx.null_count:
-                    if valid is None:
-                        valid = np.ones(n, bool)
-                    valid[pos:pos + len(c)] = ~np.asarray(idx.is_null())
-                    raw = idx.fill_null(0).to_numpy()
-                else:
-                    raw = idx.to_numpy()
-                if remaps[sl] is None:
-                    out[pos:pos + len(c)] = raw
-                else:
-                    out[pos:pos + len(c)] = remaps[sl][raw]
-                pos += len(c)
-            return out, valid, dic
+            return chunks, chunk_slot, remaps, dic
         except (pa.ArrowException, ValueError, TypeError):
             return None
 
@@ -256,7 +512,26 @@ class StringDict:
         fp_src = arr
         n_rows = len(arr)
         fp = None
+        merge_thread = None
+        merge_box: list = [None, None]
         if n_rows >= (1 << 20):
+            # the dictionary union runs speculatively in a worker (arrow
+            # releases the GIL) while the fingerprint hashes here: a
+            # cache hit returns at fingerprint cost, a miss overlaps the
+            # two (sequential fp alone measured 68 ms at the 8.4M-row
+            # bench shape)
+            if isinstance(arr, pa.ChunkedArray) and arr.num_chunks > 1:
+                def _merge_work():
+                    try:
+                        merge_box[0] = \
+                            StringDict._merge_dictionary_chunks(arr)
+                    except BaseException as e:
+                        merge_box[1] = e
+
+                import threading as _threading
+                merge_thread = _threading.Thread(target=_merge_work,
+                                                 daemon=True)
+                merge_thread.start()
             # hash indices per chunk but each DISTINCT dictionary once:
             # DictionaryArray.buffers() includes the dictionary buffers,
             # which chunks share (hashing them per chunk costs ~2 s at
@@ -282,8 +557,16 @@ class StringDict:
             if hit is not None:
                 _ENCODE_CACHE.move_to_end(fp)
                 codes, sdict = hit
-                return codes.copy(), sdict
-        if isinstance(arr, pa.ChunkedArray) and arr.num_chunks > 1:
+                return codes, sdict
+        merged = None
+        if merge_thread is not None:
+            merge_thread.join()
+            if merge_box[1] is not None:
+                raise merge_box[1]
+            merged = merge_box[0]
+            if merged is None:
+                arr = arr.combine_chunks()
+        elif isinstance(arr, pa.ChunkedArray) and arr.num_chunks > 1:
             # pyarrow splits a row group into many record batches that
             # SHARE one dictionary; combine_chunks would re-unify all of
             # them (~1.8 s at 64 chunks x 660k entries). Group chunks by
@@ -291,13 +574,18 @@ class StringDict:
             # dictionaries (one per row group) remain to merge, and the
             # indices stay int32 numpy end to end.
             merged = StringDict._merge_dictionary_chunks(arr)
-            if merged is not None:
-                idx_np, valid_np, dic = merged
-            else:
+            if merged is None:
                 arr = arr.combine_chunks()
         elif isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        if idx_np is None:
+        dic_unique = False
+        if merged is not None:
+            chunks, chunk_slot, remaps, dic = merged
+            # a multi-dictionary union comes out of dictionary_encode
+            # and is deduplicated by construction — skip re-encoding it
+            # (measured ~110 ms at 1.31M union entries)
+            dic_unique = len(remaps) > 1
+        else:
             dic = arr.dictionary
         k = len(dic)
         if k == 0:
@@ -306,37 +594,60 @@ class StringDict:
         if dic.null_count:
             # nulls belong in the index validity, not the dictionary;
             # fall back to the row-level encoder for this odd layout
-            if idx_np is not None:
-                arr = pa.DictionaryArray.from_arrays(
-                    pa.array(idx_np, mask=None if valid_np is None
-                             else ~valid_np), dic)
+            if merged is not None:
+                arr = arr.combine_chunks()
             return StringDict.encode_arrow(arr.cast(pa.large_string()))
-        dd = dic.dictionary_encode()  # dedupe (cross-row-group unions)
-        uniq = dd.dictionary
-        if len(uniq) != k:
-            first = dd.indices.to_numpy()
-            k2 = len(uniq)
-        else:
+        if dic_unique:
             uniq, first, k2 = dic, None, k
-        perm = pc.array_sort_indices(uniq).to_numpy()  # bytes == str order
+        else:
+            dd = dic.dictionary_encode()  # dedupe (single-page defensive)
+            uniq = dd.dictionary
+            if len(uniq) != k:
+                first = dd.indices.to_numpy()
+                k2 = len(uniq)
+            else:
+                uniq, first, k2 = dic, None, k
+        perm = _prefix_sort_indices(uniq)  # bytes == str order
+        if perm is None:
+            perm = pc.array_sort_indices(uniq).to_numpy()
         rank = np.empty(k2, np.int32)
         rank[perm] = np.arange(k2, dtype=np.int32)
         if first is not None:
             rank = rank[first]  # old dict slot -> sorted unique code
-        if idx_np is None:
+        if merged is not None:
+            # compose slot->code tables at dictionary size, then remap
+            # each row ONCE (vs once into the union + once into codes)
+            tables = [rank if r is None else rank[r] for r in remaps]
+            codes = np.empty(n_rows, np.int32)
+            valid_np = None
+            pos = 0
+            for c, sl in zip(chunks, chunk_slot):
+                idx = c.indices
+                if idx.null_count:
+                    if valid_np is None:
+                        valid_np = np.ones(n_rows, bool)
+                    valid_np[pos:pos + len(c)] = ~np.asarray(idx.is_null())
+                    raw = idx.fill_null(0).to_numpy()
+                else:
+                    raw = idx.to_numpy()
+                codes[pos:pos + len(c)] = tables[sl][raw]
+                pos += len(c)
+        else:
             idx = arr.indices
             if idx.null_count:
                 valid_np = ~np.asarray(idx.is_null())
                 idx_np = idx.fill_null(0).to_numpy()
             else:
                 idx_np = idx.to_numpy()
-        codes = rank[idx_np]
+            codes = rank[idx_np]
         if valid_np is not None:
             codes[~valid_np] = NULL_CODE
-        sdict = StringDict(values_pa=uniq.take(pa.array(perm)))
+        sdict = StringDict(
+            values_fn=lambda: uniq.take(pa.array(perm)), length=k2)
         codes = np.asarray(codes, np.int32)
         if fp is not None:
-            _ENCODE_CACHE[fp] = (codes.copy(), sdict)
+            codes.setflags(write=False)  # frozen, not copied (34 MB)
+            _ENCODE_CACHE[fp] = (codes, sdict)
             if len(_ENCODE_CACHE) > 8:
                 _ENCODE_CACHE.popitem(last=False)
         return codes, sdict
@@ -365,10 +676,11 @@ class StringDict:
             if hit is not None:
                 _ENCODE_CACHE.move_to_end(fp)
                 codes, sdict = hit
-                return codes.copy(), sdict
+                return codes, sdict
         codes, sdict = StringDict._encode_arrow_impl(arr)
         if fp is not None:
-            _ENCODE_CACHE[fp] = (codes.copy(), sdict)
+            codes.setflags(write=False)  # frozen, not copied
+            _ENCODE_CACHE[fp] = (codes, sdict)
             if len(_ENCODE_CACHE) > 8:
                 _ENCODE_CACHE.popitem(last=False)
         return codes, sdict

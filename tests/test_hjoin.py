@@ -132,3 +132,77 @@ def test_collocated_join_dup_right_refused(rng):
     assert res is not None
     _, ok = res
     assert not bool(ok)
+
+
+def test_collocated_join_int64_offset_keys(rng):
+    """Int64 keys ride as one offset u32 word: negative / large key
+    ranges shift by the stat base, and the key column reconstructs as
+    base + word (r5: the engine's x64 default keys engage the kernel)."""
+    from polaroid_tpu.batch import Table, Column
+    from polaroid_tpu.dtypes import Int64, Float32
+    from polaroid_tpu.ops.hjoin import collocated_join
+    from polaroid_tpu.expr.eval import Val
+
+    capL, capR = 3 * 8192, 8192
+    base = -5_000_000_000  # far outside [0, 2^31)
+    rkey = (rng.permutation(50000)[:capR].astype(np.int64) + base)
+    lkey = np.concatenate([
+        rkey[rng.integers(0, capR, capL // 2)],
+        rng.integers(50000, 120000, capL - capL // 2).astype(np.int64)
+        + base])
+    rng.shuffle(lkey)
+    lval = rng.normal(0, 5, capL).astype(np.float32)
+    rval = rng.normal(0, 5, capR).astype(np.float32)
+    left = Table(["k", "lv"],
+                 {"k": Column(Int64, jnp.asarray(lkey), None, None),
+                  "lv": Column(Float32, jnp.asarray(lval), None, None)},
+                 capL, None, None)
+    right = Table(["k", "rv"],
+                  {"k": Column(Int64, jnp.asarray(rkey), None, None),
+                   "rv": Column(Float32, jnp.asarray(rval), None, None)},
+                  capR, None, None)
+    lv = [Val(Int64, jnp.asarray(lkey), None, None, False)]
+    rv = [Val(Int64, jnp.asarray(rkey), None, None, False)]
+    lm = jnp.ones(capL, bool)
+    rm = jnp.ones(capR, bool)
+    for how in ("inner", "left"):
+        res = collocated_join(left, right, ["k"], ["k"], how, "_right",
+                              True, lv, rv, lm, rm)
+        assert res is not None, how
+        t, ok = res
+        assert bool(ok), how
+        live = np.asarray(t.valid)
+        kk = np.asarray(t.cols["k"].data)
+        lvv = np.asarray(t.cols["lv"].data)
+        rvv = np.asarray(t.cols["rv"].data)
+        rvalid = np.asarray(t.cols["rv"].validity)
+        got = []
+        for i in range(len(live)):
+            if live[i]:
+                got.append((int(kk[i]), float(lvv[i]),
+                            float(rvv[i]) if rvalid[i] else None,
+                            bool(rvalid[i])))
+        want = _join_oracle(lkey, lval, rkey, rval, how)
+        assert sorted(got, key=str) == sorted(want, key=str), how
+
+
+def test_collocated_join_int64_range_too_wide_refused(rng):
+    """A live i64 range wider than 31 bits is statically refused."""
+    from polaroid_tpu.batch import Table, Column
+    from polaroid_tpu.dtypes import Int64
+    from polaroid_tpu.ops.hjoin import collocated_join
+    from polaroid_tpu.expr.eval import Val
+    capL = capR = 3 * 8192
+    lkey = rng.integers(0, 1 << 40, capL).astype(np.int64)
+    rkey = rng.integers(0, 1 << 40, capR).astype(np.int64)
+    left = Table(["k"], {"k": Column(Int64, jnp.asarray(lkey), None, None)},
+                 capL, None, None)
+    right = Table(["k2"],
+                  {"k2": Column(Int64, jnp.asarray(rkey), None, None)},
+                  capR, None, None)
+    lv = [Val(Int64, jnp.asarray(lkey), None, None, False)]
+    rv = [Val(Int64, jnp.asarray(rkey), None, None, False)]
+    res = collocated_join(left, right, ["k"], ["k2"], "inner", "_right",
+                          True, lv, rv, jnp.ones(capL, bool),
+                          jnp.ones(capR, bool))
+    assert res is None
