@@ -408,7 +408,10 @@ def _run_benches(d: dict) -> None:
     # model: read 3 cols + mask, write 3 cols (the compaction is at
     # minimum one full r/w pass)
     _roofline(d, "filter", t_filter, n * (13 + 12),
-              note="compaction via carry sort; ideal = 1 r/w pass")
+              note="fused 13-pass shift compaction + prefix concat in one "
+                   "Pallas kernel (ops/pallas_partition.py; replaced the "
+                   "blocked 4-op lax.sort that cost 8.1 of 9.9 ms — "
+                   "tools/partition_probe.py); ideal = 1 r/w pass")
 
     from polaroid_tpu.ops.fused_sort import fused_argsort, fused_sort_kv
 
