@@ -428,14 +428,26 @@ def _run_benches(d: dict) -> None:
     t_sort = _bench(op_sort, (sym, price))
     d["sort_8m_ms"] = round(t_sort * 1e3, 3)
     d["sort_rows_per_s"] = round(n / t_sort, 1)
+    # realizable platform floor: the per-8192-block fused-u64 sort with
+    # NO merge stage measures 5.95 ms at this shape
+    # (tools/samplesort_probe.py stage A) — any sample/merge-sort costs
+    # at least that, and the probe shows one exchange round composes to
+    # 28.6 ms (per-bucket 393k sorts are mono-priced on 1.5x padded
+    # data). The primitive is closed: mono fused-u64 is measured-best.
+    d["sort_platform_floor_ms"] = 5.95
+    d["sort_floor_frac"] = round(5.95e-3 / max(t_sort, 1e-9), 3)
     # model: ideal 4-pass LSD radix over (4B key + 4B payload), r+w
     _roofline(d, "sort", t_sort, 4 * 2 * n * 8,
               note="fused-u64 single-operand sort (ops/fused_sort.py): "
-                   "key+payload packed into one word; ideal = 4-pass "
-                   "radix. Radix/scatter formulations measured slower "
-                   "(tools/apply_probe.py): v5e has no fast scatter, "
-                   "and lax.sort cost scales with operand count, not "
-                   "width")
+                   "key+payload packed into one word. The 4-pass-radix "
+                   "'ideal' in this frac is NOT realizable on v5e: "
+                   "radix/scatter lose (tools/apply_probe.py — no fast "
+                   "scatter), and sample-sort via the bucket exchange "
+                   "loses (tools/samplesort_probe.py: 28.6 ms composed "
+                   "vs 15.2 mono; per-bucket 393k sorts are mono-priced "
+                   "on 1.5x padded data). Honest bound: "
+                   "sort_platform_floor_ms (the mergeless blocked-sort "
+                   "floor); see sort_floor_frac. Primitive closed.")
 
     @jax.jit
     def op_argsort(sym):
