@@ -227,7 +227,12 @@ def _run_benches(d: dict) -> None:
                    "useful work — the reachable bound is ~6.1 TFLOP/s, "
                    "not the 49T f32 model; the kernel runs ~7 TFLOP/s "
                    "(above the naive shape bound via sub-tile "
-                   "pipelining). Mosaic ignores dot precision hints "
+                   "pipelining). M-filling via block-diagonal sub-tile "
+                   "batching measured a net ~6.5x loss (dots are "
+                   "K-bound: M=128 costs only 1.22x an M=16 dot, while "
+                   "the block-diagonal A multiplies MACs 8x — "
+                   "tools/mxu_mfill_probe.py). Mosaic ignores dot "
+                   "precision hints "
                    "(HIGHEST/DEFAULT/X3 all ~5 ms, tools probes), so "
                    "pass-count reduction is not available either")
 
