@@ -68,14 +68,23 @@ def _warm_sort_backend() -> None:
         pass
 
 
+_WARM_STARTED = [False]
+
+
 def _start_warm_thread() -> None:
+    """One-shot, called at the top of the big encode entrypoints: they
+    do hundreds of ms of arrow/hash work before the first sort, which
+    hides most of torch's ~0.5-2 s import. Starting at package import
+    instead measurably polluted unrelated early phases (BENCH r5:
+    parquet_stage_ms 17 -> 320 with the import-time thread competing
+    for the 2 cores)."""
+    if _WARM_STARTED[0]:
+        return
+    _WARM_STARTED[0] = True
     import os
     import threading
     if os.environ.get("PT_WARM_TORCH", "1") != "0":
         threading.Thread(target=_warm_sort_backend, daemon=True).start()
-
-
-_start_warm_thread()
 
 
 def _stable_argsort_u64(x: np.ndarray) -> np.ndarray:
@@ -312,6 +321,7 @@ class StringDict:
         strings. Content-fingerprint memoized like encode_arrow."""
         import hashlib
         import pyarrow as pa
+        _start_warm_thread()
         n = len(raw)
         itn = raw.dtype.itemsize
         ncp = itn // 4
@@ -508,6 +518,7 @@ class StringDict:
         import hashlib
         import pyarrow as pa
         import pyarrow.compute as pc
+        _start_warm_thread()
         idx_np = valid_np = None
         fp_src = arr
         n_rows = len(arr)
