@@ -156,7 +156,7 @@ def collocate(bkey, pkey, bwords: Sequence[jax.Array],
     return wfin, outs, ok
 
 
-_FILL_STEPS = 8          # value fill reaches runs up to 2^8 rows
+_FILL_STEPS = 8          # ladder fill reaches runs up to 2^8 rows
 
 
 def run_fill(wfin, sources: Sequence[jax.Array]):
@@ -167,11 +167,15 @@ def run_fill(wfin, sources: Sequence[jax.Array]):
     hit-ness is EXACT via one native `cummax(first_build ? rid+1 : 0)`
     (rid is monotone, so the latest build-run id at-or-before each row
     falls out of a single optimized XLA scan instead of 23 manual
-    doubling passes). The value broadcast uses a doubling ladder
-    TRUNCATED at 2^_FILL_STEPS rows; a run longer than that with a
-    build row is detected exactly (hit==True but value unreached) and
-    reported through ``fill_ok`` so the caller's lax.cond falls back —
-    never a silent miss."""
+    doubling passes). The value broadcast is two-tier: a doubling
+    ladder TRUNCATED at 2^_FILL_STEPS rows (measured 3.4 ms standalone
+    at the bench join shape vs 11.9 for the exact u64-cummax fill —
+    tools/join_fill_probe.py), then a `lax.cond` upgrade to the exact
+    cummax fill ONLY when some run outran the ladder — so a skewed
+    probe side (hot key with >256 probe rows) costs one extra scan
+    instead of demoting the whole join to the fallback path.
+    ``fill_ok`` is therefore always True here; it is kept in the
+    signature for callers that fold it into their own `ok`."""
     Kc, L = wfin.shape
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     h = wfin >> jnp.uint32(1)
@@ -183,7 +187,7 @@ def run_fill(wfin, sources: Sequence[jax.Array]):
     first_build = flag & is_build
     g = jax.lax.cummax(jnp.where(first_build, rid, 0), axis=1)
     has_build = g == rid
-    # truncated per-cell doubling OR-broadcast of the source words
+    # tier 1: truncated per-cell doubling OR-broadcast of the sources
     filled = [jnp.where(first_build, s, 0) for s in sources]
     reached = first_build
     k = 1
@@ -196,8 +200,27 @@ def run_fill(wfin, sources: Sequence[jax.Array]):
                   for f in filled]
         reached = reached | (ok_ & jnp.roll(reached, k, axis=1))
         k <<= 1
-    fill_ok = ~jnp.any(has_build & ~reached)
-    return filled, has_build, fill_ok
+    ladder_ok = ~jnp.any(has_build & ~reached)
+
+    # tier 2: exact fill for arbitrarily long runs — one emulated-u64
+    # cummax per source of (rid << 32 | word) packed at the run's build
+    # row (m:1 => at most one nonzero pack per run, so the running max
+    # carries exactly that run's word while its rid is current)
+    def _exact(_):
+        rid64 = rid.astype(jnp.uint64) << jnp.uint64(32)
+        out = []
+        for s in sources:
+            pack = jnp.where(first_build,
+                             rid64 | s.astype(jnp.uint64), jnp.uint64(0))
+            gm = jax.lax.cummax(pack, axis=1)
+            out.append(jnp.where(
+                (gm >> jnp.uint64(32)).astype(jnp.int32) == rid,
+                gm.astype(jnp.uint32), jnp.uint32(0)))
+        return tuple(out)
+
+    filled = list(jax.lax.cond(ladder_ok, lambda _: tuple(filled),
+                               _exact, None))
+    return filled, has_build, jnp.bool_(True)
 
 
 def lookup_join_collocated(bkey, bval, pkey):
@@ -245,8 +268,10 @@ def collocated_join(left, right, left_on, right_on, how: str, suffix: str,
 
     Returns (Table, ok) — `ok` is a device scalar the caller must read
     ONCE; False means a correctness hazard (>31-bit key, bucket
-    overflow, duplicate right keys [not m:1], fill-depth exceeded) and
-    the table is garbage. Returns None when statically ineligible."""
+    overflow, duplicate right keys [not m:1]) and the table is garbage.
+    Fill depth is no longer a hazard: run_fill upgrades to the exact
+    cummax fill in-kernel for >2^8-row skew runs. Returns None when
+    statically ineligible."""
     from .keycode import col_to_u32_words, col_from_u32_words
     from ..batch import Column, Table, storage_numpy_dtype
     if how not in ("inner", "left") or len(lv) != 1:
