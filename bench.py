@@ -258,15 +258,23 @@ def _run_benches(d: dict) -> None:
         if leaf is not None:
             np.asarray(leaf.reshape(-1)[:1])
 
-    def _bench_collect(lfr, iters=5):
+    def _bench_collect(lfr, iters=5, windows=2):
+        # throughput = min over `windows` measurement windows: a tunnel
+        # stall inside ONE window inflated h2o_q4 5.2 -> 14.3 ms in an
+        # r5 run (re-measured 5.1 on an idle tunnel, methodology
+        # unchanged) — one bad window must not flag a regression
         _fence_df(lfr.collect())  # warm
-        t0 = time.perf_counter()
-        outs = [lfr.collect() for _ in range(iters)]
-        _fence_df(outs[-1])
-        total = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        _fence_df(outs[0])
-        fetch = time.perf_counter() - t1
+        best = math.inf
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            outs = [lfr.collect() for _ in range(iters)]
+            _fence_df(outs[-1])
+            total = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            _fence_df(outs[0])
+            fetch = time.perf_counter() - t1
+            best = min(best, total - fetch)
+        total, fetch = best, 0.0
         # latency = one query + one fence. min-of-3: the tunnel stalls
         # for tens of ms at random (r4's "regression" — raw 63.5 ms —
         # was exactly one stalled sample; readback-count probe
@@ -313,12 +321,16 @@ def _run_benches(d: dict) -> None:
     pq_path = os.path.join(tmp, "bench.parquet")
     df.write_parquet(pq_path, compression="zstd", compression_level=1)
     pq_bytes = os.path.getsize(pq_path)
-    t0 = time.perf_counter()
-    pl.read_parquet(pq_path)
-    t_read = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    pl.read_parquet(pq_path)
-    t_read = min(t_read, time.perf_counter() - t0)
+    with open(pq_path, "rb") as fh:
+        fh.read()  # warm the page cache: isolate decode from disk
+    # min-of-3: this 2-core host's CPU availability swings 2-3x (r5's
+    # parquet "regressions" were exactly such noise — q4 and the read
+    # re-measure clean on an idle host)
+    t_read = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pl.read_parquet(pq_path)
+        t_read = min(t_read, time.perf_counter() - t0)
     d["parquet_read_ms"] = round(t_read * 1e3, 3)
     d["parquet_read_mb_per_s"] = round(pq_bytes / t_read / 1e6, 1)
     # three-line breakdown (VERDICT r3 ask #4): host decode / host->HBM

@@ -1506,7 +1506,15 @@ def _aggs_need_sorted_layout(agg_exprs: Sequence[Expr]) -> bool:
 def group_by_agg(table: Table, key_exprs: Sequence[Expr],
                  agg_exprs: Sequence[Expr],
                  maintain_order: bool = False) -> Table:
-    """GROUP BY keys AGG exprs -> one row per group."""
+    """GROUP BY keys AGG exprs -> one row per group.
+
+    maintain_order may be the sentinel "key": the optimizer elided a
+    downstream sort(keys asc) and in exchange REQUIRES ascending key
+    order — every path here emits it except the hash-exchange fast path
+    (hash order), so "key" only closes that gate."""
+    key_order = maintain_order == "key"
+    if key_order:
+        maintain_order = False
     cap = table.capacity
     mask = table.row_mask()
     key_vals = [eval_expr(k, table, "select") for k in key_exprs]
@@ -1522,21 +1530,28 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
     # needs the sorted contiguous layout (product's cumprod trick)
     spans = _dense_spans(key_vals, key_exprs, table) \
         if not any(v.live is not None for v in key_vals) else None
+    spans0 = spans
     if spans is not None and _aggs_need_sorted_layout(agg_exprs):
         spans = None
 
     # large dense-coded domains with simple aggregates: hash-exchange
     # pipeline (ops/hgroup.py) — beyond the MXU one-hot limit the dense
     # path pays per-agg big-domain segment ops (~168 ms at 1M unique
-    # keys / 8.4M rows) while the exchange runs ~36 ms G-independent
-    if spans is not None and not maintain_order and _use_segscan() \
+    # keys / 8.4M rows) while the exchange runs ~36 ms G-independent.
+    # median/quantile (and var/std beyond the MXU limit) divert here at
+    # ANY domain size: they have no dense one-hot formulation, and the
+    # sorted-layout path costs a full-array sort per query (h2o q6
+    # median+std 70 ms -> ~12 ms via the exchange)
+    if spans0 is not None and not maintain_order and not key_order \
+            and _use_segscan() \
             and cap >= (1 << 14) and cap < (1 << 24):
         _ps = 1
-        for s, _ in spans:
+        for s, _ in spans0:
             _ps *= s
-        if _MXU_GROUP_LIMIT < _ps <= (1 << 32):
+        _has_q = _aggs_have_quantile(agg_exprs)
+        if _ps <= (1 << 32) and (_MXU_GROUP_LIMIT < _ps or _has_q):
             t_fast = _hash_groupby_fast(table, key_exprs, agg_exprs,
-                                        key_vals, spans, mask, cap)
+                                        key_vals, spans0, mask, cap)
             if t_fast is not None:
                 return t_fast
     prod_span = 1
@@ -1547,14 +1562,18 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         if prod_span > max(4 * cap, 1 << 20):
             spans = None  # domain too large to scatter densely
         elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT and \
-                (len(agg_exprs) > 2 or prod_span > max(cap // 4, 1 << 14)):
+                (_count_agg_nodes(agg_exprs) > 2 or
+                 prod_span > max(cap // 4, 1 << 14)):
             # accelerator, beyond the MXU one-hot limit: each dense-path
             # aggregate pays its own (gid+sentinels, value) sort, while
             # the sorted layout shares ONE build sort — dense still wins
             # for 1-2 aggregates over domains well under the row count
             # (its gid is free: dict codes / mixed-radix), e.g. the
             # 1M-unique string group-by at 8.4M rows: 168 ms dense vs
-            # 411 ms sorted
+            # 411 ms sorted. Counted at AGG-NODE granularity: one output
+            # like corr(a,b)**2 desugars to SIX sum/count terms, each a
+            # full-array sort on the dense path (h2o q9 59 ms dense vs
+            # ~20 sorted)
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
@@ -1861,13 +1880,47 @@ def unique_table(table: Table, subset: Optional[Sequence[str]],
 # hash-exchange fast path for large dense-coded domains (ops/hgroup.py)
 # ---------------------------------------------------------------------------
 
-_SIMPLE_AGGS = ("sum", "mean", "min", "max", "count", "len")
+_SIMPLE_AGGS = ("sum", "mean", "min", "max", "count", "len",
+                "var", "std", "median", "quantile")
+
+
+def _count_agg_nodes(agg_exprs) -> int:
+    """Number of AGG leaves across the output expressions — the unit
+    the dense path pays a per-term full-array sort for (a composite
+    like corr desugars to six sums behind one output name)."""
+    n = 0
+
+    def walk(e):
+        nonlocal n
+        if e.kind == "agg":
+            n += 1
+        for c in e.children:
+            walk(c)
+
+    for e in agg_exprs:
+        walk(e)
+    return n
+
+
+def _aggs_have_quantile(agg_exprs) -> bool:
+    """Static: does any output aggregate a median/quantile? (these have
+    no dense one-hot path, so the hash-exchange gate opens for them at
+    any domain size)"""
+    for e in agg_exprs:
+        ee = e
+        while ee.kind == "alias":
+            ee = ee.children[0]
+        if ee.kind == "agg" and ee.attrs.get("agg") in ("median",
+                                                        "quantile"):
+            return True
+    return False
 
 
 def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
     """Static walk: every output must be a simple aggregate of a bare
-    4-byte numeric column (or len). Returns [(name, kind, col|None)] or
-    None when any output disqualifies."""
+    4-byte numeric column (or len). Returns [(name, kind, col|None,
+    extra)] or None when any output disqualifies; extra carries ddof
+    for var/std and (q, interp) for median/quantile."""
     plan = []
     for e in agg_exprs:
         name = meta.output_name(e)
@@ -1875,13 +1928,13 @@ def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
         while ee.kind == "alias":
             ee = ee.children[0]
         if ee.kind == "table_len":
-            plan.append((name, "len", None))
+            plan.append((name, "len", None, None))
             continue
         if ee.kind != "agg" or ee.attrs.get("agg") not in _SIMPLE_AGGS:
             return None
         kind = ee.attrs["agg"]
         if kind == "len" and not ee.children:
-            plan.append((name, "len", None))
+            plan.append((name, "len", None, None))
             continue
         if not ee.children:
             return None
@@ -1899,11 +1952,82 @@ def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
         dt = colo.dtype
         if not (dt.is_float or dt.is_integer or dt.is_bool):
             return None
+        extra = None
+        if kind in ("var", "std"):
+            if dt.is_bool:
+                return None
+            extra = int(ee.attrs.get("ddof", 1))
+        elif kind in ("median", "quantile"):
+            # the contrib math decodes values as f32 — exact only for
+            # float32 inputs (int32 beyond 2^24 would round)
+            if not dt.is_float:
+                return None
+            if kind == "median":
+                extra = (0.5, "linear")
+            else:
+                qv = ee.attrs.get("q")
+                if not isinstance(qv, (int, float)):
+                    return None  # quantile by expression: general path
+                extra = (float(qv),
+                         ee.attrs.get("interpolation", "nearest"))
+            kind = "quantile"
         if kind == "len":
-            plan.append((name, "len", None))
+            plan.append((name, "len", None, None))
         else:
-            plan.append((name, kind, c.attrs["name"]))
+            plan.append((name, kind, c.attrs["name"], extra))
     return plan
+
+
+def _carry_quantile_prefix(code, mask, data, q: float, interp: str,
+                           cap: int):
+    """Per-group quantile via one carry sort keyed (dead, code, value):
+    live rows group by code with ascending encoded values, so the
+    quantile falls out of run geometry + one additive segment scan.
+    Output is compacted to the group-prefix layout of
+    `_local_groupby_carry` — the (dead, code) run structure is
+    identical, so group slots align with the main carry pass."""
+    from ..parallel.shuffle import _ms_sort
+    from .keycode import decode_orderable, encode_orderable
+    dead = (~mask).astype(jnp.uint32)
+    vw = encode_orderable(data).astype(jnp.uint32)
+    sdead, sk, sv = _ms_sort([dead, code.astype(jnp.uint32), vw], 3,
+                             is_stable=False)
+    live = sdead == 0
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    newg = ((idx == 0) | (sk != jnp.roll(sk, 1)) |
+            (sdead != jnp.roll(sdead, 1)))
+    endg = ((idx == cap - 1) | (sk != jnp.roll(sk, -1)) |
+            (sdead != jnp.roll(sdead, -1)))
+    gid = jnp.where(live,
+                    jnp.cumsum((newg & live).astype(jnp.int32)) - 1, cap)
+    start = jax.lax.cummax(jnp.where(newg, idx, 0))
+    end = jax.lax.cummin(jnp.where(endg, idx, cap), reverse=True)
+    nn = (end - start + 1).astype(jnp.float64)
+    r = idx - start
+    vv = decode_orderable(sv, jnp.dtype(data.dtype),
+                          False).astype(jnp.float32)
+    pos = jnp.float64(q) * (nn - 1)
+    if interp == "linear":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        frac = (pos - i0).astype(jnp.float32)
+        contrib = jnp.where(r == i0, vv * (1 - frac), 0.) + \
+            jnp.where((r == i1) & (i1 != i0), vv * frac, 0.)
+    elif interp == "lower":
+        contrib = jnp.where(r == jnp.floor(pos).astype(jnp.int32), vv, 0.)
+    elif interp == "higher":
+        contrib = jnp.where(r == jnp.ceil(pos).astype(jnp.int32), vv, 0.)
+    elif interp == "midpoint":
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.ceil(pos).astype(jnp.int32)
+        contrib = jnp.where(r == i0, vv / 2, 0.) + \
+            jnp.where(r == i1, vv / 2, 0.)
+    else:  # nearest
+        contrib = jnp.where(r == jnp.round(pos).astype(jnp.int32), vv, 0.)
+    contrib = jnp.where(live, contrib, jnp.float32(0))
+    scan = _seg_scan_doubling(contrib, gid, jnp.add)
+    compacted, _ng = _compact_at_ends(gid, cap, [scan])
+    return compacted[0]
 
 
 def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
@@ -1951,18 +2075,19 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
             d = jnp.where(colo.validity, d, jnp.asarray(fill, d.dtype))
         return d
 
-    for name, kind, nm in plan:
+    def _want_count(nm, colo):
+        if colo is None or colo.validity is None:
+            return _want(("len",), lambda: (mask.astype(jnp.float32),
+                                            "count", None))
+        return _want(("cnt", nm), lambda: (
+            colo.validity.astype(jnp.float32), "sum", None))
+
+    for name, kind, nm, extra in plan:
         if kind == "len":
             _want(("len",), lambda: (mask.astype(jnp.float32), "count",
                                      None))
         elif kind == "count":
-            colo = _col(nm)
-            if colo.validity is None:
-                _want(("len",), lambda: (mask.astype(jnp.float32),
-                                         "count", None))
-            else:
-                _want(("cnt", nm), lambda: (
-                    colo.validity.astype(jnp.float32), "sum", None))
+            _want_count(nm, _col(nm))
         elif kind in ("sum", "mean"):
             colo = _col(nm)
             dt = colo.dtype
@@ -1976,19 +2101,33 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
                 acc = jnp.dtype(_acc_dtype(dt))
                 _want(("sum", nm), lambda: (_masked(colo, 0), "sum", acc))
             if kind == "mean":
-                if colo.validity is None:
-                    _want(("len",), lambda: (mask.astype(jnp.float32),
-                                             "count", None))
-                else:
-                    _want(("cnt", nm), lambda: (
-                        colo.validity.astype(jnp.float32), "sum", None))
+                _want_count(nm, colo)
+        elif kind in ("var", "std"):
+            # naive (n, s, ss) moments with f64 scans: the transport
+            # word is the exact 4-byte value; the post-exchange ladder
+            # upcasts to f64 before squaring, so the cancellation in
+            # ss - s^2/n keeps ~52 bits (nulls ride as 0 and are
+            # excluded by the validity count)
+            colo = _col(nm)
+            _want(("sumf64", nm), lambda: (_masked(colo, 0), "sum",
+                                           jnp.dtype(jnp.float64)))
+            _want(("ssq", nm), lambda: (_masked(colo, 0), "sumsq",
+                                        jnp.dtype(jnp.float64)))
+            _want_count(nm, colo)
+        elif kind == "quantile":
+            colo = _col(nm)
+            if colo.validity is not None:
+                return None  # per-column nulls would pollute the runs
+            q, interp = extra
+            _want(("quant", nm, q, interp), lambda: (
+                colo.data, ("quantile", q, interp), None))
+            _want_count(nm, colo)
         else:  # min / max
             colo = _col(nm)
             ident = _ident(colo.data.dtype, kind)
             _want((kind, nm), lambda: (_masked(colo, ident), kind, None))
             if colo.validity is not None:
-                _want(("cnt", nm), lambda: (
-                    colo.validity.astype(jnp.float32), "sum", None))
+                _want_count(nm, colo)
 
     M = out_capacity(cap)
 
@@ -1998,9 +2137,31 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
         return gk, tuple(outs), gv
 
     def slow_br(_):
-        gk, outs, gv = _local_groupby_carry(
-            code, [v if s is None else v.astype(s)
-                   for v, s in zip(vals, scans)], mask, aggs)
+        # carry fallback: sumsq lowers to a pre-squared f64 "sum";
+        # quantile runs its own (dead, code, value)-keyed carry pass —
+        # identical (dead, code) run structure, so its compacted group
+        # prefix aligns with the main carry's slot for slot
+        c_vals, c_aggs, back = [], [], []
+        q_outs = {}
+        for i, (v, a, s) in enumerate(zip(vals, aggs, scans)):
+            if isinstance(a, tuple) and a[0] == "quantile":
+                q_outs[i] = _carry_quantile_prefix(
+                    code, mask, v, a[1], a[2], cap)
+                continue
+            if a == "sumsq":
+                x = v.astype(s if s is not None else jnp.float64)
+                c_vals.append(x * x)
+                c_aggs.append("sum")
+            else:
+                c_vals.append(v if s is None else v.astype(s))
+                c_aggs.append(a)
+            back.append(i)
+        gk, c_outs, gv = _local_groupby_carry(code, c_vals, mask, c_aggs)
+        outs: list = [None] * len(vals)
+        for i, o in zip(back, c_outs):
+            outs[i] = o
+        for i, o in q_outs.items():
+            outs[i] = jnp.where(gv, o, jnp.float32(0))
         pad = M - gk.shape[0]
         gk = jnp.concatenate([gk.astype(jnp.uint32),
                               jnp.zeros(pad, jnp.uint32)])
@@ -2034,7 +2195,7 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
     def _out(tag):
         return outs[slot_of[tag]]
 
-    for name, kind, nm in plan:
+    for name, kind, nm, extra in plan:
         if name in cols:
             raise DuplicateError(f"duplicate column name {name!r}")
         names.append(name)
@@ -2046,6 +2207,28 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
             tag = ("len",) if colo.validity is None else ("cnt", nm)
             cols[name] = Column(UInt32, _out(tag).astype(jnp.uint32),
                                 None, None)
+        elif kind in ("var", "std"):
+            colo = _col(nm)
+            ddof = extra
+            ctag = ("len",) if colo.validity is None else ("cnt", nm)
+            n = _out(ctag).astype(jnp.float64)
+            s = _out(("sumf64", nm))
+            ss = _out(("ssq", nm))
+            var = (ss - s * s / jnp.maximum(n, 1)) / \
+                jnp.maximum(n - ddof, 1)
+            var = jnp.maximum(var, 0.0)   # cancellation can dip below 0
+            o = jnp.sqrt(var) if kind == "std" else var
+            out_dt = _float_dt(colo.dtype)
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            cols[name] = Column(out_dt, o.astype(stor), n > ddof, None)
+        elif kind == "quantile":
+            colo = _col(nm)
+            q, interp = extra
+            n = _out(("len",))
+            o = _out(("quant", nm, q, interp))
+            out_dt = _float_dt(colo.dtype)
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            cols[name] = Column(out_dt, o.astype(stor), n > 0, None)
         elif kind == "sum":
             colo = _col(nm)
             dt = colo.dtype

@@ -62,12 +62,37 @@ def fmix32_inv(h):
     return h
 
 
-def _encode_val(v, agg: str):
+def _quantile_ranks(q: float, nn):
+    """Per-row (i0, i1, frac) for position q*(nn-1). Dyadic q (0.5,
+    0.25, ...) with denominator <= 1024 uses exact int32 math — the
+    median's f64 position arithmetic was ~17 ms of emulated-f64 passes
+    at 4.2M rows on v5e. Non-dyadic q keeps f64 (f32 would round
+    q*(nn-1) across the floor boundary at exact-integer positions)."""
+    num, den = float(q).as_integer_ratio()
+    if den <= 1024:  # power of 2 by construction of as_integer_ratio
+        m = nn - 1
+        t = jnp.int32(num) * m.astype(jnp.int32)
+        i0 = t // jnp.int32(den)
+        rem = t - i0 * jnp.int32(den)
+        i1 = i0 + (rem != 0).astype(jnp.int32)
+        frac = rem.astype(jnp.float32) / jnp.float32(den)
+        return i0, i1, frac
+    pos = jnp.float64(q) * (nn.astype(jnp.float64) - 1)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.ceil(pos).astype(jnp.int32)
+    return i0, i1, (pos - i0).astype(jnp.float32)
+
+
+def _encode_val(v, agg):
     """One u32 transport word per aggregated value."""
     from .keycode import encode_orderable
     if agg in ("min", "max"):
         u = encode_orderable(v, descending=(agg == "min"))
         return u.astype(jnp.uint32)
+    if isinstance(agg, tuple) and agg[0] == "quantile":
+        # order-preserving ascending word: the per-bucket final sort
+        # (num_keys=2) leaves every group's values as a sorted run
+        return encode_orderable(v).astype(jnp.uint32)
     if v.dtype == jnp.uint32:
         return v
     if v.dtype.itemsize == 4:
@@ -76,7 +101,7 @@ def _encode_val(v, agg: str):
 
 
 def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
-                     valid: jax.Array, aggs: Sequence[str],
+                     valid: jax.Array, aggs: Sequence,
                      scan_dtypes=None):
     """Fast-path group-by for u32-storable keys and 4-byte values.
 
@@ -85,10 +110,21 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     and the caller must use its fallback (lax.cond on ``ok`` —
     ``precheck`` computes it without running the pipeline).
 
+    aggs[i] is "sum"/"count"/"min"/"max", "sumsq" (sum of squares,
+    upcast BEFORE squaring — the var/std building block), or the tuple
+    ("quantile", q, interp): the value word rides the final sort as a
+    second sort key so every group's values form an ascending run, and
+    the quantile falls out of per-row run geometry + the shared
+    additive scan (two rows per group contribute the interpolation
+    terms — same trick as groupby._group_quantile_fused, here on the
+    bucket-major layout).
+
     scan_dtypes[i] (optional) overrides the accumulator dtype of a
-    "sum" val: values transport as their exact 4-byte words but the
-    post-exchange segmented scan upcasts (e.g. int32 -> int64 so sums
-    match the engine's Int64 semantics instead of wrapping at 32 bits).
+    "sum"/"sumsq" val: values transport as their exact 4-byte words but
+    the post-exchange segmented scan upcasts (e.g. int32 -> int64 so
+    sums match the engine's Int64 semantics instead of wrapping at 32
+    bits; float sumsq -> float64 so the naive var formula keeps ~52
+    bits against cancellation).
     """
     n = key.shape[0]
     B = -(-n // S)
@@ -154,7 +190,9 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         if w is None:
             outs_sorted.append(None)
             continue
-        nk = 2 if agg in ("min", "max") else 1
+        nk = 2 if (agg in ("min", "max") or
+                   (isinstance(agg, tuple) and agg[0] == "quantile")) \
+            else 1
         o = jax.lax.sort((hx, vx[vi]), dimension=1, num_keys=nk,
                          is_stable=False)
         hfin = o[0]
@@ -179,6 +217,16 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     from .keycode import decode_orderable
     gvalid = (endf & liveF).reshape(-1)
     gkey = fmix32_inv(hfin).reshape(-1)
+    any_quant = any(isinstance(a, tuple) and a[0] == "quantile"
+                    for a in aggs)
+    if any_quant:
+        # per-row run geometry on the bucket-major layout: rank r and
+        # run length nn feed the two-row interpolation contributions
+        start = jax.lax.cummax(jnp.where(flag, col, 0), axis=1)
+        end = jax.lax.cummin(jnp.where(endf, col, L), axis=1,
+                             reverse=True)
+        nn_q = end - start + 1
+        r_q = col - start
     # all additive scans (sums + the shared count) ride ONE multi-array
     # doubling ladder: the gid rolls/compares amortize across arrays
     scan_in: List[jax.Array] = []
@@ -188,12 +236,38 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         scan_slot["count"] = len(scan_in)
         scan_in.append(liveF.astype(jnp.int32).reshape(-1))
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
-        if agg == "sum":
+        if agg in ("sum", "sumsq"):
             scan_slot[i] = len(scan_in)
             x = jax.lax.bitcast_convert_type(so, v.dtype).reshape(-1)
             if scan_dtypes is not None and scan_dtypes[i] is not None:
                 x = x.astype(scan_dtypes[i])
+            if agg == "sumsq":
+                x = x * x
             scan_in.append(x)
+        elif isinstance(agg, tuple) and agg[0] == "quantile":
+            _, q, interp = agg
+            scan_slot[i] = len(scan_in)
+            vv = decode_orderable(so, jnp.dtype(v.dtype),
+                                  False).astype(jnp.float32)
+            i0, i1, frac = _quantile_ranks(q, nn_q)
+            if interp == "linear":
+                contrib = jnp.where(r_q == i0, vv * (1 - frac), 0.) + \
+                    jnp.where((r_q == i1) & (i1 != i0), vv * frac, 0.)
+            elif interp == "lower":
+                contrib = jnp.where(r_q == i0, vv, 0.)
+            elif interp == "higher":
+                contrib = jnp.where(r_q == i1, vv, 0.)
+            elif interp == "midpoint":
+                # i1 == i0 -> the same row takes vv/2 twice = vv
+                contrib = jnp.where(r_q == i0, vv / 2, 0.) + \
+                    jnp.where(r_q == i1, vv / 2, 0.)
+            else:  # nearest
+                inear = jnp.where(frac > 0.5, i1,
+                                  jnp.where(frac < 0.5, i0,
+                                            (i0 + 1) // 2 * 2))
+                contrib = jnp.where(r_q == inear, vv, 0.)
+            scan_in.append(jnp.where(liveF, contrib,
+                                     jnp.float32(0)).reshape(-1))
     if scan_in:
         scanned = _seg_scan_doubling_multi(
             scan_in, gid, lambda p, c: [a + b for a, b in zip(p, c)])
@@ -201,11 +275,14 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
         if agg == "count":
             outs.append(jnp.where(gvalid, scanned[scan_slot["count"]], 0))
-        elif agg == "sum":
+        elif agg in ("sum", "sumsq"):
             sdt = v.dtype if scan_dtypes is None or scan_dtypes[i] is None \
                 else scan_dtypes[i]
             outs.append(jnp.where(gvalid, scanned[scan_slot[i]],
                                   jnp.zeros((), sdt)))
+        elif isinstance(agg, tuple) and agg[0] == "quantile":
+            outs.append(jnp.where(gvalid, scanned[scan_slot[i]],
+                                  jnp.float32(0)))
         else:  # min / max at the run end, encoded
             val = decode_orderable(so.reshape(-1), v.dtype,
                                    descending=(agg == "min"))

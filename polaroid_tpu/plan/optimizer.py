@@ -119,6 +119,40 @@ def output_sortedness(plan: L.Plan) -> List:
     return []
 
 
+def _pin_groupby_key_order(plan: L.Plan) -> Optional[L.Plan]:
+    """Walk to the sortedness ORIGIN of `plan` and, if it is a
+    group_by, return a copy with maintain_order="key" — the executor
+    contract that closes the hash-exchange path (which emits hash
+    order) so the elided sort stays sound under the runtime-adaptive
+    group-by dispatch. Returns the (possibly rebuilt) plan, or None
+    when the elision should NOT happen: unknown origin, or a group-by
+    whose aggregates want the hash path badly enough (median/quantile
+    have no dense formulation) that hash + a real sort beats the
+    sorted-layout path + elision."""
+    k = plan.kind
+    if k == "sort":
+        return plan
+    if k == "group_by" and not plan.maintain_order:
+        from ..ops.groupby import _aggs_have_quantile
+        if _aggs_have_quantile(plan.aggs):
+            return None
+        return L.GroupBy(plan.input, plan.keys, plan.aggs, "key")
+    if k in ("filter", "slice", "cache", "with_row_index", "fast_count",
+             "distinct", "select", "with_columns", "rename", "drop"):
+        if not plan.inputs:
+            return None
+        sub = _pin_groupby_key_order(plan.inputs[0])
+        if sub is None:
+            return None
+        return plan.with_inputs([sub] + list(plan.inputs[1:]))
+    if k == "join" and plan.how in ("semi", "anti", "cross"):
+        sub = _pin_groupby_key_order(plan.left)
+        if sub is None:
+            return None
+        return plan.with_inputs([sub] + list(plan.inputs[1:]))
+    return None
+
+
 def elide_redundant_sorts(plan: L.Plan) -> L.Plan:
     new_inputs = [elide_redundant_sorts(p) for p in plan.inputs]
     if plan.inputs:
@@ -139,8 +173,14 @@ def elide_redundant_sorts(plan: L.Plan) -> L.Plan:
             if any(ins.get(n) is None or ins[n].is_nested
                    for (n, _, _) in want):
                 return plan
-            # already ordered: a stable sort would be the identity
-            return plan.input
+            # already ordered: a stable sort would be the identity —
+            # but a group-by origin must be PINNED to key order first
+            # (the hash-exchange group-by emits hash order; the pin
+            # closes that gate at execution)
+            pinned = _pin_groupby_key_order(plan.input)
+            if pinned is None:
+                return plan
+            return pinned
     return plan
 
 
