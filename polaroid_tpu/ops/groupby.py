@@ -271,24 +271,29 @@ def _compact_at_ends(gid, ncap, arrays):
     live = gid < ncap
     idx = jnp.arange(cap, dtype=jnp.int32)
     is_end = live & ((idx == cap - 1) | (jnp.roll(gid, -1) != gid))
-    ngroups = jnp.sum(is_end.astype(jnp.int32))
+    return _compact_selected(is_end, arrays)
+
+
+def _compact_selected(sel, arrays):
+    """Stably compact each array's values at `sel` slots to the front.
+    Returns (compacted arrays, count). Boundary extraction IS a 1-bit
+    stable partition: the Pallas block-partition kernel does it in
+    ~bandwidth time (~7 ms vs ~22 ms for the carry sort at 8M rows)."""
+    ngroups = jnp.sum(sel.astype(jnp.int32))
     words: list = []
     splits: list = []
     for a in arrays:
         w = _split_words(a)
         splits.append((len(w), a.dtype))
         words.extend(w)
-    # boundary extraction IS a 1-bit stable partition: the Pallas
-    # block-partition kernel does it in ~bandwidth time (~7 ms vs ~22 ms
-    # for the carry sort at 8M rows)
     from .pallas_partition import compact_words, use_partition_kernel
     out = None
     if use_partition_kernel():
-        res_k = compact_words(is_end, words)
+        res_k = compact_words(sel, words)
         if res_k is not None:
             out = [None] + res_k[0]  # align with the sort-output layout
     if out is None:
-        flag = (~is_end).astype(jnp.uint32)
+        flag = (~sel).astype(jnp.uint32)
         out = _mssort([flag] + list(words), 1, is_stable=True)
     res = []
     pos = 1
@@ -1562,18 +1567,18 @@ def group_by_agg(table: Table, key_exprs: Sequence[Expr],
         if prod_span > max(4 * cap, 1 << 20):
             spans = None  # domain too large to scatter densely
         elif _use_segscan() and prod_span > _MXU_GROUP_LIMIT and \
-                (_count_agg_nodes(agg_exprs) > 2 or
-                 prod_span > max(cap // 4, 1 << 14)):
+                (len(agg_exprs) > 2 or prod_span > max(cap // 4, 1 << 14)):
             # accelerator, beyond the MXU one-hot limit: each dense-path
             # aggregate pays its own (gid+sentinels, value) sort, while
             # the sorted layout shares ONE build sort — dense still wins
             # for 1-2 aggregates over domains well under the row count
             # (its gid is free: dict codes / mixed-radix), e.g. the
             # 1M-unique string group-by at 8.4M rows: 168 ms dense vs
-            # 411 ms sorted. Counted at AGG-NODE granularity: one output
-            # like corr(a,b)**2 desugars to SIX sum/count terms, each a
-            # full-array sort on the dense path (h2o q9 59 ms dense vs
-            # ~20 sorted)
+            # 411 ms sorted. Counted at OUTPUT-expr granularity on
+            # purpose: routing corr(a,b)**2 (six internal sum terms) to
+            # the sorted layout measured 270 ms vs 59 dense — the
+            # sorted path's f64 term ladders dwarf the dense path's
+            # per-term sorts (r5 probe)
             spans = None
     if spans is not None:
         gctx = build_groups_dense(key_vals, mask, spans)
@@ -1884,24 +1889,6 @@ _SIMPLE_AGGS = ("sum", "mean", "min", "max", "count", "len",
                 "var", "std", "median", "quantile")
 
 
-def _count_agg_nodes(agg_exprs) -> int:
-    """Number of AGG leaves across the output expressions — the unit
-    the dense path pays a per-term full-array sort for (a composite
-    like corr desugars to six sums behind one output name)."""
-    n = 0
-
-    def walk(e):
-        nonlocal n
-        if e.kind == "agg":
-            n += 1
-        for c in e.children:
-            walk(c)
-
-    for e in agg_exprs:
-        walk(e)
-    return n
-
-
 def _aggs_have_quantile(agg_exprs) -> bool:
     """Static: does any output aggregate a median/quantile? (these have
     no dense one-hot path, so the hash-exchange gate opens for them at
@@ -2069,10 +2056,21 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
     def _col(nm):
         return table.cols[nm]
 
+    _masked_memo: dict = {}
+
     def _masked(colo, fill):
         d = colo.data
         if colo.validity is not None:
-            d = jnp.where(colo.validity, d, jnp.asarray(fill, d.dtype))
+            # memoized so repeated requests of one column hand the SAME
+            # array object to hash_groupby_u32, whose transport-word
+            # dedupe keys on identity
+            mk = (id(colo), float(fill) if isinstance(fill, float)
+                  else fill)
+            d = _masked_memo.get(mk)
+            if d is None:
+                d = jnp.where(colo.validity, colo.data,
+                              jnp.asarray(fill, colo.data.dtype))
+                _masked_memo[mk] = d
         return d
 
     def _want_count(nm, colo):
@@ -2132,6 +2130,10 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
     M = out_capacity(cap)
 
     def fast_br(_):
+        # NOT compacted here: an in-branch _compact_selected prefix
+        # pass measured a net LOSS (q6 41 -> 74 ms — the multi-word
+        # partition pass over the 1.5x-rows bucket layout costs far
+        # more than collect()'s lazy compaction of the G-sized result)
         gk, outs, gv, _ok = hash_groupby_u32(code, vals, mask, aggs,
                                              scan_dtypes=scans)
         return gk, tuple(outs), gv

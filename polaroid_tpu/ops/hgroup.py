@@ -147,22 +147,56 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         axis=1)
     ok = (jnp.max(counts) <= CAP) & ~badkey
 
-    # block sorts: one (h, word) pair per value word
-    words = []
+    # transport words, DEDUPED by (source array, encoding): each word
+    # costs a 2-op block sort, an exchange lane, and — the dominant
+    # term — a 2-op per-bucket final sort (~7 ms at 4.2M rows), so
+    # median+std of one column must ride ONE word, not three. A raw
+    # (sum/sumsq) request can also ride an order-encoded word of the
+    # same array — the orderable encoding is bijective, the scan
+    # decodes it back exactly.
+    def _desired_enc(agg):
+        if agg in ("min", "max"):
+            return ("ord", agg == "min")
+        if isinstance(agg, tuple) and agg[0] == "quantile":
+            return ("ord", False)
+        return ("raw",)
+
+    uniq_words: List = []       # padded u32 transport words
+    uniq_enc: List = []         # encoding of each unique word
+    uniq_ordered: List = []     # word needs num_keys=2 in the final sort
+    slot_by_key: dict = {}
+    agg_word: List = []         # per agg: (slot, word_enc) or None
+
     for v, agg in zip(vals, aggs):
         if agg == "count":
-            words.append(None)
+            agg_word.append(None)
             continue
-        w = _encode_val(v, agg)
-        if npad != n:
-            w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-        words.append(w)
-    real = [w for w in words if w is not None]
+        enc = _desired_enc(agg)
+        key_exact = (id(v), enc)
+        slot = slot_by_key.get(key_exact)
+        if slot is None and enc == ("raw",):
+            # ride any order-encoded word of the same array
+            for d in (False, True):
+                slot = slot_by_key.get((id(v), ("ord", d)))
+                if slot is not None:
+                    break
+        if slot is None:
+            w = _encode_val(v, agg)
+            if npad != n:
+                w = jnp.concatenate([w, jnp.zeros((npad - n,),
+                                                  jnp.uint32)])
+            slot = len(uniq_words)
+            uniq_words.append(w)
+            uniq_enc.append(enc)
+            uniq_ordered.append(enc[0] == "ord")
+            slot_by_key[key_exact] = slot
+        agg_word.append((slot, uniq_enc[slot]))
+
     h2 = h.reshape(B, S)
-    if real:
+    if uniq_words:
         sorted_real = []
         hs = None
-        for w in real:
+        for w in uniq_words:
             o = jax.lax.sort((h2, w.reshape(B, S)), dimension=1,
                              num_keys=1, is_stable=False)
             hs = o[0]
@@ -181,26 +215,21 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     L = hx.shape[1]
     M = K * L
 
-    # per-bucket batched sorts; min/max words join the key so the run
-    # end holds the encoded extreme
-    outs_sorted: List = []
+    # per-bucket batched final sorts, one per unique word; ordered
+    # words join the key (num_keys=2) so run order is by value and the
+    # run end holds the encoded extreme
+    word_sorted: List = []
     hfin = None
-    vi = 0
-    for agg, w in zip(aggs, words):
-        if w is None:
-            outs_sorted.append(None)
-            continue
-        nk = 2 if (agg in ("min", "max") or
-                   (isinstance(agg, tuple) and agg[0] == "quantile")) \
-            else 1
-        o = jax.lax.sort((hx, vx[vi]), dimension=1, num_keys=nk,
-                         is_stable=False)
+    for w, ordered in zip(vx, uniq_ordered):
+        o = jax.lax.sort((hx, w), dimension=1, num_keys=2 if ordered
+                         else 1, is_stable=False)
         hfin = o[0]
-        outs_sorted.append(o[1])
-        vi += 1
+        word_sorted.append(o[1])
     if hfin is None:
         hfin = jax.lax.sort((hx,), dimension=1, num_keys=1,
                             is_stable=False)[0]
+    outs_sorted: List = [None if aw is None else word_sorted[aw[0]]
+                         for aw in agg_word]
 
     liveF = hfin != jnp.uint32(_FILL)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -228,25 +257,60 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         nn_q = end - start + 1
         r_q = col - start
     # all additive scans (sums + the shared count) ride ONE multi-array
-    # doubling ladder: the gid rolls/compares amortize across arrays
+    # doubling ladder: the gid rolls/compares amortize across arrays.
+    # f64-requested FLOAT sums ride as compensated (hi, lo) f32 PAIRS
+    # on accelerators — one emulated-f64 ladder measured ~5 ms/array at
+    # 4.2M rows (std-alone 33 ms engine) vs ~1 ms for two f32 slots;
+    # sumsq keeps exact squares via a Veltkamp/Dekker two-prod, so the
+    # pair carries x*x to ~49 bits like the engine's other compensated
+    # accumulators (groupby c259773)
+    comp_f32 = jax.default_backend() != "cpu"
     scan_in: List[jax.Array] = []
+    scan_pair: List[bool] = []   # slot starts a compensated (hi, lo) pair
+
+    def _push(x, pair=False, lo=None):
+        scan_in.append(x)
+        scan_pair.append(pair)
+        if pair:
+            scan_in.append(lo)
+            scan_pair.append(False)
+        return len(scan_in) - (2 if pair else 1)
+
     scan_slot = {}
     need_cnt = any(a == "count" for a in aggs)
     if need_cnt:
-        scan_slot["count"] = len(scan_in)
-        scan_in.append(liveF.astype(jnp.int32).reshape(-1))
+        scan_slot["count"] = _push(liveF.astype(jnp.int32).reshape(-1))
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
         if agg in ("sum", "sumsq"):
-            scan_slot[i] = len(scan_in)
-            x = jax.lax.bitcast_convert_type(so, v.dtype).reshape(-1)
-            if scan_dtypes is not None and scan_dtypes[i] is not None:
-                x = x.astype(scan_dtypes[i])
+            enc = agg_word[i][1]
+            if enc[0] == "ord":  # riding a shared order-encoded word
+                x = decode_orderable(so, jnp.dtype(v.dtype),
+                                     enc[1]).reshape(-1)
+            else:
+                x = jax.lax.bitcast_convert_type(so, v.dtype).reshape(-1)
+            sdt = None if scan_dtypes is None else scan_dtypes[i]
+            if comp_f32 and sdt == jnp.float64 and \
+                    jnp.issubdtype(x.dtype, jnp.floating):
+                xf = x.astype(jnp.float32)
+                if agg == "sumsq":
+                    C = jnp.float32((1 << 13) + 1)
+                    c = C * xf
+                    xh = c - (c - xf)
+                    xl = xf - xh
+                    p = xf * xf
+                    err = ((xh * xh - p) + 2 * (xh * xl)) + xl * xl
+                    scan_slot[i] = _push(p, pair=True, lo=err)
+                else:
+                    scan_slot[i] = _push(xf, pair=True,
+                                         lo=jnp.zeros_like(xf))
+                continue
+            if sdt is not None:
+                x = x.astype(sdt)
             if agg == "sumsq":
                 x = x * x
-            scan_in.append(x)
+            scan_slot[i] = _push(x)
         elif isinstance(agg, tuple) and agg[0] == "quantile":
             _, q, interp = agg
-            scan_slot[i] = len(scan_in)
             vv = decode_orderable(so, jnp.dtype(v.dtype),
                                   False).astype(jnp.float32)
             i0, i1, frac = _quantile_ranks(q, nn_q)
@@ -266,11 +330,26 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
                                   jnp.where(frac < 0.5, i0,
                                             (i0 + 1) // 2 * 2))
                 contrib = jnp.where(r_q == inear, vv, 0.)
-            scan_in.append(jnp.where(liveF, contrib,
-                                     jnp.float32(0)).reshape(-1))
+            scan_slot[i] = _push(jnp.where(liveF, contrib,
+                                           jnp.float32(0)).reshape(-1))
     if scan_in:
-        scanned = _seg_scan_doubling_multi(
-            scan_in, gid, lambda p, c: [a + b for a, b in zip(p, c)])
+        def _combine(p, c):
+            out = []
+            j = 0
+            while j < len(p):
+                if scan_pair[j]:
+                    s = p[j] + c[j]
+                    bb = s - p[j]
+                    err = (p[j] - (s - bb)) + (c[j] - bb)
+                    out.append(s)
+                    out.append(p[j + 1] + c[j + 1] + err)
+                    j += 2
+                else:
+                    out.append(p[j] + c[j])
+                    j += 1
+            return out
+
+        scanned = _seg_scan_doubling_multi(scan_in, gid, _combine)
     outs: List[jax.Array] = []
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
         if agg == "count":
@@ -278,8 +357,14 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
         elif agg in ("sum", "sumsq"):
             sdt = v.dtype if scan_dtypes is None or scan_dtypes[i] is None \
                 else scan_dtypes[i]
-            outs.append(jnp.where(gvalid, scanned[scan_slot[i]],
-                                  jnp.zeros((), sdt)))
+            sl = scan_slot[i]
+            if scan_pair[sl]:
+                tot = scanned[sl].astype(jnp.float64) + \
+                    scanned[sl + 1].astype(jnp.float64)
+                outs.append(jnp.where(gvalid, tot, jnp.zeros((), sdt)))
+            else:
+                outs.append(jnp.where(gvalid, scanned[sl],
+                                      jnp.zeros((), sdt)))
         elif isinstance(agg, tuple) and agg[0] == "quantile":
             outs.append(jnp.where(gvalid, scanned[scan_slot[i]],
                                   jnp.float32(0)))

@@ -175,13 +175,22 @@ def col_to_u32_words(data) -> list:
     if dt == jnp.bool_:
         return [data.astype(jnp.uint32)]
     if dt == jnp.float64 and jax.default_backend() != "cpu":
-        # v5e has no f64: XLA's X64 rewriter demotes f64 compute to f32
-        # and cannot legalize `bitcast f64 -> u32[n,2]` at all ("While
-        # rewriting computation to not contain X64 element types ...
-        # not implemented"). Transport as ONE f32 word — lossless
-        # relative to what the chip actually computes.
-        return [jax.lax.bitcast_convert_type(
-            data.astype(jnp.float32), jnp.uint32)]
+        # v5e: NO 64-bit bitcast legalizes through the X64 rewriter in
+        # either direction (f64<->u32[n,2], and even jnp.frexp fails —
+        # it bitcasts internally; tools/f64_words_probe.py), yet f64
+        # COMPUTE is emulated exactly (hash-path f64 scans match numpy
+        # to 15 digits). Transport as a DOUBLE-FLOAT (hi, lo) f32 pair:
+        # ~49-bit precision via value converts only — the same
+        # precision contract as the engine's f32-compensated
+        # accumulators (groupby c259773). The r4 single-f32 transport
+        # silently squashed f64 aggregates to 24 bits (~2% std errors
+        # on small groups through the compacted hash path).
+        hi = data.astype(jnp.float32)
+        lo = jnp.where(jnp.isfinite(hi),
+                       data - hi.astype(jnp.float64),
+                       jnp.float64(0)).astype(jnp.float32)
+        return [jax.lax.bitcast_convert_type(hi, jnp.uint32),
+                jax.lax.bitcast_convert_type(lo, jnp.uint32)]
     if dt.itemsize <= 4:
         if dt.itemsize < 4:
             data = data.astype(
@@ -204,10 +213,15 @@ def col_from_u32_words(words, stor):
     """Inverse of _col_u32_words for a target numpy storage dtype."""
     stor = jnp.dtype(stor)
     if stor == jnp.float64 and len(words) == 1:
-        # f64 transported as one f32 word on accelerators (see
-        # col_to_u32_words)
+        # legacy single-f32 transport (CPU never takes it; kept for
+        # word-count compatibility)
         return jax.lax.bitcast_convert_type(
             words[0], jnp.float32).astype(jnp.float64)
+    if stor == jnp.float64 and jax.default_backend() != "cpu":
+        # double-float (hi, lo) f32 pair — see col_to_u32_words
+        hi = jax.lax.bitcast_convert_type(words[0], jnp.float32)
+        lo = jax.lax.bitcast_convert_type(words[1], jnp.float32)
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
     if len(words) == 2:
         return jax.lax.bitcast_convert_type(
             jnp.stack([words[1], words[0]], axis=-1), stor)
