@@ -770,6 +770,22 @@ class Table:
             elif not hasattr(v, "__len__"):
                 v = [v] * n
             dt = schema.get(k) if schema else None
+            col = getattr(v, "_col", None)
+            if isinstance(col, Column) and \
+                    (dt is None or dt == col.dtype) and \
+                    col.capacity == cap:
+                # a Series: adopt its Column as-is — round-tripping
+                # through Python values would re-infer the dtype
+                # (widening an explicit Float32 to Float64)
+                cols[k] = col
+                continue
+            if isinstance(col, Column) and \
+                    (dt is None or dt == col.dtype) and \
+                    col.capacity < cap:
+                from .ops import compact as _C
+                tt = Table([k], {k: col}, col.capacity, lengths[k], None)
+                cols[k] = _C.grow_to(tt, cap).cols[k]
+                continue
             cols[k] = Column.from_numpy(v, dtype=dt, capacity=cap)
         return Table(names, cols, cap, n, None)
 

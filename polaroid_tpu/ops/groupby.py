@@ -58,7 +58,7 @@ class GroupContext:
 
     __slots__ = ("perm", "gid", "newgrp", "live_sorted", "ngroups", "cap",
                  "_group_start", "group_count", "out_cap", "sorted_ids",
-                 "sorted_cache", "mxu_stash")
+                 "sorted_cache", "mxu_stash", "sorted_extra")
 
     def __init__(self, perm, gid, newgrp, live_sorted, ngroups, cap,
                  group_start, group_count, out_cap=None, sorted_ids=True):
@@ -71,6 +71,10 @@ class GroupContext:
         # for ALL simple aggregates (keyed ("len",) / ("count"|"sum",
         # id(col.data)))
         self.mxu_stash = {}
+        # sorted extra_words (within-group ordering words) from the
+        # build sort — free to expose, lets rank().over() read the
+        # value order without a second sort
+        self.sorted_extra = ()
         self.perm = perm
         self.gid = gid
         self.newgrp = newgrp
@@ -157,6 +161,8 @@ def build_groups(key_vals: Sequence[Val], mask: jax.Array,
                            gid, cap)
     ctx = GroupContext(perm, gid, newgrp, live_sorted, ngroups, cap,
                        group_start, group_count)
+    if extra_words:
+        ctx.sorted_extra = tuple(skeys[n_grp_words:])
     wi = 0
     from ..batch import storage_numpy_dtype as _snd
     for ck, cdt, nw, hasv in layout:
@@ -1903,26 +1909,135 @@ def _aggs_have_quantile(agg_exprs) -> bool:
     return False
 
 
+_COMBO_NODE_KINDS = ("binary", "unary", "fma", "cast", "lit", "alias",
+                     "name_map", "name_keep")
+_ROWWISE_KINDS = ("col", "lit", "binary", "unary", "cast", "alias",
+                  "is_not_null", "is_null", "fma", "when_then",
+                  "name_map", "name_keep")
+
+
+def _expr_rowwise(e: Expr) -> bool:
+    """Static: elementwise-only expression (no aggregations/windows) —
+    safe to evaluate per-row before the exchange."""
+    if e.kind not in _ROWWISE_KINDS:
+        return False
+    return all(_expr_rowwise(c) for c in e.children)
+
+
+def _combo_leaf(ee: Expr, table: Table, cap: int):
+    """Validate one aggregate leaf inside a combination expression.
+    Returns (kind, cols, pred, out_dt) or None. cols is a 1-tuple of a
+    column name, or a 2-tuple for a product (the sum-of-a*b cross term
+    that corr/cov decompose into); pred the rowwise filter predicate
+    node (shared by every factor) or None; out_dt the float cast dtype
+    applied to the inputs, or None."""
+    kind = ee.attrs.get("agg") if ee.kind == "agg" else "len"
+    if ee.kind == "table_len" or (kind == "len" and not ee.children):
+        return ("len", None, None, None)
+    if kind not in ("sum", "mean", "min", "max", "count") or \
+            not ee.children:
+        return None
+
+    state = {"pred": None, "dt": None, "bad": False}
+
+    def strip(c):
+        while True:
+            if c.kind in ("alias", "name_map", "name_keep"):
+                c = c.children[0]
+            elif c.kind == "cast" and c.attrs["dtype"].is_float:
+                if state["dt"] is None:
+                    state["dt"] = c.attrs["dtype"]
+                c = c.children[0]
+            elif c.kind == "expr_filter":
+                # the optimizer's CSE/fma rewrites COPY nodes, so
+                # predicate sameness is structural (repr), not identity
+                p = c.children[1]
+                if (state["pred"] is not None and
+                        repr(state["pred"]) != repr(p)) \
+                        or not _expr_rowwise(p):
+                    state["bad"] = True
+                    return c
+                state["pred"] = p
+                c = c.children[0]
+            else:
+                return c
+
+    def col_ok(nm):
+        colo = table.cols.get(nm)
+        if colo is None or colo.data is None or colo.lengths is not None \
+                or colo.fields is not None or colo.data.ndim != 1 or \
+                colo.data.shape[0] != cap or colo.data.dtype.itemsize != 4:
+            return False
+        dt = colo.dtype
+        return dt.is_float or dt.is_integer or dt.is_bool
+
+    base = strip(ee.children[0])
+    if state["bad"]:
+        return None
+    if base.kind == "binary" and base.attrs.get("op") == "mul" and \
+            kind in ("sum", "mean", "count"):
+        sides = []
+        for ch in base.children:
+            s = strip(ch)
+            if state["bad"] or s.kind != "col":
+                return None
+            sides.append(s.attrs["name"])
+        if not all(col_ok(nm) for nm in sides):
+            return None
+        dts = [table.cols[nm].dtype for nm in sides]
+        if state["dt"] is None and not all(d == Float32 for d in dts):
+            # un-cast products keep exact Int64 semantics on the
+            # general paths; only float accumulation rides here
+            return None
+        return (kind, tuple(sides), state["pred"], state["dt"])
+    if base.kind != "col" or not col_ok(base.attrs["name"]):
+        return None
+    if kind in ("min", "max") and state["dt"] is not None:
+        return None  # cast-then-extreme: keep the general path's dtype
+    return (kind, (base.attrs["name"],), state["pred"], state["dt"])
+
+
+def _plan_combo(ee: Expr, table: Table, cap: int):
+    """Arithmetic combination of aggregate leaves (corr/cov/`max-min`
+    style): returns [(node, leafdesc)] or None. The hash path computes
+    each leaf with the exchange pipeline and evaluates the combining
+    arithmetic on the per-group outputs."""
+    leaves: list = []
+    seen: set = set()
+
+    def walk(e) -> bool:
+        if e.kind in ("agg", "table_len"):
+            if id(e) not in seen:
+                d = _combo_leaf(e, table, cap)
+                if d is None:
+                    return False
+                seen.add(id(e))
+                leaves.append((e, d))
+            return True
+        if e.kind == "lit":
+            return True
+        if e.kind not in _COMBO_NODE_KINDS:
+            return False
+        return bool(e.children) and all(walk(c) for c in e.children)
+
+    if not walk(ee):
+        return None
+    return leaves if any(True for _ in leaves) else None
+
+
 def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
     """Static walk: every output must be a simple aggregate of a bare
-    4-byte numeric column (or len). Returns [(name, kind, col|None,
-    extra)] or None when any output disqualifies; extra carries ddof
-    for var/std and (q, interp) for median/quantile."""
-    plan = []
-    for e in agg_exprs:
-        name = meta.output_name(e)
-        ee = e
-        while ee.kind == "alias":
-            ee = ee.children[0]
-        if ee.kind == "table_len":
-            plan.append((name, "len", None, None))
-            continue
+    4-byte numeric column (or len), OR an arithmetic combination of
+    such aggregate leaves (corr(a,b)**2, max(a)-min(b), ...). Returns
+    [(name, kind, col|None, extra)] or None when any output
+    disqualifies; extra carries ddof for var/std, (q, interp) for
+    median/quantile, and the leaf list for "expr" combos."""
+    def _plan_simple(ee):
         if ee.kind != "agg" or ee.attrs.get("agg") not in _SIMPLE_AGGS:
             return None
         kind = ee.attrs["agg"]
         if kind == "len" and not ee.children:
-            plan.append((name, "len", None, None))
-            continue
+            return ("len", None, None)
         if not ee.children:
             return None
         c = ee.children[0]
@@ -1959,9 +2074,31 @@ def _hash_groupby_plan(table: Table, agg_exprs: Sequence[Expr], cap: int):
                          ee.attrs.get("interpolation", "nearest"))
             kind = "quantile"
         if kind == "len":
+            return ("len", None, None)
+        return (kind, c.attrs["name"], extra)
+
+    plan = []
+    for e in agg_exprs:
+        name = meta.output_name(e)
+        ee = e
+        while ee.kind == "alias":
+            ee = ee.children[0]
+        if ee.kind == "table_len":
             plan.append((name, "len", None, None))
-        else:
-            plan.append((name, kind, c.attrs["name"], extra))
+            continue
+        ent = _plan_simple(ee)
+        if ent is not None:
+            plan.append((name,) + ent)
+            continue
+        # combination of aggregate leaves (corr(a,b)**2, max(a)-min(b),
+        # (a*b).sum(), ...) — also reached when a SIMPLE agg has a
+        # computed child
+        if ee.kind in _COMBO_NODE_KINDS + ("agg",):
+            leaves = _plan_combo(ee, table, cap)
+            if leaves is not None:
+                plan.append((name, "expr", ee, leaves))
+                continue
+        return None
     return plan
 
 
@@ -2080,6 +2217,135 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
         return _want(("cnt", nm), lambda: (
             colo.validity.astype(jnp.float32), "sum", None))
 
+    # --- combo ("expr") leaf machinery: predicate / masked-value
+    # vectors memoized by identity so hgroup's transport-word dedupe
+    # sees ONE array per (column, mask, encoding) — corr(a,b)'s sum,
+    # sumsq and sumprod requests of a column all ride one word
+    _pred_memo: dict = {}
+    _vec_memo: dict = {}
+    leaf_spec: dict = {}
+
+    def _predvec(p):
+        if p is None:
+            return None
+        pv = _pred_memo.get(repr(p))
+        if pv is None:
+            v = eval_expr(p, table, "select")
+            d = v.data
+            if d.shape[0] != cap:
+                d = jnp.broadcast_to(d, (cap,))
+            pv = d.astype(jnp.bool_)
+            if v.validity is not None:
+                pval = v.validity
+                if pval.shape[0] != cap:
+                    pval = jnp.broadcast_to(pval, (cap,))
+                pv = pv & pval
+            _pred_memo[repr(p)] = pv
+        return pv
+
+    def _partvec(lcols, lpred):
+        part = _predvec(lpred)
+        for nm2 in lcols:
+            cv = table.cols[nm2].validity
+            if cv is not None:
+                part = cv if part is None else (part & cv)
+        return part
+
+    def _valvec(nm2, part, as_f32, ident=None):
+        key2 = (nm2, None if part is None else id(part), as_f32,
+                None if ident is None else float(ident))
+        x = _vec_memo.get(key2)
+        if x is None:
+            d = table.cols[nm2].data
+            if as_f32 and d.dtype != jnp.float32:
+                d = d.astype(jnp.float32)
+            if part is not None:
+                fill = jnp.zeros((), d.dtype) if ident is None else \
+                    jnp.asarray(ident, d.dtype)
+                d = jnp.where(part, d, fill)
+            _vec_memo[key2] = x = d
+        return x
+
+    def _want_part_count(part):
+        if part is None:
+            return _want(("len",), lambda: (mask.astype(jnp.float32),
+                                            "count", None))
+        return _want(("cpart", id(part)), lambda: (
+            part.astype(jnp.float32), "sum", None))
+
+    def _register_leaf(node, lk, lcols, lpred, ldt):
+        if id(node) in leaf_spec:
+            return
+        if lk == "len":
+            _want(("len",), lambda: (mask.astype(jnp.float32), "count",
+                                     None))
+            leaf_spec[id(node)] = ("len",)
+            return
+        part = _partvec(lcols, lpred)
+        if lk == "count":
+            if part is None:
+                _want(("len",), lambda: (mask.astype(jnp.float32),
+                                         "count", None))
+                leaf_spec[id(node)] = ("count", ("len",))
+            else:
+                _want_part_count(part)
+                leaf_spec[id(node)] = ("count", ("cpart", id(part)))
+            return
+        if lk in ("min", "max"):
+            nm1 = lcols[0]
+            colo = _col(nm1)
+            ident = _ident(colo.data.dtype, lk)
+            xv = _valvec(nm1, part, False, ident)
+            tag = (lk, "cx", id(xv))
+            _want(tag, lambda x=xv, k=lk: (x, k, None))
+            ctag = None
+            if part is not None:
+                _want_part_count(part)
+                ctag = ("cpart", id(part))
+            leaf_spec[id(node)] = (lk, tag, ctag, colo.dtype)
+            return
+        # sum / mean
+        if len(lcols) == 2:
+            va = _valvec(lcols[0], part, True)
+            vb = _valvec(lcols[1], part, True)
+            stag = ("cprod", id(va), id(vb))
+            _want(stag, lambda a=va, b=vb: ((a, b), "sumprod",
+                                            jnp.dtype(jnp.float64)))
+            sum_out = ldt or Float32
+        else:
+            nm1 = lcols[0]
+            dt1 = _col(nm1).dtype
+            if dt1.is_bool:
+                xv = _valvec(nm1, part, True)
+                stag = ("csum", id(xv), False)
+                _want(stag, lambda x=xv: (x, "sum", None))
+                sum_out = ldt or UInt32
+            elif dt1.is_float or ldt is not None:
+                # float accumulation; an explicit Float64 cast rides the
+                # compensated (hi, lo) f32 ladder (~49 exact bits)
+                xv = _valvec(nm1, part, True)
+                f64 = ldt == Float64
+                stag = ("csum", id(xv), f64)
+                _want(stag, lambda x=xv, w=f64: (
+                    x, "sum", jnp.dtype(jnp.float64) if w else None))
+                sum_out = ldt or _sum_dtype(dt1)
+            else:
+                # bare int sum: exact word transport + int64 scan, the
+                # engine's Int64 sum semantics
+                xv = _valvec(nm1, part, False)
+                stag = ("csum", id(xv), "i")
+                _want(stag, lambda x=xv, d=dt1: (
+                    x, "sum", jnp.dtype(_acc_dtype(d))))
+                sum_out = _sum_dtype(dt1)
+        if lk == "mean":
+            _want_part_count(part)
+            ctag = ("len",) if part is None else ("cpart", id(part))
+            mean_dt = ldt if ldt is not None and ldt.is_float \
+                else _float_dt(sum_out)
+            leaf_spec[id(node)] = ("mean", stag, ctag, mean_dt)
+        else:
+            leaf_spec[id(node)] = ("sum", stag, sum_out)
+
     for name, kind, nm, extra in plan:
         if kind == "len":
             _want(("len",), lambda: (mask.astype(jnp.float32), "count",
@@ -2120,6 +2386,9 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
             _want(("quant", nm, q, interp), lambda: (
                 colo.data, ("quantile", q, interp), None))
             _want_count(nm, colo)
+        elif kind == "expr":
+            for node, (lk, lcols, lpred, ldt) in extra:
+                _register_leaf(node, lk, lcols, lpred, ldt)
         else:  # min / max
             colo = _col(nm)
             ident = _ident(colo.data.dtype, kind)
@@ -2153,6 +2422,10 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
             if a == "sumsq":
                 x = v.astype(s if s is not None else jnp.float64)
                 c_vals.append(x * x)
+                c_aggs.append("sum")
+            elif a == "sumprod":
+                acc = s if s is not None else jnp.float64
+                c_vals.append(v[0].astype(acc) * v[1].astype(acc))
                 c_aggs.append("sum")
             else:
                 c_vals.append(v if s is None else v.astype(s))
@@ -2196,6 +2469,58 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
 
     def _out(tag):
         return outs[slot_of[tag]]
+
+    def _leaf_val(node):
+        spec = leaf_spec[id(node)]
+        k = spec[0]
+        if k == "len":
+            return Val(UInt32, _out(("len",)).astype(jnp.uint32), None,
+                       None, False)
+        if k == "count":
+            return Val(UInt32, _out(spec[1]).astype(jnp.uint32), None,
+                       None, False)
+        if k == "sum":
+            _, tag, out_dt = spec
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            return Val(out_dt, _out(tag).astype(stor), None, None, False)
+        if k == "mean":
+            _, stag, ctag, out_dt = spec
+            stor = jnp.dtype(storage_numpy_dtype(out_dt))
+            s = _out(stag)
+            nn = _out(ctag).astype(s.dtype)
+            m = s / jnp.maximum(nn, 1)
+            return Val(out_dt, m.astype(stor), _out(ctag) > 0, None,
+                       False)
+        _, tag, ctag, dt_ = spec  # min / max
+        validity = None if ctag is None else (_out(ctag) > 0)
+        return Val(dt_, _out(tag), validity, None, False)
+
+    def _combo_val(e):
+        """Evaluate the combining arithmetic over per-group leaf
+        outputs (M-length arrays) — the post-exchange mirror of
+        eval_group_expr's combination handling."""
+        if e.kind in ("alias", "name_map", "name_keep"):
+            return _combo_val(e.children[0])
+        if id(e) in leaf_spec:
+            return _leaf_val(e)
+        from ..expr.eval import _eval_binary as _eb, _eval_fma as _ef, \
+            _eval_unary as _eu, _lit_val as _lv
+        fake = Table([], {}, M, None, None)
+        if e.kind == "binary":
+            return _eb(e.attrs["op"], _combo_val(e.children[0]),
+                       _combo_val(e.children[1]), fake)
+        if e.kind == "fma":
+            return _ef(e.attrs["op"], _combo_val(e.children[0]),
+                       _combo_val(e.children[1]),
+                       _combo_val(e.children[2]), fake)
+        if e.kind == "unary":
+            return _eu(e.attrs["op"], _combo_val(e.children[0]), e.attrs)
+        if e.kind == "cast":
+            return cast_val(_combo_val(e.children[0]), e.attrs["dtype"])
+        if e.kind == "lit":
+            return _lv(e.attrs["value"], e.attrs["dtype"])
+        raise InvalidOperationError(
+            f"combo node {e.kind!r} unsupported in hash group-by")
 
     for name, kind, nm, extra in plan:
         if name in cols:
@@ -2246,6 +2571,16 @@ def _hash_groupby_fast(table: Table, key_exprs, agg_exprs, key_vals,
             n = _out(ctag).astype(jnp.float32)
             m = _out(("sum", nm)).astype(jnp.float32) / jnp.maximum(n, 1)
             cols[name] = Column(out_dt, m.astype(stor), n > 0, None)
+        elif kind == "expr":
+            v = _combo_val(nm)
+            data = v.data
+            if data.ndim == 0 or data.shape[0] != M:
+                data = jnp.broadcast_to(data, (M,))
+            validity = v.validity
+            if validity is not None and (validity.ndim == 0 or
+                                         validity.shape[0] != M):
+                validity = jnp.broadcast_to(validity, (M,))
+            cols[name] = Column(v.dtype, data, validity, v.sdict)
         else:  # min / max
             colo = _col(nm)
             v = _out((kind, nm))

@@ -111,7 +111,10 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     ``precheck`` computes it without running the pipeline).
 
     aggs[i] is "sum"/"count"/"min"/"max", "sumsq" (sum of squares,
-    upcast BEFORE squaring — the var/std building block), or the tuple
+    upcast BEFORE squaring — the var/std building block), "sumprod"
+    (vals[i] is a PAIR (a, b) of 4-byte arrays; sum of a*b per group —
+    the covariance/correlation cross term; both factor words ride the
+    shared raw-word sort so they stay row-aligned), or the tuple
     ("quantile", q, interp): the value word rides the final sort as a
     second sort key so every group's values form an ascending run, and
     the quantile falls out of per-row run geometry + the shared
@@ -165,16 +168,13 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     uniq_enc: List = []         # encoding of each unique word
     uniq_ordered: List = []     # word needs num_keys=2 in the final sort
     slot_by_key: dict = {}
-    agg_word: List = []         # per agg: (slot, word_enc) or None
+    agg_word: List = []         # per agg: (slot, word_enc) / prod / None
 
-    for v, agg in zip(vals, aggs):
-        if agg == "count":
-            agg_word.append(None)
-            continue
+    def _add_word(v, agg, allow_ord_share=True):
         enc = _desired_enc(agg)
         key_exact = (id(v), enc)
         slot = slot_by_key.get(key_exact)
-        if slot is None and enc == ("raw",):
+        if slot is None and enc == ("raw",) and allow_ord_share:
             # ride any order-encoded word of the same array
             for d in (False, True):
                 slot = slot_by_key.get((id(v), ("ord", d)))
@@ -190,17 +190,36 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
             uniq_enc.append(enc)
             uniq_ordered.append(enc[0] == "ord")
             slot_by_key[key_exact] = slot
+        return slot
+
+    for v, agg in zip(vals, aggs):
+        if agg == "count":
+            agg_word.append(None)
+            continue
+        if agg == "sumprod":
+            # both factor words must ride the SAME permutation through
+            # every sort. Raw words share one multi-operand sort call
+            # (below), so two raw slots are aligned by construction;
+            # ord-word sharing is disallowed because ord words sort in
+            # their own num_keys=2 calls.
+            sa = _add_word(v[0], "sum", allow_ord_share=False)
+            sb = _add_word(v[1], "sum", allow_ord_share=False)
+            agg_word.append(("prod", sa, sb))
+            continue
+        slot = _add_word(v, agg)
         agg_word.append((slot, uniq_enc[slot]))
 
     h2 = h.reshape(B, S)
     if uniq_words:
-        sorted_real = []
-        hs = None
-        for w in uniq_words:
-            o = jax.lax.sort((h2, w.reshape(B, S)), dimension=1,
-                             num_keys=1, is_stable=False)
-            hs = o[0]
-            sorted_real.append(o[1])
+        # ONE multi-operand block sort: lax.sort cost scales with
+        # operand count, so a single (1+R)-operand call beats R
+        # separate 2-operand calls for R >= 2, and it keeps every raw
+        # word row-aligned (the sumprod factors require this)
+        o = jax.lax.sort(
+            (h2,) + tuple(w.reshape(B, S) for w in uniq_words),
+            dimension=1, num_keys=1, is_stable=False)
+        hs = o[0]
+        sorted_real = list(o[1:])
     else:
         hs = jax.lax.sort((h2,), dimension=1, num_keys=1,
                           is_stable=False)[0]
@@ -215,20 +234,33 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     L = hx.shape[1]
     M = K * L
 
-    # per-bucket batched final sorts, one per unique word; ordered
-    # words join the key (num_keys=2) so run order is by value and the
-    # run end holds the encoded extreme
-    word_sorted: List = []
+    # per-bucket batched final sorts — the dominant pipeline term. ALL
+    # raw words ride ONE multi-operand call (row-aligned, cheaper than
+    # per-word 2-op sorts); each ordered word joins the key
+    # (num_keys=2) in its own call so run order is by value and the run
+    # end holds the encoded extreme
+    word_sorted: List = [None] * len(vx)
     hfin = None
-    for w, ordered in zip(vx, uniq_ordered):
-        o = jax.lax.sort((hx, w), dimension=1, num_keys=2 if ordered
-                         else 1, is_stable=False)
+    raw_ix = [i for i, o2 in enumerate(uniq_ordered) if not o2]
+    if raw_ix:
+        o = jax.lax.sort((hx,) + tuple(vx[i] for i in raw_ix),
+                         dimension=1, num_keys=1, is_stable=False)
         hfin = o[0]
-        word_sorted.append(o[1])
+        for j, i in enumerate(raw_ix):
+            word_sorted[i] = o[1 + j]
+    for i, ordered in enumerate(uniq_ordered):
+        if not ordered:
+            continue
+        o = jax.lax.sort((hx, vx[i]), dimension=1, num_keys=2,
+                         is_stable=False)
+        hfin = o[0]
+        word_sorted[i] = o[1]
     if hfin is None:
         hfin = jax.lax.sort((hx,), dimension=1, num_keys=1,
                             is_stable=False)[0]
-    outs_sorted: List = [None if aw is None else word_sorted[aw[0]]
+    outs_sorted: List = [None if aw is None else
+                         (word_sorted[aw[1]], word_sorted[aw[2]])
+                         if aw[0] == "prod" else word_sorted[aw[0]]
                          for aw in agg_word]
 
     liveF = hfin != jnp.uint32(_FILL)
@@ -281,6 +313,37 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     if need_cnt:
         scan_slot["count"] = _push(liveF.astype(jnp.int32).reshape(-1))
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
+        if agg == "sumprod":
+            # sum of a*b (the covariance/correlation cross term): both
+            # factors transported exactly, multiplied post-exchange.
+            # f64-requested: Dekker two-prod keeps the product exact as
+            # a compensated (hi, lo) f32 pair (C = 2^12+1 splits each
+            # f32 into 12-bit halves, so every partial product is
+            # exact), riding the same compensated ladder as sum/sumsq
+            wa, wb = so
+            a32 = jax.lax.bitcast_convert_type(wa, v[0].dtype).reshape(-1)
+            b32 = jax.lax.bitcast_convert_type(wb, v[1].dtype).reshape(-1)
+            sdt = None if scan_dtypes is None else scan_dtypes[i]
+            if comp_f32 and sdt == jnp.float64:
+                af = a32.astype(jnp.float32)
+                bf = b32.astype(jnp.float32)
+                C = jnp.float32((1 << 12) + 1)
+                ca = C * af
+                ah = ca - (ca - af)
+                al = af - ah
+                cb = C * bf
+                bh = cb - (cb - bf)
+                bl = bf - bh
+                p = af * bf
+                err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+                scan_slot[i] = _push(p, pair=True, lo=err)
+                continue
+            if sdt is not None:
+                x = a32.astype(sdt) * b32.astype(sdt)
+            else:
+                x = a32 * b32
+            scan_slot[i] = _push(x)
+            continue
         if agg in ("sum", "sumsq"):
             enc = agg_word[i][1]
             if enc[0] == "ord":  # riding a shared order-encoded word
@@ -354,8 +417,9 @@ def hash_groupby_u32(key: jax.Array, vals: Sequence[jax.Array],
     for i, (agg, so, v) in enumerate(zip(aggs, outs_sorted, vals)):
         if agg == "count":
             outs.append(jnp.where(gvalid, scanned[scan_slot["count"]], 0))
-        elif agg in ("sum", "sumsq"):
-            sdt = v.dtype if scan_dtypes is None or scan_dtypes[i] is None \
+        elif agg in ("sum", "sumsq", "sumprod"):
+            vdt = v[0].dtype if agg == "sumprod" else v.dtype
+            sdt = vdt if scan_dtypes is None or scan_dtypes[i] is None \
                 else scan_dtypes[i]
             sl = scan_slot[i]
             if scan_pair[sl]:

@@ -94,11 +94,31 @@ def eval_over(e: Expr, table: Table, ctx: str) -> Val:
                 oval = jnp.broadcast_to(oval, (cap,))
             extra_words.extend(encode_key_words(od, oval, bool(d),
                                                 bool(nlast)))
-    gctx = build_groups(key_vals, mask, extra_words)
-    gid_row = _row_gid(gctx)
-
     ms = e.attrs.get("mapping_strategy", "group_to_rows")
+    if ms == "group_to_rows" and not order_exprs and cap < (1 << 30) and \
+            inner.kind == "window" and inner.attrs.get("op") == "rank":
+        # rank().over(): the value words join the partition build sort
+        # as within-group ordering words, so ranks fall out of run
+        # geometry — no second (gid, value) sort, no separate x permute
+        # (h2o q8: the old pipeline cost 4 fused sorts after the build)
+        from .keycode import encode_key_words as _ekw
+        v_in = eval_expr(inner.children[0], table, ctx)
+        x_full = (v_in.data if v_in.data.shape[0] == cap
+                  else jnp.broadcast_to(v_in.data, (cap,)))
+        xval = None
+        if v_in.validity is not None:
+            xval = (v_in.validity if v_in.validity.shape[0] == cap
+                    else jnp.broadcast_to(v_in.validity, (cap,)))
+        vw = _ekw(x_full, xval, bool(inner.attrs.get("descending", False)),
+                  True)
+        if len(vw) <= 2 and x_full.ndim == 1:
+            gctx_r = build_groups(key_vals, mask, vw)
+            return _rank_over_fused(inner, v_in, gctx_r, xval is not None)
+
+    gctx = build_groups(key_vals, mask, extra_words)
+
     if ms == "join":
+        gid_row = _row_gid(gctx)
         return _eval_over_join(inner, table, gctx, gid_row, cap)
     if ms == "explode":
         return _eval_over_explode(inner, table, ctx, gctx)
@@ -108,6 +128,7 @@ def eval_over(e: Expr, table: Table, ctx: str) -> Val:
             "'join' or 'explode'")
 
     if inner.kind in ("agg", "table_len") or _is_agg_combo(inner):
+        gid_row = _row_gid(gctx)
         gv = eval_group_expr(inner, table, gctx, [], {})
         gdata = gv.data if gv.data.shape[0] == cap else \
             jnp.broadcast_to(gv.data, (cap,))
@@ -426,6 +447,62 @@ def _eval_window_over(e: Expr, table: Table, ctx: str,
                                     gctx.live_sorted)
 
     raise InvalidOperationError(f"window op {op!r} not supported with .over()")
+
+
+def _rank_over_fused(e: Expr, v: Val, gctx: GroupContext,
+                     has_nulls: bool) -> Val:
+    """rank().over(partition) on a build sort that already ordered rows
+    by (partition, value): ranks fall out of run geometry with NO
+    second sort, and the integer rank + validity bit write back as ONE
+    packed u32 word (one fused-sort writeback instead of three). The
+    caller passed the rank value's order-encoded words (nulls last) as
+    build_groups extra_words; their sorted forms sit in
+    gctx.sorted_extra. Stable build sort == original-row ordinal
+    tiebreak, same as the two-sort formulation (_rank_over)."""
+    from .fused_sort import apply_perm_u32
+    from ..batch import storage_numpy_dtype as _snd3
+    method = e.attrs.get("method", "average")
+    cap = gctx.cap
+    sw = list(gctx.sorted_extra)
+    live = gctx.live_sorted
+    # nulls carry a leading 0/1/2 null word (keycode.encode_key_words):
+    # 1 == valid, so the sorted validity is free — no xv permute
+    xv_sorted = ((sw[0] == 1) & live) if has_nulls else live
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    g_new = gctx.newgrp
+    new_val = g_new | (idx == 0)
+    for w in sw:
+        new_val = new_val | (w != jnp.roll(w, 1))
+    base = jax.lax.cummax(jnp.where(g_new, idx, -1))
+    pos = idx - base
+    tie_start = jax.lax.cummax(jnp.where(new_val, idx, -1)) - base
+    stoppos = jnp.where(new_val, idx, cap).astype(jnp.int32)
+    sufmin = jax.lax.cummin(stoppos[::-1])[::-1]
+    next_stop = jnp.concatenate([sufmin[1:], jnp.array([cap], jnp.int32)])
+    tie_end = next_stop - 1 - base
+    if method == "ordinal":
+        ri = pos + 1
+    elif method == "min":
+        ri = tie_start + 1
+    elif method == "max":
+        ri = tie_end + 1
+    elif method == "dense":
+        cnv = jnp.cumsum(new_val.astype(jnp.int32))
+        cnv0 = jax.lax.cummax(jnp.where(g_new, cnv, 0))
+        ri = cnv - cnv0 + 1
+    else:  # average: transport 2*rank = tie_start + tie_end + 2
+        ri = tie_start + tie_end + 2
+    packed = (ri.astype(jnp.uint32) << jnp.uint32(1)) | \
+        xv_sorted.astype(jnp.uint32)
+    ow = apply_perm_u32(gctx.perm, packed)
+    valid_o = (ow & jnp.uint32(1)) != 0
+    ri_o = ow >> jnp.uint32(1)
+    if method == "average":
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        data = (ri_o.astype(fdt) / 2).astype(
+            jnp.dtype(_snd3(Float64)))
+        return Val(Float64, data, valid_o, v.sdict, False, v.live)
+    return Val(UInt32, ri_o, valid_o, v.sdict, False, v.live)
 
 
 def _rank_over(e: Expr, v: Val, x, xv, gctx: GroupContext, back):

@@ -228,3 +228,97 @@ def test_engine_hash_groupby_fast(rng, monkeypatch):
         assert abs(got[k][1] - want[k][1]) < 1e-3, k
         assert got[k][2] == pytest.approx(want[k][2]), k
         assert int(got[k][3]) == int(want[k][3]), k
+
+
+def test_hash_groupby_sumprod_oracle(rng):
+    """sumprod (the covariance cross term): both factor words ride the
+    shared raw-word sort, multiplied post-exchange with a compensated
+    two-prod (f64 scan request)."""
+    n = 2 * EX.S + 123
+    key = rng.integers(0, 3000, n).astype(np.uint32)
+    a = rng.normal(0, 5, n).astype(np.float32)
+    b = rng.normal(0, 5, n).astype(np.float32)
+    valid = rng.random(n) > 0.1
+    aggs = ["sumprod", "sum", "count"]
+    vals = [(jnp.asarray(a), jnp.asarray(b)), jnp.asarray(a),
+            jnp.asarray(a)]
+    sd = [jnp.dtype(jnp.float64), None, None]
+    gkey, outs, gvalid, ok = HG.hash_groupby_u32(
+        jnp.asarray(key), vals, jnp.asarray(valid), aggs, scan_dtypes=sd)
+    assert bool(ok)
+    gkn, gvn = np.asarray(gkey), np.asarray(gvalid)
+    outn = [np.asarray(o) for o in outs]
+    ref = {}
+    for k, x, y, m in zip(key, a, b, valid):
+        if m:
+            r = ref.setdefault(int(k), [0.0, 0.0, 0])
+            r[0] += float(x) * float(y)
+            r[1] += float(x)
+            r[2] += 1
+    seen = 0
+    for i in range(len(gkn)):
+        if not gvn[i]:
+            continue
+        w = ref[int(gkn[i])]
+        assert abs(outn[0][i] - w[0]) < 1e-3 + 1e-5 * abs(w[0])
+        assert abs(outn[1][i] - w[1]) < 1e-2 + 1e-4 * abs(w[1])
+        assert int(outn[2][i]) == w[2]
+        seen += 1
+    assert seen == len(ref)
+
+
+def test_engine_hash_groupby_combo(rng, monkeypatch):
+    """Aggregate-combination outputs (corr**2, max-min, (a*b).sum())
+    ride the hash-exchange path; differential against the normal engine
+    path, with nulls in one value column."""
+    import polaroid_tpu as pl
+    import polaroid_tpu.ops.groupby as G
+
+    n = 2 * EX.S
+    nuniq = 6000
+    uniq = np.array([f"k{i:05d}" for i in range(nuniq)])
+    codes = rng.integers(0, nuniq, n)
+    v1 = rng.integers(1, 6, n).astype(np.int32)
+    v2 = rng.normal(10, 5, n).astype(np.float32)
+    v2l = v2.astype(object)
+    v2l[rng.random(n) < 0.05] = None
+    # v2 declared Float32: under the CPU test config Float64 columns
+    # store as real f64 (8-byte words can't ride the u32 transport), on
+    # TPU Float64 stores as f32 and combos engage either way
+    df = pl.DataFrame({"id": uniq[codes].tolist(), "v1": v1,
+                       "v2": pl.Series("v2", v2l.tolist(),
+                                       dtype=pl.Float32)})
+    q = (df.lazy().group_by("id")
+         .agg((pl.corr("v1", "v2") ** 2).alias("r2"),
+              (pl.col("v1").max() - pl.col("v1").min()).alias("rng"),
+              (pl.col("v1") * pl.col("v1")).cast(pl.Float64).sum()
+              .alias("ssq")))
+    base = q.collect().to_dict()
+
+    called = {}
+    orig = G._hash_groupby_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        called["hit"] = r is not None
+        return r
+
+    import polaroid_tpu.exec.compiled as CC
+    CC._CACHE.clear()
+    monkeypatch.setattr(G, "_hash_groupby_fast", spy)
+    monkeypatch.setattr(G, "_use_segscan", lambda: True)
+    fast = q.collect().to_dict()
+    CC._CACHE.clear()
+    assert called.get("hit"), "combo fast path did not engage"
+
+    want = dict(zip(base["id"], zip(base["r2"], base["rng"], base["ssq"])))
+    got = dict(zip(fast["id"], zip(fast["r2"], fast["rng"], fast["ssq"])))
+    assert set(got) == set(want)
+    for k in want:
+        wr, gr = want[k][0], got[k][0]
+        if wr is None or (isinstance(wr, float) and np.isnan(wr)):
+            assert gr is None or np.isnan(gr), k
+        else:
+            assert abs(gr - wr) < 2e-5 + 1e-4 * abs(wr), k
+        assert int(got[k][1]) == int(want[k][1]), k
+        assert abs(got[k][2] - want[k][2]) < 1e-2 + 1e-5 * abs(want[k][2])

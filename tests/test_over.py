@@ -233,3 +233,68 @@ def test_over_order_by_agg_first_last():
     ).to_dict()
     assert out["f"] == [20, 20, 30, 30, 20]
     assert out["l"] == [10, 10, 40, 40, 10]
+
+
+def test_rank_over_fused_differential():
+    """The fused rank-over (value words ride the build sort,
+    ops/window_over._rank_over_fused) against a per-group numpy oracle:
+    ties, nulls, descending, every method, plus the h2o-q8 top-k
+    shape."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n = 4000
+    k = rng.integers(0, 37, n)
+    v = rng.integers(0, 25, n).astype(np.float32)
+    vl = v.astype(object)
+    vl[rng.random(n) < 0.1] = None
+    df = pl.DataFrame({"k": k.tolist(), "v": vl.tolist()})
+    out = df.select(
+        pl.col("v").rank("ordinal").over("k").alias("o"),
+        pl.col("v").rank("min", descending=True).over("k").alias("mnd"),
+        pl.col("v").rank("max").over("k").alias("mx"),
+        pl.col("v").rank("dense").over("k").alias("dn"),
+        pl.col("v").rank().over("k").alias("avg")).to_dict()
+
+    def oracle(method, desc):
+        res = [None] * n
+        for g in np.unique(k):
+            rows = [i for i in range(n) if k[i] == g and vl[i] is not None]
+            svals = sorted(rows, key=lambda i: (-v[i] if desc else v[i], i))
+            for pos, i in enumerate(svals):
+                ties = [j for j in svals if v[j] == v[i]]
+                first = min(svals.index(j) for j in ties)
+                last = max(svals.index(j) for j in ties)
+                if method == "ordinal":
+                    res[i] = pos + 1
+                elif method == "min":
+                    res[i] = first + 1
+                elif method == "max":
+                    res[i] = last + 1
+                elif method == "dense":
+                    smaller = len({v[j] for j in svals
+                                   if svals.index(j) < first})
+                    res[i] = smaller + 1
+                else:
+                    res[i] = (first + last) / 2 + 1
+        return res
+
+    assert out["o"] == oracle("ordinal", False)
+    assert out["mnd"] == oracle("min", True)
+    assert out["mx"] == oracle("max", False)
+    assert out["dn"] == oracle("dense", False)
+    assert out["avg"] == oracle("average", False)
+
+    # h2o q8 shape: top-2 per group by rank, then filter+select
+    top = (df.lazy()
+           .with_columns(pl.col("v").rank("ordinal", descending=True)
+                         .over("k").alias("r"))
+           .filter(pl.col("r") <= 2).select("k", "v").collect().to_dict())
+    want = {}
+    for g in np.unique(k):
+        rows = [i for i in range(n) if k[i] == g and vl[i] is not None]
+        best = sorted(rows, key=lambda i: (-v[i], i))[:2]
+        want[int(g)] = sorted(float(v[i]) for i in best)
+    got = {}
+    for gk, gv in zip(top["k"], top["v"]):
+        got.setdefault(int(gk), []).append(float(gv))
+    assert {kk: sorted(vv) for kk, vv in got.items()} == want
