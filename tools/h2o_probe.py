@@ -1,7 +1,11 @@
 """h2o q1-q10 on the real chip: per-query timing after the r5 combo +
 fused-rank work (compare BENCH_r04 / .bench_last_good details)."""
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
